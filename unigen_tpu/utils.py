@@ -1,0 +1,46 @@
+"""Small pytree utilities shared across the framework."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def stack_params(trees: Sequence[Any]) -> Any:
+    """Stack a list of identically-structured param trees along a new leading
+    axis (for lax.scan over transformer blocks)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+def unstack_params(tree: Any, n: int) -> List[Any]:
+    return [jax.tree.map(lambda x: x[i], tree) for i in range(n)]
+
+
+def index_params(tree: Any, i) -> Any:
+    """Gather block i from a stacked tree (i may be traced)."""
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+def param_count(tree: Any) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(tree))
+
+
+def param_bytes(tree: Any) -> int:
+    return sum(int(x.size) * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+
+def cast_tree(tree: Any, dtype) -> Any:
+    """Cast floating leaves to dtype (keeps int leaves intact)."""
+    def _cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(_cast, tree)
+
+
+def init_stacked(key, n: int, init_fn: Callable[[jax.Array], Any]) -> Any:
+    """Initialise n blocks with independent keys and stack them."""
+    keys = jax.random.split(key, n)
+    return stack_params([init_fn(k) for k in keys])
