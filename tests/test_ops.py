@@ -128,7 +128,10 @@ def test_adaln_zero_tokenwise_matches_broadcast():
     temb3d = jnp.broadcast_to(temb[:, None, :], (2, 5, 8))
     out3d = adaln.adaln_zero(p, x, temb3d)
     for a, b in zip(out2d, out3d):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(jnp.broadcast_to(b, a.shape)), rtol=2e-5, atol=1e-5)
+        a, b = np.asarray(a), np.asarray(b)
+        shape = np.broadcast_shapes(a.shape, b.shape)
+        np.testing.assert_allclose(np.broadcast_to(a, shape),
+                                   np.broadcast_to(b, shape), rtol=2e-5, atol=1e-5)
 
 
 def test_adaln_continuous_scale_first():

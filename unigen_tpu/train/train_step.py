@@ -1,0 +1,141 @@
+"""Flow-matching training step for UniGen models.
+
+One jit-compiled program reproducing the reference step (train.py:517-697,
+SURVEY.md §3.1): sample timestep density, add flow-matching noise, pack,
+UniGen forward, weighted MSE + 0.1 aux MoE loss, AdamW on the adapter tree
+only (the frozen backbone never receives gradients), cosine LR with warmup,
+global-norm clip.
+
+ZeRO-equivalence: optimizer state lives on the same shardings as the adapter
+params (see parallel/sharding.py) — there is no engine; XLA's partitioner is
+the engine.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unigen_tpu.config import TrainConfig, UniGenConfig
+from unigen_tpu.models.unigen_flux import unigen_flux_forward
+from unigen_tpu.ops.packing import pack_latents, prepare_latent_image_ids, unpack_latents
+from unigen_tpu.pipelines import scheduling
+
+
+class TrainState(NamedTuple):
+    control: Any          # trainable adapter pytree
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=cfg.learning_rate,
+        warmup_steps=cfg.lr_warmup_steps, decay_steps=cfg.max_train_steps,
+        end_value=0.0)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                    eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay),
+    )
+
+
+def init_train_state(control_params, cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(control=control_params, opt_state=tx.init(control_params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def flow_matching_loss(pred_packed: jnp.ndarray, latents: jnp.ndarray,
+                       noise: jnp.ndarray, sigmas: jnp.ndarray,
+                       weighting_scheme: str) -> jnp.ndarray:
+    """weighted MSE against the flow target (noise - x); pred is packed
+    [B, S, C*4], latents/noise are [B, C, H, W] (train.py:636-652)."""
+    h, w = latents.shape[-2:]
+    pred = unpack_latents(pred_packed, h, w)
+    weighting = scheduling.loss_weighting(sigmas, weighting_scheme)
+    weighting = jnp.reshape(weighting, (-1,) + (1,) * (latents.ndim - 1))
+    target = noise - latents
+    per_sample = jnp.mean(
+        (weighting * (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+         ).reshape(latents.shape[0], -1), axis=1)
+    return jnp.mean(per_sample)
+
+
+def make_train_step(ucfg: UniGenConfig, tcfg: TrainConfig, *,
+                    guidance_embeds: Optional[bool] = None,
+                    attn_impl: str = "auto"):
+    """Returns train_step(state, base_params, batch, rng) -> (state, metrics).
+
+    batch (all device arrays):
+      latents            [B, C, H, W]   VAE-encoded targets
+      condition_latents  [B, C, H, W] or [K, B, C, H, W]
+      prompt_embeds      [B, T, joint_dim]
+      pooled             [B, pooled_dim]
+      condition_pooled   [B, pooled_dim] or [K, B, pooled_dim]
+    """
+    tx = make_optimizer(tcfg)
+    sigma_table = jnp.asarray(scheduling.training_sigmas(
+        scheduling.FlowMatchConfig(shift=1.0)))
+    n_train = sigma_table.shape[0]
+    use_guidance = (ucfg.flux.guidance_embeds if guidance_embeds is None
+                    else guidance_embeds)
+
+    def train_step(state: TrainState, base_params, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        latents = batch["latents"]
+        b, c, h, w = latents.shape
+        r_noise, r_t, r_moe = jax.random.split(rng, 3)
+
+        u = scheduling.sample_timestep_density(r_t, b, tcfg.weighting_scheme)
+        idx = jnp.clip((u * n_train).astype(jnp.int32), 0, n_train - 1)
+        sigmas = sigma_table[idx]
+        t_scaled = sigmas  # timestep/1000 == sigma (shift=1 training schedule)
+        noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
+        noisy = scheduling.scale_noise(latents, noise, sigmas)
+
+        packed_noisy = pack_latents(noisy)
+        cond = batch["condition_latents"]
+        multi = cond.ndim == 5
+        packed_cond = (jax.vmap(pack_latents)(cond) if multi
+                       else pack_latents(cond))
+        img_ids = prepare_latent_image_ids(h // 2, w // 2)
+        cond_h, cond_w = (cond.shape[-2:])
+        cond_ids = prepare_latent_image_ids(cond_h // 2, cond_w // 2)
+        if multi:
+            cond_ids = jnp.broadcast_to(cond_ids[None],
+                                        (cond.shape[0],) + cond_ids.shape)
+        txt_ids = jnp.zeros((batch["prompt_embeds"].shape[1], 3))
+        guidance = (jnp.full((b,), tcfg.guidance_scale, latents.dtype)
+                    if use_guidance else None)
+
+        def loss_fn(control):
+            pred, add_losses, add_outputs = unigen_flux_forward(
+                {"base": base_params, "control": control}, ucfg,
+                hidden=packed_noisy, condition=packed_cond,
+                encoder=batch["prompt_embeds"], pooled=batch["pooled"],
+                condition_pooled=batch["condition_pooled"],
+                timestep=t_scaled, img_ids=img_ids, txt_ids=txt_ids,
+                condition_ids=cond_ids, guidance=guidance,
+                attn_impl=attn_impl, remat=tcfg.remat, rng=r_moe,
+                training=True)
+            flow = flow_matching_loss(pred, latents, noise, sigmas,
+                                      tcfg.weighting_scheme)
+            total = flow + sum(add_losses.values())
+            return total, {"flow_loss": flow, **add_losses,
+                           "expert_counts": add_outputs["expert_counts"]}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.control)
+        updates, opt_state = tx.update(grads, state.opt_state, state.control)
+        control = optax.apply_updates(state.control, updates)
+        metrics = {"step_loss": loss, "flow_loss": aux["flow_loss"],
+                   "moe_loss": aux.get("moe_loss", jnp.zeros(())),
+                   "grad_norm": optax.global_norm(grads),
+                   "expert_counts": aux["expert_counts"]}
+        return TrainState(control, opt_state, state.step + 1), metrics
+
+    return train_step
