@@ -1,0 +1,137 @@
+"""Benchmark: UniGenFlux single-condition 512x512 4-step denoise throughput on
+one TPU chip (BASELINE.json config #1, scaled to fit a single 16 GB v5e).
+
+Preset: ``flux_bench`` — REAL FLUX width (3072 = 24 heads x 128, full MoE +
+shared-expert + control interleave) with reduced depth (6 double / 12 single
+base blocks; 3 + 6 control blocks), bf16, batch 1, 1024 image + 512 text +
+1024 condition tokens. The full 12B FLUX + 4.7B adapter exceeds one v5e chip
+in bf16; per-block math here is identical to the real model so block timings
+extrapolate, and multi-chip sharding (parallel/) is the production path.
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+  value       — images/sec for the jitted 4-step denoise loop (text encode /
+                VAE excluded; the transformer loop dominates end-to-end time).
+  vs_baseline — measured / estimated reference throughput for the same
+                compute on ONE A100-80GB: est_ref = A100_bf16_peak (312e12)
+                * 0.35 assumed MFU / model_flops_per_image. The reference
+                publishes no numbers (SURVEY.md §6), so the denominator is a
+                principled roofline estimate, held constant across rounds.
+
+Timing note: through the axon tunnel block_until_ready() can return before
+device completion — every timed section syncs via a scalar host read.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def model_flops_per_forward(cfg, s_img: int, s_txt: int, s_cond: int) -> float:
+    """Dense matmul FLOPs of one UniGenFlux forward (2*m*n*k terms + attention)."""
+    bb = cfg.flux
+    d = bb.inner_dim
+    s_all = s_img + s_txt
+
+    def attn_flops(s_q, s_kv):
+        return 2 * s_q * s_kv * d * 2  # qk^T + pv
+
+    # per token: double block = qkv+o (4 d^2 MACs) + 2-linear 4x MLP (8 d^2 MACs)
+    double = 2 * (4 * d * d) * s_all + 2 * (8 * d * d) * s_all + attn_flops(s_all, s_all)
+    single = 2 * (3 * d * d + 4 * d * d + 5 * d * d) * s_all + attn_flops(s_all, s_all)
+    n_cn = bb.num_layers // cfg.control.single_control_dev
+    n_cn_s = bb.num_single_layers // cfg.control.single_control_dev
+    cn_all = s_img + s_txt
+    total = (bb.num_layers * double + bb.num_single_layers * single
+             + bb.num_layers * double  # control double applied per base block
+             + bb.num_single_layers * single  # control single per base block
+             )
+    # MoE (capacity ~= tokens) + shared expert (2 double blocks over img+cond)
+    total += 2 * (4 * d * d) * (s_img + s_cond) * 2  # modulated experts
+    total += 2 * (2 * (4 * d * d) * (s_img + s_cond) * 3)  # shared-expert weave approx
+    return float(total)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/unigen_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from unigen_tpu import presets
+    from unigen_tpu.models.unigen_flux import (init_unigen_flux_params,
+                                               unigen_flux_forward)
+    from unigen_tpu.ops.packing import prepare_latent_image_ids
+    from unigen_tpu.pipelines import scheduling
+
+    cfg = presets.flux_bench()
+    bb = cfg.flux
+    dtype = jnp.bfloat16
+    b, hw, t_len = 1, 32, 512          # 512^2 -> 64x64 latents -> 32x32 packed
+    s_img = hw * hw
+    num_steps = 4
+
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    prompt = jax.random.normal(ks[0], (b, t_len, bb.joint_attention_dim), dtype)
+    pooled = jax.random.normal(ks[1], (b, bb.pooled_projection_dim), dtype)
+    cond_pooled = jax.random.normal(ks[2], (b, bb.pooled_projection_dim), dtype)
+    condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
+    latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
+    img_ids = prepare_latent_image_ids(hw, hw)
+    txt_ids = jnp.zeros((t_len, 3))
+    sigmas, timesteps = scheduling.inference_sigmas(
+        scheduling.FlowMatchConfig(shift=1.0), num_steps)
+
+    def denoise(params, latents):
+        def step(lat, i):
+            pred, _, _ = unigen_flux_forward(
+                params, cfg, hidden=lat, condition=condition, encoder=prompt,
+                pooled=pooled, condition_pooled=cond_pooled,
+                timestep=jnp.full((b,), sigmas[i], dtype),
+                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+                attn_impl="auto")
+            lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+            return lat, None
+        latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+        return latents
+
+    fn = jax.jit(denoise)
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))  # forces device completion
+
+    t0 = time.time()
+    out = fn(params, latents0)
+    _ = sync(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(params, latents0)
+        _ = sync(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    images_per_sec = b / dt
+    flops_image = model_flops_per_forward(cfg, s_img, t_len, s_img) * num_steps
+    est_ref_a100 = 312e12 * 0.35 / flops_image      # images/sec, see docstring
+    mfu = flops_image * images_per_sec / 197e12      # v5e bf16 peak
+
+    result = {
+        "metric": "unigen_flux_bench_512px_4step_denoise_images_per_sec",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / est_ref_a100, 3),
+    }
+    print(json.dumps(result))
+    print(f"# compile={compile_s:.1f}s step_time={dt*1000:.1f}ms "
+          f"mfu={mfu:.3f} flops/img={flops_image/1e12:.1f}TF "
+          f"est_ref_a100={est_ref_a100:.3f}img/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""UniGenFluxPipeline — controllable text->image inference, TPU-native.
+
+Re-design of the reference's diffusers-style pipeline
+(src/UniGenPipeline.py:452-1134) as ONE jit-compiled program per call shape:
+VAE-encode the control image(s), pack latents + ids, run the N-step
+flow-matching Euler loop via lax.scan (optional true-CFG second pass per
+step), unpack, VAE-decode. Text encoding (CLIP pooled + T5 sequence) is a
+separate jitted program (embeddings change per prompt, the denoise program is
+reused across prompts).
+
+Fixes the published defect where the multi-condition ``__call__`` shadows the
+single-condition one on the same class (reference UniGenPipeline.py:486 vs
+:809 — SURVEY.md §2.7): here they are two distinct methods.
+
+conditioning-scale start/end windows (``controlnet_keep``,
+UniGenPipeline.py:366-372) become a static per-step scale vector folded into
+the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unigen_tpu.config import UniGenConfig
+from unigen_tpu.models import vae as vae_lib
+from unigen_tpu.models.clip_text import CLIPTextConfig, clip_encode
+from unigen_tpu.models.t5_text import T5Config, t5_encode
+from unigen_tpu.models.unigen_flux import unigen_flux_forward
+from unigen_tpu.ops.packing import (pack_latents, prepare_latent_image_ids,
+                                    unpack_latents)
+from unigen_tpu.pipelines import scheduling
+
+
+@dataclass
+class UniGenFluxPipeline:
+    """Holds configs + params; all compute methods are jitted pure programs."""
+    cfg: UniGenConfig
+    params: Dict[str, Any]                    # base, control
+    vae_cfg: vae_lib.VAEConfig = field(default_factory=vae_lib.VAEConfig)
+    vae_params: Optional[dict] = None
+    clip_cfg: Optional[CLIPTextConfig] = None
+    clip_params: Optional[dict] = None
+    t5_cfg: Optional[T5Config] = None
+    t5_params: Optional[dict] = None
+    scheduler: scheduling.FlowMatchConfig = field(
+        default_factory=lambda: scheduling.FlowMatchConfig(
+            shift=1.0, use_dynamic_shifting=False))
+    tokenizer: Any = None                      # CLIP tokenizer (transformers)
+    tokenizer_2: Any = None                    # T5 tokenizer
+    dtype: Any = jnp.bfloat16
+
+    # ------------------------------------------------------------ text
+
+    def encode_prompt(self, prompt: Union[str, Sequence[str]],
+                      max_sequence_length: int = 512
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(t5_embeds [B,T,4096], clip_pooled [B,768]). Requires tokenizers +
+        encoder params (reference src/text_encoder.py:98-134)."""
+        assert self.tokenizer is not None and self.clip_params is not None, \
+            "text encoders not loaded; pass prompt_embeds directly"
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        clip_ids = self.tokenizer(prompts, padding="max_length", max_length=77,
+                                  truncation=True, return_tensors="np").input_ids
+        t5_ids = self.tokenizer_2(prompts, padding="max_length",
+                                  max_length=max_sequence_length,
+                                  truncation=True, return_tensors="np").input_ids
+        _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
+            self.clip_params, input_ids=jnp.asarray(clip_ids))
+        embeds = jax.jit(partial(t5_encode, cfg=self.t5_cfg))(
+            self.t5_params, input_ids=jnp.asarray(t5_ids))
+        return embeds.astype(self.dtype), pooled.astype(self.dtype)
+
+    def encode_condition_prompt(self, condition_prompt: Union[str, Sequence[str]]
+                                ) -> jnp.ndarray:
+        """Pooled embedding of the condition task name (the 1-encoder mode of
+        reference encode_prompt, text_encoder.py:98-106)."""
+        prompts = ([condition_prompt] if isinstance(condition_prompt, str)
+                   else list(condition_prompt))
+        ids = self.tokenizer(prompts, padding="max_length", max_length=77,
+                             truncation=True, return_tensors="np").input_ids
+        _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
+            self.clip_params, input_ids=jnp.asarray(ids))
+        return pooled.astype(self.dtype)
+
+    # ------------------------------------------------------------ core program
+
+    def _denoise_program(self, num_steps: int, height: int, width: int,
+                         true_cfg_scale: float, guidance_scale: float,
+                         scale_schedule: jnp.ndarray, multi: bool):
+        cfg = self.cfg
+        bb = cfg.flux
+        vs = self.vae_cfg.downscale
+        lh, lw = 2 * (height // (vs * 2)), 2 * (width // (vs * 2))
+        sigmas, timesteps = scheduling.inference_sigmas(
+            self.scheduler, num_steps, image_seq_len=(lh // 2) * (lw // 2))
+        img_ids = prepare_latent_image_ids(lh // 2, lw // 2)
+        do_cfg = true_cfg_scale > 1.0
+
+        def program(params, vae_params, latents, control_pixels, prompt_embeds,
+                    pooled, cond_pooled, neg_embeds, neg_pooled, cond_id_offsets):
+            # VAE-encode control image(s): [B,3,H,W] or [K,B,3,H,W]
+            enc = partial(vae_lib.vae_encode, vae_params, self.vae_cfg)
+            if multi:
+                control_lat = jax.vmap(lambda px: pack_latents(enc(px)))(control_pixels)
+                cond_ids = jax.vmap(
+                    lambda off: prepare_latent_image_ids(lh // 2, lw // 2, off)
+                )(cond_id_offsets)
+            else:
+                control_lat = pack_latents(enc(control_pixels))
+                cond_ids = prepare_latent_image_ids(lh // 2, lw // 2,
+                                                    cond_id_offsets)
+            control_lat = control_lat.astype(self.dtype)
+            b = latents.shape[0]
+            txt_ids = jnp.zeros((prompt_embeds.shape[1], 3))
+            guidance = (jnp.full((b,), guidance_scale, self.dtype)
+                        if bb.guidance_embeds else None)
+
+            def fwd(lat, i, embeds, pool):
+                pred, _, _ = unigen_flux_forward(
+                    params, cfg, hidden=lat, condition=control_lat,
+                    encoder=embeds, pooled=pool, condition_pooled=cond_pooled,
+                    timestep=jnp.full((b,), timesteps[i] / 1000.0, self.dtype),
+                    img_ids=img_ids, txt_ids=txt_ids, condition_ids=cond_ids,
+                    guidance=guidance,
+                    conditioning_scale=scale_schedule[i])
+                return pred
+
+            def step(lat, i):
+                pred = fwd(lat, i, prompt_embeds, pooled)
+                if do_cfg:
+                    neg = fwd(lat, i, neg_embeds, neg_pooled)
+                    pred = neg + true_cfg_scale * (pred - neg)
+                lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+                return lat, None
+
+            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
+                                        unpack_latents(latents.astype(jnp.float32),
+                                                       lh, lw))
+            return pixels
+
+        return program, (lh, lw)
+
+    def generate(self, *, prompt_embeds, pooled, cond_pooled, control_pixels,
+                 height: int = 512, width: int = 512, num_inference_steps: int = 4,
+                 guidance_scale: float = 3.5, true_cfg_scale: float = 1.0,
+                 neg_embeds=None, neg_pooled=None,
+                 conditioning_scale: float = 1.0,
+                 control_guidance_start: float = 0.0,
+                 control_guidance_end: float = 1.0,
+                 subject_offset: bool = False,
+                 seed: int = 0, latents: Optional[jnp.ndarray] = None
+                 ) -> np.ndarray:
+        """Single-condition generation from precomputed embeddings.
+        Returns uint8 images [B, H, W, 3]."""
+        multi = control_pixels.ndim == 5
+        steps = num_inference_steps
+        keep = np.array([
+            1.0 - float((i / steps < control_guidance_start)
+                        or ((i + 1) / steps > control_guidance_end))
+            for i in range(steps)], np.float32)
+        schedule = jnp.asarray(conditioning_scale * keep)
+
+        program, (lh, lw) = self._denoise_program(
+            steps, height, width, true_cfg_scale, guidance_scale, schedule, multi)
+
+        b = prompt_embeds.shape[0]
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (b, (lh // 2) * (lw // 2), self.cfg.flux.in_channels), self.dtype)
+        if neg_embeds is None:
+            neg_embeds = jnp.zeros_like(prompt_embeds)
+            neg_pooled = jnp.zeros_like(pooled)
+        # subject-condition spatial-separation id offset (condition.py:118-121)
+        if multi:
+            offsets = jnp.zeros((control_pixels.shape[0],), jnp.float32)
+        else:
+            offsets = jnp.asarray(lw / 2.0 if subject_offset else 0.0)
+
+        pixels = jax.jit(program)(self.params, self.vae_params, latents,
+                                  control_pixels, prompt_embeds, pooled,
+                                  cond_pooled, neg_embeds, neg_pooled, offsets)
+        imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
+        return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
+
+    # ------------------------------------------------------------ public API
+
+    def __call__(self, prompt: Union[str, Sequence[str]],
+                 condition_prompt: Union[str, Sequence[str]],
+                 control_image: np.ndarray,
+                 negative_prompt: Optional[Union[str, Sequence[str]]] = None,
+                 height: int = 512, width: int = 512,
+                 num_inference_steps: int = 4, guidance_scale: float = 3.5,
+                 true_cfg_scale: float = 1.0, conditioning_scale: float = 1.0,
+                 control_guidance_start: float = 0.0,
+                 control_guidance_end: float = 1.0,
+                 max_sequence_length: int = 512, seed: int = 0) -> np.ndarray:
+        """Single-condition call (reference UniGenPipeline.py:486-807).
+        control_image: float array [B,3,H,W] in [-1,1]."""
+        embeds, pooled = self.encode_prompt(prompt, max_sequence_length)
+        cond_pooled = self.encode_condition_prompt(condition_prompt)
+        neg_embeds = neg_pooled = None
+        if negative_prompt is not None and true_cfg_scale > 1.0:
+            neg_embeds, neg_pooled = self.encode_prompt(negative_prompt,
+                                                        max_sequence_length)
+        subject = (condition_prompt == "subject" if isinstance(condition_prompt, str)
+                   else False)
+        return self.generate(
+            prompt_embeds=embeds, pooled=pooled, cond_pooled=cond_pooled,
+            control_pixels=jnp.asarray(control_image, self.dtype),
+            height=height, width=width, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, true_cfg_scale=true_cfg_scale,
+            neg_embeds=neg_embeds, neg_pooled=neg_pooled,
+            conditioning_scale=conditioning_scale,
+            control_guidance_start=control_guidance_start,
+            control_guidance_end=control_guidance_end,
+            subject_offset=subject, seed=seed)
+
+    def multi_condition_call(self, prompt: Union[str, Sequence[str]],
+                             condition_prompts: Sequence[str],
+                             control_images: Sequence[np.ndarray],
+                             height: int = 512, width: int = 512,
+                             num_inference_steps: int = 4,
+                             guidance_scale: float = 3.5,
+                             conditioning_scale: float = 1.0,
+                             max_sequence_length: int = 512,
+                             seed: int = 0, **kw) -> np.ndarray:
+        """Multi-condition joint control (reference UniGenPipeline.py:809-1134):
+        per-condition pooled embeds + stacked control images feed
+        MultiCondition forward (summed expert outputs)."""
+        embeds, pooled = self.encode_prompt(prompt, max_sequence_length)
+        cond_pooled = jnp.stack([self.encode_condition_prompt(cp)
+                                 for cp in condition_prompts])
+        control = jnp.stack([jnp.asarray(ci, self.dtype)
+                             for ci in control_images])
+        return self.generate(
+            prompt_embeds=embeds, pooled=pooled, cond_pooled=cond_pooled,
+            control_pixels=control, height=height, width=width,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            conditioning_scale=conditioning_scale, seed=seed, **kw)

@@ -1,0 +1,79 @@
+"""Named model presets.
+
+``flux_schnell`` / ``flux_dev`` / ``sd35_medium`` carry the real checkpoint
+hyperparameters; the ``*_mini`` / ``*_bench`` presets keep the exact topology
+(block counts, control interleave, MoE wiring) at reduced width/depth for
+compile checks and single-chip benchmarking (FLUX.1 @ 12B + the ~4.7B adapter
+exceeds one v5e's 16 GB HBM in bf16 — multi-chip or quantized serving is the
+production path; see parallel/ and ops/quant.py).
+"""
+
+from __future__ import annotations
+
+from unigen_tpu import config as C
+
+
+def flux_schnell(condition_types=("canny",), **ctrl_overrides) -> C.UniGenConfig:
+    return C.UniGenConfig(
+        family="flux",
+        flux=C.FluxBackboneConfig(guidance_embeds=False),
+        control=C.ControlConfig(**ctrl_overrides),
+        condition_types=tuple(condition_types),
+    )
+
+
+def flux_dev(condition_types=("canny",), **ctrl_overrides) -> C.UniGenConfig:
+    return C.UniGenConfig(
+        family="flux",
+        flux=C.FluxBackboneConfig(guidance_embeds=True),
+        control=C.ControlConfig(**ctrl_overrides),
+        condition_types=tuple(condition_types),
+    )
+
+
+def sd35_medium(condition_types=("depth",), **ctrl_overrides) -> C.UniGenConfig:
+    ctrl_overrides.setdefault("use_rope", False)
+    return C.UniGenConfig(
+        family="sd3",
+        sd3=C.SD3BackboneConfig(),
+        control=C.ControlConfig(**ctrl_overrides),
+        condition_types=tuple(condition_types),
+    )
+
+
+def flux_mini(condition_types=("canny",)) -> C.UniGenConfig:
+    """Full FLUX topology (19 double / 38 single, 9+19 control blocks, MoE,
+    shared expert) at width 512 — the compile-check flagship."""
+    return C.UniGenConfig(
+        family="flux",
+        flux=C.FluxBackboneConfig(
+            in_channels=64, num_layers=19, num_single_layers=38,
+            attention_head_dim=64, num_attention_heads=8,
+            joint_attention_dim=1024, pooled_projection_dim=256,
+            guidance_embeds=False, axes_dims_rope=(8, 28, 28)),
+        control=C.ControlConfig(),
+        condition_types=tuple(condition_types),
+    )
+
+
+def flux_bench(condition_types=("canny",)) -> C.UniGenConfig:
+    """Single-v5e-chip benchmark preset: REAL FLUX width (3072, 24 heads x 128)
+    with reduced depth (6 double / 12 single; 3+6 control blocks) so the full
+    UniGen stack (~4.3B params, ~8.6GB bf16) plus activations fits one 16 GB
+    chip. Per-block math is identical to the real model, so per-block timings
+    extrapolate."""
+    return C.UniGenConfig(
+        family="flux",
+        flux=C.FluxBackboneConfig(
+            in_channels=64, num_layers=6, num_single_layers=12,
+            attention_head_dim=128, num_attention_heads=24,
+            joint_attention_dim=4096, pooled_projection_dim=768,
+            guidance_embeds=False, axes_dims_rope=(16, 56, 56)),
+        control=C.ControlConfig(),
+        condition_types=tuple(condition_types),
+    )
+
+
+def tiny(condition_types=("canny",)) -> C.UniGenConfig:
+    return C.UniGenConfig(family="flux", flux=C.tiny_flux_config(),
+                          condition_types=tuple(condition_types))

@@ -33,9 +33,10 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    warmup = min(cfg.lr_warmup_steps, max(cfg.max_train_steps - 1, 1))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=cfg.learning_rate,
-        warmup_steps=cfg.lr_warmup_steps, decay_steps=cfg.max_train_steps,
+        warmup_steps=warmup, decay_steps=cfg.max_train_steps,
         end_value=0.0)
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
