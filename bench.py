@@ -72,7 +72,13 @@ def main():
     s_img = hw * hw
     num_steps = 4
 
-    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    # One jitted program for the whole init: through the axon tunnel, issuing
+    # ~1500 individual RNG dispatches is minutes of round-trips.
+    t_init = time.time()
+    params = jax.jit(lambda k: init_unigen_flux_params(k, cfg, dtype=dtype)
+                     )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(f"# param init {time.time()-t_init:.1f}s", file=sys.stderr)
 
     ks = jax.random.split(jax.random.PRNGKey(1), 6)
     prompt = jax.random.normal(ks[0], (b, t_len, bb.joint_attention_dim), dtype)

@@ -1,0 +1,334 @@
+"""Checkpoint bridge: HF/diffusers torch checkpoints -> JAX pytrees.
+
+Covers the reference's pretrained-asset layer (SURVEY.md §2 L0) and its three
+adapter checkpoint formats (reference hook.py:10-27 ``{module}_weights_{idx}.bin``,
+safetensors glob at infer.py:136-140, DeepSpeed-consolidated fp32 state dicts
+at infer.py:125-128):
+
+  load_flux_transformer   diffusers FluxTransformer2DModel -> models/flux tree
+  load_clip_text          transformers CLIPTextModel       -> models/clip_text
+  load_t5_encoder         transformers T5EncoderModel      -> models/t5_text
+  load_vae                diffusers AutoencoderKL          -> models/vae
+  load_unigen_adapter     reference trainable_control_modules state dicts
+                          -> models/unigen_flux control tree
+
+Conventions: torch Linear [out,in] -> {"w": [in,out]}; LayerNorm weight/bias
+-> scale/bias; RMSNorm weight -> scale; Conv2d OIHW -> HWIO.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+import re
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ------------------------------------------------------------ raw readers
+
+def read_safetensors(paths) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+    out = {}
+    if isinstance(paths, str):
+        paths = sorted(globlib.glob(paths)) if any(c in paths for c in "*?") else [paths]
+    for path in paths:
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                t = f.get_tensor(k)
+                if t.dtype == np.dtype("V2"):  # bfloat16 raw view
+                    t = t.view(np.uint16).astype(np.uint32) << 16
+                    t = t.view(np.float32)
+                out[k] = t
+    return out
+
+
+def read_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def read_checkpoint_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load a HF model directory (safetensors shards or pytorch bins)."""
+    st = sorted(globlib.glob(os.path.join(path, "*.safetensors")))
+    if st:
+        return read_safetensors(st)
+    bins = sorted(globlib.glob(os.path.join(path, "*.bin")))
+    out = {}
+    for b in bins:
+        out.update(read_torch_bin(b))
+    return out
+
+
+# ------------------------------------------------------------ leaf converters
+
+def _lin(sd, name, dtype):
+    p = {"w": jnp.asarray(sd[f"{name}.weight"].T, dtype)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+    return p
+
+
+def _ln(sd, name, dtype):
+    return {"scale": jnp.asarray(sd[f"{name}.weight"], dtype),
+            "bias": jnp.asarray(sd[f"{name}.bias"], dtype)}
+
+
+def _rms(sd, name, dtype):
+    return {"scale": jnp.asarray(sd[f"{name}.weight"], dtype)}
+
+
+def _conv(sd, name, dtype):
+    return {"w": jnp.asarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0), dtype),
+            "b": jnp.asarray(sd[f"{name}.bias"], dtype)}
+
+
+def _stack(trees: List[dict]):
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *trees)
+
+
+# ------------------------------------------------------------ FLUX
+
+def _flux_attn(sd, p, dtype, *, context: bool, pre_only: bool = False):
+    a = {"to_q": _lin(sd, f"{p}.to_q", dtype), "to_k": _lin(sd, f"{p}.to_k", dtype),
+         "to_v": _lin(sd, f"{p}.to_v", dtype),
+         "norm_q": _rms(sd, f"{p}.norm_q", dtype),
+         "norm_k": _rms(sd, f"{p}.norm_k", dtype)}
+    if not pre_only:
+        a["to_out"] = _lin(sd, f"{p}.to_out.0", dtype)
+    if context:
+        a.update({"add_q": _lin(sd, f"{p}.add_q_proj", dtype),
+                  "add_k": _lin(sd, f"{p}.add_k_proj", dtype),
+                  "add_v": _lin(sd, f"{p}.add_v_proj", dtype),
+                  "norm_added_q": _rms(sd, f"{p}.norm_added_q", dtype),
+                  "norm_added_k": _rms(sd, f"{p}.norm_added_k", dtype),
+                  "to_add_out": _lin(sd, f"{p}.to_add_out", dtype)})
+    return a
+
+
+def _flux_double_block(sd, p, dtype):
+    return {
+        "norm1": {"linear": _lin(sd, f"{p}.norm1.linear", dtype)},
+        "norm1_context": {"linear": _lin(sd, f"{p}.norm1_context.linear", dtype)},
+        "attn": _flux_attn(sd, f"{p}.attn", dtype, context=True),
+        "ff": {"fc1": _lin(sd, f"{p}.ff.net.0.proj", dtype),
+               "fc2": _lin(sd, f"{p}.ff.net.2", dtype)},
+        "ff_context": {"fc1": _lin(sd, f"{p}.ff_context.net.0.proj", dtype),
+                       "fc2": _lin(sd, f"{p}.ff_context.net.2", dtype)},
+    }
+
+
+def _flux_single_block(sd, p, dtype):
+    return {
+        "norm": {"linear": _lin(sd, f"{p}.norm.linear", dtype)},
+        "attn": _flux_attn(sd, f"{p}.attn", dtype, context=False, pre_only=True),
+        "proj_mlp": _lin(sd, f"{p}.proj_mlp", dtype),
+        "proj_out": _lin(sd, f"{p}.proj_out", dtype),
+    }
+
+
+def _time_text(sd, p, dtype, guidance: bool):
+    out = {"timestep": {"fc1": _lin(sd, f"{p}.timestep_embedder.linear_1", dtype),
+                        "fc2": _lin(sd, f"{p}.timestep_embedder.linear_2", dtype)},
+           "text": {"fc1": _lin(sd, f"{p}.text_embedder.linear_1", dtype),
+                    "fc2": _lin(sd, f"{p}.text_embedder.linear_2", dtype)}}
+    if guidance and f"{p}.guidance_embedder.linear_1.weight" in sd:
+        out["guidance"] = {"fc1": _lin(sd, f"{p}.guidance_embedder.linear_1", dtype),
+                           "fc2": _lin(sd, f"{p}.guidance_embedder.linear_2", dtype)}
+    return out
+
+
+def load_flux_transformer(sd: Dict[str, np.ndarray], num_layers: int = 19,
+                          num_single_layers: int = 38, *, dtype=jnp.bfloat16) -> dict:
+    guidance = "time_text_embed.guidance_embedder.linear_1.weight" in sd
+    return {
+        "x_embedder": _lin(sd, "x_embedder", dtype),
+        "context_embedder": _lin(sd, "context_embedder", dtype),
+        "time_text_embed": _time_text(sd, "time_text_embed", dtype, guidance),
+        "double_blocks": _stack([_flux_double_block(sd, f"transformer_blocks.{i}", dtype)
+                                 for i in range(num_layers)]),
+        "single_blocks": _stack([_flux_single_block(sd, f"single_transformer_blocks.{i}", dtype)
+                                 for i in range(num_single_layers)]),
+        "norm_out": {"linear": _lin(sd, "norm_out.linear", dtype)},
+        "proj_out": _lin(sd, "proj_out", dtype),
+    }
+
+
+# ------------------------------------------------------------ UniGen adapter
+
+def load_unigen_adapter(sd: Dict[str, np.ndarray], *, n_cn: int, n_cn_single: int,
+                        num_experts: int, dtype=jnp.bfloat16,
+                        guidance: bool = False) -> dict:
+    """Map the reference's trainable_control_modules state dict (names rooted
+    at control_* / moe / shared_expert, UniGenTransformer.py:719-891) onto the
+    models/unigen_flux control tree."""
+    ctrl = {
+        "x_embedder": _lin(sd, "control_x_embedder", dtype),
+        "context_embedder": _lin(sd, "control_context_embedder", dtype),
+        "time_text_embed": _time_text(sd, "control_time_text_embed", dtype, guidance),
+        "condition_embed": _time_text(sd, "control_condition_embed", dtype, guidance),
+        "double_blocks": _stack([
+            _flux_double_block(sd, f"control_joint_trans_blocks.{i}", dtype)
+            for i in range(n_cn)]),
+        "add_double": _stack([_lin(sd, f"controlnet_add_joint_blocks.{i}", dtype)
+                              for i in range(n_cn)]),
+    }
+    if "control_single_trans_blocks.0.norm.linear.weight" in sd:
+        ctrl["single_blocks"] = _stack([
+            _flux_single_block(sd, f"control_single_trans_blocks.{i}", dtype)
+            for i in range(n_cn_single)])
+        ctrl["add_single"] = _stack([
+            _lin(sd, f"controlnet_add_single_blocks.{i}", dtype)
+            for i in range(n_cn_single)])
+
+    # MoE: gate + per-expert modulation pairs
+    # deepspeed layout: moe.moe_layer.gate.wg.weight [E, d];
+    # experts.deepspeed_experts.{e}.{0:cond,1:hid}.{0:mod,1:pool}
+    gate_key = next(k for k in sd if k.endswith("gate.wg.weight"))
+    prefix = gate_key[: -len("gate.wg.weight")]
+    moe = {"gate": {"w": jnp.asarray(sd[gate_key].T, jnp.float32)}}
+
+    def expert_lin(e, pair, idx):
+        name = f"{prefix}experts.deepspeed_experts.{e}.{pair}.{idx}"
+        return _lin(sd, name, dtype)
+
+    if f"{prefix}experts.deepspeed_experts.0.0.0.weight" in sd:
+        moe["experts"] = {
+            "cond_mod": _stack([expert_lin(e, 0, 0) for e in range(num_experts)]),
+            "cond_pool": _stack([expert_lin(e, 0, 1) for e in range(num_experts)]),
+            "hid_mod": _stack([expert_lin(e, 1, 0) for e in range(num_experts)]),
+            "hid_pool": _stack([expert_lin(e, 1, 1) for e in range(num_experts)]),
+        }
+    ctrl["moe"] = moe
+
+    if "shared_expert.0.norm1.linear.weight" in sd:
+        ctrl["shared_expert"] = {
+            "weave_cond": _flux_double_block(sd, "shared_expert.0", dtype),
+            "weave_text": _flux_double_block(sd, "shared_expert.1", dtype),
+        }
+    if "consis_module.0.norm1.linear.weight" in sd:
+        ctrl["consis"] = {
+            "block0": _flux_double_block(sd, "consis_module.0", dtype),
+            "block1": _flux_double_block(sd, "consis_module.1", dtype),
+        }
+    return ctrl
+
+
+def load_adapter_checkpoint(work_dir: str, **kw) -> dict:
+    """Reference format (1)/(3): ``{module}_weights_{idx}.bin`` shards written
+    by the save hook (hook.py:16-21), or any torch/safetensors state dict."""
+    sd: Dict[str, np.ndarray] = {}
+    bins = sorted(globlib.glob(os.path.join(work_dir, "*_weights_*.bin")))
+    if bins:
+        for b in bins:
+            module = re.match(r"(.+)_weights_\d+\.bin", os.path.basename(b)).group(1)
+            for k, v in read_torch_bin(b).items():
+                key = k if k.startswith(module) else f"{module}.{k}"
+                sd[key] = v
+    else:
+        sd = read_checkpoint_dir(work_dir)
+    return load_unigen_adapter(sd, **kw)
+
+
+# ------------------------------------------------------------ CLIP / T5 / VAE
+
+def load_clip_text(sd: Dict[str, np.ndarray], num_layers: int = 12, *,
+                   dtype=jnp.float32) -> dict:
+    pre = "text_model." if any(k.startswith("text_model.") for k in sd) else ""
+
+    def layer(i):
+        p = f"{pre}encoder.layers.{i}"
+        return {"ln1": _ln(sd, f"{p}.layer_norm1", dtype),
+                "q": _lin(sd, f"{p}.self_attn.q_proj", dtype),
+                "k": _lin(sd, f"{p}.self_attn.k_proj", dtype),
+                "v": _lin(sd, f"{p}.self_attn.v_proj", dtype),
+                "o": _lin(sd, f"{p}.self_attn.out_proj", dtype),
+                "ln2": _ln(sd, f"{p}.layer_norm2", dtype),
+                "fc1": _lin(sd, f"{p}.mlp.fc1", dtype),
+                "fc2": _lin(sd, f"{p}.mlp.fc2", dtype)}
+
+    out = {
+        "token_embedding": jnp.asarray(
+            sd[f"{pre}embeddings.token_embedding.weight"], dtype),
+        "position_embedding": jnp.asarray(
+            sd[f"{pre}embeddings.position_embedding.weight"], dtype),
+        "layers": _stack([layer(i) for i in range(num_layers)]),
+        "final_ln": _ln(sd, f"{pre}final_layer_norm", dtype),
+    }
+    if "text_projection.weight" in sd:
+        out["text_projection"] = {"w": jnp.asarray(sd["text_projection.weight"].T, dtype)}
+    return out
+
+
+def load_t5_encoder(sd: Dict[str, np.ndarray], num_layers: int = 24, *,
+                    dtype=jnp.bfloat16) -> dict:
+    def layer(i):
+        p = f"encoder.block.{i}.layer"
+        return {"ln1": _rms(sd, f"{p}.0.layer_norm", dtype),
+                "q": _lin(sd, f"{p}.0.SelfAttention.q", dtype),
+                "k": _lin(sd, f"{p}.0.SelfAttention.k", dtype),
+                "v": _lin(sd, f"{p}.0.SelfAttention.v", dtype),
+                "o": _lin(sd, f"{p}.0.SelfAttention.o", dtype),
+                "ln2": _rms(sd, f"{p}.1.layer_norm", dtype),
+                "wi_0": _lin(sd, f"{p}.1.DenseReluDense.wi_0", dtype),
+                "wi_1": _lin(sd, f"{p}.1.DenseReluDense.wi_1", dtype),
+                "wo": _lin(sd, f"{p}.1.DenseReluDense.wo", dtype)}
+
+    return {
+        "token_embedding": jnp.asarray(sd["shared.weight"], dtype),
+        "rel_bias": jnp.asarray(
+            sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"],
+            dtype),
+        "layers": _stack([layer(i) for i in range(num_layers)]),
+        "final_ln": _rms(sd, "encoder.final_layer_norm", dtype),
+    }
+
+
+def load_vae(sd: Dict[str, np.ndarray], block_out_channels=(128, 256, 512, 512),
+             layers_per_block: int = 2, *, dtype=jnp.float32) -> dict:
+    n = len(block_out_channels)
+
+    def attn(p):
+        return {"norm": _ln(sd, f"{p}.group_norm", dtype),
+                "q": _lin(sd, f"{p}.to_q", dtype), "k": _lin(sd, f"{p}.to_k", dtype),
+                "v": _lin(sd, f"{p}.to_v", dtype), "o": _lin(sd, f"{p}.to_out.0", dtype)}
+
+    def res(p):
+        out = {"norm1": _ln(sd, f"{p}.norm1", dtype), "conv1": _conv(sd, f"{p}.conv1", dtype),
+               "norm2": _ln(sd, f"{p}.norm2", dtype), "conv2": _conv(sd, f"{p}.conv2", dtype)}
+        if f"{p}.conv_shortcut.weight" in sd:
+            out["shortcut"] = _conv(sd, f"{p}.conv_shortcut", dtype)
+        return out
+
+    enc = {"conv_in": _conv(sd, "encoder.conv_in", dtype), "down": [],
+           "mid": {"res1": res("encoder.mid_block.resnets.0"),
+                   "attn": attn("encoder.mid_block.attentions.0"),
+                   "res2": res("encoder.mid_block.resnets.1")},
+           "norm_out": _ln(sd, "encoder.conv_norm_out", dtype),
+           "conv_out": _conv(sd, "encoder.conv_out", dtype)}
+    for i in range(n):
+        block = {"resnets": [res(f"encoder.down_blocks.{i}.resnets.{j}")
+                             for j in range(layers_per_block)]}
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            block["down"] = _conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv", dtype)
+        enc["down"].append(block)
+
+    dec = {"conv_in": _conv(sd, "decoder.conv_in", dtype), "up": [],
+           "mid": {"res1": res("decoder.mid_block.resnets.0"),
+                   "attn": attn("decoder.mid_block.attentions.0"),
+                   "res2": res("decoder.mid_block.resnets.1")},
+           "norm_out": _ln(sd, "decoder.conv_norm_out", dtype),
+           "conv_out": _conv(sd, "decoder.conv_out", dtype)}
+    for i in range(n):
+        block = {"resnets": [res(f"decoder.up_blocks.{i}.resnets.{j}")
+                             for j in range(layers_per_block + 1)]}
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            block["up"] = _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", dtype)
+        dec["up"].append(block)
+    return {"encoder": enc, "decoder": dec}
