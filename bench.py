@@ -91,7 +91,9 @@ def main():
     sigmas, timesteps = scheduling.inference_sigmas(
         scheduling.FlowMatchConfig(shift=1.0), num_steps)
 
-    def denoise(params, latents):
+    sig_np = np.asarray(sigmas)
+
+    def denoise(params, latents, condition, prompt, pooled, cond_pooled):
         def step(lat, i):
             pred, _, _ = unigen_flux_forward(
                 params, cfg, hidden=lat, condition=condition, encoder=prompt,
@@ -104,7 +106,8 @@ def main():
         latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
         return latents
 
-    fn = jax.jit(denoise)
+    jfn = jax.jit(denoise)
+    fn = lambda p, lat: jfn(p, lat, condition, prompt, pooled, cond_pooled)
 
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))  # forces device completion

@@ -290,23 +290,23 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
                                   context_first=False, attn_impl=attn_impl)
     h = h + linear(index_params(ctrl["add_double"], 0), cn_out) * scale
 
-    # ---- double blocks 1..n-1 (scan; control params gathered by index table)
-    def double_body(carry, xs):
+    # ---- double blocks 1..n-1 (scan over indices; blocks gathered by index —
+    # avoids materialising a sliced copy of the stacked params)
+    def double_body(carry, i):
         h, enc = carry
-        block_p, cn_idx = xs
+        block_p = index_params(base["double_blocks"], i)
         enc, h = flux_double_block(block_p, h, enc, temb, rope_base,
                                    heads=heads, attn_impl=attn_impl)
-        cn_p = index_params(ctrl["double_blocks"], cn_idx)
+        cn_p = index_params(ctrl["double_blocks"], cn_table[i])
         _, cn_out = flux_double_block(cn_p, h, pre.control_enc, pre.block_temb,
                                       rope_cn_double, heads=heads,
                                       context_first=False, attn_impl=attn_impl)
-        add_p = index_params(ctrl["add_double"], cn_idx)
+        add_p = index_params(ctrl["add_double"], cn_table[i])
         h = h + linear(add_p, cn_out) * scale
         return (h, enc), None
 
     body = jax.checkpoint(double_body) if remat else double_body
-    rest_blocks = jax.tree.map(lambda x: x[1:], base["double_blocks"])
-    (h, enc), _ = jax.lax.scan(body, (h, enc), (rest_blocks, cn_table[1:]))
+    (h, enc), _ = jax.lax.scan(body, (h, enc), jnp.arange(1, n_base))
 
     # ---- single blocks over [txt | img]
     stream = jnp.concatenate([enc, h], axis=1)

