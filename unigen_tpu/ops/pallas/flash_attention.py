@@ -1,0 +1,130 @@
+"""Fused attention kernel for MMDiT joint attention (Pallas / TPU).
+
+The hot op of every block: one SDPA over the concatenated
+[txt | img (| cond)] streams (reference fuses via
+F.scaled_dot_product_attention, src/UniGenUtils.py:601). UniGen sequence
+lengths are short (<= ~5k tokens at 1024^2 multi-condition), so the fastest
+TPU schedule is NOT a streaming flash kernel but a blocked-q kernel that
+keeps the FULL K/V in VMEM (k+v at 5k x 128 bf16 = 2.6 MB << 16 MB VMEM),
+computes q-block logits on the MXU with fp32 accumulation, does one exact
+fp32 softmax (no online rescaling passes), and matmuls P*V back on the MXU.
+
+grid = (B*H, Sq/BQ); every grid step reads a [BQ, D] q block and the whole
+[Skv, D] K/V. Backward uses a custom VJP that recomputes with the XLA
+reference path (identical math, fp32 softmax), so the kernel is safe under
+jax.grad.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on CPU hosts
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+DEFAULT_BQ = 256
+
+
+def supported(q, k, v) -> bool:
+    if not _HAS_PLTPU:
+        return False
+    if q.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    d = q.shape[-1]
+    return d % 128 == 0 or d in (64, 128)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    q = q_ref[0]                                   # [BQ, D]
+    k = k_ref[0]                                   # [Skv_pad, D]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [BQ, Skv_pad]
+    if kv_len < k.shape[0]:                        # mask the padded tail
+        idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(idx < kv_len, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, mask=None):
+    """q,k,v: [B, H, S, D] -> [B, H, Sq, D]. mask unsupported (use XLA path)."""
+    assert mask is None
+    return _flash_fwd_impl(q, k, v)
+
+
+def _flash_fwd_impl(q, k, v):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = min(DEFAULT_BQ, _round_up(sq, 128))
+    sq_pad = _round_up(sq, bq)
+    skv_pad = _round_up(skv, 128)
+    scale = 1.0 / (d ** 0.5)
+
+    qr = q.reshape(b * h, sq, d)
+    kr = k.reshape(b * h, skv, d)
+    vr = v.reshape(b * h, skv, d)
+    if sq_pad != sq:
+        qr = jnp.pad(qr, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if skv_pad != skv:
+        kr = jnp.pad(kr, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        vr = jnp.pad(vr, ((0, 0), (0, skv_pad - skv), (0, 0)))
+
+    grid = (b * h, sq_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, kv_len=skv),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_pad * skv_pad * d,
+            bytes_accessed=(qr.size + kr.size + vr.size) * qr.dtype.itemsize,
+            transcendentals=b * h * sq_pad * skv_pad),
+    )(qr, kr, vr)
+    return out[:, :sq].reshape(b, h, sq, d)
+
+
+def _ref_attn(q, k, v):
+    from unigen_tpu.ops.attention import sdpa_xla
+    return sdpa_xla(q, k, v)
+
+
+def _flash_fwd(q, k, v, mask):
+    return _flash_fwd_impl(q, k, v), (q, k, v)
+
+
+def _flash_bwd(mask, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_ref_attn, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
