@@ -83,6 +83,7 @@ class SanaBackboneConfig:
     mlp_ratio: float = 2.5
     patch_size: int = 1
     sample_size: int = 32
+    pooled_projection_dim: int = 768   # pooled embed dim for MoE modulation
 
     @property
     def inner_dim(self) -> int:
@@ -222,6 +223,18 @@ def tiny_sd3_config(**overrides) -> SD3BackboneConfig:
     )
     base.update(overrides)
     return SD3BackboneConfig(**base)
+
+
+def tiny_sana_config(**overrides) -> SanaBackboneConfig:
+    base = dict(
+        in_channels=4, out_channels=4, num_layers=2, attention_head_dim=8,
+        num_attention_heads=4, num_cross_attention_heads=2,
+        cross_attention_head_dim=16, cross_attention_dim=32,
+        caption_channels=24, mlp_ratio=2.5, patch_size=1, sample_size=8,
+        pooled_projection_dim=16,
+    )
+    base.update(overrides)
+    return SanaBackboneConfig(**base)
 
 
 def asdict(cfg: Any) -> dict:
