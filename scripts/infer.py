@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Inference / evaluation entry point (reference infer.py:36-247): batched
+held-out-split generation with saved target/result/condition images and an
+info.json manifest."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="UniGen-TPU inference")
+    p.add_argument("--basemodel", default="UniGenFlux")
+    p.add_argument("--pretrained_model_name_or_path", required=True)
+    p.add_argument("--ckpt_path", default=None, help="UniGen adapter dir")
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--save_path", default="output/infer")
+    p.add_argument("--condition_types", nargs="+", default=["canny"])
+    p.add_argument("--prompt", default=None, help="single-prompt mode")
+    p.add_argument("--control_image", default=None)
+    p.add_argument("--num_inference_steps", type=int, default=28)
+    p.add_argument("--guidance_scale", type=float, default=3.5)
+    p.add_argument("--true_cfg_scale", type=float, default=1.0)
+    p.add_argument("--conditioning_scale", type=float, default=1.0)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--max_sequence_length", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--max_samples", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import numpy as np
+    from PIL import Image
+
+    from unigen_tpu.data import conditions as C
+    from unigen_tpu.data.datasets import Subjects200K
+    from unigen_tpu.observability import param_report, setup_logging
+    from unigen_tpu.pipelines.loading import load_flux_pipeline
+
+    os.makedirs(args.save_path, exist_ok=True)
+    logger = setup_logging(args.save_path)
+
+    pipe = load_flux_pipeline(args.pretrained_model_name_or_path,
+                              condition_types=args.condition_types,
+                              adapter_dir=args.ckpt_path)
+    param_report(pipe.params["base"], "base")
+    param_report(pipe.params["control"], "adapter")
+
+    if args.prompt is not None:
+        img = np.asarray(Image.open(args.control_image).convert("RGB")
+                         .resize((args.resolution, args.resolution)))
+        control = C.to_model_range(img)[None]
+        imgs = pipe(prompt=args.prompt,
+                    condition_prompt=args.condition_types[0],
+                    control_image=control,
+                    height=args.resolution, width=args.resolution,
+                    num_inference_steps=args.num_inference_steps,
+                    guidance_scale=args.guidance_scale,
+                    true_cfg_scale=args.true_cfg_scale,
+                    conditioning_scale=args.conditioning_scale,
+                    seed=args.seed)
+        Image.fromarray(imgs[0]).save(os.path.join(args.save_path, "res.png"))
+        logger.info("saved %s", os.path.join(args.save_path, "res.png"))
+        return
+
+    # batched test-set generation (reference infer.py:160-232)
+    ds = Subjects200K(args.data_path, args.condition_types[0],
+                      resolution=args.resolution, split="test")
+    n = min(len(ds), args.max_samples)
+    manifest = []
+    for start in range(0, n, args.batch_size):
+        idxs = range(start, min(start + args.batch_size, n))
+        samples = [ds[i] for i in idxs]
+        control = np.stack([C.to_model_range(s["condition_image"])
+                            for s in samples])
+        prompts = [s["descriptions"] for s in samples]
+        imgs = pipe(prompt=prompts, condition_prompt=args.condition_types[0],
+                    control_image=control, height=args.resolution,
+                    width=args.resolution,
+                    num_inference_steps=args.num_inference_steps,
+                    guidance_scale=args.guidance_scale,
+                    conditioning_scale=args.conditioning_scale,
+                    seed=args.seed + start)
+        for j, (i, s) in enumerate(zip(idxs, samples)):
+            d = os.path.join(args.save_path, f"{i:05d}")
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(s["target_image"]).save(os.path.join(d, "target.png"))
+            Image.fromarray(imgs[j]).save(os.path.join(d, "res.png"))
+            Image.fromarray(s["condition_image"]).save(os.path.join(d, "condition.png"))
+            manifest.append({"index": i, "prompt": s["descriptions"],
+                             "condition": args.condition_types[0]})
+        logger.info("generated %d/%d", min(start + args.batch_size, n), n)
+    with open(os.path.join(args.save_path, "info.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Training entry point — the reference train.py CLI surface on the TPU stack.
+
+accelerate/DeepSpeed launch plumbing is replaced by jax.distributed +
+mesh/sharding config: run one process per host (GKE/xpk style), pass
+--coordinator/--num-processes/--process-id, and pick mesh axes with
+--mesh-data/--mesh-expert/--mesh-sequence/--mesh-model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="UniGen-TPU training")
+    p.add_argument("--basemodel", default="UniGenFlux",
+                   choices=["UniGenFlux", "MultiCondtionUniGenFlux", "UniGenSD3",
+                            "SANAUniGen"])
+    p.add_argument("--pretrained_model_name_or_path", required=True)
+    p.add_argument("--data_path", default="")
+    p.add_argument("--dataset_name", default="Subjects200K",
+                   choices=["Subjects200K", "MultiGen", "MultiConditionSubjects200K"])
+    p.add_argument("--condition_types", nargs="+", default=["depth", "canny"])
+    p.add_argument("--work_dir", default="output/train_result")
+    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--max_train_steps", type=int, default=30000)
+    p.add_argument("--train_batch_size", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--weighting_scheme", default="none",
+                   choices=["sigma_sqrt", "logit_normal", "mode", "cosmap", "none"])
+    p.add_argument("--guidance_scale", type=float, default=3.5)
+    p.add_argument("--max_sequence_length", type=int, default=512)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--checkpointing_steps", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=12443)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--single_control_dev", type=int, default=2)
+    p.add_argument("--single_block_control_method", default="overall_add")
+    p.add_argument("--disable_single_trans_blocks", action="store_true")
+    p.add_argument("--mesh-data", type=int, default=0, help="0 = all devices")
+    p.add_argument("--mesh-expert", type=int, default=1)
+    p.add_argument("--mesh-sequence", type=int, default=1)
+    p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unigen_tpu import config as C, observability
+    from unigen_tpu.data.datasets import (ConcatDataset,
+                                          MultiConditionSubjects200K, MultiGen,
+                                          Subjects200K, collate)
+    from unigen_tpu.data.sampler import MultiTaskMixedBatchSampler
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.clip_text import clip_encode
+    from unigen_tpu.models.t5_text import t5_encode
+    from unigen_tpu.parallel.mesh import build_mesh, multihost_init
+    from unigen_tpu.pipelines.loading import load_flux_pipeline
+    from unigen_tpu.train.loop import Trainer
+
+    multihost_init(args.coordinator, args.num_processes, args.process_id)
+    os.makedirs(args.work_dir, exist_ok=True)
+    logger = observability.setup_logging(args.work_dir)
+
+    mesh_cfg = C.MeshConfig(
+        data=args.mesh_data or (jax.device_count() // (args.mesh_expert *
+                                args.mesh_sequence * args.mesh_model)),
+        expert=args.mesh_expert, sequence=args.mesh_sequence,
+        model=args.mesh_model)
+    mesh = build_mesh(mesh_cfg)
+    logger.info("mesh: %s", dict(mesh.shape))
+
+    pipe = load_flux_pipeline(
+        args.pretrained_model_name_or_path,
+        condition_types=args.condition_types,
+        control_overrides=dict(
+            single_control_dev=args.single_control_dev,
+            single_block_control_method=args.single_block_control_method,
+            use_single_trans_blocks=not args.disable_single_trans_blocks))
+    observability.param_report(pipe.params["base"], "base")
+    observability.param_report(pipe.params["control"], "adapter")
+
+    tcfg = C.TrainConfig(
+        learning_rate=args.learning_rate, lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
+        train_batch_size=args.train_batch_size,
+        weighting_scheme=args.weighting_scheme,
+        guidance_scale=args.guidance_scale,
+        max_sequence_length=args.max_sequence_length,
+        resolution=args.resolution, seed=args.seed,
+        checkpointing_steps=args.checkpointing_steps,
+        max_grad_norm=args.max_grad_norm)
+
+    def encode_text(prompts):
+        embeds, pooled = pipe.encode_prompt(list(prompts),
+                                            args.max_sequence_length)
+        return {"prompt_embeds": embeds, "pooled": pooled}
+
+    vae_encode_jit = jax.jit(functools.partial(
+        vae_lib.vae_encode, pipe.vae_params, pipe.vae_cfg))
+
+    def encode_images(px):
+        return vae_encode_jit(jnp.asarray(px, jnp.float32))
+
+    trainer = Trainer(pipe.cfg, tcfg, base_params=pipe.params["base"],
+                      control_params=pipe.params["control"],
+                      encode_text=encode_text, encode_images=encode_images,
+                      work_dir=args.work_dir, mesh=mesh)
+    trainer.maybe_resume()
+
+    if args.dataset_name == "MultiGen":
+        datasets = [MultiGen(args.data_path, t, args.resolution)
+                    for t in args.condition_types]
+    elif args.dataset_name == "MultiConditionSubjects200K":
+        datasets = [MultiConditionSubjects200K(args.data_path,
+                                               args.condition_types,
+                                               resolution=args.resolution)]
+    else:
+        datasets = [Subjects200K(args.data_path, t, args.resolution)
+                    for t in args.condition_types]
+    concat = ConcatDataset(datasets)
+    sampler = MultiTaskMixedBatchSampler(
+        [len(d) for d in datasets], args.train_batch_size,
+        num_replicas=jax.process_count(), rank=jax.process_index(),
+        shuffle=True, seed=args.seed)
+
+    def batch_stream():
+        while True:
+            for idxs in sampler:
+                samples = [concat[i] for i in idxs]
+                yield collate(samples,
+                              condition_types=(args.condition_types
+                                               if args.dataset_name ==
+                                               "MultiConditionSubjects200K"
+                                               else None))
+
+    trainer.train(batch_stream())
+    logger.info("training complete at step %d", trainer.global_step)
+
+
+if __name__ == "__main__":
+    main()

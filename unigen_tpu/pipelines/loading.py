@@ -1,0 +1,130 @@
+"""from_pretrained plumbing: HF-layout checkpoint directory -> pipeline.
+
+Mirrors the reference's asset loading (train.py:259-307, infer.py:115-150):
+a diffusers-layout directory with ``transformer/ vae/ text_encoder/
+text_encoder_2/ tokenizer/ tokenizer_2/ scheduler/`` subfolders, plus an
+optional UniGen adapter checkpoint (the reference's three formats, see
+io/torch_bridge.load_adapter_checkpoint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from unigen_tpu import config as cfg_lib
+from unigen_tpu.io import torch_bridge as tb
+from unigen_tpu.models import vae as vae_lib
+from unigen_tpu.models.clip_text import CLIPTextConfig
+from unigen_tpu.models.t5_text import T5Config
+from unigen_tpu.pipelines import scheduling
+
+
+def _subcfg(root: str, sub: str) -> dict:
+    path = os.path.join(root, sub, "config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",),
+                       adapter_dir: Optional[str] = None,
+                       dtype=jnp.bfloat16, control_overrides: Optional[dict] = None):
+    """Build a UniGenFluxPipeline from a FLUX.1 HF directory. The control
+    branch is warm-started from the base unless an adapter checkpoint is
+    given (reference infer.py:115-140)."""
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_control
+    from unigen_tpu.pipelines.flux import UniGenFluxPipeline
+
+    tcfg = _subcfg(root, "transformer")
+    flux = cfg_lib.FluxBackboneConfig(
+        in_channels=tcfg.get("in_channels", 64),
+        num_layers=tcfg.get("num_layers", 19),
+        num_single_layers=tcfg.get("num_single_layers", 38),
+        attention_head_dim=tcfg.get("attention_head_dim", 128),
+        num_attention_heads=tcfg.get("num_attention_heads", 24),
+        joint_attention_dim=tcfg.get("joint_attention_dim", 4096),
+        pooled_projection_dim=tcfg.get("pooled_projection_dim", 768),
+        guidance_embeds=tcfg.get("guidance_embeds", False),
+        axes_dims_rope=tuple(tcfg.get("axes_dims_rope", (16, 56, 56))),
+    )
+    cfg = cfg_lib.UniGenConfig(
+        family="flux", flux=flux,
+        control=cfg_lib.ControlConfig(**(control_overrides or {})),
+        condition_types=tuple(condition_types))
+
+    sd = tb.read_checkpoint_dir(os.path.join(root, "transformer"))
+    base = tb.load_flux_transformer(sd, flux.num_layers, flux.num_single_layers,
+                                    dtype=dtype)
+    n_cn = flux.num_layers // cfg.control.single_control_dev
+    n_cn_s = flux.num_single_layers // cfg.control.single_control_dev
+    if adapter_dir:
+        control = tb.load_adapter_checkpoint(
+            adapter_dir, n_cn=n_cn, n_cn_single=n_cn_s,
+            num_experts=cfg.control.moe.num_experts(cfg.condition_nums),
+            dtype=dtype, guidance=flux.guidance_embeds)
+    else:
+        control = init_unigen_flux_control(jax.random.PRNGKey(0), cfg,
+                                           dtype=dtype, base_params=base)
+
+    vcfg_raw = _subcfg(root, "vae")
+    vae_cfg = vae_lib.VAEConfig(
+        latent_channels=vcfg_raw.get("latent_channels", 16),
+        block_out_channels=tuple(vcfg_raw.get("block_out_channels",
+                                              (128, 256, 512, 512))),
+        layers_per_block=vcfg_raw.get("layers_per_block", 2),
+        scaling_factor=vcfg_raw.get("scaling_factor", 0.3611),
+        shift_factor=vcfg_raw.get("shift_factor", 0.1159))
+    vae_params = tb.load_vae(tb.read_checkpoint_dir(os.path.join(root, "vae")),
+                             vae_cfg.block_out_channels,
+                             vae_cfg.layers_per_block, dtype=jnp.float32)
+
+    clip_raw = _subcfg(root, "text_encoder")
+    clip_cfg = CLIPTextConfig(
+        vocab_size=clip_raw.get("vocab_size", 49408),
+        hidden_size=clip_raw.get("hidden_size", 768),
+        intermediate_size=clip_raw.get("intermediate_size", 3072),
+        num_layers=clip_raw.get("num_hidden_layers", 12),
+        num_heads=clip_raw.get("num_attention_heads", 12),
+        projection_dim=clip_raw.get("projection_dim")
+        if clip_raw.get("architectures", [""])[0].endswith("WithProjection") else None)
+    clip_params = tb.load_clip_text(
+        tb.read_checkpoint_dir(os.path.join(root, "text_encoder")),
+        clip_cfg.num_layers, dtype=jnp.float32)
+
+    t5_raw = _subcfg(root, "text_encoder_2")
+    t5_cfg = T5Config(
+        vocab_size=t5_raw.get("vocab_size", 32128),
+        d_model=t5_raw.get("d_model", 4096), d_kv=t5_raw.get("d_kv", 64),
+        d_ff=t5_raw.get("d_ff", 10240), num_layers=t5_raw.get("num_layers", 24),
+        num_heads=t5_raw.get("num_heads", 64))
+    t5_params = tb.load_t5_encoder(
+        tb.read_checkpoint_dir(os.path.join(root, "text_encoder_2")),
+        t5_cfg.num_layers, dtype=dtype)
+
+    sch_raw = _subcfg(root, "scheduler") or {}
+    scheduler = scheduling.FlowMatchConfig(
+        shift=sch_raw.get("shift", 1.0),
+        use_dynamic_shifting=sch_raw.get("use_dynamic_shifting", False),
+        base_shift=sch_raw.get("base_shift", 0.5),
+        max_shift=sch_raw.get("max_shift", 1.15))
+
+    tokenizer = tokenizer_2 = None
+    try:
+        from transformers import CLIPTokenizer, T5TokenizerFast
+        tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+        tokenizer_2 = T5TokenizerFast.from_pretrained(os.path.join(root, "tokenizer_2"))
+    except Exception:
+        pass
+
+    return UniGenFluxPipeline(
+        cfg=cfg, params={"base": base, "control": control},
+        vae_cfg=vae_cfg, vae_params=vae_params,
+        clip_cfg=clip_cfg, clip_params=clip_params,
+        t5_cfg=t5_cfg, t5_params=t5_params, scheduler=scheduler,
+        tokenizer=tokenizer, tokenizer_2=tokenizer_2, dtype=dtype)

@@ -1,0 +1,105 @@
+"""UniGenSD3Pipeline — SD3.5 controllable inference (reference
+src/UniGenPipeline.py:29-450) as one jit program per call shape.
+
+SD3 differences from the Flux pipeline: classifier-free guidance by
+negative/positive batch duplication (reference :286-290), dynamic-shift
+timesteps from the scheduler config (:325-346), conditioning-scale start/end
+windows (``controlnet_keep``, :366-372), unpacked [B,C,H,W] latents, and the
+condition-prompt pooled embedding from the CLIP stack (:34-105).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unigen_tpu.config import UniGenConfig
+from unigen_tpu.models import vae as vae_lib
+from unigen_tpu.models.unigen_sd3 import unigen_sd3_forward
+from unigen_tpu.pipelines import scheduling
+
+
+@dataclass
+class UniGenSD3Pipeline:
+    cfg: UniGenConfig
+    params: Dict[str, Any]
+    vae_cfg: vae_lib.VAEConfig = field(default_factory=lambda: vae_lib.VAEConfig(
+        scaling_factor=1.5305, shift_factor=0.0609))
+    vae_params: Optional[dict] = None
+    scheduler: scheduling.FlowMatchConfig = field(
+        default_factory=lambda: scheduling.FlowMatchConfig(shift=3.0))
+    text_encoders: Any = None          # optional (clip_l, clip_g, t5) bundle
+    dtype: Any = jnp.float32
+
+    def _program(self, num_steps: int, height: int, width: int,
+                 guidance_scale: float, schedule: jnp.ndarray):
+        cfg = self.cfg
+        vs = self.vae_cfg.downscale
+        lh, lw = height // vs, width // vs
+        sigmas, timesteps = scheduling.inference_sigmas(self.scheduler, num_steps)
+        do_cfg = guidance_scale > 1.0
+
+        def program(params, vae_params, latents, control_pixels, prompt_embeds,
+                    pooled, cond_pooled, neg_embeds, neg_pooled):
+            control_lat = vae_lib.vae_encode(vae_params, self.vae_cfg,
+                                             control_pixels).astype(self.dtype)
+            if do_cfg:
+                # neg/pos duplication (reference :286-290): one batched pass
+                embeds = jnp.concatenate([neg_embeds, prompt_embeds], axis=0)
+                pool = jnp.concatenate([neg_pooled, pooled], axis=0)
+                cpool = jnp.concatenate([cond_pooled, cond_pooled], axis=0)
+                ctrl = jnp.concatenate([control_lat, control_lat], axis=0)
+            else:
+                embeds, pool, cpool, ctrl = prompt_embeds, pooled, cond_pooled, control_lat
+
+            def step(lat, i):
+                lat_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+                t = jnp.full((lat_in.shape[0],), timesteps[i], self.dtype)
+                pred, _, _ = unigen_sd3_forward(
+                    params, cfg, hidden=lat_in, condition=ctrl, encoder=embeds,
+                    pooled=pool, condition_pooled=cpool, timestep=t,
+                    conditioning_scale=schedule[i])
+                if do_cfg:
+                    neg, pos = jnp.split(pred, 2, axis=0)
+                    pred = neg + guidance_scale * (pos - neg)
+                return scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1]), None
+
+            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            return vae_lib.vae_decode(vae_params, self.vae_cfg,
+                                      latents.astype(jnp.float32))
+
+        return program, (lh, lw)
+
+    def generate(self, *, prompt_embeds, pooled, cond_pooled, control_pixels,
+                 neg_embeds=None, neg_pooled=None, height: int = 512,
+                 width: int = 512, num_inference_steps: int = 28,
+                 guidance_scale: float = 7.0, conditioning_scale: float = 1.0,
+                 control_guidance_start: float = 0.0,
+                 control_guidance_end: float = 1.0, seed: int = 0,
+                 latents: Optional[jnp.ndarray] = None) -> np.ndarray:
+        steps = num_inference_steps
+        keep = np.array([
+            1.0 - float((i / steps < control_guidance_start)
+                        or ((i + 1) / steps > control_guidance_end))
+            for i in range(steps)], np.float32)
+        schedule = jnp.asarray(conditioning_scale * keep)
+        program, (lh, lw) = self._program(steps, height, width,
+                                          guidance_scale, schedule)
+        b = prompt_embeds.shape[0]
+        if latents is None:
+            latents = jax.random.normal(jax.random.PRNGKey(seed),
+                                        (b, self.cfg.sd3.in_channels, lh, lw),
+                                        self.dtype)
+        if neg_embeds is None:
+            neg_embeds = jnp.zeros_like(prompt_embeds)
+            neg_pooled = jnp.zeros_like(pooled)
+        pixels = jax.jit(program)(self.params, self.vae_params, latents,
+                                  control_pixels, prompt_embeds, pooled,
+                                  cond_pooled, neg_embeds, neg_pooled)
+        imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
+        return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
