@@ -1,0 +1,105 @@
+"""Parallelism tests on the 8-device host-sim mesh: mesh construction,
+sharding rules, Ulysses sequence-parallel attention, expert-parallel MoE via
+shard_map — the JAX-native 'fake cluster' (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from unigen_tpu import config as cfg_lib
+from unigen_tpu.parallel.mesh import AXES, build_mesh
+from unigen_tpu.parallel.sharding import param_shardings, shard_params
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_build_mesh_shapes():
+    mesh = build_mesh(cfg_lib.MeshConfig(data=2, expert=2, sequence=1, model=2))
+    assert dict(mesh.shape) == {"data": 2, "expert": 2, "sequence": 1, "model": 2}
+    mesh_all = build_mesh()
+    assert mesh_all.shape["data"] == 8
+
+
+def test_param_sharding_rules():
+    mesh = build_mesh(cfg_lib.MeshConfig(data=2, expert=2, sequence=1, model=2))
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    flux = cfg_lib.tiny_flux_config()
+    ucfg = cfg_lib.UniGenConfig(
+        family="flux", flux=flux, condition_types=("canny",),
+        control=cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(expert_num=4)))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), ucfg)
+    sh = param_shardings(params, mesh)
+    # stacked double blocks: ZeRO over data on axis 0, TP on matmul dims
+    spec = sh["base"]["double_blocks"]["attn"]["to_q"]["w"].spec
+    assert spec[0] == "data" and spec[-1] == "model"
+    spec_out = sh["base"]["double_blocks"]["attn"]["to_out"]["w"].spec
+    assert spec_out[-2] == "model" and spec_out[-1] is None
+    # experts shard over the expert axis
+    spec_e = sh["control"]["moe"]["experts"]["hid_mod"]["w"].spec
+    assert spec_e[0] == "expert"
+    # placing works
+    placed = shard_params(params, mesh)
+    assert placed["base"]["double_blocks"]["attn"]["to_q"]["w"].sharding.spec[0] == "data"
+
+
+def test_ulysses_matches_single_device():
+    from unigen_tpu.parallel.ulysses import ulysses_sdpa
+    from unigen_tpu.ops.attention import sdpa_xla
+    mesh = build_mesh(cfg_lib.MeshConfig(data=1, expert=1, sequence=8, model=1))
+    b, h, s, d = 2, 8, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d))
+
+    fn = shard_map(lambda q, k, v: ulysses_sdpa(q, k, v, "sequence"),
+                   mesh=mesh,
+                   in_specs=(P(None, None, "sequence", None),) * 3,
+                   out_specs=P(None, None, "sequence", None))
+    got = jax.jit(fn)(q, k, v)
+    expect = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_expert_parallel_moe_matches_single_device():
+    """moe_apply under shard_map with an 'expert' axis == single-device."""
+    from unigen_tpu.models import moe as moe_lib
+    mesh = build_mesh(cfg_lib.MeshConfig(data=1, expert=4, sequence=1, model=2))
+    cc = cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(expert_num=8))
+    num_experts, d, pd, b, s = 8, 16, 8, 2, 24
+    params = moe_lib.init_moe_params(jax.random.PRNGKey(0), d, pd, num_experts,
+                                     modulated=True)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    hidden = jax.random.normal(ks[0], (b, s, d))
+    cond = jax.random.normal(ks[1], (b, s, d))
+    streams = {"pooled": jax.random.normal(ks[2], (b, pd)),
+               "condition_pooled": jax.random.normal(ks[3], (b, pd)),
+               "temb": jax.random.normal(ks[4], (b, d)),
+               "condition_temb": jax.random.normal(ks[5], (b, d))}
+
+    ref = moe_lib.moe_apply(params, cc, num_experts, hidden, cond, streams)
+
+    def ep_fn(experts, hidden, cond, pooled, cpooled, temb, ctemb):
+        p = {"gate": params["gate"], "experts": experts}
+        st = {"pooled": pooled, "condition_pooled": cpooled,
+              "temb": temb, "condition_temb": ctemb}
+        out = moe_lib.moe_apply(p, cc, num_experts, hidden, cond, st,
+                                expert_axis="expert")
+        return out.expert_hidden, out.expert_condition
+
+    fn = shard_map(
+        ep_fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("expert"), params["experts"]),
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False)
+    got_h, got_c = jax.jit(fn)(params["experts"], hidden, cond,
+                               streams["pooled"], streams["condition_pooled"],
+                               streams["temb"], streams["condition_temb"])
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref.expert_hidden),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref.expert_condition),
+                               rtol=2e-4, atol=2e-5)
