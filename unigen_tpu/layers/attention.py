@@ -77,7 +77,8 @@ def joint_attention(p: dict, x: jnp.ndarray, ctx: Optional[jnp.ndarray] = None, 
     rope: (cos, sin) over the concatenated sequence in concat order.
     condition_kv_states: KV-only condition stream appended after all K/V.
     """
-    head_dim = p["to_q"]["w"].shape[1] // heads
+    qw = p["to_q"].get("w", p["to_q"].get("w_q"))
+    head_dim = qw.shape[-1] // heads
     sx = x.shape[1]
 
     q = split_heads(linear(p["to_q"], x), heads)

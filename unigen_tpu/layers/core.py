@@ -33,7 +33,11 @@ def init_linear(key, in_dim: int, out_dim: int, *, bias: bool = True,
 
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"]
+    if "w_q" in p:  # int8 serving path (ops/quant.py)
+        from unigen_tpu.ops.quant import int8_matmul
+        y = int8_matmul(x, p["w_q"], p["w_scale"])
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y
