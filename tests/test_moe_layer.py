@@ -1,0 +1,116 @@
+"""Full MoE layer property test vs an independent numpy implementation:
+gate -> multi-stream dispatch -> modulated experts -> combine
+(the reference's dispatched-kwargs contract, SURVEY.md hard part #4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unigen_tpu import config as cfg_lib
+from unigen_tpu.models import moe as moe_lib
+
+
+def _np_full_moe(gate_w, experts, hidden, cond, pooled, cond_pooled, capacity):
+    """Numpy re-derivation of the whole layer (top-1, modulated experts)."""
+    b, s, d = hidden.shape
+    e = gate_w.shape[1]
+    tok_h = hidden.reshape(-1, d)
+    tok_c = cond.reshape(-1, d)
+    choice = tok_h + tok_c
+    logits = choice @ gate_w
+    z = logits - logits.max(-1, keepdims=True)
+    gates = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+    idx = gates.argmax(-1)
+
+    # capacity assignment in token order
+    slots = np.zeros(e, int)
+    assign = []  # (token, expert, slot, gateval)
+    for t in range(b * s):
+        ex = idx[t]
+        if slots[ex] < capacity:
+            assign.append((t, ex, slots[ex], gates[t, ex]))
+            slots[ex] += 1
+
+    # broadcast per-token pooled streams
+    pooled_tok = np.repeat(pooled, s, axis=0)
+    cpooled_tok = np.repeat(cond_pooled, s, axis=0)
+
+    out_h = np.zeros_like(tok_h)
+    out_c = np.zeros_like(tok_c)
+    for t, ex, slot, gv in assign:
+        s_c = cpooled_tok[t] @ experts["cond_pool"]["w"][ex] + experts["cond_pool"]["b"][ex]
+        c_out = (tok_c[t] * s_c) @ experts["cond_mod"]["w"][ex] + experts["cond_mod"]["b"][ex]
+        s_h = pooled_tok[t] @ experts["hid_pool"]["w"][ex] + experts["hid_pool"]["b"][ex]
+        h_out = ((tok_h[t] + c_out) * s_h) @ experts["hid_mod"]["w"][ex] + experts["hid_mod"]["b"][ex]
+        out_h[t] = gv * h_out
+        out_c[t] = gv * c_out
+    return out_h.reshape(b, s, d), out_c.reshape(b, s, d)
+
+
+def test_moe_apply_matches_numpy_end_to_end():
+    rng = np.random.default_rng(0)
+    b, s, d, pd, e = 2, 12, 8, 6, 4
+    cc = cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(expert_num=e, min_capacity=2))
+    params = moe_lib.init_moe_params(jax.random.PRNGKey(0), d, pd, e,
+                                     modulated=True)
+    hidden = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    pooled = jnp.asarray(rng.normal(size=(b, pd)).astype(np.float32))
+    cpooled = jnp.asarray(rng.normal(size=(b, pd)).astype(np.float32))
+    streams = {"pooled": pooled, "condition_pooled": cpooled}
+    out = moe_lib.moe_apply(params, cc, e, hidden, cond, streams)
+
+    from unigen_tpu.ops.gating import compute_capacity
+    cap = compute_capacity(b * s, e, 1.0, 2)
+    np_experts = jax.tree.map(np.asarray, params["experts"])
+    ref_h, ref_c = _np_full_moe(np.asarray(params["gate"]["w"]), np_experts,
+                                np.asarray(hidden), np.asarray(cond),
+                                np.asarray(pooled), np.asarray(cpooled), cap)
+    np.testing.assert_allclose(np.asarray(out.expert_hidden), ref_h,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.expert_condition), ref_c,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_moe_dropped_tokens_combine_to_zero():
+    """Tokens over capacity produce zero output (reference GShard behavior)."""
+    rng = np.random.default_rng(1)
+    b, s, d, pd, e = 1, 16, 8, 4, 2
+    cc = cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(
+        expert_num=e, min_capacity=2, capacity_factor=0.25,
+        eval_capacity_factor=0.25))
+    params = moe_lib.init_moe_params(jax.random.PRNGKey(0), d, pd, e,
+                                     modulated=True)
+    # force all tokens to expert 0
+    params["moe_gate_bias"] = None
+    gate_w = np.zeros((d, e), np.float32)
+    gate_w[:, 0] = 1.0
+    params["gate"] = {"w": jnp.asarray(gate_w)}
+    hidden = jnp.asarray(np.abs(rng.normal(size=(b, s, d))).astype(np.float32))
+    cond = jnp.zeros_like(hidden)
+    streams = {"pooled": jnp.ones((b, pd)), "condition_pooled": jnp.ones((b, pd))}
+    out = moe_lib.moe_apply(params, cc, e, hidden, cond, streams)
+    nonzero_rows = np.abs(np.asarray(out.expert_hidden)).sum(-1) > 1e-9
+    # capacity = max(ceil(16/2*0.25), 2) = 2 -> exactly 2 surviving tokens
+    assert nonzero_rows.sum() == 2
+    assert int(out.expert_counts.sum()) == s  # counts are pre-drop
+
+
+def test_rts_changes_survivors_but_not_counts():
+    rng = np.random.default_rng(2)
+    b, s, d, pd, e = 1, 32, 8, 4, 2
+    cc = cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(
+        expert_num=e, min_capacity=2, capacity_factor=0.25, use_rts=True))
+    params = moe_lib.init_moe_params(jax.random.PRNGKey(0), d, pd, e,
+                                     modulated=True)
+    hidden = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    cond = jnp.zeros_like(hidden)
+    streams = {"pooled": jnp.ones((b, pd)), "condition_pooled": jnp.ones((b, pd))}
+    o1 = moe_lib.moe_apply(params, cc, e, hidden, cond, streams,
+                           rng=jax.random.PRNGKey(1), training=True)
+    o2 = moe_lib.moe_apply(params, cc, e, hidden, cond, streams,
+                           rng=jax.random.PRNGKey(2), training=True)
+    np.testing.assert_array_equal(np.asarray(o1.expert_counts),
+                                  np.asarray(o2.expert_counts))
+    assert not np.allclose(np.asarray(o1.expert_hidden),
+                           np.asarray(o2.expert_hidden))

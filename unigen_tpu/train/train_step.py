@@ -32,15 +32,17 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def lr_schedule(cfg: TrainConfig):
     warmup = min(cfg.lr_warmup_steps, max(cfg.max_train_steps - 1, 1))
-    schedule = optax.warmup_cosine_decay_schedule(
+    return optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=cfg.learning_rate,
-        warmup_steps=warmup, decay_steps=cfg.max_train_steps,
-        end_value=0.0)
+        warmup_steps=warmup, decay_steps=cfg.max_train_steps, end_value=0.0)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+        optax.adamw(lr_schedule(cfg), b1=cfg.adam_beta1, b2=cfg.adam_beta2,
                     eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay),
     )
 
@@ -136,6 +138,7 @@ def make_train_step(ucfg: UniGenConfig, tcfg: TrainConfig, *,
         metrics = {"step_loss": loss, "flow_loss": aux["flow_loss"],
                    "moe_loss": aux.get("moe_loss", jnp.zeros(())),
                    "grad_norm": optax.global_norm(grads),
+                   "lr": lr_schedule(tcfg)(state.step),
                    "expert_counts": aux["expert_counts"]}
         return TrainState(control, opt_state, state.step + 1), metrics
 
