@@ -22,6 +22,7 @@ device completion — every timed section syncs via a scalar host read.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -75,10 +76,19 @@ def main():
     # One jitted program for the whole init: through the axon tunnel, issuing
     # ~1500 individual RNG dispatches is minutes of round-trips.
     t_init = time.time()
-    params = jax.jit(lambda k: init_unigen_flux_params(k, cfg, dtype=dtype)
-                     )(jax.random.PRNGKey(0))
+    use_int8 = os.environ.get("UNIGEN_BENCH_INT8") == "1"
+
+    def _init(k):
+        p = init_unigen_flux_params(k, cfg, dtype=dtype)
+        if use_int8:
+            from unigen_tpu.ops.quant import quantize_tree
+            p = quantize_tree(p)
+        return p
+
+    params = jax.jit(_init)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    print(f"# param init {time.time()-t_init:.1f}s", file=sys.stderr)
+    print(f"# param init {time.time()-t_init:.1f}s int8={use_int8}",
+          file=sys.stderr)
 
     ks = jax.random.split(jax.random.PRNGKey(1), 6)
     prompt = jax.random.normal(ks[0], (b, t_len, bb.joint_attention_dim), dtype)
