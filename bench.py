@@ -69,9 +69,11 @@ def main():
     cfg = presets.flux_bench()
     bb = cfg.flux
     dtype = jnp.bfloat16
-    b, hw, t_len = 1, 32, 512          # 512^2 -> 64x64 latents -> 32x32 packed
+    hw, t_len = 32, 512                # 512^2 -> 64x64 latents -> 32x32 packed
     s_img = hw * hw
     num_steps = 4
+    batch_sizes = [int(x) for x in
+                   os.environ.get("UNIGEN_BENCH_BATCHES", "1,4").split(",")]
 
     # One jitted program for the whole init: through the axon tunnel, issuing
     # ~1500 individual RNG dispatches is minutes of round-trips.
@@ -90,55 +92,66 @@ def main():
     print(f"# param init {time.time()-t_init:.1f}s int8={use_int8}",
           file=sys.stderr)
 
-    ks = jax.random.split(jax.random.PRNGKey(1), 6)
-    prompt = jax.random.normal(ks[0], (b, t_len, bb.joint_attention_dim), dtype)
-    pooled = jax.random.normal(ks[1], (b, bb.pooled_projection_dim), dtype)
-    cond_pooled = jax.random.normal(ks[2], (b, bb.pooled_projection_dim), dtype)
-    condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
-    latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
     img_ids = prepare_latent_image_ids(hw, hw)
     txt_ids = jnp.zeros((t_len, 3))
     sigmas, timesteps = scheduling.inference_sigmas(
         scheduling.FlowMatchConfig(shift=1.0), num_steps)
-
-    sig_np = np.asarray(sigmas)
-
-    def denoise(params, latents, condition, prompt, pooled, cond_pooled):
-        def step(lat, i):
-            pred, _, _ = unigen_flux_forward(
-                params, cfg, hidden=lat, condition=condition, encoder=prompt,
-                pooled=pooled, condition_pooled=cond_pooled,
-                timestep=jnp.full((b,), sigmas[i], dtype),
-                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
-                attn_impl="auto")
-            lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
-            return lat, None
-        latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
-        return latents
-
-    jfn = jax.jit(denoise)
-    fn = lambda p, lat: jfn(p, lat, condition, prompt, pooled, cond_pooled)
+    flops_image = model_flops_per_forward(cfg, s_img, t_len, s_img) * num_steps
+    est_ref_a100 = 312e12 * 0.35 / flops_image      # images/sec, see docstring
 
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))  # forces device completion
 
-    t0 = time.time()
-    out = fn(params, latents0)
-    _ = sync(out)
-    compile_s = time.time() - t0
+    def measure(b: int) -> float:
+        ks = jax.random.split(jax.random.PRNGKey(1), 6)
+        prompt = jax.random.normal(ks[0], (b, t_len, bb.joint_attention_dim), dtype)
+        pooled = jax.random.normal(ks[1], (b, bb.pooled_projection_dim), dtype)
+        cond_pooled = jax.random.normal(ks[2], (b, bb.pooled_projection_dim), dtype)
+        condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
+        latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = fn(params, latents0)
-        _ = sync(out)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        def denoise(params, latents, condition, prompt, pooled, cond_pooled):
+            def step(lat, i):
+                pred, _, _ = unigen_flux_forward(
+                    params, cfg, hidden=lat, condition=condition, encoder=prompt,
+                    pooled=pooled, condition_pooled=cond_pooled,
+                    timestep=jnp.full((b,), sigmas[i], dtype),
+                    img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+                    attn_impl="auto")
+                lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+                return lat, None
+            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            return latents
 
-    images_per_sec = b / dt
-    flops_image = model_flops_per_forward(cfg, s_img, t_len, s_img) * num_steps
-    est_ref_a100 = 312e12 * 0.35 / flops_image      # images/sec, see docstring
-    mfu = flops_image * images_per_sec / 197e12      # v5e bf16 peak
+        jfn = jax.jit(denoise)
+        fn = lambda: jfn(params, latents0, condition, prompt, pooled, cond_pooled)
+        t0 = time.time()
+        _ = sync(fn())
+        compile_s = time.time() - t0
+        # burst timing: queue K calls, one sync — amortises tunnel latency
+        K = max(1, 4 // b)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out = fn()
+            _ = sync(out)
+            times.append((time.perf_counter() - t0) / K)
+        dt = min(times)
+        ips = b / dt
+        mfu = flops_image * ips / 197e12
+        print(f"# b={b} compile={compile_s:.1f}s step={dt*1000:.1f}ms "
+              f"ips={ips:.3f} mfu={mfu:.3f}", file=sys.stderr)
+        return ips
+
+    results = {}
+    for b in batch_sizes:
+        try:
+            results[b] = measure(b)
+        except Exception as e:  # e.g. batch too large for HBM
+            print(f"# b={b} failed: {type(e).__name__}", file=sys.stderr)
+    best_b = max(results, key=results.get)
+    images_per_sec = results[best_b]
 
     result = {
         "metric": "unigen_flux_bench_512px_4step_denoise_images_per_sec",
@@ -147,8 +160,7 @@ def main():
         "vs_baseline": round(images_per_sec / est_ref_a100, 3),
     }
     print(json.dumps(result))
-    print(f"# compile={compile_s:.1f}s step_time={dt*1000:.1f}ms "
-          f"mfu={mfu:.3f} flops/img={flops_image/1e12:.1f}TF "
+    print(f"# best_batch={best_b} flops/img={flops_image/1e12:.1f}TF "
           f"est_ref_a100={est_ref_a100:.3f}img/s", file=sys.stderr)
 
 

@@ -148,7 +148,8 @@ def main(argv=None):
                                                "MultiConditionSubjects200K"
                                                else None))
 
-    trainer.train(batch_stream())
+    from unigen_tpu.data.prefetch import Prefetcher
+    trainer.train(Prefetcher(batch_stream(), depth=4, workers=2))
     logger.info("training complete at step %d", trainer.global_step)
 
 
