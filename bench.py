@@ -73,7 +73,7 @@ def main():
     s_img = hw * hw
     num_steps = 4
     batch_sizes = [int(x) for x in
-                   os.environ.get("UNIGEN_BENCH_BATCHES", "1,4").split(",")]
+                   os.environ.get("UNIGEN_BENCH_BATCHES", "1,2").split(",")]
 
     # One jitted program for the whole init: through the axon tunnel, issuing
     # ~1500 individual RNG dispatches is minutes of round-trips.
