@@ -40,11 +40,16 @@ def lr_schedule(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(lr_schedule(cfg), b1=cfg.adam_beta1, b2=cfg.adam_beta2,
                     eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay),
     )
+    if cfg.gradient_accumulation_steps > 1:
+        # micro-batch accumulation (reference accelerator.accumulate,
+        # train.py:623): params update every k-th step, grads averaged
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
 
 
 def init_train_state(control_params, cfg: TrainConfig) -> TrainState:
