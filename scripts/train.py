@@ -76,6 +76,13 @@ def main(argv=None):
     os.makedirs(args.work_dir, exist_ok=True)
     logger = observability.setup_logging(args.work_dir)
 
+    # pre-check: exit if this run already completed (reference train.py:717-722)
+    from unigen_tpu.train import checkpoint as ckpt_lib
+    done = ckpt_lib.latest_step(args.work_dir)
+    if done is not None and done >= args.max_train_steps:
+        logger.info("training already completed at step %d", done)
+        return
+
     mesh_cfg = C.MeshConfig(
         data=args.mesh_data or (jax.device_count() // (args.mesh_expert *
                                 args.mesh_sequence * args.mesh_model)),

@@ -57,8 +57,14 @@ class Trainer:
     def maybe_resume(self) -> bool:
         if not self.work_dir:
             return False
-        restored = ckpt_lib.restore_train_state(
-            self.work_dir, self.state.control, self.state.opt_state)
+        try:
+            restored = ckpt_lib.restore_train_state(
+                self.work_dir, self.state.control, self.state.opt_state)
+        except Exception as e:
+            # corrupt/incompatible checkpoint -> restart from 0 (the
+            # reference catches load errors the same way, train.py:473-475)
+            logger.warning("checkpoint restore failed (%s); starting fresh", e)
+            return False
         if restored is None:
             return False
         control, opt_state, meta = restored
