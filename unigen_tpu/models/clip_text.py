@@ -35,7 +35,7 @@ class CLIPTextConfig:
 def tiny_clip_config(**kw) -> CLIPTextConfig:
     base = dict(vocab_size=128, hidden_size=32, intermediate_size=64,
                 num_layers=2, num_heads=4, max_position_embeddings=16,
-                eos_token_id=2)
+                eos_token_id=90)  # not 2: the legacy argmax pooling path needs real vocab
     base.update(kw)
     return CLIPTextConfig(**base)
 
@@ -101,7 +101,14 @@ def clip_encode(params: dict, cfg: CLIPTextConfig, input_ids: jnp.ndarray
     penultimate = all_states[-2] if cfg.num_layers >= 2 else x
     last = layer_norm_affine(params["final_ln"], x, eps=1e-5)
 
-    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
+    if cfg.eos_token_id == 2:
+        # legacy HF CLIP configs say eos=2 but pool at argmax(ids) — which is
+        # the true EOS (the highest token id) for real CLIP vocabularies;
+        # transformers keeps this behavior and so do we.
+        eos_pos = jnp.argmax(input_ids, axis=-1)
+    else:
+        eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
+                             axis=-1)
     pooled = last[jnp.arange(b), eos_pos]
     if "text_projection" in params:
         pooled = linear(params["text_projection"], pooled)
