@@ -30,7 +30,7 @@ try:  # pallas TPU backend is unavailable on CPU hosts
 except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
-DEFAULT_BQ = 256
+DEFAULT_BQ = 768  # v5e sweep: bq=768 beats 256/512 and the XLA path
 
 
 def supported(q, k, v) -> bool:

@@ -55,6 +55,9 @@ class UniGenFluxPipeline:
     tokenizer_2: Any = None                    # T5 tokenizer
     dtype: Any = jnp.bfloat16
 
+    def __post_init__(self):
+        self._program_cache: Dict[Any, Any] = {}
+
     # ------------------------------------------------------------ text
 
     def encode_prompt(self, prompt: Union[str, Sequence[str]],
@@ -167,8 +170,18 @@ class UniGenFluxPipeline:
             for i in range(steps)], np.float32)
         schedule = jnp.asarray(conditioning_scale * keep)
 
-        program, (lh, lw) = self._denoise_program(
-            steps, height, width, true_cfg_scale, guidance_scale, schedule, multi)
+        # one compiled program per call shape (jit caches by fn identity, so
+        # the closure must be cached too or every call would recompile)
+        cache_key = (steps, height, width, true_cfg_scale > 1.0,
+                     round(guidance_scale, 4), tuple(np.asarray(schedule)), multi)
+        if cache_key in self._program_cache:
+            program, (lh, lw) = self._program_cache[cache_key]
+        else:
+            program, (lh, lw) = self._denoise_program(
+                steps, height, width, true_cfg_scale, guidance_scale, schedule,
+                multi)
+            program = jax.jit(program)
+            self._program_cache[cache_key] = (program, (lh, lw))
 
         b = prompt_embeds.shape[0]
         if latents is None:
@@ -184,9 +197,9 @@ class UniGenFluxPipeline:
         else:
             offsets = jnp.asarray(lw / 2.0 if subject_offset else 0.0)
 
-        pixels = jax.jit(program)(self.params, self.vae_params, latents,
-                                  control_pixels, prompt_embeds, pooled,
-                                  cond_pooled, neg_embeds, neg_pooled, offsets)
+        pixels = program(self.params, self.vae_params, latents,
+                         control_pixels, prompt_embeds, pooled,
+                         cond_pooled, neg_embeds, neg_pooled, offsets)
         imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
 

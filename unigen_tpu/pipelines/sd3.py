@@ -36,6 +36,9 @@ class UniGenSD3Pipeline:
     text_encoders: Any = None          # optional (clip_l, clip_g, t5) bundle
     dtype: Any = jnp.float32
 
+    def __post_init__(self):
+        self._program_cache: Dict[Any, Any] = {}
+
     def _program(self, num_steps: int, height: int, width: int,
                  guidance_scale: float, schedule: jnp.ndarray):
         cfg = self.cfg
@@ -88,8 +91,15 @@ class UniGenSD3Pipeline:
                         or ((i + 1) / steps > control_guidance_end))
             for i in range(steps)], np.float32)
         schedule = jnp.asarray(conditioning_scale * keep)
-        program, (lh, lw) = self._program(steps, height, width,
-                                          guidance_scale, schedule)
+        cache_key = (steps, height, width, round(guidance_scale, 4),
+                     tuple(conditioning_scale * keep))
+        if cache_key in self._program_cache:
+            program, (lh, lw) = self._program_cache[cache_key]
+        else:
+            program, (lh, lw) = self._program(steps, height, width,
+                                              guidance_scale, schedule)
+            program = jax.jit(program)
+            self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
         if latents is None:
             latents = jax.random.normal(jax.random.PRNGKey(seed),
@@ -98,8 +108,8 @@ class UniGenSD3Pipeline:
         if neg_embeds is None:
             neg_embeds = jnp.zeros_like(prompt_embeds)
             neg_pooled = jnp.zeros_like(pooled)
-        pixels = jax.jit(program)(self.params, self.vae_params, latents,
-                                  control_pixels, prompt_embeds, pooled,
-                                  cond_pooled, neg_embeds, neg_pooled)
+        pixels = program(self.params, self.vae_params, latents,
+                         control_pixels, prompt_embeds, pooled,
+                         cond_pooled, neg_embeds, neg_pooled)
         imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
