@@ -104,10 +104,15 @@ def joint_attention(p: dict, x: jnp.ndarray, ctx: Optional[jnp.ndarray] = None, 
             k = jnp.concatenate([k, ck], axis=2)
             v = jnp.concatenate([v, cv], axis=2)
 
-    if rope is not None:
+    fused_rope = rope
+    if rope is not None and condition_kv_states is not None:
+        # KV-append mode rotates only the pre-append K — apply here, the
+        # appended condition keys stay unrotated (reference
+        # JointConditionAttnProcessor has no rope; combined mode keeps parity)
         cos, sin = rope
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
+        fused_rope = None
 
     if condition_kv_states is not None:
         dk = split_heads(linear(p["condition_k"], condition_kv_states), heads)
@@ -117,7 +122,7 @@ def joint_attention(p: dict, x: jnp.ndarray, ctx: Optional[jnp.ndarray] = None, 
         k = jnp.concatenate([k, dk], axis=2)
         v = jnp.concatenate([v, dv], axis=2)
 
-    out = merge_heads(sdpa(q, k, v, impl=attn_impl))
+    out = merge_heads(sdpa(q, k, v, impl=attn_impl, rope=fused_rope))
 
     if ctx is None:
         if "to_out" in p:

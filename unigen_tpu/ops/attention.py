@@ -32,23 +32,42 @@ def sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-         mask: Optional[jnp.ndarray] = None, *, impl: str = "auto") -> jnp.ndarray:
+         mask: Optional[jnp.ndarray] = None, *, impl: str = "auto",
+         rope=None) -> jnp.ndarray:
     """Dispatch between the Pallas fused kernel and the XLA path.
 
     impl: "auto" (Pallas on TPU when shapes allow), "xla", "pallas".
+    rope: optional (cos, sin) [S, D] tables — fused into the Pallas kernel
+    (rotary computed in VMEM, no HBM roundtrip), pre-applied on other paths.
     """
-    if impl == "pallas":
-        from unigen_tpu.ops.pallas.flash_attention import flash_attention
-        return flash_attention(q, k, v, mask=mask)
-    if impl == "auto" and mask is None and jax.default_backend() == "tpu":
-        # v5e sweep at [1,24,1536,128]: pallas bq=768 3.85ms vs XLA 4.53ms
+    def _pre_rope(q, k):
+        if rope is None:
+            return q, k
+        from unigen_tpu.ops.rope import apply_rotary
+        return apply_rotary(q, *rope), apply_rotary(k, *rope)
+
+    use_pallas = False
+    if impl in ("pallas", "pallas_rope"):
+        use_pallas = True
+    elif impl == "auto" and mask is None and jax.default_backend() == "tpu":
+        # v5e sweep at [1,24,1536,128]: pallas bq=768 3.85ms vs XLA 4.53ms;
+        # end-to-end +60% (XLA materialises fp32 logits to HBM)
         try:
-            from unigen_tpu.ops.pallas.flash_attention import (flash_attention,
-                                                               supported)
-            if supported(q, k, v):
-                return flash_attention(q, k, v, mask=mask)
+            from unigen_tpu.ops.pallas.flash_attention import supported
+            use_pallas = supported(q, k, v)
         except Exception:
-            pass
+            use_pallas = False
+    if use_pallas:
+        from unigen_tpu.ops.pallas.flash_attention import (flash_attention,
+                                                           flash_attention_rope)
+        if impl == "pallas_rope" and rope is not None and q.shape[2] == k.shape[2]:
+            # fully-fused variant: correct, but currently slower than
+            # pre-applied rope (the kernel re-rotates full K per q block);
+            # opt-in until K-rotation is cached in scratch (ROADMAP).
+            return flash_attention_rope(q, k, v, *rope)
+        q, k = _pre_rope(q, k)
+        return flash_attention(q, k, v, mask=mask)
+    q, k = _pre_rope(q, k)
     return sdpa_xla(q, k, v, mask)
 
 

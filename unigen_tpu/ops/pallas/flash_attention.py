@@ -42,6 +42,21 @@ def supported(q, k, v) -> bool:
     return d % 128 == 0 or d in (64, 128)
 
 
+def _rotate(x, cos, sin):
+    """Interleaved-pair rotary inside the kernel (fp32, VMEM-resident).
+
+    Reshape-free formulation (Mosaic cannot lower the [..., D/2, 2] view):
+    rotated[2i] = -x[2i+1], rotated[2i+1] = x[2i]  ==
+    where(lane even, -roll(x, -1), roll(x, +1))."""
+    xf = x.astype(jnp.float32)
+    d = xf.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, xf.shape, xf.ndim - 1)
+    rot = jnp.where(lane % 2 == 0,
+                    -pltpu.roll(xf, d - 1, axis=xf.ndim - 1),  # roll by -1
+                    pltpu.roll(xf, 1, axis=xf.ndim - 1))
+    return xf * cos + rot * sin
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     q = q_ref[0]                                   # [BQ, D]
     k = k_ref[0]                                   # [Skv_pad, D]
@@ -50,6 +65,29 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [BQ, Skv_pad]
     if kv_len < k.shape[0]:                        # mask the padded tail
+        idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(idx < kv_len, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _attn_rope_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
+                      ksin_ref, o_ref, *, scale: float, kv_len: int):
+    """Fused RoPE + attention: rotary applied in VMEM (fp32) — no HBM
+    roundtrip for the rotated q/k (the flagship fusion, SURVEY.md §2.2
+    'JointAttnRopeProcessor')."""
+    q = _rotate(q_ref[0], qcos_ref[:], qsin_ref[:])      # fp32 [BQ, D]
+    k = _rotate(k_ref[0], kcos_ref[:], ksin_ref[:])      # fp32 [Skv, D]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if kv_len < k.shape[0]:
         idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(idx < kv_len, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
@@ -128,3 +166,89 @@ def _flash_bwd(mask, res, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ------------------------------------------------------------ fused RoPE
+
+@jax.custom_vjp
+def flash_attention_rope(q, k, v, cos, sin):
+    """Fused rotary + attention. q,k,v [B,H,S,D]; cos/sin [S,D] fp32 tables
+    over the concatenated stream order (same tables for q and k, standard
+    self-attention over one concatenation)."""
+    return _flash_rope_impl(q, k, v, cos, sin)
+
+
+def _flash_rope_impl(q, k, v, cos, sin):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = min(DEFAULT_BQ, _round_up(sq, 128))
+    sq_pad = _round_up(sq, bq)
+    skv_pad = _round_up(skv, 128)
+    scale = 1.0 / (d ** 0.5)
+
+    qr = q.reshape(b * h, sq, d)
+    kr = k.reshape(b * h, skv, d)
+    vr = v.reshape(b * h, skv, d)
+    cos = cos.astype(jnp.float32)
+    sin = sin.astype(jnp.float32)
+    qcos, qsin, kcos, ksin = cos, sin, cos, sin
+    if sq_pad != sq:
+        qr = jnp.pad(qr, ((0, 0), (0, sq_pad - sq), (0, 0)))
+        qcos = jnp.pad(qcos, ((0, sq_pad - sq), (0, 0)))
+        qsin = jnp.pad(qsin, ((0, sq_pad - sq), (0, 0)))
+    if skv_pad != skv:
+        kr = jnp.pad(kr, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        vr = jnp.pad(vr, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        kcos = jnp.pad(kcos, ((0, skv_pad - skv), (0, 0)))
+        ksin = jnp.pad(ksin, ((0, skv_pad - skv), (0, 0)))
+
+    grid = (b * h, sq_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(_attn_rope_kernel, scale=scale, kv_len=skv),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((skv_pad, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((skv_pad, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_pad * skv_pad * d,
+            bytes_accessed=(qr.size + kr.size + vr.size) * qr.dtype.itemsize,
+            transcendentals=b * h * sq_pad * skv_pad),
+    )(qr, kr, vr, qcos, qsin, kcos, ksin)
+    return out[:, :sq].reshape(b, h, sq, d)
+
+
+def _ref_attn_rope(q, k, v, cos, sin):
+    from unigen_tpu.ops.attention import sdpa_xla
+    from unigen_tpu.ops.rope import apply_rotary
+    return sdpa_xla(apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v)
+
+
+def _flash_rope_fwd(q, k, v, cos, sin):
+    return _flash_rope_impl(q, k, v, cos, sin), (q, k, v, cos, sin)
+
+
+def _flash_rope_bwd(res, g):
+    q, k, v, cos, sin = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin)
+
+
+flash_attention_rope.defvjp(_flash_rope_fwd, _flash_rope_bwd)
