@@ -1,0 +1,57 @@
+"""Pallas kernel correctness in interpret mode (runs on CPU) and gradient
+path checks. Hardware timings live in the bench; these tests pin the math."""
+
+import importlib
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def flash_mod(monkeypatch):
+    monkeypatch.setenv("UNIGEN_PALLAS_INTERPRET", "1")
+    import unigen_tpu.ops.pallas.flash_attention as fa
+    importlib.reload(fa)
+    yield fa
+    monkeypatch.delenv("UNIGEN_PALLAS_INTERPRET")
+    importlib.reload(fa)
+
+
+def test_flash_attention_matches_xla_interpret(flash_mod):
+    import jax, jax.numpy as jnp
+    from unigen_tpu.ops.attention import sdpa_xla
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 200, 128))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 150, 128))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 150, 128))
+    out = flash_mod.flash_attention(q, k, v)
+    ref = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_rope_matches_interpret(flash_mod):
+    import jax, jax.numpy as jnp
+    from unigen_tpu.ops.attention import sdpa_xla
+    from unigen_tpu.ops.rope import apply_rotary, rope_multi_axis
+    s = 160
+    ids = jnp.stack([jnp.zeros(s), jnp.arange(s) // 8, jnp.arange(s) % 8], -1)
+    cos, sin = rope_multi_axis(ids, (16, 56, 56))
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, s, 128))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, s, 128))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, s, 128))
+    out = flash_mod.flash_attention_rope(q, k, v, cos, sin)
+    ref = sdpa_xla(apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_flash_gradients_match_xla(flash_mod):
+    import jax, jax.numpy as jnp
+    from unigen_tpu.ops.attention import sdpa_xla
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 128, 128))
+
+    g1 = jax.grad(lambda x: flash_mod.flash_attention(x, x, x).sum())(q)
+    g2 = jax.grad(lambda x: sdpa_xla(x, x, x).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-5)

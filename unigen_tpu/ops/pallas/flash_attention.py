@@ -18,11 +18,15 @@ jax.grad.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+# interpret mode lets the kernels run (slowly) on CPU for testing
+_INTERPRET = os.environ.get("UNIGEN_PALLAS_INTERPRET") == "1"
 
 try:  # pallas TPU backend is unavailable on CPU hosts
     from jax.experimental.pallas import tpu as pltpu
@@ -77,15 +81,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
 
 
 def _attn_rope_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
-                      ksin_ref, o_ref, *, scale: float, kv_len: int):
+                      ksin_ref, o_ref, k_rot_ref, *, scale: float, kv_len: int):
     """Fused RoPE + attention: rotary applied in VMEM (fp32) — no HBM
     roundtrip for the rotated q/k (the flagship fusion, SURVEY.md §2.2
-    'JointAttnRopeProcessor')."""
+    'JointAttnRopeProcessor'). K is rotated once per batch-head (grid steps
+    iterate q blocks fastest) and cached in VMEM scratch."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        k_rot_ref[:] = _rotate(k_ref[0], kcos_ref[:], ksin_ref[:]
+                               ).astype(k_rot_ref.dtype)
+
     q = _rotate(q_ref[0], qcos_ref[:], qsin_ref[:])      # fp32 [BQ, D]
-    k = _rotate(k_ref[0], kcos_ref[:], ksin_ref[:])      # fp32 [Skv, D]
+    k = k_rot_ref[:]
     v = v_ref[0]
     logits = jax.lax.dot_general(
-        q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
+        q.astype(v.dtype), k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     if kv_len < k.shape[0]:
         idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -146,6 +156,7 @@ def _flash_fwd_impl(q, k, v):
             flops=4 * b * h * sq_pad * skv_pad * d,
             bytes_accessed=(qr.size + kr.size + vr.size) * qr.dtype.itemsize,
             transcendentals=b * h * sq_pad * skv_pad),
+        interpret=_INTERPRET,
     )(qr, kr, vr)
     return out[:, :sq].reshape(b, h, sq, d)
 
@@ -225,10 +236,12 @@ def _flash_rope_impl(q, k, v, cos, sin):
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((skv_pad, d), q.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_pad * skv_pad * d,
             bytes_accessed=(qr.size + kr.size + vr.size) * qr.dtype.itemsize,
             transcendentals=b * h * sq_pad * skv_pad),
+        interpret=_INTERPRET,
     )(qr, kr, vr, qcos, qsin, kcos, ksin)
     return out[:, :sq].reshape(b, h, sq, d)
 
