@@ -114,3 +114,28 @@ def test_rts_changes_survivors_but_not_counts():
                                   np.asarray(o2.expert_counts))
     assert not np.allclose(np.asarray(o1.expert_hidden),
                            np.asarray(o2.expert_hidden))
+
+
+def test_per_sample_batch_mode_matches_global_when_balanced():
+    """per_sample routing == global routing when no token is dropped (high
+    capacity), and both execute; per-sample capacity is b-fold smaller."""
+    rng = np.random.default_rng(5)
+    b, s, d, pd, e = 3, 8, 8, 4, 2
+    params = moe_lib.init_moe_params(jax.random.PRNGKey(0), d, pd, e,
+                                     modulated=True)
+    hidden = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    streams = {"pooled": jnp.asarray(rng.normal(size=(b, pd)).astype(np.float32)),
+               "condition_pooled": jnp.asarray(
+                   rng.normal(size=(b, pd)).astype(np.float32))}
+    cc_g = cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(
+        expert_num=e, min_capacity=64, batch_mode="global"))
+    cc_p = cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(
+        expert_num=e, min_capacity=64, batch_mode="per_sample"))
+    out_g = moe_lib.moe_apply(params, cc_g, e, hidden, cond, streams)
+    out_p = moe_lib.moe_apply(params, cc_p, e, hidden, cond, streams)
+    np.testing.assert_allclose(np.asarray(out_p.expert_hidden),
+                               np.asarray(out_g.expert_hidden),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out_p.expert_counts),
+                                  np.asarray(out_g.expert_counts))

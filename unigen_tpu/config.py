@@ -107,6 +107,11 @@ class MoEConfig:
     use_rts: bool = False                  # random token selection on overflow (train-only)
     aux_loss_weight: float = 0.1
     ep_size: int = 1                       # expert-parallel degree (mesh 'expert' axis)
+    # "global": one router over all B*S tokens (reference parity; dispatch
+    # cost grows ~quadratically with batch). "per_sample": vmapped per-sample
+    # routing with per-sample capacity — linear in batch, the batched-serving
+    # mode.
+    batch_mode: str = "global"
 
     def num_experts(self, condition_nums: int) -> int:
         if self.expert_num is not None:

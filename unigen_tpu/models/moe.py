@@ -113,6 +113,25 @@ def moe_apply(params: dict, cfg: ControlConfig, num_experts: int,
     dispatched [E, C, M] blocks are all_to_all'd so each shard computes its
     local experts (reference's two NCCL All-to-Alls).
     """
+    if cfg.moe.batch_mode == "per_sample" and hidden.shape[0] > 1:
+        # vmapped per-sample routing with per-sample capacity: dispatch cost
+        # linear in batch (the "global" reference mode is quadratic). The
+        # inner call sees b=1 so this branch cannot recurse.
+        def one(h, c, p, cp, t, ct):
+            st = {"pooled": p[None], "condition_pooled": cp[None],
+                  "temb": t[None], "condition_temb": ct[None]}
+            return moe_apply(params, cfg, num_experts, h[None], c[None], st,
+                             block_apply=block_apply, heads=heads, rng=rng,
+                             training=training, expert_axis=expert_axis)
+
+        zeros = jnp.zeros((hidden.shape[0], hidden.shape[-1]), hidden.dtype)
+        out = jax.vmap(one)(hidden, condition,
+                            streams["pooled"], streams["condition_pooled"],
+                            streams.get("temb", zeros),
+                            streams.get("condition_temb", zeros))
+        return MoEOutput(out.expert_hidden[:, 0], out.expert_condition[:, 0],
+                         jnp.mean(out.aux_loss), jnp.sum(out.expert_counts, 0))
+
     b, s, d = hidden.shape
     choice = (hidden + condition).reshape(-1, d)
     logits = choice.astype(jnp.float32) @ params["gate"]["w"]

@@ -69,7 +69,8 @@ def flux_bench(condition_types=("canny",)) -> C.UniGenConfig:
             attention_head_dim=128, num_attention_heads=24,
             joint_attention_dim=4096, pooled_projection_dim=768,
             guidance_embeds=False, axes_dims_rope=(16, 56, 56)),
-        control=C.ControlConfig(),
+        # per-sample routing keeps the router linear in batch (serving mode)
+        control=C.ControlConfig(moe=C.MoEConfig(batch_mode="per_sample")),
         condition_types=tuple(condition_types),
     )
 
