@@ -1,0 +1,179 @@
+"""End-to-end from_pretrained: build a tiny diffusers-layout checkpoint
+directory on disk (safetensors + config.json per subfolder), load the full
+pipeline through io/torch_bridge, and generate an image."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safetensors.numpy import save_file
+
+from unigen_tpu import config as cfg_lib
+
+
+def _write(dirpath, sd, cfg_json):
+    os.makedirs(dirpath, exist_ok=True)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              os.path.join(dirpath, "model.safetensors"))
+    with open(os.path.join(dirpath, "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+
+
+@pytest.fixture(scope="module")
+def fake_ckpt(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("flux_ckpt"))
+    rng = np.random.default_rng(0)
+    g = lambda *s: (rng.normal(size=s) * 0.05).astype(np.float32)
+
+    # --- transformer (tiny flux) ---
+    from tests.test_torch_bridge import _flux_tiny_sd
+    flux = cfg_lib.tiny_flux_config()
+    _write(os.path.join(root, "transformer"), _flux_tiny_sd(flux), {
+        "in_channels": flux.in_channels, "num_layers": flux.num_layers,
+        "num_single_layers": flux.num_single_layers,
+        "attention_head_dim": flux.attention_head_dim,
+        "num_attention_heads": flux.num_attention_heads,
+        "joint_attention_dim": flux.joint_attention_dim,
+        "pooled_projection_dim": flux.pooled_projection_dim,
+        "guidance_embeds": False,
+        "axes_dims_rope": list(flux.axes_dims_rope)})
+
+    # --- vae (tiny) ---
+    from unigen_tpu.models import vae as vae_lib
+    vcfg = vae_lib.tiny_vae_config(latent_channels=flux.in_channels // 4)
+    sd = {}
+
+    def cv(name, ci, co, k=3):
+        sd[f"{name}.weight"] = g(co, ci, k, k)
+        sd[f"{name}.bias"] = g(co)
+
+    def gn(name, c):
+        sd[f"{name}.weight"] = g(c)
+        sd[f"{name}.bias"] = g(c)
+
+    def res(p, ci, co):
+        gn(f"{p}.norm1", ci); cv(f"{p}.conv1", ci, co)
+        gn(f"{p}.norm2", co); cv(f"{p}.conv2", co, co)
+        if ci != co:
+            cv(f"{p}.conv_shortcut", ci, co, 1)
+
+    def at(p, c):
+        gn(f"{p}.group_norm", c)
+        for n in ["to_q", "to_k", "to_v", "to_out.0"]:
+            sd[f"{p}.{n}.weight"] = g(c, c)
+            sd[f"{p}.{n}.bias"] = g(c)
+
+    chs, lpb = vcfg.block_out_channels, vcfg.layers_per_block
+    cv("encoder.conv_in", 3, chs[0])
+    ci = chs[0]
+    for i, co in enumerate(chs):
+        for j in range(lpb):
+            res(f"encoder.down_blocks.{i}.resnets.{j}", ci if j == 0 else co, co)
+        if i < len(chs) - 1:
+            cv(f"encoder.down_blocks.{i}.downsamplers.0.conv", co, co)
+        ci = co
+    res("encoder.mid_block.resnets.0", chs[-1], chs[-1])
+    at("encoder.mid_block.attentions.0", chs[-1])
+    res("encoder.mid_block.resnets.1", chs[-1], chs[-1])
+    gn("encoder.conv_norm_out", chs[-1])
+    cv("encoder.conv_out", chs[-1], 2 * vcfg.latent_channels)
+    rev = list(reversed(chs))
+    cv("decoder.conv_in", vcfg.latent_channels, rev[0])
+    res("decoder.mid_block.resnets.0", rev[0], rev[0])
+    at("decoder.mid_block.attentions.0", rev[0])
+    res("decoder.mid_block.resnets.1", rev[0], rev[0])
+    ci = rev[0]
+    for i, co in enumerate(rev):
+        for j in range(lpb + 1):
+            res(f"decoder.up_blocks.{i}.resnets.{j}", ci if j == 0 else co, co)
+        if i < len(rev) - 1:
+            cv(f"decoder.up_blocks.{i}.upsamplers.0.conv", co, co)
+        ci = co
+    gn("decoder.conv_norm_out", rev[-1])
+    cv("decoder.conv_out", rev[-1], 3)
+    _write(os.path.join(root, "vae"), sd, {
+        "latent_channels": vcfg.latent_channels,
+        "block_out_channels": list(vcfg.block_out_channels),
+        "layers_per_block": vcfg.layers_per_block,
+        "norm_num_groups": vcfg.norm_num_groups,
+        "scaling_factor": vcfg.scaling_factor,
+        "shift_factor": vcfg.shift_factor})
+
+    # --- text encoders (tiny clip + t5 via transformers names) ---
+    from unigen_tpu.models.clip_text import tiny_clip_config
+    ccfg = tiny_clip_config()
+    d, it = ccfg.hidden_size, ccfg.intermediate_size
+    sd = {"text_model.embeddings.token_embedding.weight": g(ccfg.vocab_size, d),
+          "text_model.embeddings.position_embedding.weight": g(ccfg.max_position_embeddings, d),
+          "text_model.final_layer_norm.weight": g(d),
+          "text_model.final_layer_norm.bias": g(d)}
+    for i in range(ccfg.num_layers):
+        p = f"text_model.encoder.layers.{i}"
+        for n, (i_, o_) in {"self_attn.q_proj": (d, d), "self_attn.k_proj": (d, d),
+                            "self_attn.v_proj": (d, d), "self_attn.out_proj": (d, d),
+                            "mlp.fc1": (d, it), "mlp.fc2": (it, d)}.items():
+            sd[f"{p}.{n}.weight"] = g(o_, i_)
+            sd[f"{p}.{n}.bias"] = g(o_)
+        for n in ["layer_norm1", "layer_norm2"]:
+            sd[f"{p}.{n}.weight"] = g(d)
+            sd[f"{p}.{n}.bias"] = g(d)
+    _write(os.path.join(root, "text_encoder"), sd, {
+        "vocab_size": ccfg.vocab_size, "hidden_size": d,
+        "intermediate_size": it, "num_hidden_layers": ccfg.num_layers,
+        "num_attention_heads": ccfg.num_heads,
+        "architectures": ["CLIPTextModel"]})
+
+    from unigen_tpu.models.t5_text import tiny_t5_config
+    tcfg = tiny_t5_config(d_model=flux.joint_attention_dim)
+    dm, dff, inner = tcfg.d_model, tcfg.d_ff, tcfg.num_heads * tcfg.d_kv
+    sd = {"shared.weight": g(tcfg.vocab_size, dm),
+          "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
+              g(tcfg.relative_attention_num_buckets, tcfg.num_heads),
+          "encoder.final_layer_norm.weight": g(dm)}
+    for i in range(tcfg.num_layers):
+        p = f"encoder.block.{i}.layer"
+        for n, (i_, o_) in {"0.SelfAttention.q": (dm, inner),
+                            "0.SelfAttention.k": (dm, inner),
+                            "0.SelfAttention.v": (dm, inner),
+                            "0.SelfAttention.o": (inner, dm),
+                            "1.DenseReluDense.wi_0": (dm, dff),
+                            "1.DenseReluDense.wi_1": (dm, dff),
+                            "1.DenseReluDense.wo": (dff, dm)}.items():
+            sd[f"{p}.{n}.weight"] = g(o_, i_)
+        sd[f"{p}.0.layer_norm.weight"] = g(dm)
+        sd[f"{p}.1.layer_norm.weight"] = g(dm)
+    _write(os.path.join(root, "text_encoder_2"), sd, {
+        "vocab_size": tcfg.vocab_size, "d_model": dm, "d_kv": tcfg.d_kv,
+        "d_ff": dff, "num_layers": tcfg.num_layers, "num_heads": tcfg.num_heads})
+
+    os.makedirs(os.path.join(root, "scheduler"), exist_ok=True)
+    with open(os.path.join(root, "scheduler", "config.json"), "w") as f:
+        json.dump({"shift": 1.0, "use_dynamic_shifting": False}, f)
+    return root
+
+
+def test_load_flux_pipeline_and_generate(fake_ckpt):
+    from unigen_tpu.pipelines.loading import load_flux_pipeline
+    pipe = load_flux_pipeline(fake_ckpt, condition_types=["canny"],
+                              dtype=jnp.float32)
+    assert pipe.cfg.flux.num_layers == 2
+    assert pipe.vae_params is not None and pipe.t5_params is not None
+    # control branch warm-started from base
+    np.testing.assert_allclose(
+        np.asarray(pipe.params["control"]["x_embedder"]["w"]),
+        np.asarray(pipe.params["base"]["x_embedder"]["w"]))
+
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    flux = pipe.cfg.flux
+    imgs = pipe.generate(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=2)
+    assert imgs.shape == (b, h, w, 3) and imgs.dtype == np.uint8

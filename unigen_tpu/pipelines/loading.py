@@ -78,6 +78,7 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
         block_out_channels=tuple(vcfg_raw.get("block_out_channels",
                                               (128, 256, 512, 512))),
         layers_per_block=vcfg_raw.get("layers_per_block", 2),
+        norm_num_groups=vcfg_raw.get("norm_num_groups", 32),
         scaling_factor=vcfg_raw.get("scaling_factor", 0.3611),
         shift_factor=vcfg_raw.get("shift_factor", 0.1159))
     vae_params = tb.load_vae(tb.read_checkpoint_dir(os.path.join(root, "vae")),
