@@ -177,3 +177,97 @@ def test_load_flux_pipeline_and_generate(fake_ckpt):
         control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
         height=h, width=w, num_inference_steps=2)
     assert imgs.shape == (b, h, w, 3) and imgs.dtype == np.uint8
+
+
+def test_load_sd3_pipeline_and_generate(tmp_path):
+    """SD3 from_pretrained: tiny SD3 transformer + VAE layout -> pipeline."""
+    from tests.test_sd3_bridge_pipeline import _sd3_state_dict
+    from unigen_tpu.models import vae as vae_lib
+    rng = np.random.default_rng(1)
+    g = lambda *s: (rng.normal(size=s) * 0.05).astype(np.float32)
+
+    sd3 = cfg_lib.tiny_sd3_config()
+    root = str(tmp_path)
+    _write(os.path.join(root, "transformer"), _sd3_state_dict(sd3), {
+        "sample_size": sd3.sample_size, "patch_size": sd3.patch_size,
+        "in_channels": sd3.in_channels, "num_layers": sd3.num_layers,
+        "attention_head_dim": sd3.attention_head_dim,
+        "num_attention_heads": sd3.num_attention_heads,
+        "joint_attention_dim": sd3.joint_attention_dim,
+        "caption_projection_dim": sd3.caption_projection_dim,
+        "pooled_projection_dim": sd3.pooled_projection_dim,
+        "out_channels": sd3.out_channels,
+        "pos_embed_max_size": sd3.pos_embed_max_size,
+        "dual_attention_layers": list(sd3.dual_attention_layers),
+        "qk_norm": sd3.qk_norm})
+
+    # reuse the flux fixture's vae builder inline (tiny 2-block)
+    vcfg = vae_lib.tiny_vae_config(latent_channels=sd3.in_channels)
+    sd = {}
+
+    def cv(name, ci, co, k=3):
+        sd[f"{name}.weight"] = g(co, ci, k, k)
+        sd[f"{name}.bias"] = g(co)
+
+    def gn(name, c):
+        sd[f"{name}.weight"] = g(c)
+        sd[f"{name}.bias"] = g(c)
+
+    def res(p, ci, co):
+        gn(f"{p}.norm1", ci); cv(f"{p}.conv1", ci, co)
+        gn(f"{p}.norm2", co); cv(f"{p}.conv2", co, co)
+        if ci != co:
+            cv(f"{p}.conv_shortcut", ci, co, 1)
+
+    def at(p, c):
+        gn(f"{p}.group_norm", c)
+        for n in ["to_q", "to_k", "to_v", "to_out.0"]:
+            sd[f"{p}.{n}.weight"] = g(c, c)
+            sd[f"{p}.{n}.bias"] = g(c)
+
+    chs, lpb = vcfg.block_out_channels, vcfg.layers_per_block
+    cv("encoder.conv_in", 3, chs[0])
+    ci = chs[0]
+    for i, co in enumerate(chs):
+        for j in range(lpb):
+            res(f"encoder.down_blocks.{i}.resnets.{j}", ci if j == 0 else co, co)
+        if i < len(chs) - 1:
+            cv(f"encoder.down_blocks.{i}.downsamplers.0.conv", co, co)
+        ci = co
+    res("encoder.mid_block.resnets.0", chs[-1], chs[-1])
+    at("encoder.mid_block.attentions.0", chs[-1])
+    res("encoder.mid_block.resnets.1", chs[-1], chs[-1])
+    gn("encoder.conv_norm_out", chs[-1])
+    cv("encoder.conv_out", chs[-1], 2 * vcfg.latent_channels)
+    rev = list(reversed(chs))
+    cv("decoder.conv_in", vcfg.latent_channels, rev[0])
+    res("decoder.mid_block.resnets.0", rev[0], rev[0])
+    at("decoder.mid_block.attentions.0", rev[0])
+    res("decoder.mid_block.resnets.1", rev[0], rev[0])
+    ci = rev[0]
+    for i, co in enumerate(rev):
+        for j in range(lpb + 1):
+            res(f"decoder.up_blocks.{i}.resnets.{j}", ci if j == 0 else co, co)
+        if i < len(rev) - 1:
+            cv(f"decoder.up_blocks.{i}.upsamplers.0.conv", co, co)
+        ci = co
+    gn("decoder.conv_norm_out", rev[-1])
+    cv("decoder.conv_out", rev[-1], 3)
+    _write(os.path.join(root, "vae"), sd, {
+        "latent_channels": vcfg.latent_channels,
+        "block_out_channels": list(vcfg.block_out_channels),
+        "layers_per_block": vcfg.layers_per_block,
+        "norm_num_groups": vcfg.norm_num_groups,
+        "scaling_factor": 1.0, "shift_factor": 0.0})
+
+    from unigen_tpu.pipelines.loading import load_sd3_pipeline
+    pipe = load_sd3_pipeline(root, condition_types=["depth"])
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    imgs = pipe.generate(
+        prompt_embeds=jax.random.normal(ks[0], (b, 6, sd3.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, sd3.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, sd3.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=2, guidance_scale=3.0)
+    assert imgs.shape == (b, h, w, 3) and imgs.dtype == np.uint8

@@ -129,3 +129,67 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
         clip_cfg=clip_cfg, clip_params=clip_params,
         t5_cfg=t5_cfg, t5_params=t5_params, scheduler=scheduler,
         tokenizer=tokenizer, tokenizer_2=tokenizer_2, dtype=dtype)
+
+
+def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),
+                      adapter_dir: Optional[str] = None,
+                      dtype=jnp.float32, control_overrides: Optional[dict] = None):
+    """Build a UniGenSD3Pipeline from an SD3.5 HF directory (reference
+    train.py:259-307 asset loading for the SD3 family)."""
+    from unigen_tpu.io import torch_bridge_sd3 as tb3
+    from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_control
+    from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
+
+    tcfg = _subcfg(root, "transformer")
+    sd3 = cfg_lib.SD3BackboneConfig(
+        sample_size=tcfg.get("sample_size", 128),
+        patch_size=tcfg.get("patch_size", 2),
+        in_channels=tcfg.get("in_channels", 16),
+        num_layers=tcfg.get("num_layers", 24),
+        attention_head_dim=tcfg.get("attention_head_dim", 64),
+        num_attention_heads=tcfg.get("num_attention_heads", 24),
+        joint_attention_dim=tcfg.get("joint_attention_dim", 4096),
+        caption_projection_dim=tcfg.get("caption_projection_dim", 1536),
+        pooled_projection_dim=tcfg.get("pooled_projection_dim", 2048),
+        out_channels=tcfg.get("out_channels", 16),
+        pos_embed_max_size=tcfg.get("pos_embed_max_size", 384),
+        dual_attention_layers=tuple(tcfg.get("dual_attention_layers", ())),
+        qk_norm=tcfg.get("qk_norm"))
+    overrides = dict(control_overrides or {})
+    overrides.setdefault("use_rope", False)
+    cfg = cfg_lib.UniGenConfig(family="sd3", sd3=sd3,
+                               control=cfg_lib.ControlConfig(**overrides),
+                               condition_types=tuple(condition_types))
+
+    sd = tb.read_checkpoint_dir(os.path.join(root, "transformer"))
+    base = tb3.load_sd3_transformer(sd, sd3, dtype=dtype)
+    n_cn = cfg.control.num_layers or sd3.num_layers
+    if adapter_dir:
+        adapter_sd = tb.read_checkpoint_dir(adapter_dir)
+        control = tb3.load_sd3_unigen_adapter(
+            adapter_sd, sd3, n_cn,
+            cfg.control.moe.num_experts(cfg.condition_nums), dtype=dtype,
+            modulated=(cfg.control.use_modulate or cfg.control.use_rope))
+    else:
+        control = init_unigen_sd3_control(jax.random.PRNGKey(0), cfg,
+                                          dtype=dtype, base_params=base)
+
+    vcfg_raw = _subcfg(root, "vae")
+    vae_cfg = vae_lib.VAEConfig(
+        latent_channels=vcfg_raw.get("latent_channels", 16),
+        block_out_channels=tuple(vcfg_raw.get("block_out_channels",
+                                              (128, 256, 512, 512))),
+        layers_per_block=vcfg_raw.get("layers_per_block", 2),
+        norm_num_groups=vcfg_raw.get("norm_num_groups", 32),
+        scaling_factor=vcfg_raw.get("scaling_factor", 1.5305),
+        shift_factor=vcfg_raw.get("shift_factor", 0.0609))
+    vae_params = tb.load_vae(tb.read_checkpoint_dir(os.path.join(root, "vae")),
+                             vae_cfg.block_out_channels,
+                             vae_cfg.layers_per_block, dtype=jnp.float32)
+
+    sch_raw = _subcfg(root, "scheduler") or {}
+    scheduler = scheduling.FlowMatchConfig(shift=sch_raw.get("shift", 3.0))
+
+    return UniGenSD3Pipeline(cfg=cfg, params={"base": base, "control": control},
+                             vae_cfg=vae_cfg, vae_params=vae_params,
+                             scheduler=scheduler, dtype=dtype)
