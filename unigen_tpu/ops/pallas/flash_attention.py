@@ -37,6 +37,17 @@ except Exception:  # pragma: no cover
 DEFAULT_BQ = 768  # v5e sweep: bq=768 beats 256/512 and the XLA path
 
 
+def _pick_bq(sq: int, skv_pad: int) -> int:
+    """bq=768 wins END-TO-END on v5e (a single 1536 q block looked ~6% faster
+    per-op but loses ~7% e2e — one grid step per batch-head removes the
+    DMA/compute overlap). The VMEM guard shrinks bq for long KV so the fp32
+    logits block stays under ~8 MB."""
+    sq128 = _round_up(sq, 128)
+    vmem_cap = int(8 * 1024 * 1024 / (4 * skv_pad)) // 128 * 128
+    bq = min(sq128, DEFAULT_BQ, max(vmem_cap, 256))
+    return max(bq, 128)
+
+
 def supported(q, k, v) -> bool:
     if not _HAS_PLTPU:
         return False
@@ -123,9 +134,9 @@ def flash_attention(q, k, v, mask=None):
 def _flash_fwd_impl(q, k, v):
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq = min(DEFAULT_BQ, _round_up(sq, 128))
-    sq_pad = _round_up(sq, bq)
     skv_pad = _round_up(skv, 128)
+    bq = _pick_bq(sq, skv_pad)
+    sq_pad = _round_up(sq, bq)
     scale = 1.0 / (d ** 0.5)
 
     qr = q.reshape(b * h, sq, d)
@@ -192,9 +203,9 @@ def flash_attention_rope(q, k, v, cos, sin):
 def _flash_rope_impl(q, k, v, cos, sin):
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq = min(DEFAULT_BQ, _round_up(sq, 128))
-    sq_pad = _round_up(sq, bq)
     skv_pad = _round_up(skv, 128)
+    bq = _pick_bq(sq, skv_pad)
+    sq_pad = _round_up(sq, bq)
     scale = 1.0 / (d ** 0.5)
 
     qr = q.reshape(b * h, sq, d)
