@@ -11,6 +11,10 @@ extrapolate, and multi-chip sharding (parallel/) is the production path.
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
   value       — images/sec for the jitted 4-step denoise loop (text encode /
                 VAE excluded; the transformer loop dominates end-to-end time).
+                Default configuration is the W8A8 int8 SERVING path
+                (per-channel weight + dynamic per-token activation scales on
+                the int8 MXU, ops/quant.py) — 4.08 img/s vs 2.73 bf16;
+                set UNIGEN_BENCH_INT8=0 for the parity-grade bf16 number.
   vs_baseline — measured / estimated reference throughput for the same
                 compute on ONE A100-80GB: est_ref = A100_bf16_peak (312e12)
                 * 0.35 assumed MFU / model_flops_per_image. The reference
@@ -78,7 +82,7 @@ def main():
     # One jitted program for the whole init: through the axon tunnel, issuing
     # ~1500 individual RNG dispatches is minutes of round-trips.
     t_init = time.time()
-    use_int8 = os.environ.get("UNIGEN_BENCH_INT8") == "1"
+    use_int8 = os.environ.get("UNIGEN_BENCH_INT8", "1") == "1"
 
     def _init(k):
         p = init_unigen_flux_params(k, cfg, dtype=dtype)
