@@ -39,12 +39,12 @@ def test_quantize_tree_selectivity():
         "attn": {"to_q": {"w": jnp.ones((512, 512)), "b": jnp.zeros((512,))}},
         "gate": {"w": jnp.ones((512, 8))},              # skipped (gate)
         "small": {"w": jnp.ones((16, 16))},             # skipped (min_dim)
-        "norm1": {"linear": {"w": jnp.ones((512, 512))}},  # skipped (norm)
+        "norm1": {"linear": {"w": jnp.ones((512, 512))}},  # adaln: quantized
     }
     q = quantize_tree(tree, min_dim=512)
     assert "w_q" in q["attn"]["to_q"] and "b" in q["attn"]["to_q"]
     assert "w" in q["gate"] and "w" in q["small"]
-    assert "w" in q["norm1"]["linear"]
+    assert "w_q" in q["norm1"]["linear"]  # AdaLN linears are fair game
     assert quantized_bytes(q) < quantized_bytes(tree)
 
 

@@ -59,10 +59,12 @@ def _eligible(path_names, leaf_dict, *, min_dim: int, skip: Sequence[str]) -> bo
 
 
 def quantize_tree(params: Any, *, min_dim: int = 512,
-                  skip: Sequence[str] = ("gate", "norm", "experts")) -> Any:
+                  skip: Sequence[str] = ("gate", "experts")) -> Any:
     """Convert every eligible {'w','b'} linear in a pytree to int8 form.
-    Small layers (below min_dim), gates, norms, and the MoE expert stacks
-    (consumed by the batched-einsum path, not ``linear``) stay fp."""
+    Small layers (below min_dim), the router gate, and the MoE expert stacks
+    (consumed by the batched-einsum path, not ``linear``) stay fp. AdaLN
+    modulation linears DO quantize (they are ~37% of double-block weights);
+    LayerNorm/RMSNorm params have no 'w' key and are never touched."""
     def _walk(node, path):
         if isinstance(node, dict):
             if "w" in node and isinstance(node["w"], jnp.ndarray):
