@@ -106,6 +106,7 @@ class Trainer:
 
     def train(self, batches: Iterable[Dict[str, Any]],
               log_every: int = 10) -> Dict[str, float]:
+        from unigen_tpu.observability import log_step_metrics
         last = {}
         t0 = time.time()
         for batch in batches:
@@ -113,9 +114,8 @@ class Trainer:
             if self.global_step % log_every == 0:
                 last = {k: float(np.asarray(v)) for k, v in metrics.items()
                         if np.asarray(v).ndim == 0}
-                if jax.process_index() == 0:
-                    logger.info("step %d %s (%.2fs/it)", self.global_step, last,
-                                (time.time() - t0) / log_every)
+                last["s_per_it"] = (time.time() - t0) / log_every
+                log_step_metrics(logger, self.global_step, metrics)
                 t0 = time.time()
             if (self.work_dir and self.tcfg.checkpointing_steps
                     and self.global_step % self.tcfg.checkpointing_steps == 0):
