@@ -180,3 +180,48 @@ def test_trainer_two_steps(tmp_path):
                        encode_text=encode_text, encode_images=encode_images,
                        work_dir=str(tmp_path))
     assert trainer2.maybe_resume() and trainer2.global_step == 2
+
+
+def test_trainer_multi_condition_step():
+    """Train step with a leading condition axis [K, B, ...] (the
+    MultiCondtionUniGenFlux path, reference train.py:530-560)."""
+    import jax
+    import jax.numpy as jnp
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.train.train_step import init_train_state, make_train_step
+
+    flux = cfg_lib.tiny_flux_config()
+    ucfg = cfg_lib.UniGenConfig(family="flux", flux=flux,
+                                condition_types=("depth", "canny"))
+    tcfg = cfg_lib.TrainConfig(max_train_steps=5, remat=False,
+                               train_batch_size=1, lr_warmup_steps=0)
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), ucfg)
+    state = init_train_state(params["control"], tcfg)
+    step = jax.jit(make_train_step(ucfg, tcfg))
+    rng = np.random.default_rng(0)
+    c, k, b = flux.in_channels // 4, 2, 1
+    batch = dict(
+        latents=jnp.asarray(rng.normal(size=(b, c, 8, 8)).astype(np.float32)),
+        condition_latents=jnp.asarray(
+            rng.normal(size=(k, b, c, 8, 8)).astype(np.float32)),
+        prompt_embeds=jnp.asarray(
+            rng.normal(size=(b, 6, flux.joint_attention_dim)).astype(np.float32)),
+        pooled=jnp.asarray(
+            rng.normal(size=(b, flux.pooled_projection_dim)).astype(np.float32)),
+        condition_pooled=jnp.asarray(
+            rng.normal(size=(k, b, flux.pooled_projection_dim)).astype(np.float32)),
+    )
+    state2, metrics = step(state, params["base"], batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(np.asarray(metrics["step_loss"])))
+    assert float(np.asarray(metrics["grad_norm"])) > 0
+
+
+def test_baseline_presets_constructible():
+    from unigen_tpu.presets import baseline_configs
+    cfgs = baseline_configs()
+    assert set(cfgs) == {"flux_canny_4step", "sd3_depth_28step",
+                         "multigen_suite", "multi_condition_joint",
+                         "subjects200k_train"}
+    assert cfgs["multigen_suite"]["cfg"].condition_nums == 12
+    assert cfgs["multigen_suite"]["cfg"].control.moe.num_experts(12) == 39
+    assert cfgs["sd3_depth_28step"]["cfg"].family == "sd3"

@@ -78,3 +78,34 @@ def flux_bench(condition_types=("canny",)) -> C.UniGenConfig:
 def tiny(condition_types=("canny",)) -> C.UniGenConfig:
     return C.UniGenConfig(family="flux", flux=C.tiny_flux_config(),
                           condition_types=tuple(condition_types))
+
+
+# The five BASELINE.json benchmark configurations as runnable presets.
+MULTIGEN_CONDITIONS = ("hed", "canny", "hedsketch", "depth", "normal", "seg",
+                       "bbox", "openpose", "outpainting", "inpainting",
+                       "blur", "grayscale")
+
+
+def baseline_configs() -> dict:
+    """BASELINE.md presets (model config + run settings). Full-width FLUX
+    needs >=2 chips in bf16 or int8 serving (ops/quant.py)."""
+    return {
+        # 1. UniGenFlux canny single-condition (FLUX.1-schnell, 512^2, 4-step)
+        "flux_canny_4step": dict(cfg=flux_schnell(("canny",)),
+                                 steps=4, resolution=512, guidance=3.5),
+        # 2. UniGenSD3 depth single-condition (SD3.5-medium, 28-step)
+        "sd3_depth_28step": dict(cfg=sd35_medium(("depth",)),
+                                 steps=28, resolution=512, guidance=7.0),
+        # 3. Full MultiGen-20M condition suite w/ LoRA expert switching
+        "multigen_suite": dict(cfg=flux_schnell(MULTIGEN_CONDITIONS),
+                               steps=4, resolution=512, guidance=3.5,
+                               lora_rank=4),
+        # 4. Multi-condition joint control (depth+canny+openpose)
+        "multi_condition_joint": dict(
+            cfg=flux_schnell(("depth", "canny", "openpose")),
+            steps=4, resolution=512, guidance=3.5, multi_condition=True),
+        # 5. Subjects-200K subject-driven + single-condition train step (b16)
+        "subjects200k_train": dict(cfg=flux_schnell(("subject",)),
+                                   train_batch_size=16, resolution=512,
+                                   steps=4, guidance=3.5, training=True),
+    }
