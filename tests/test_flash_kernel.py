@@ -55,3 +55,17 @@ def test_flash_gradients_match_xla(flash_mod):
     g2 = jax.grad(lambda x: sdpa_xla(x, x, x).sum())(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("sq,skv,d", [(64, 64, 64), (130, 257, 128),
+                                      (777, 333, 128)])
+def test_flash_attention_odd_shapes(flash_mod, sq, skv, d):
+    import jax
+    from unigen_tpu.ops.attention import sdpa_xla
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, sq, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, skv, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, skv, d))
+    out = flash_mod.flash_attention(q, k, v)
+    ref = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
