@@ -139,3 +139,19 @@ def test_per_sample_batch_mode_matches_global_when_balanced():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(out_p.expert_counts),
                                   np.asarray(out_g.expert_counts))
+
+
+def test_top_k2_path_through_moe_apply():
+    rng = np.random.default_rng(6)
+    b, s, d, pd, e = 1, 12, 8, 4, 4
+    cc = cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(expert_num=e, top_k=2,
+                                                     min_capacity=32))
+    params = moe_lib.init_moe_params(jax.random.PRNGKey(0), d, pd, e,
+                                     modulated=True)
+    hidden = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    streams = {"pooled": jnp.ones((b, pd)), "condition_pooled": jnp.ones((b, pd))}
+    out = moe_lib.moe_apply(params, cc, e, hidden, cond, streams)
+    assert jnp.isfinite(out.expert_hidden).all()
+    # top-2: every token assigned twice (high capacity -> no drops)
+    assert int(out.expert_counts.sum()) == 2 * b * s

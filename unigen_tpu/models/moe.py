@@ -138,8 +138,11 @@ def moe_apply(params: dict, cfg: ControlConfig, num_experts: int,
     cap_factor = cfg.moe.capacity_factor if training else cfg.moe.eval_capacity_factor
     capacity = gating.compute_capacity(b * s, num_experts, cap_factor,
                                        cfg.moe.min_capacity)
-    gate_out = gating.top1_gate(logits, capacity, rng=rng,
-                                use_rts=cfg.moe.use_rts and training)
+    if cfg.moe.top_k == 2:
+        gate_out = gating.top2_gate(logits, capacity, rng=rng)
+    else:
+        gate_out = gating.top1_gate(logits, capacity, rng=rng,
+                                    use_rts=cfg.moe.use_rts and training)
 
     routed = {"hidden": hidden, "condition": condition}
     routed.update(streams)
