@@ -21,7 +21,7 @@ from __future__ import annotations
 import glob as globlib
 import os
 import re
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np

@@ -3,13 +3,13 @@ adapters (extends io/torch_bridge.py; same conventions)."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from unigen_tpu.config import SanaBackboneConfig, SD3BackboneConfig
-from unigen_tpu.io.torch_bridge import _lin, _ln, _rms, _stack
+from unigen_tpu.io.torch_bridge import _lin, _rms, _stack
 
 
 def _sd3_attn(sd, p, dtype, *, context: bool, context_pre_only: bool = False,

@@ -17,8 +17,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from unigen_tpu.layers.core import (init_linear, init_rms_norm, layer_norm,
-                                    linear, rms_norm)
+from unigen_tpu.layers.core import init_linear, layer_norm, linear
 from unigen_tpu.ops.attention import merge_heads, sdpa, split_heads
 
 

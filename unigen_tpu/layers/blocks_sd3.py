@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from unigen_tpu.layers.adaln import (adaln_continuous, adaln_sd35x, adaln_zero,
-                                     adaln_zero_single, init_adaln, modulate)
+                                     init_adaln, modulate)
 from unigen_tpu.layers.attention import init_joint_attention, joint_attention
 from unigen_tpu.layers.core import init_mlp, layer_norm, mlp
 

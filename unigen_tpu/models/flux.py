@@ -14,7 +14,6 @@ and the HLO small. Optional rematerialisation wraps the scan bodies.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

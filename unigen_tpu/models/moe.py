@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from unigen_tpu.config import ControlConfig
-from unigen_tpu.layers.core import init_linear, linear
+from unigen_tpu.layers.core import init_linear
 from unigen_tpu.ops import gating
 from unigen_tpu.ops.modulation import batched_modulated_linear
 from unigen_tpu.utils import init_stacked

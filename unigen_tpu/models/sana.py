@@ -29,7 +29,7 @@ from unigen_tpu.layers.blocks_sana import (adaln_single, init_adaln_single,
                                            init_sana_block, sana_block)
 from unigen_tpu.layers.core import (init_linear, init_rms_norm, layer_norm,
                                     linear, rms_norm)
-from unigen_tpu.layers.embeddings import init_timestep_embedder, timestep_embedder
+from unigen_tpu.layers.embeddings import timestep_embedder
 from unigen_tpu.models import moe as moe_lib
 from unigen_tpu.ops.packing import patchify, unpatchify
 from unigen_tpu.utils import index_params, init_stacked

@@ -10,7 +10,6 @@ layers, final block context-pre-only), AdaLN-continuous head, unpatchify.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ from unigen_tpu.layers.embeddings import (combined_time_text,
                                           init_combined_time_text,
                                           init_patch_embed, patch_embed)
 from unigen_tpu.ops.packing import unpatchify
-from unigen_tpu.utils import index_params, init_stacked, unstack_params
+from unigen_tpu.utils import index_params
 
 
 def init_sd3_params(key, cfg: SD3BackboneConfig, *, dtype=jnp.float32) -> dict:

@@ -9,7 +9,6 @@ fused SDPA (reference src/UniGenUtils.py:601).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

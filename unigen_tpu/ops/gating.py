@@ -20,7 +20,7 @@ TPU-native re-design of the reference's DeepSpeed ``TopKGate`` + custom
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

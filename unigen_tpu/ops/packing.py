@@ -11,8 +11,6 @@ All functions are shape-static and jit-friendly.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

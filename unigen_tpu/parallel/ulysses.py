@@ -15,8 +15,6 @@ Use inside shard_map over a mesh with a 'sequence' axis:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

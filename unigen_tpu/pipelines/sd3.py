@@ -11,8 +11,7 @@ condition-prompt pooled embedding from the CLIP stack (:34-105).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, Optional, Sequence, Union
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

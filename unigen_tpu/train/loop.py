@@ -26,7 +26,7 @@ import numpy as np
 from unigen_tpu.config import TrainConfig, UniGenConfig
 from unigen_tpu.train import checkpoint as ckpt_lib
 from unigen_tpu.train.train_step import (TrainState, init_train_state,
-                                         make_optimizer, make_train_step)
+                                         make_train_step)
 
 logger = logging.getLogger("unigen_tpu.train")
 
