@@ -103,3 +103,24 @@ def test_expert_parallel_moe_matches_single_device():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref.expert_condition),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """orbax save/restore with ZeRO-sharded adapter state (multi-host resume
+    path: reference DeepSpeed engine checkpoints, train.py:671-673)."""
+    import jax.numpy as jnp
+    from unigen_tpu.train import checkpoint as ck
+    mesh = build_mesh(cfg_lib.MeshConfig(data=8, expert=1, sequence=1, model=1))
+    spec = NamedSharding(mesh, P("data"))
+    tree = {"w": jax.device_put(jnp.arange(32.0).reshape(8, 4), spec),
+            "b": jax.device_put(jnp.ones((8,)), spec)}
+    opt = {"m": jax.device_put(jnp.zeros((8, 4)), spec)}
+    ck.save_train_state(str(tmp_path), 7, tree, opt)
+    got = ck.restore_train_state(str(tmp_path), tree, opt)
+    assert got is not None
+    control, opt2, meta = got
+    assert meta["step"] == 7
+    np.testing.assert_array_equal(np.asarray(control["w"]),
+                                  np.arange(32.0).reshape(8, 4))
+    # restored with the same sharding as the template
+    assert control["w"].sharding.spec == spec.spec
