@@ -73,7 +73,8 @@ def main():
     cfg = presets.flux_bench()
     bb = cfg.flux
     dtype = jnp.bfloat16
-    hw, t_len = 32, 512                # 512^2 -> 64x64 latents -> 32x32 packed
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
+    hw, t_len = res // 16, 512         # res^2 -> (res/8)^2 latents -> packed
     s_img = hw * hw
     num_steps = 4
     batch_sizes = [int(x) for x in

@@ -165,3 +165,18 @@ def test_sana_linear_attention_matches_quadratic():
     expect = lin(p["to_out"], merge_heads(out))
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_unigen_base_crossattn_variant():
+    cfg = cfg_lib.UniGenConfig(
+        family="sd3", sd3=cfg_lib.tiny_sd3_config(),
+        control=cfg_lib.ControlConfig(use_rope=False, cn2base_method="CrossAttn"),
+        condition_types=("depth",))
+    from unigen_tpu.models.unigen_sd3 import (init_unigen_sd3_params,
+                                              unigen_base_forward)
+    params = init_unigen_sd3_params(jax.random.PRNGKey(4), cfg,
+                                    base_variant=True)
+    batch = _sd3_batch(cfg, key=5)
+    pred, losses, _ = unigen_base_forward(params, cfg, **batch)
+    assert pred.shape == batch["hidden"].shape
+    assert jnp.isfinite(pred).all()
