@@ -154,7 +154,14 @@ def main():
         try:
             results[b] = measure(b)
         except Exception as e:  # e.g. batch too large for HBM
-            print(f"# b={b} failed: {type(e).__name__}", file=sys.stderr)
+            print(f"# b={b} failed: {type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr)
+    if not results:
+        print(json.dumps({"metric":
+                          "unigen_flux_bench_512px_4step_denoise_images_per_sec",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0, "error": "all batches failed"}))
+        return
     best_b = max(results, key=results.get)
     images_per_sec = results[best_b]
 

@@ -36,14 +36,17 @@ except Exception:  # pragma: no cover
 DEFAULT_BQ = 768  # v5e sweep: bq=768 beats 256/512 and the XLA path
 
 
-def _pick_bq(sq: int, skv_pad: int) -> int:
+def _pick_bq(sq: int, skv_pad: int, d: int = 128) -> int:
     """bq=768 wins END-TO-END on v5e (a single 1536 q block looked ~6% faster
     per-op but loses ~7% e2e — one grid step per batch-head removes the
-    DMA/compute overlap). The VMEM guard shrinks bq for long KV so the fp32
-    logits block stays under ~8 MB."""
+    DMA/compute overlap). The VMEM guard budgets ALL resident buffers
+    (k, v, rotated-K scratch, fp32 cos/sin tables ~= 14 B per kv element)
+    and shrinks bq so the fp32 logits block fits the remainder."""
     sq128 = _round_up(sq, 128)
-    vmem_cap = int(8 * 1024 * 1024 / (4 * skv_pad)) // 128 * 128
-    bq = min(sq128, DEFAULT_BQ, max(vmem_cap, 256))
+    fixed = skv_pad * d * 14              # k+v+scratch+kcos+ksin bytes
+    logits_budget = max(13 * 1024 * 1024 - fixed, 2 * 1024 * 1024)
+    vmem_cap = int(logits_budget / (4 * skv_pad)) // 128 * 128
+    bq = min(sq128, DEFAULT_BQ, max(vmem_cap, 128))
     return max(bq, 128)
 
 
@@ -134,7 +137,7 @@ def _flash_fwd_impl(q, k, v):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     skv_pad = _round_up(skv, 128)
-    bq = _pick_bq(sq, skv_pad)
+    bq = _pick_bq(sq, skv_pad, d)
     sq_pad = _round_up(sq, bq)
     scale = 1.0 / (d ** 0.5)
 
@@ -203,7 +206,7 @@ def _flash_rope_impl(q, k, v, cos, sin):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     skv_pad = _round_up(skv, 128)
-    bq = _pick_bq(sq, skv_pad)
+    bq = _pick_bq(sq, skv_pad, d)
     sq_pad = _round_up(sq, bq)
     scale = 1.0 / (d ** 0.5)
 
