@@ -162,3 +162,77 @@ def test_sd3_pipeline_generate_tiny():
         control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
         height=h, width=w, num_inference_steps=2, guidance_scale=3.0)
     assert imgs.shape == (b, h, w, 3) and imgs.dtype == np.uint8
+
+
+def test_load_sana_unigen_adapter():
+    from unigen_tpu.models.sana import init_sana_unigen_params, sana_unigen_forward
+    g = _g()
+    cfg = cfg_lib.UniGenConfig(family="sana", sana=cfg_lib.tiny_sana_config(),
+                               condition_types=("canny",))
+    bb = cfg.sana
+    expect = init_sana_unigen_params(jax.random.PRNGKey(0), cfg)["control"]
+    d = bb.inner_dim
+    hidden_ff = int(d * bb.mlp_ratio)
+    inner_x = bb.num_cross_attention_heads * bb.cross_attention_head_dim
+    e_num = cfg.control.moe.num_experts(1)
+    n_cn = bb.num_layers
+    sd = {}
+
+    def lin(name, i, o):
+        sd[f"{name}.weight"] = g(o, i)
+        sd[f"{name}.bias"] = g(o)
+
+    def blk(p):
+        sd[f"{p}.scale_shift_table"] = g(6, d)
+        for n, (i_, o_) in {"attn1.to_q": (d, d), "attn1.to_k": (d, d),
+                            "attn1.to_v": (d, d), "attn1.to_out.0": (d, d),
+                            "attn2.to_q": (d, inner_x), "attn2.to_k": (d, inner_x),
+                            "attn2.to_v": (d, inner_x),
+                            "attn2.to_out.0": (inner_x, d)}.items():
+            sd[f"{p}.{n}.weight"] = g(o_, i_)
+            if not (n.startswith("attn1.to_q") or n.startswith("attn1.to_k")
+                    or n.startswith("attn1.to_v")):
+                sd[f"{p}.{n}.bias"] = g(o_)  # linear-attn qkv has no bias
+        sd[f"{p}.ff.conv_inverted.weight"] = g(2 * hidden_ff, d)
+        sd[f"{p}.ff.conv_inverted.bias"] = g(2 * hidden_ff)
+        sd[f"{p}.ff.conv_depth.weight"] = g(2 * hidden_ff, 1, 3, 3)
+        sd[f"{p}.ff.conv_depth.bias"] = g(2 * hidden_ff)
+        sd[f"{p}.ff.conv_point.weight"] = g(d, hidden_ff, 1, 1)
+
+    sd["control_pos_embed_input.proj.weight"] = g(d, bb.in_channels, 1, 1)
+    sd["control_pos_embed_input.proj.bias"] = g(d)
+    lin("control_condition_embed.emb.timestep_embedder.linear_1", 256, d)
+    lin("control_condition_embed.emb.timestep_embedder.linear_2", d, d)
+    lin("control_condition_embed.linear", d, 6 * d)
+    lin("control_context_embedder", d, d)
+    for i in range(n_cn):
+        blk(f"control_transformer_blocks.{i}")
+        lin(f"controlnet_add_blocks.{i}", d, d)
+    sd["moe.moe_layer.gate.wg.weight"] = g(e_num, d)
+    for e in range(e_num):
+        lin(f"moe.moe_layer.experts.deepspeed_experts.{e}.0.0", d, d)
+        lin(f"moe.moe_layer.experts.deepspeed_experts.{e}.0.1",
+            bb.pooled_projection_dim, d)
+        lin(f"moe.moe_layer.experts.deepspeed_experts.{e}.1.0", d, d)
+        lin(f"moe.moe_layer.experts.deepspeed_experts.{e}.1.1",
+            bb.pooled_projection_dim, d)
+    blk("shared_expert.0")
+    blk("shared_expert.1")
+
+    got = tb3.load_sana_unigen_adapter(sd, bb, n_cn, e_num, dtype=jnp.float32)
+    assert (jax.tree.map(lambda x: x.shape, got)
+            == jax.tree.map(lambda x: x.shape, expect))
+    # loaded adapter runs end-to-end
+    from unigen_tpu.models.sana import init_sana_params
+    base = init_sana_params(jax.random.PRNGKey(1), bb, dtype=jnp.float32)
+    batch_rng = jax.random.split(jax.random.PRNGKey(2), 5)
+    out, losses, _ = sana_unigen_forward(
+        {"base": base, "control": got}, cfg,
+        hidden=jax.random.normal(batch_rng[0], (1, bb.in_channels, 8, 8)),
+        condition=jax.random.normal(batch_rng[1], (1, bb.in_channels, 8, 8)),
+        encoder=jax.random.normal(batch_rng[2], (1, 5, bb.caption_channels)),
+        pooled=jax.random.normal(batch_rng[3], (1, bb.pooled_projection_dim)),
+        condition_pooled=jax.random.normal(batch_rng[4],
+                                           (1, bb.pooled_projection_dim)),
+        timestep=jnp.full((1,), 400.0))
+    assert jnp.isfinite(out).all()

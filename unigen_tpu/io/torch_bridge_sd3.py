@@ -192,3 +192,65 @@ def load_sd3_unigen_adapter(sd: Dict[str, np.ndarray], cfg: SD3BackboneConfig,
                                      last=True, qk_norm=cfg.qk_norm),
         }
     return ctrl
+
+
+def load_sana_unigen_adapter(sd: Dict[str, np.ndarray], cfg: SanaBackboneConfig,
+                             n_cn: int, num_experts: int, *,
+                             dtype=jnp.bfloat16) -> dict:
+    """Reference SANAUniGen trainable_control_modules state dict -> control
+    tree (names rooted at control_* / moe / shared_expert,
+    UniGenTransformer.py:1458-1738)."""
+    def sana_block(p):
+        hidden_ff = int(cfg.inner_dim * cfg.mlp_ratio)
+        return {
+            "scale_shift_table": jnp.asarray(sd[f"{p}.scale_shift_table"], dtype),
+            "attn1": {"to_q": _lin(sd, f"{p}.attn1.to_q", dtype),
+                      "to_k": _lin(sd, f"{p}.attn1.to_k", dtype),
+                      "to_v": _lin(sd, f"{p}.attn1.to_v", dtype),
+                      "to_out": _lin(sd, f"{p}.attn1.to_out.0", dtype)},
+            "attn2": {"to_q": _lin(sd, f"{p}.attn2.to_q", dtype),
+                      "to_k": _lin(sd, f"{p}.attn2.to_k", dtype),
+                      "to_v": _lin(sd, f"{p}.attn2.to_v", dtype),
+                      "to_out": _lin(sd, f"{p}.attn2.to_out.0", dtype)},
+            "ff": {"inverted": _lin(sd, f"{p}.ff.conv_inverted", dtype),
+                   "depth": {"w": jnp.asarray(
+                       sd[f"{p}.ff.conv_depth.weight"].transpose(2, 3, 1, 0), dtype),
+                       "b": jnp.asarray(sd[f"{p}.ff.conv_depth.bias"], dtype)},
+                   "point": {"w": jnp.asarray(
+                       sd[f"{p}.ff.conv_point.weight"].squeeze(-1).squeeze(-1).T,
+                       dtype)}},
+        }
+
+    ctrl = {
+        "pos_embed_input": {"w": jnp.asarray(
+            sd["control_pos_embed_input.proj.weight"].reshape(cfg.inner_dim, -1).T,
+            dtype),
+            "b": jnp.asarray(sd["control_pos_embed_input.proj.bias"], dtype)},
+        "condition_embed": {
+            "timestep": {"fc1": _lin(sd, "control_condition_embed.emb.timestep_embedder.linear_1", dtype),
+                         "fc2": _lin(sd, "control_condition_embed.emb.timestep_embedder.linear_2", dtype)},
+            "linear": _lin(sd, "control_condition_embed.linear", dtype)},
+        "context_embedder": _lin(sd, "control_context_embedder", dtype),
+        "blocks": _stack([sana_block(f"control_transformer_blocks.{i}")
+                          for i in range(n_cn)]),
+        "add_blocks": _stack([_lin(sd, f"controlnet_add_blocks.{i}", dtype)
+                              for i in range(n_cn)]),
+    }
+    gate_key = next(k for k in sd if k.endswith("gate.wg.weight"))
+    prefix = gate_key[: -len("gate.wg.weight")]
+    moe = {"gate": {"w": jnp.asarray(sd[gate_key].T, jnp.float32)}}
+    if f"{prefix}experts.deepspeed_experts.0.0.0.weight" in sd:
+        def expert_lin(e, pair, idx):
+            return _lin(sd, f"{prefix}experts.deepspeed_experts.{e}.{pair}.{idx}",
+                        dtype)
+        moe["experts"] = {
+            "cond_mod": _stack([expert_lin(e, 0, 0) for e in range(num_experts)]),
+            "cond_pool": _stack([expert_lin(e, 0, 1) for e in range(num_experts)]),
+            "hid_mod": _stack([expert_lin(e, 1, 0) for e in range(num_experts)]),
+            "hid_pool": _stack([expert_lin(e, 1, 1) for e in range(num_experts)]),
+        }
+    ctrl["moe"] = moe
+    if "shared_expert.0.scale_shift_table" in sd:
+        ctrl["shared_expert"] = {"block0": sana_block("shared_expert.0"),
+                                 "block1": sana_block("shared_expert.1")}
+    return ctrl
