@@ -124,3 +124,21 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
                                   np.arange(32.0).reshape(8, 4))
     # restored with the same sharding as the template
     assert control["w"].sharding.spec == spec.spec
+
+
+def test_ring_attention_matches_single_device():
+    from unigen_tpu.parallel.ring import ring_sdpa
+    from unigen_tpu.ops.attention import sdpa_xla
+    mesh = build_mesh(cfg_lib.MeshConfig(data=1, expert=1, sequence=8, model=1))
+    b, h, s, d = 2, 4, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d))
+    fn = shard_map(lambda q, k, v: ring_sdpa(q, k, v, "sequence"),
+                   mesh=mesh,
+                   in_specs=(P(None, None, "sequence", None),) * 3,
+                   out_specs=P(None, None, "sequence", None))
+    got = jax.jit(fn)(q, k, v)
+    expect = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-5, atol=2e-5)
