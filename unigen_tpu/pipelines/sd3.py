@@ -32,11 +32,72 @@ class UniGenSD3Pipeline:
     vae_params: Optional[dict] = None
     scheduler: scheduling.FlowMatchConfig = field(
         default_factory=lambda: scheduling.FlowMatchConfig(shift=3.0))
-    text_encoders: Any = None          # optional (clip_l, clip_g, t5) bundle
+    text_encoders: Any = None          # optional dict, see encode_prompt
     dtype: Any = jnp.float32
 
     def __post_init__(self):
         self._program_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------ text
+    # text_encoders bundle layout:
+    #   {"clip_l": (params, cfg, tokenizer), "clip_g": (params, cfg, tokenizer),
+    #    "t5": (params, cfg, tokenizer) or None}
+
+    def encode_prompt(self, prompt, max_sequence_length: int = 256):
+        """(context_embeds, pooled) via CLIP-L + CLIP-G (+T5) — the triple
+        encoder stack (reference UniGenPipeline.py:34-105)."""
+        assert self.text_encoders, "text encoders not loaded; pass embeds"
+        from unigen_tpu.models.text_encoder import sd3_encode_prompt
+        te = self.text_encoders
+        clip_l, clip_l_cfg, tok_l = te["clip_l"]
+        clip_g, clip_g_cfg, tok_g = te["clip_g"]
+        t5 = te.get("t5")
+        t5_params, t5_cfg, tok_t5 = t5 if t5 else (None, None, None)
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        ctx, pooled = sd3_encode_prompt(clip_l, clip_l_cfg, clip_g, clip_g_cfg,
+                                        t5_params, t5_cfg, tok_l, tok_g,
+                                        tok_t5, prompts, max_sequence_length)
+        return ctx.astype(self.dtype), pooled.astype(self.dtype)
+
+    def encode_condition_prompt(self, condition_prompt):
+        """Pooled embedding of the condition task name (reference
+        UniGenPipeline.py:34-105 / train.py:568-570)."""
+        assert self.text_encoders, "text encoders not loaded"
+        from unigen_tpu.models.text_encoder import encode_pooled_only
+        clip_l, clip_l_cfg, tok_l = self.text_encoders["clip_l"]
+        clip_g, clip_g_cfg, tok_g = self.text_encoders["clip_g"]
+        prompts = ([condition_prompt] if isinstance(condition_prompt, str)
+                   else list(condition_prompt))
+        pl_ = encode_pooled_only(clip_l, clip_l_cfg, tok_l, prompts)
+        pg_ = encode_pooled_only(clip_g, clip_g_cfg, tok_g, prompts)
+        return jnp.concatenate([pl_, pg_], axis=-1).astype(self.dtype)
+
+    def __call__(self, prompt, condition_prompt, control_image,
+                 negative_prompt=None, height: int = 512, width: int = 512,
+                 num_inference_steps: int = 28, guidance_scale: float = 7.0,
+                 conditioning_scale: float = 1.0,
+                 control_guidance_start: float = 0.0,
+                 control_guidance_end: float = 1.0,
+                 max_sequence_length: int = 256, seed: int = 0):
+        """Single-condition SD3 call (reference UniGenPipeline.py:29-450):
+        CFG via negative/positive duplication; control_image [B,3,H,W] in
+        [-1,1]."""
+        embeds, pooled = self.encode_prompt(prompt, max_sequence_length)
+        cond_pooled = self.encode_condition_prompt(condition_prompt)
+        neg_embeds = neg_pooled = None
+        if negative_prompt is not None:
+            neg_embeds, neg_pooled = self.encode_prompt(negative_prompt,
+                                                        max_sequence_length)
+        return self.generate(
+            prompt_embeds=embeds, pooled=pooled, cond_pooled=cond_pooled,
+            control_pixels=jnp.asarray(control_image, self.dtype),
+            neg_embeds=neg_embeds, neg_pooled=neg_pooled,
+            height=height, width=width,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            conditioning_scale=conditioning_scale,
+            control_guidance_start=control_guidance_start,
+            control_guidance_end=control_guidance_end, seed=seed)
 
     def _program(self, num_steps: int, height: int, width: int,
                  guidance_scale: float, schedule: jnp.ndarray):
