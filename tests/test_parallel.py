@@ -142,3 +142,41 @@ def test_ring_attention_matches_single_device():
     expect = sdpa_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sequence_parallel_flux_block():
+    """Model-level SP: a Flux single block runs sequence-sharded (Ulysses
+    attention inside shard_map) and matches the full-sequence result."""
+    from unigen_tpu.layers.blocks_flux import (flux_single_block,
+                                               init_flux_single_block)
+    from unigen_tpu.models.flux import flux_rope
+    from unigen_tpu.ops.packing import prepare_latent_image_ids
+    import jax.numpy as jnp
+
+    flux = cfg_lib.tiny_flux_config()
+    d, heads, hd = flux.inner_dim, flux.num_attention_heads, flux.attention_head_dim
+    params = init_flux_single_block(jax.random.PRNGKey(0), d, heads, hd)
+    b, s = 2, 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, s, d))
+    temb = jax.random.normal(jax.random.PRNGKey(2), (b, d))
+    ids = prepare_latent_image_ids(8, 8)
+    cos, sin = flux_rope(flux, ids)
+
+    ref = flux_single_block(params, x, temb, (cos, sin), heads=heads,
+                            attn_impl="xla")
+
+    # Ulysses requires heads % sp == 0 (tiny config has 4 heads)
+    mesh = build_mesh(cfg_lib.MeshConfig(data=2, expert=1, sequence=4, model=1))
+
+    def block_sp(params, x, temb, cos, sin):
+        return flux_single_block(params, x, temb, (cos, sin), heads=heads,
+                                 attn_impl="ulysses")
+
+    fn = shard_map(block_sp, mesh=mesh,
+                   in_specs=(jax.tree.map(lambda _: P(), params),
+                             P("data", "sequence", None), P("data"),
+                             P("sequence", None), P("sequence", None)),
+                   out_specs=P("data", "sequence", None))
+    got = jax.jit(fn)(params, x, temb, cos, sin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)

@@ -49,6 +49,14 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         from unigen_tpu.ops.rope import apply_rotary
         return apply_rotary(q, *rope), apply_rotary(k, *rope)
 
+    if impl == "ulysses":
+        # sequence-parallel path: caller is inside shard_map with a 'sequence'
+        # axis; rope uses the LOCAL position slice, the head<->sequence
+        # all_to_all pair lives in parallel/ulysses.py
+        from unigen_tpu.parallel.ulysses import ulysses_sdpa
+        q, k = _pre_rope(q, k)
+        return ulysses_sdpa(q, k, v, "sequence", impl="xla")
+
     use_pallas = False
     if impl in ("pallas", "pallas_rope"):
         use_pallas = True
