@@ -225,3 +225,28 @@ def test_baseline_presets_constructible():
     assert cfgs["multigen_suite"]["cfg"].condition_nums == 12
     assert cfgs["multigen_suite"]["cfg"].control.moe.num_experts(12) == 39
     assert cfgs["sd3_depth_28step"]["cfg"].family == "sd3"
+
+
+def test_adapter_disk_roundtrip_via_loader(tmp_path):
+    """Full disk round-trip: export adapter -> load_adapter_checkpoint ->
+    identical weights (the infer.py adapter-loading path)."""
+    import jax
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.train.checkpoint import export_adapter_torch_compatible
+    from unigen_tpu.io.torch_bridge import load_adapter_checkpoint
+
+    flux = cfg_lib.tiny_flux_config()
+    cfg = cfg_lib.UniGenConfig(family="flux", flux=flux, condition_types=("canny",))
+    params = init_unigen_flux_params(jax.random.PRNGKey(3), cfg)
+    path = str(tmp_path / "adapter.npz")
+    export_adapter_torch_compatible(params["control"], path)
+
+    n_cn = flux.num_layers // cfg.control.single_control_dev
+    n_s = flux.num_single_layers // cfg.control.single_control_dev
+    back = load_adapter_checkpoint(str(tmp_path), n_cn=n_cn, n_cn_single=n_s,
+                                   num_experts=cfg.control.moe.num_experts(1),
+                                   dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(back["single_blocks"]["proj_out"]["w"]),
+        np.asarray(params["control"]["single_blocks"]["proj_out"]["w"]),
+        rtol=1e-6)

@@ -221,18 +221,28 @@ def load_unigen_adapter(sd: Dict[str, np.ndarray], *, n_cn: int, n_cn_single: in
 
 
 def load_adapter_checkpoint(work_dir: str, **kw) -> dict:
-    """Reference format (1)/(3): ``{module}_weights_{idx}.bin`` shards written
-    by the save hook (hook.py:16-21), or any torch/safetensors state dict."""
+    """Adapter weights from any supported layout: the reference's
+    ``{module}_weights_{idx}.bin`` shards (hook.py:16-21), a
+    safetensors/torch-bin directory, or our own exported .npz
+    (train/checkpoint.export_adapter_torch_compatible)."""
     sd: Dict[str, np.ndarray] = {}
-    bins = sorted(globlib.glob(os.path.join(work_dir, "*_weights_*.bin")))
-    if bins:
-        for b in bins:
-            module = re.match(r"(.+)_weights_\d+\.bin", os.path.basename(b)).group(1)
-            for k, v in read_torch_bin(b).items():
-                key = k if k.startswith(module) else f"{module}.{k}"
-                sd[key] = v
+    if os.path.isfile(work_dir) and work_dir.endswith(".npz"):
+        sd = dict(np.load(work_dir))
     else:
-        sd = read_checkpoint_dir(work_dir)
+        npzs = sorted(globlib.glob(os.path.join(work_dir, "*.npz")))
+        bins = sorted(globlib.glob(os.path.join(work_dir, "*_weights_*.bin")))
+        if npzs:
+            for n in npzs:
+                sd.update(dict(np.load(n)))
+        elif bins:
+            for b in bins:
+                module = re.match(r"(.+)_weights_\d+\.bin",
+                                  os.path.basename(b)).group(1)
+                for k, v in read_torch_bin(b).items():
+                    key = k if k.startswith(module) else f"{module}.{k}"
+                    sd[key] = v
+        else:
+            sd = read_checkpoint_dir(work_dir)
     return load_unigen_adapter(sd, **kw)
 
 
