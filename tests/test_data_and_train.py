@@ -250,3 +250,30 @@ def test_adapter_disk_roundtrip_via_loader(tmp_path):
         np.asarray(back["single_blocks"]["proj_out"]["w"]),
         np.asarray(params["control"]["single_blocks"]["proj_out"]["w"]),
         rtol=1e-6)
+
+
+def test_adapter_reference_bin_shards_roundtrip(tmp_path):
+    """Reference hook.py shard format: torch .bin shards written and read
+    back through the reference-format loader path."""
+    import jax
+    pytest_torch = __import__("pytest").importorskip("torch")
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.train.checkpoint import export_adapter_reference_shards
+    from unigen_tpu.io.torch_bridge import load_adapter_checkpoint
+
+    flux = cfg_lib.tiny_flux_config()
+    cfg = cfg_lib.UniGenConfig(family="flux", flux=flux, condition_types=("canny",))
+    params = init_unigen_flux_params(jax.random.PRNGKey(5), cfg)
+    paths = export_adapter_reference_shards(params["control"], str(tmp_path))
+    assert any("control_joint_trans_blocks_weights_" in p for p in paths)
+    assert any("moe_weights_" in p for p in paths)
+
+    n_cn = flux.num_layers // cfg.control.single_control_dev
+    n_s = flux.num_single_layers // cfg.control.single_control_dev
+    back = load_adapter_checkpoint(str(tmp_path), n_cn=n_cn, n_cn_single=n_s,
+                                   num_experts=cfg.control.moe.num_experts(1),
+                                   dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(back["moe"]["experts"]["hid_mod"]["w"]),
+        np.asarray(params["control"]["moe"]["experts"]["hid_mod"]["w"]),
+        rtol=1e-6)

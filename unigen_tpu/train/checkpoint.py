@@ -81,6 +81,32 @@ def restore_train_state(work_dir: str, control_like, opt_state_like,
     return control, opt_state, meta
 
 
+def export_adapter_reference_shards(control, work_dir: str) -> list:
+    """Write the adapter in the REFERENCE's exact shard format: one torch
+    ``{module}_weights_{idx}.bin`` per trainable control module
+    (reference hook.py:16-21), loadable by reference-ecosystem consumers and
+    by io/torch_bridge.load_adapter_checkpoint. Returns written paths."""
+    import tempfile
+
+    import torch
+
+    flat_npz = os.path.join(tempfile.mkdtemp(), "adapter.npz")
+    export_adapter_torch_compatible(control, flat_npz)
+    flat = dict(np.load(flat_npz))
+
+    groups: Dict[str, Dict[str, Any]] = {}
+    for key, arr in flat.items():
+        module = key.split(".")[0]
+        groups.setdefault(module, {})[key] = torch.tensor(np.asarray(arr))
+    os.makedirs(work_dir, exist_ok=True)
+    paths = []
+    for idx, (module, sd) in enumerate(sorted(groups.items())):
+        p = os.path.join(work_dir, f"{module}_weights_{idx}.bin")
+        torch.save(sd, p)
+        paths.append(p)
+    return paths
+
+
 def export_adapter_torch_compatible(control, path: str) -> None:
     """Write the adapter as a flat name->array .npz using the REFERENCE's
     module names (inverse of io/torch_bridge.load_unigen_adapter), so weights
