@@ -105,7 +105,9 @@ def fake_ckpt(tmp_path_factory):
 
     # --- text encoders (tiny clip + t5 via transformers names) ---
     from unigen_tpu.models.clip_text import tiny_clip_config
-    ccfg = tiny_clip_config()
+    # CLIP hidden must equal the flux pooled projection dim (real stack: 768)
+    ccfg = tiny_clip_config(hidden_size=flux.pooled_projection_dim,
+                            intermediate_size=2 * flux.pooled_projection_dim)
     d, it = ccfg.hidden_size, ccfg.intermediate_size
     sd = {"text_model.embeddings.token_embedding.weight": g(ccfg.vocab_size, d),
           "text_model.embeddings.position_embedding.weight": g(ccfg.max_position_embeddings, d),
@@ -125,6 +127,8 @@ def fake_ckpt(tmp_path_factory):
         "vocab_size": ccfg.vocab_size, "hidden_size": d,
         "intermediate_size": it, "num_hidden_layers": ccfg.num_layers,
         "num_attention_heads": ccfg.num_heads,
+        "max_position_embeddings": ccfg.max_position_embeddings,
+        "eos_token_id": 1,  # <|endoftext|> in the toy vocab
         "architectures": ["CLIPTextModel"]})
 
     from unigen_tpu.models.t5_text import tiny_t5_config
@@ -153,6 +157,34 @@ def fake_ckpt(tmp_path_factory):
     os.makedirs(os.path.join(root, "scheduler"), exist_ok=True)
     with open(os.path.join(root, "scheduler", "config.json"), "w") as f:
         json.dump({"shift": 1.0, "use_dynamic_shifting": False}, f)
+
+    # --- minimal tokenizers (CLIP BPE files + T5 WordLevel tokenizer.json) ---
+    os.makedirs(os.path.join(root, "tokenizer"), exist_ok=True)
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for i, w in enumerate(["a</w>", "cat</w>", "dog</w>", "hat</w>",
+                           "canny</w>", "depth</w>", "wearing</w>"]):
+        vocab[w] = 2 + i
+    with open(os.path.join(root, "tokenizer", "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(root, "tokenizer", "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    try:
+        from tokenizers import Tokenizer, models, pre_tokenizers, processors
+        from transformers import T5TokenizerFast
+        wl = models.WordLevel({"<pad>": 0, "</s>": 1, "<unk>": 2, "a": 3,
+                               "cat": 4, "dog": 5, "hat": 6, "canny": 7},
+                              unk_token="<unk>")
+        t = Tokenizer(wl)
+        t.pre_tokenizer = pre_tokenizers.Whitespace()
+        t.post_processor = processors.TemplateProcessing(
+            single="$A </s>", special_tokens=[("</s>", 1)])
+        tmp = os.path.join(root, "t5_tok.json")
+        t.save(tmp)
+        T5TokenizerFast(tokenizer_file=tmp, pad_token="<pad>",
+                        eos_token="</s>", unk_token="<unk>"
+                        ).save_pretrained(os.path.join(root, "tokenizer_2"))
+    except Exception:
+        pass
     return root
 
 
@@ -271,3 +303,20 @@ def test_load_sd3_pipeline_and_generate(tmp_path):
         control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
         height=h, width=w, num_inference_steps=2, guidance_scale=3.0)
     assert imgs.shape == (b, h, w, 3) and imgs.dtype == np.uint8
+
+
+def test_full_text_to_image_call(fake_ckpt):
+    """The complete reference-style call: pipe(prompt, condition_prompt,
+    control_image) — tokenize -> CLIP/T5 encode -> VAE encode -> denoise ->
+    VAE decode, end to end from a disk checkpoint."""
+    from unigen_tpu.pipelines.loading import load_flux_pipeline
+    pipe = load_flux_pipeline(fake_ckpt, condition_types=["canny"],
+                              dtype=jnp.float32)
+    assert pipe.tokenizer is not None and pipe.tokenizer_2 is not None
+    h = w = 16
+    rng = np.random.default_rng(3)
+    control = (rng.normal(size=(1, 3, h, w)) * 0.5).astype(np.float32)
+    imgs = pipe(prompt="a cat wearing a hat", condition_prompt="canny",
+                control_image=control, height=h, width=w,
+                num_inference_steps=2, max_sequence_length=8)
+    assert imgs.shape == (1, h, w, 3) and imgs.dtype == np.uint8

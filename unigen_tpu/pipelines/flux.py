@@ -68,7 +68,9 @@ class UniGenFluxPipeline:
         assert self.tokenizer is not None and self.clip_params is not None, \
             "text encoders not loaded; pass prompt_embeds directly"
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        clip_ids = self.tokenizer(prompts, padding="max_length", max_length=77,
+        clip_len = min(77, self.clip_cfg.max_position_embeddings)
+        clip_ids = self.tokenizer(prompts, padding="max_length",
+                                  max_length=clip_len,
                                   truncation=True, return_tensors="np").input_ids
         t5_ids = self.tokenizer_2(prompts, padding="max_length",
                                   max_length=max_sequence_length,
@@ -85,7 +87,8 @@ class UniGenFluxPipeline:
         reference encode_prompt, text_encoder.py:98-106)."""
         prompts = ([condition_prompt] if isinstance(condition_prompt, str)
                    else list(condition_prompt))
-        ids = self.tokenizer(prompts, padding="max_length", max_length=77,
+        clip_len = min(77, self.clip_cfg.max_position_embeddings)
+        ids = self.tokenizer(prompts, padding="max_length", max_length=clip_len,
                              truncation=True, return_tensors="np").input_ids
         _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
             self.clip_params, input_ids=jnp.asarray(ids))

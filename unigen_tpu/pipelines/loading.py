@@ -92,6 +92,8 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
         intermediate_size=clip_raw.get("intermediate_size", 3072),
         num_layers=clip_raw.get("num_hidden_layers", 12),
         num_heads=clip_raw.get("num_attention_heads", 12),
+        max_position_embeddings=clip_raw.get("max_position_embeddings", 77),
+        eos_token_id=clip_raw.get("eos_token_id", 49407),
         projection_dim=clip_raw.get("projection_dim")
         if clip_raw.get("architectures", [""])[0].endswith("WithProjection") else None)
     clip_params = tb.load_clip_text(
