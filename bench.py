@@ -85,9 +85,9 @@ def main():
     t_init = time.time()
     use_int8 = os.environ.get("UNIGEN_BENCH_INT8", "1") == "1"
 
-    def _init(k):
+    def _init(k, quantize=None):
         p = init_unigen_flux_params(k, cfg, dtype=dtype)
-        if use_int8:
+        if use_int8 if quantize is None else quantize:
             from unigen_tpu.ops.quant import quantize_tree
             p = quantize_tree(p)
         return p
@@ -149,13 +149,25 @@ def main():
               f"ips={ips:.3f} mfu={mfu:.3f}", file=sys.stderr)
         return ips
 
-    results = {}
-    for b in batch_sizes:
-        try:
-            results[b] = measure(b)
-        except Exception as e:  # e.g. batch too large for HBM
-            print(f"# b={b} failed: {type(e).__name__}: {str(e)[:300]}",
-                  file=sys.stderr)
+    def run_all():
+        out = {}
+        for b in batch_sizes:
+            try:
+                out[b] = measure(b)
+            except Exception as e:  # e.g. batch too large for HBM
+                print(f"# b={b} failed: {type(e).__name__}: {str(e)[:300]}",
+                      file=sys.stderr)
+        return out
+
+    results = run_all()
+    if not results and use_int8:
+        # int8 compiles have been seen to fail through a degraded tunnel —
+        # fall back to the parity-grade bf16 path rather than record nothing
+        print("# int8 failed entirely; retrying in bf16", file=sys.stderr)
+        use_int8 = False
+        params = jax.jit(_init)(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        results = run_all()
     if not results:
         print(json.dumps({"metric":
                           "unigen_flux_bench_512px_4step_denoise_images_per_sec",
