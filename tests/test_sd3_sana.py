@@ -180,3 +180,20 @@ def test_unigen_base_crossattn_variant():
     pred, losses, _ = unigen_base_forward(params, cfg, **batch)
     assert pred.shape == batch["hidden"].shape
     assert jnp.isfinite(pred).all()
+
+
+def test_unigen_sd3_partial_depth_control():
+    """control.num_layers < base depth -> control blocks reused across base
+    blocks via int(i/(n/cn)) (reference UniGenBase control_blocks_num)."""
+    cfg = cfg_lib.UniGenConfig(
+        family="sd3", sd3=cfg_lib.tiny_sd3_config(),
+        control=cfg_lib.ControlConfig(use_rope=False, num_layers=2),
+        condition_types=("depth",))
+    from unigen_tpu.models.unigen_sd3 import (init_unigen_sd3_params,
+                                              unigen_sd3_forward)
+    params = init_unigen_sd3_params(jax.random.PRNGKey(6), cfg)
+    assert params["control"]["add_blocks"]["w"].shape[0] == 2
+    batch = _sd3_batch(cfg, key=7)
+    pred, losses, _ = unigen_sd3_forward(params, cfg, **batch)
+    assert pred.shape == batch["hidden"].shape
+    assert jnp.isfinite(pred).all() and jnp.isfinite(losses["moe_loss"])
