@@ -277,3 +277,21 @@ def test_adapter_reference_bin_shards_roundtrip(tmp_path):
         np.asarray(back["moe"]["experts"]["hid_mod"]["w"]),
         np.asarray(params["control"]["moe"]["experts"]["hid_mod"]["w"]),
         rtol=1e-6)
+
+
+def test_sampler_wraparound_reshuffles_deterministically():
+    """After a short task exhausts, its per-rank list reshuffles with the
+    rank-offset seed — deterministic across constructions (reference
+    UniGenUtils.py:316-321)."""
+    a = [i for b in MultiTaskMixedBatchSampler([6, 3], batch_size=2, seed=11)
+         for i in b]
+    b_ = [i for b in MultiTaskMixedBatchSampler([6, 3], batch_size=2, seed=11)
+          for i in b]
+    assert a == b_
+    # short-task indices (6..8) appear more than once -> wraparound happened
+    short = [i for i in a if i >= 6]
+    assert len(short) > len(set(short))
+    # different seed -> different order
+    c = [i for b in MultiTaskMixedBatchSampler([6, 3], batch_size=2, seed=12)
+         for i in b]
+    assert a != c
