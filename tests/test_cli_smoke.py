@@ -12,7 +12,8 @@ PIL = pytest.importorskip("PIL")
 from PIL import Image
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           JAX_COMPILATION_CACHE_DIR="/root/.cache/unigen_jax_cache")
 
 
 def test_eval_cli(tmp_path):
