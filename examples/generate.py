@@ -16,6 +16,8 @@ import numpy as np
 
 
 def main():
+    from unigen_tpu.utils import apply_env_platform
+    apply_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default=None, help="diffusers-layout FLUX dir")
     p.add_argument("--prompt", default="a cat wearing a hat")

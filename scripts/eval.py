@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
+    from unigen_tpu.utils import apply_env_platform
+    apply_env_platform()
     p = argparse.ArgumentParser(description="UniGen-TPU artifact evaluation")
     p.add_argument("--results_dir", required=True,
                    help="dir of {index}/target.png,res.png from scripts/infer.py")

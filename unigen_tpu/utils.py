@@ -44,3 +44,17 @@ def init_stacked(key, n: int, init_fn: Callable[[jax.Array], Any]) -> Any:
     """Initialise n blocks with independent keys and stack them."""
     keys = jax.random.split(key, n)
     return stack_params([init_fn(k) for k in keys])
+
+
+def apply_env_platform() -> None:
+    """Honor JAX_PLATFORMS explicitly. The deployment image force-registers
+    a TPU plugin via sitecustomize and the env var alone does not steer JAX;
+    call this before any backend touch in CLI entry points."""
+    import os
+    want = os.environ.get("JAX_PLATFORMS", "").strip()
+    if want:
+        try:
+            import jax
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
