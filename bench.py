@@ -144,9 +144,13 @@ def main():
             times.append((time.perf_counter() - t0) / K)
         dt = min(times)
         ips = b / dt
-        mfu = flops_image * ips / 197e12
+        # v5e peaks: 197 bf16 TFLOP/s, 394 int8 TOP/s — use the peak of the
+        # path actually measured so the utilisation figure is honest
+        peak = 394e12 if use_int8 else 197e12
+        mfu = flops_image * ips / peak
         print(f"# b={b} compile={compile_s:.1f}s step={dt*1000:.1f}ms "
-              f"ips={ips:.3f} mfu={mfu:.3f}", file=sys.stderr)
+              f"ips={ips:.3f} mfu={mfu:.3f} ({'int8' if use_int8 else 'bf16'} peak)",
+              file=sys.stderr)
         return ips
 
     def run_all():

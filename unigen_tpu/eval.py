@@ -6,8 +6,10 @@ visual inspection of saved PNGs. Here SSIM is first-class because the build
 target is SSIM >= 0.99 vs reference outputs (BASELINE.md).
 
 Standard SSIM: 11x11 Gaussian window (sigma 1.5), K1=0.01, K2=0.03, applied
-per channel and averaged — matches skimage/torchmetrics defaults for uint8
-dynamic range.
+per channel and averaged. Covariances carry skimage's sample-covariance
+correction NP/(NP-1) (structural_similarity(gaussian_weights=True,
+use_sample_covariance=True) semantics) so the 0.99 parity gate reads the
+same whether checked here or with skimage.
 """
 
 from __future__ import annotations
@@ -45,9 +47,10 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, *, data_range: float = 255.0,
     mu_a = _filter2d(a, k)
     mu_b = _filter2d(b, k)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    s_aa = _filter2d(a * a, k) - mu_aa
-    s_bb = _filter2d(b * b, k) - mu_bb
-    s_ab = _filter2d(a * b, k) - mu_ab
+    cov_norm = (win_size * win_size) / (win_size * win_size - 1.0)
+    s_aa = cov_norm * (_filter2d(a * a, k) - mu_aa)
+    s_bb = cov_norm * (_filter2d(b * b, k) - mu_bb)
+    s_ab = cov_norm * (_filter2d(a * b, k) - mu_ab)
     num = (2 * mu_ab + c1) * (2 * s_ab + c2)
     den = (mu_aa + mu_bb + c1) * (s_aa + s_bb + c2)
     return jnp.mean(num / den)

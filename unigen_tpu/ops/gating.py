@@ -108,7 +108,9 @@ def top2_gate(logits: jnp.ndarray, capacity: int, *,
 
     pos1 = jnp.cumsum(mask1, axis=0) - mask1
     keep1 = mask1 * (pos1 < capacity)
-    pos2 = jnp.cumsum(mask2, axis=0) - mask2 + jnp.sum(keep1, axis=0, keepdims=True)
+    # DeepSpeed parity: locations2 offset by the PRE-capacity top-1 count, so
+    # an expert whose top-1 demand exceeds capacity admits no top-2 tokens.
+    pos2 = jnp.cumsum(mask2, axis=0) - mask2 + jnp.sum(mask1, axis=0, keepdims=True)
     keep2 = mask2 * (pos2 < capacity)
 
     g1 = jnp.sum(gates * keep1, axis=-1)

@@ -51,12 +51,20 @@ def _pick_bq(sq: int, skv_pad: int, d: int = 128) -> int:
 
 
 def supported(q, k, v) -> bool:
+    """True when the full-KV-in-VMEM schedule fits. Long KV streams (where
+    k+v+rotated-K scratch+fp32 cos/sin ~=14 B/elem plus a minimal 128-row
+    fp32 logits block would blow the VMEM budget) must take the streaming
+    kernel (flash_attention_streaming) or the XLA path instead."""
     if not _HAS_PLTPU:
         return False
     if q.dtype not in (jnp.bfloat16, jnp.float32):
         return False
     d = q.shape[-1]
-    return d % 128 == 0 or d in (64, 128)
+    if not (d % 128 == 0 or d in (64, 128)):
+        return False
+    skv_pad = _round_up(k.shape[2], 128)
+    fixed = skv_pad * d * 14 + 128 * skv_pad * 4
+    return fixed <= 13 * 1024 * 1024
 
 
 def _rotate(x, cos, sin):

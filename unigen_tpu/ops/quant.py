@@ -34,6 +34,11 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     """Dynamic per-token activation quantization + int8 MXU matmul.
 
     x [..., N, in] fp; w_q [in, out] int8; w_scale [1, out]."""
+    if w_q.ndim != 2:
+        raise ValueError(
+            f"int8_matmul needs a 2-D weight [in, out], got {w_q.shape}; "
+            "stacked per-block quantized weights must be gathered to one "
+            "block (inside the lax.scan) before the matmul")
     out_dtype = out_dtype or x.dtype
     xf = x.astype(jnp.float32)
     xmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)

@@ -160,7 +160,7 @@ class UniGenFluxPipeline:
                  conditioning_scale: float = 1.0,
                  control_guidance_start: float = 0.0,
                  control_guidance_end: float = 1.0,
-                 subject_offset: bool = False,
+                 subject_offset: Union[bool, Sequence[bool]] = False,
                  seed: int = 0, latents: Optional[jnp.ndarray] = None
                  ) -> np.ndarray:
         """Single-condition generation from precomputed embeddings.
@@ -194,11 +194,21 @@ class UniGenFluxPipeline:
         if neg_embeds is None:
             neg_embeds = jnp.zeros_like(prompt_embeds)
             neg_pooled = jnp.zeros_like(pooled)
-        # subject-condition spatial-separation id offset (condition.py:118-121)
+        # subject-condition spatial-separation id offset (condition.py:118-121);
+        # in multi-condition mode each condition keeps its own offset so a
+        # subject stream under joint control still gets the separation trick
         if multi:
-            offsets = jnp.zeros((control_pixels.shape[0],), jnp.float32)
+            k = control_pixels.shape[0]
+            per_cond = (list(subject_offset) if not isinstance(subject_offset, bool)
+                        else [subject_offset] * k)
+            assert len(per_cond) == k, \
+                f"subject_offset: expected {k} per-condition flags, got {per_cond}"
+            offsets = jnp.asarray([lw / 2.0 if s else 0.0 for s in per_cond],
+                                  jnp.float32)
         else:
-            offsets = jnp.asarray(lw / 2.0 if subject_offset else 0.0)
+            flag = (any(subject_offset) if not isinstance(subject_offset, bool)
+                    else subject_offset)
+            offsets = jnp.asarray(lw / 2.0 if flag else 0.0)
 
         pixels = program(self.params, self.vae_params, latents,
                          control_pixels, prompt_embeds, pooled,
@@ -226,8 +236,11 @@ class UniGenFluxPipeline:
         if negative_prompt is not None and true_cfg_scale > 1.0:
             neg_embeds, neg_pooled = self.encode_prompt(negative_prompt,
                                                         max_sequence_length)
-        subject = (condition_prompt == "subject" if isinstance(condition_prompt, str)
-                   else False)
+        # sequence-typed condition_prompt (one task name per batch sample)
+        # triggers the offset when any sample is subject-driven; the ids are
+        # shared across the batch, matching the reference's single-type batches
+        subject = ("subject" == condition_prompt if isinstance(condition_prompt, str)
+                   else any(cp == "subject" for cp in condition_prompt))
         return self.generate(
             prompt_embeds=embeds, pooled=pooled, cond_pooled=cond_pooled,
             control_pixels=jnp.asarray(control_image, self.dtype),
@@ -256,6 +269,8 @@ class UniGenFluxPipeline:
                                  for cp in condition_prompts])
         control = jnp.stack([jnp.asarray(ci, self.dtype)
                              for ci in control_images])
+        kw.setdefault("subject_offset",
+                      [cp == "subject" for cp in condition_prompts])
         return self.generate(
             prompt_embeds=embeds, pooled=pooled, cond_pooled=cond_pooled,
             control_pixels=control, height=height, width=width,
