@@ -1,25 +1,36 @@
 """Benchmark: UniGenFlux single-condition 512x512 4-step denoise throughput on
-one TPU chip (BASELINE.json config #1, scaled to fit a single 16 GB v5e).
+one TPU chip (BASELINE.json config #1).
 
-Preset: ``flux_bench`` — REAL FLUX width (3072 = 24 heads x 128, full MoE +
-shared-expert + control interleave) with reduced depth (6 double / 12 single
-base blocks; 3 + 6 control blocks), bf16, batch 1, 1024 image + 512 text +
-1024 condition tokens. The full 12B FLUX + 4.7B adapter exceeds one v5e chip
-in bf16; per-block math here is identical to the real model so block timings
-extrapolate, and multi-chip sharding (parallel/) is the production path.
+Default preset: ``flux_full`` — the REAL FLUX.1 topology (19 double /
+38 single base blocks at width 3072, 9+19 control blocks, MoE + shared
+expert; reference src/UniGenTransformer.py:744, infer.py:115-149), served
+single-chip via W4A8 (int4 frozen base ~5.6 GiB) + W8A8 (adapter ~6.6 GiB):
+12.1 GiB total against 15.7 GiB usable v5e HBM. bf16 full-topology needs
+~35 GiB = the multi-chip path (parallel/).
 
-Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+Env knobs:
+  UNIGEN_BENCH_PRESET   full (default) | proxy  (proxy = round-1's 6/12-depth
+                        comparability preset, fits bf16 on one chip)
+  UNIGEN_BENCH_QUANT    w4a8 | w8a8 | bf16  (default: full->w4a8, proxy->w8a8)
+  UNIGEN_BENCH_INT8=0   legacy alias for UNIGEN_BENCH_QUANT=bf16
+  UNIGEN_BENCH_RES      image resolution (default 512)
+  UNIGEN_BENCH_BATCHES  comma list (default "1,2")
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
   value       — images/sec for the jitted 4-step denoise loop (text encode /
                 VAE excluded; the transformer loop dominates end-to-end time).
-                Default configuration is the W8A8 int8 SERVING path
-                (per-channel weight + dynamic per-token activation scales on
-                the int8 MXU, ops/quant.py) — 4.08 img/s vs 2.73 bf16;
-                set UNIGEN_BENCH_INT8=0 for the parity-grade bf16 number.
   vs_baseline — measured / estimated reference throughput for the same
                 compute on ONE A100-80GB: est_ref = A100_bf16_peak (312e12)
                 * 0.35 assumed MFU / model_flops_per_image. The reference
                 publishes no numbers (SURVEY.md §6), so the denominator is a
                 principled roofline estimate, held constant across rounds.
+
+Quantization fidelity (vs bf16, same weights, measured on-device at the
+6/12-depth proxy where bf16 fits; per-block math identical to full):
+W8A8 rel err ~1.0% / cosine 0.99995 per forward; W4A8-base numbers are
+printed by scripts/measure_fidelity.py — run it for the current build.
+SSIM-grade output parity is claimed for NEITHER quantized path (bf16 is the
+parity-grade configuration; see UNIGEN_BENCH_QUANT=bf16).
 
 Timing note: through the axon tunnel block_until_ready() can return before
 device completion — every timed section syncs via a scalar host read.
@@ -45,9 +56,6 @@ def model_flops_per_forward(cfg, s_img: int, s_txt: int, s_cond: int) -> float:
     # per token: double block = qkv+o (4 d^2 MACs) + 2-linear 4x MLP (8 d^2 MACs)
     double = 2 * (4 * d * d) * s_all + 2 * (8 * d * d) * s_all + attn_flops(s_all, s_all)
     single = 2 * (3 * d * d + 4 * d * d + 5 * d * d) * s_all + attn_flops(s_all, s_all)
-    n_cn = bb.num_layers // cfg.control.single_control_dev
-    n_cn_s = bb.num_single_layers // cfg.control.single_control_dev
-    cn_all = s_img + s_txt
     total = (bb.num_layers * double + bb.num_single_layers * single
              + bb.num_layers * double  # control double applied per base block
              + bb.num_single_layers * single  # control single per base block
@@ -70,7 +78,13 @@ def main():
     from unigen_tpu.ops.packing import prepare_latent_image_ids
     from unigen_tpu.pipelines import scheduling
 
-    cfg = presets.flux_bench()
+    preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
+    quant = os.environ.get("UNIGEN_BENCH_QUANT", "")
+    if not quant:
+        quant = "bf16" if os.environ.get("UNIGEN_BENCH_INT8") == "0" else \
+                ("w4a8" if preset == "full" else "w8a8")
+    assert quant in ("w4a8", "w8a8", "bf16"), quant
+    cfg = presets.flux_full() if preset == "full" else presets.flux_bench()
     bb = cfg.flux
     dtype = jnp.bfloat16
     res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
@@ -81,21 +95,27 @@ def main():
                    os.environ.get("UNIGEN_BENCH_BATCHES", "1,2").split(",")]
 
     # One jitted program for the whole init: through the axon tunnel, issuing
-    # ~1500 individual RNG dispatches is minutes of round-trips.
+    # ~1500 individual RNG dispatches is minutes of round-trips. init+quantize
+    # in ONE jit also lets XLA (memory-fitting O2) schedule each bf16 leaf to
+    # die into its quantized form instead of materialising the 35 GiB tree.
     t_init = time.time()
-    use_int8 = os.environ.get("UNIGEN_BENCH_INT8", "1") == "1"
 
-    def _init(k, quantize=None):
+    def _init(k, mode=None):
         p = init_unigen_flux_params(k, cfg, dtype=dtype)
-        if use_int8 if quantize is None else quantize:
+        mode_ = quant if mode is None else mode
+        if mode_ == "w4a8":
+            from unigen_tpu.ops.quant import quantize_unigen_serving
+            p = quantize_unigen_serving(p)
+        elif mode_ == "w8a8":
             from unigen_tpu.ops.quant import quantize_tree
             p = quantize_tree(p)
         return p
 
     params = jax.jit(_init)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    print(f"# param init {time.time()-t_init:.1f}s int8={use_int8}",
-          file=sys.stderr)
+    from unigen_tpu.ops.quant import quantized_bytes
+    print(f"# param init {time.time()-t_init:.1f}s preset={preset} quant={quant} "
+          f"resident={quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
 
     img_ids = prepare_latent_image_ids(hw, hw)
     txt_ids = jnp.zeros((t_len, 3))
@@ -146,11 +166,11 @@ def main():
         ips = b / dt
         # v5e peaks: 197 bf16 TFLOP/s, 394 int8 TOP/s — use the peak of the
         # path actually measured so the utilisation figure is honest
-        peak = 394e12 if use_int8 else 197e12
+        peak = 197e12 if quant == "bf16" else 394e12
         mfu = flops_image * ips / peak
         print(f"# b={b} compile={compile_s:.1f}s step={dt*1000:.1f}ms "
-              f"ips={ips:.3f} mfu={mfu:.3f} ({'int8' if use_int8 else 'bf16'} peak)",
-              file=sys.stderr)
+              f"ips={ips:.3f} mfu={mfu:.3f} "
+              f"({'bf16' if quant == 'bf16' else 'int8'} peak)", file=sys.stderr)
         return ips
 
     def run_all():
@@ -164,19 +184,23 @@ def main():
         return out
 
     results = run_all()
-    if not results and use_int8:
-        # int8 compiles have been seen to fail through a degraded tunnel —
+    if not results and quant != "bf16" and preset != "full":
+        # quantized compiles have been seen to fail through a degraded tunnel —
         # fall back to the parity-grade bf16 path rather than record nothing
-        print("# int8 failed entirely; retrying in bf16", file=sys.stderr)
-        use_int8 = False
-        params = jax.jit(_init)(jax.random.PRNGKey(0))
+        # (full topology has no bf16 single-chip fallback: 35 GiB)
+        print(f"# {quant} failed entirely; retrying in bf16", file=sys.stderr)
+        quant = "bf16"
+        params = jax.jit(lambda k: _init(k, "bf16"))(jax.random.PRNGKey(0))
         jax.block_until_ready(params)
         results = run_all()
+    config_desc = (f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                   f"w{bb.inner_dim}_{quant}")
     if not results:
         print(json.dumps({"metric":
                           "unigen_flux_bench_512px_4step_denoise_images_per_sec",
                           "value": 0.0, "unit": "images/sec/chip",
-                          "vs_baseline": 0.0, "error": "all batches failed"}))
+                          "vs_baseline": 0.0, "config": config_desc,
+                          "error": "all batches failed"}))
         return
     best_b = max(results, key=results.get)
     images_per_sec = results[best_b]
@@ -186,6 +210,7 @@ def main():
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / est_ref_a100, 3),
+        "config": config_desc,
     }
     print(json.dumps(result))
     print(f"# best_batch={best_b} flops/img={flops_image/1e12:.1f}TF "

@@ -40,7 +40,7 @@ def test_flash_attention_rope_matches_interpret(flash_mod):
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, s, 128))
     k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, s, 128))
     v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, s, 128))
-    out = flash_mod.flash_attention_rope(q, k, v, cos, sin)
+    out = flash_mod.flash_attention_rope(q, k, v, cos, sin, cos, sin)
     ref = sdpa_xla(apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)

@@ -101,3 +101,45 @@ def test_top2_basic_sanity():
     per_token = w.sum(axis=(1, 2))
     np.testing.assert_allclose(per_token, np.ones(20), rtol=1e-5)  # renormalised
     assert (w > 0).sum(axis=(1, 2)).max() <= 2
+
+
+def test_gather_dispatch_combine_matches_einsum():
+    """Fast gather path == dense einsum path, incl. dropped tokens."""
+    rng = np.random.default_rng(7)
+    s, e, m, cap = 64, 4, 16, 12            # cap*e < s -> forces drops
+    logits = jnp.asarray(rng.normal(size=(s, e)).astype(np.float32))
+    out = gating.top1_gate(logits, cap)
+    tokens = jnp.asarray(rng.normal(size=(s, m)).astype(np.float32))
+
+    d_ein = gating.dispatch(out.dispatch_mask, tokens)
+    slot_token, dest = gating.dispatch_slots(out, cap, e)
+    d_fast = gating.dispatch_gather(slot_token, tokens, cap, e)
+    np.testing.assert_allclose(np.asarray(d_fast), np.asarray(d_ein),
+                               rtol=1e-6, atol=1e-7)
+
+    expert_out = jnp.asarray(rng.normal(size=(e, cap, m)).astype(np.float32))
+    c_ein = gating.combine(out.combine_weights, expert_out)
+    c_fast = gating.combine_gather(out, dest, expert_out)
+    np.testing.assert_allclose(np.asarray(c_fast), np.asarray(c_ein),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dispatch_streams_gather_contract():
+    """Fast multi-stream dispatch == einsum multi-stream dispatch."""
+    rng = np.random.default_rng(8)
+    b, s, d, e = 2, 6, 4, 3
+    cap = b * s
+    logits = jnp.asarray(rng.normal(size=(b * s, e)).astype(np.float32))
+    out = gating.top1_gate(logits, cap)
+    streams = {
+        "hidden": jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32)),
+        "pooled": jnp.asarray(rng.normal(size=(b, d)).astype(np.float32)),
+        "text": jnp.asarray(rng.normal(size=(b, 9, d)).astype(np.float32)),
+        "flag": True,
+    }
+    ref = gating.dispatch_streams(out.dispatch_mask, s, streams)
+    fast, dest = gating.dispatch_streams_gather(out, cap, e, s, streams)
+    assert fast["text"].shape == (b, 9, d) and fast["flag"] is True
+    for k in ("hidden", "pooled"):
+        np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(ref[k]),
+                                   rtol=1e-6, atol=1e-7)

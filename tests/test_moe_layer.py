@@ -155,3 +155,29 @@ def test_top_k2_path_through_moe_apply():
     assert jnp.isfinite(out.expert_hidden).all()
     # top-2: every token assigned twice (high capacity -> no drops)
     assert int(out.expert_counts.sum()) == 2 * b * s
+
+
+def test_fast_dispatch_matches_einsum_through_moe_apply():
+    """cfg.moe.fast_dispatch flips only the data movement, not the math."""
+    rng = np.random.default_rng(9)
+    b, s, d, pd, e = 2, 24, 8, 6, 4
+    params = moe_lib.init_moe_params(jax.random.PRNGKey(3), d, pd, e,
+                                     modulated=True)
+    hidden = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    streams = {"pooled": jnp.asarray(rng.normal(size=(b, pd)).astype(np.float32)),
+               "condition_pooled": jnp.asarray(
+                   rng.normal(size=(b, pd)).astype(np.float32))}
+    outs = {}
+    for fast in (True, False):
+        cc = cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(
+            expert_num=e, min_capacity=4, fast_dispatch=fast))
+        outs[fast] = moe_lib.moe_apply(params, cc, e, hidden, cond, streams)
+    np.testing.assert_allclose(np.asarray(outs[True].expert_hidden),
+                               np.asarray(outs[False].expert_hidden),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[True].expert_condition),
+                               np.asarray(outs[False].expert_condition),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(outs[True].expert_counts),
+                                  np.asarray(outs[False].expert_counts))

@@ -1,12 +1,15 @@
-"""Int8 W8A8 quantization path."""
+"""W8A8 / W4A8 quantization paths."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unigen_tpu.layers.core import linear
-from unigen_tpu.ops.quant import (int8_matmul, quantize_tree, quantize_weight,
-                                  quantized_bytes)
+from unigen_tpu.ops.quant import (int4_matmul, int8_matmul, pack_int4,
+                                  quantize_tree, quantize_unigen_serving,
+                                  quantize_weight, quantize_weight_int4,
+                                  quantized_bytes, unpack_int4)
 
 
 def test_int8_matmul_accuracy():
@@ -57,6 +60,62 @@ def test_stacked_weight_quantization():
     import jax
     w0 = quantize_weight(w[1])
     np.testing.assert_array_equal(np.asarray(q["w_q"][1]), np.asarray(w0["w_q"]))
+
+
+def test_int4_pack_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.integers(-7, 8, (5, 64, 32)), jnp.int8)
+    packed = pack_int4(q)
+    assert packed.shape == (5, 32, 32) and packed.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), np.asarray(q))
+
+
+def test_int4_matmul_accuracy():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(512, 256)).astype(np.float32)) * 0.02
+    x = jnp.asarray(rng.normal(size=(16, 512)).astype(np.float32))
+    q = quantize_weight_int4(w)
+    assert q["w_q4"].shape == (256, 256)
+    ref = x @ w
+    got = int4_matmul(x, q["w_q4"], q["w_scale"])
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    # RTN int4 on iid-gaussian weights: ~13% per matmul (real checkpoints
+    # with heavy-tailed weights fare better); this pins the implementation,
+    # not a fidelity claim
+    assert rel < 0.2, rel
+    # and it must be far better than scale-free truncation
+    assert rel > 0.01, "suspiciously exact — is this actually int4?"
+
+
+def test_int4_linear_dispatch_and_stacked_gather():
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.normal(size=(3, 128, 128)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    q = quantize_weight_int4(w)
+    q["b"] = b
+    x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+    from unigen_tpu.utils import index_params
+    got = linear(index_params(q, 1), x)
+    ref = x @ w[1] + b
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.25, rel
+    with pytest.raises(ValueError):
+        int4_matmul(x, q["w_q4"], q["w_scale"])  # stacked weight must fail loud
+
+
+def test_serving_policy_mixed_bits():
+    tree = {
+        "base": {"attn": {"w": jnp.ones((512, 512)) * 0.01},
+                 "gate": {"w": jnp.ones((512, 8))}},
+        "control": {"attn": {"w": jnp.ones((512, 512)) * 0.01},
+                    "experts": {"w": jnp.ones((512, 512))}},
+    }
+    q = quantize_unigen_serving(tree)
+    assert "w_q4" in q["base"]["attn"], "frozen base -> int4"
+    assert "w_q" in q["control"]["attn"], "adapter -> int8"
+    assert "w" in q["base"]["gate"] and "w" in q["control"]["experts"]
+    # int4 halves the int8 footprint for the same weight
+    assert q["base"]["attn"]["w_q4"].nbytes == q["control"]["attn"]["w_q"].nbytes // 2
 
 
 def test_tiny_model_int8_forward_close():

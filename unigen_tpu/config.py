@@ -112,6 +112,11 @@ class MoEConfig:
     # routing with per-sample capacity — linear in batch, the batched-serving
     # mode.
     batch_mode: str = "global"
+    # Gather-based top-1 dispatch/combine (O(S*M) index gathers) instead of
+    # the dense [S,E,C] einsum (O(S^2*M/E)) — the TPU answer to the
+    # reference's optional tutel fast dispatcher (UniGenUtils.py:91-97).
+    # Numerically equivalent for top-1; top-2 always uses the einsum path.
+    fast_dispatch: bool = True
 
     def num_experts(self, condition_nums: int) -> int:
         if self.expert_num is not None:

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from unigen_tpu.layers.core import init_linear, init_rms_norm, linear, rms_norm
 from unigen_tpu.ops.attention import merge_heads, sdpa, split_heads
-from unigen_tpu.ops.rope import apply_rotary
 
 
 def init_joint_attention(key, dim: int, heads: int, head_dim: int, *,
@@ -77,8 +76,8 @@ def joint_attention(p: dict, x: jnp.ndarray, ctx: Optional[jnp.ndarray] = None, 
     rope: (cos, sin) over the concatenated sequence in concat order.
     condition_kv_states: KV-only condition stream appended after all K/V.
     """
-    qw = p["to_q"].get("w", p["to_q"].get("w_q"))
-    head_dim = qw.shape[-1] // heads
+    qw = next(p["to_q"][k] for k in ("w", "w_q", "w_q4") if k in p["to_q"])
+    head_dim = qw.shape[-1] // heads  # out-dim is unpacked in every format
     sx = x.shape[1]
 
     q = split_heads(linear(p["to_q"], x), heads)
@@ -106,13 +105,16 @@ def joint_attention(p: dict, x: jnp.ndarray, ctx: Optional[jnp.ndarray] = None, 
 
     fused_rope = rope
     if rope is not None and condition_kv_states is not None:
-        # KV-append mode rotates only the pre-append K — apply here, the
-        # appended condition keys stay unrotated (reference
-        # JointConditionAttnProcessor has no rope; combined mode keeps parity)
+        # KV-append mode rotates only the pre-append K; the appended
+        # condition keys stay unrotated (reference JointConditionAttnProcessor
+        # applies no rope to them, src/UniGenUtils.py:684-707). Extend the
+        # K-side tables with identity-rotation rows (cos=1, sin=0) so the
+        # whole thing still runs through ONE fused Pallas kernel.
         cos, sin = rope
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
-        fused_rope = None
+        n_app = condition_kv_states.shape[1]
+        kcos = jnp.concatenate([cos, jnp.ones((n_app, cos.shape[-1]), cos.dtype)])
+        ksin = jnp.concatenate([sin, jnp.zeros((n_app, sin.shape[-1]), sin.dtype)])
+        fused_rope = (cos, sin, kcos, ksin)
 
     if condition_kv_states is not None:
         dk = split_heads(linear(p["condition_k"], condition_kv_states), heads)

@@ -36,6 +36,9 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     if "w_q" in p:  # int8 serving path (ops/quant.py)
         from unigen_tpu.ops.quant import int8_matmul
         y = int8_matmul(x, p["w_q"], p["w_scale"])
+    elif "w_q4" in p:  # W4A8 serving path (nibble-packed, ops/quant.py)
+        from unigen_tpu.ops.quant import int4_matmul
+        y = int4_matmul(x, p["w_q4"], p["w_scale"])
     else:
         y = x @ p["w"]
     if "b" in p:

@@ -146,7 +146,12 @@ def moe_apply(params: dict, cfg: ControlConfig, num_experts: int,
 
     routed = {"hidden": hidden, "condition": condition}
     routed.update(streams)
-    routed = gating.dispatch_streams(gate_out.dispatch_mask, s, routed)
+    fast = cfg.moe.fast_dispatch and gate_out.expert_idx is not None
+    if fast:
+        routed, dest = gating.dispatch_streams_gather(
+            gate_out, capacity, num_experts, s, routed)
+    else:
+        routed = gating.dispatch_streams(gate_out.dispatch_mask, s, routed)
 
     if expert_axis is not None:
         # EP: split the expert axis across shards, exchange over ICI.
@@ -164,10 +169,16 @@ def moe_apply(params: dict, cfg: ControlConfig, num_experts: int,
         hid_out = _all_to_all_ep(hid_out, expert_axis, inverse=True)
         cond_out = _all_to_all_ep(cond_out, expert_axis, inverse=True)
 
-    out_h = gating.combine(gate_out.combine_weights, hid_out, hidden.dtype
-                           ).reshape(b, s, d)
-    out_c = gating.combine(gate_out.combine_weights, cond_out, hidden.dtype
-                           ).reshape(b, s, d)
+    if fast:
+        out_h = gating.combine_gather(gate_out, dest, hid_out, hidden.dtype
+                                      ).reshape(b, s, d)
+        out_c = gating.combine_gather(gate_out, dest, cond_out, hidden.dtype
+                                      ).reshape(b, s, d)
+    else:
+        out_h = gating.combine(gate_out.combine_weights, hid_out, hidden.dtype
+                               ).reshape(b, s, d)
+        out_c = gating.combine(gate_out.combine_weights, cond_out, hidden.dtype
+                               ).reshape(b, s, d)
     return MoEOutput(out_h, out_c, gate_out.aux_loss, gate_out.expert_counts)
 
 

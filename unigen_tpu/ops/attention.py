@@ -33,21 +33,32 @@ def sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
          mask: Optional[jnp.ndarray] = None, *, impl: str = "auto",
          rope=None) -> jnp.ndarray:
-    """Dispatch between the Pallas fused kernel and the XLA path.
+    """Dispatch between the Pallas fused kernels and the XLA path.
 
-    impl: "auto" (Pallas on TPU when shapes allow), "xla", "pallas".
-    rope: optional (cos, sin) [S, D] tables — fused into the Pallas kernel
-    (rotary computed in VMEM, no HBM roundtrip), pre-applied on other paths.
+    impl: "auto" (Pallas on TPU when shapes allow — full-KV kernel for short
+    streams, online-softmax streaming kernel for long), "xla", "pallas".
+    rope: optional (cos, sin) [Sq, D] tables, or (cos, sin, kcos, ksin) with
+    separate K-side tables (the KV-append CrossAttn convention) — fused into
+    the Pallas kernels (rotary computed in VMEM, no HBM roundtrip),
+    pre-applied on other paths.
     """
     if impl == "auto":
         import os
         impl = os.environ.get("UNIGEN_ATTN_IMPL", "auto")  # experiment knob
 
+    def _rope4():
+        if rope is None:
+            return None
+        cos, sin = rope[0], rope[1]
+        kcos, ksin = (rope[2], rope[3]) if len(rope) == 4 else (cos, sin)
+        return cos, sin, kcos, ksin
+
     def _pre_rope(q, k):
         if rope is None:
             return q, k
         from unigen_tpu.ops.rope import apply_rotary
-        return apply_rotary(q, *rope), apply_rotary(k, *rope)
+        cos, sin, kcos, ksin = _rope4()
+        return apply_rotary(q, cos, sin), apply_rotary(k, kcos, ksin)
 
     if impl == "ulysses":
         # sequence-parallel path: caller is inside shard_map with a 'sequence'
@@ -58,25 +69,37 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return ulysses_sdpa(q, k, v, "sequence", impl="xla")
 
     use_pallas = False
-    if impl in ("pallas", "pallas_rope"):
+    if impl in ("pallas", "pallas_rope", "pallas_stream"):
         use_pallas = True
     elif impl == "auto" and mask is None and jax.default_backend() == "tpu":
         # v5e sweep at [1,24,1536,128]: pallas bq=768 3.85ms vs XLA 4.53ms;
         # end-to-end +60% (XLA materialises fp32 logits to HBM)
         try:
-            from unigen_tpu.ops.pallas.flash_attention import supported
-            use_pallas = supported(q, k, v)
+            from unigen_tpu.ops.pallas.flash_attention import (
+                streaming_supported, supported)
+            use_pallas = supported(q, k, v) or streaming_supported(q, k, v)
         except Exception:
             use_pallas = False
     if use_pallas:
-        from unigen_tpu.ops.pallas.flash_attention import (flash_attention,
-                                                           flash_attention_rope)
-        if impl != "pallas" and rope is not None and q.shape[2] == k.shape[2]:
+        from unigen_tpu.ops.pallas import flash_attention as fa
+        # short streams take the full-KV-in-VMEM schedule (fastest); long
+        # streams the online-softmax streaming schedule
+        full_kv = fa.supported(q, k, v) and impl != "pallas_stream"
+        r4 = _rope4()
+        if impl != "pallas" and r4 is not None and mask is None \
+                and r4[0].shape[0] == q.shape[2] \
+                and r4[2].shape[0] == k.shape[2]:
             # fully-fused rotary+attention: rotation stays in VMEM, no HBM
             # roundtrip for rotated q/k — e2e 2.74 vs 2.50 img/s on the bench
-            return flash_attention_rope(q, k, v, *rope)
+            if full_kv:
+                return fa.flash_attention_rope(q, k, v, *r4)
+            return fa.flash_attention_streaming_rope(q, k, v, *r4)
         q, k = _pre_rope(q, k)
-        return flash_attention(q, k, v, mask=mask)
+        if full_kv:
+            return fa.flash_attention(q, k, v, mask=mask)
+        if mask is None:
+            return fa.flash_attention_streaming(q, k, v)
+        return sdpa_xla(q, k, v, mask)
     q, k = _pre_rope(q, k)
     return sdpa_xla(q, k, v, mask)
 

@@ -31,6 +31,12 @@ class GateOutput(NamedTuple):
     dispatch_mask: jnp.ndarray    # [S, E, C] bool
     aux_loss: jnp.ndarray         # scalar
     expert_counts: jnp.ndarray    # [E] int32 (pre-capacity assignment counts)
+    # token-level routing (top-1 only; None from top2_gate) — feeds the
+    # gather-based fast dispatch (the tutel-equivalent, UniGenUtils.py:91-97)
+    expert_idx: Optional[jnp.ndarray] = None   # [S] int32 chosen expert
+    slot: Optional[jnp.ndarray] = None         # [S] int32 slot within expert
+    gate_scalar: Optional[jnp.ndarray] = None  # [S] fp32 gate prob (0 if dropped)
+    kept: Optional[jnp.ndarray] = None         # [S] fp32 in {0,1}
 
 
 def compute_capacity(num_tokens: int, num_experts: int, capacity_factor: float,
@@ -80,7 +86,9 @@ def top1_gate(logits: jnp.ndarray, capacity: int, *,
     loc_onehot = jax.nn.one_hot(loc_s, capacity, dtype=jnp.float32) * kept_any[:, None]
     combine = gate_s[:, None, None] * keep[:, :, None] * loc_onehot[:, None, :]
     dispatch = combine > 0
-    return GateOutput(combine, dispatch, aux, expert_counts)
+    return GateOutput(combine, dispatch, aux, expert_counts,
+                      expert_idx=idx.astype(jnp.int32), slot=loc_s,
+                      gate_scalar=gate_s * kept_any, kept=kept_any)
 
 
 def top2_gate(logits: jnp.ndarray, capacity: int, *,
@@ -141,6 +149,76 @@ def combine(weights: jnp.ndarray, expert_out: jnp.ndarray,
     """[S, E, C] x [E, C, M] -> [S, M]."""
     out = jnp.einsum("sec,ecm->sm", weights.astype(expert_out.dtype), expert_out)
     return out.astype(out_dtype) if out_dtype is not None else out
+
+
+# ------------------------------------------------- gather-based fast path
+#
+# The reference's optional tutel dispatcher (UniGenUtils.py:91-97,137-138,
+# 180-181) replaces the dense einsum dispatch with CUDA scatter kernels. The
+# TPU-native equivalent: one TINY [E*C] int32 scatter builds the slot->token
+# index once, then every stream moves by plain row gathers — O(S*M) per
+# stream instead of the einsum's O(S*E*C*M), and XLA lowers row gathers onto
+# the same fast path as embedding lookups. Top-1 only (serving mode).
+
+def dispatch_slots(gate: GateOutput, capacity: int, num_experts: int
+                   ) -> tuple:
+    """-> (slot_token [E*C] int32 with S as the empty-slot sentinel,
+           dest [S] int32 flat slot id, E*C for dropped tokens)."""
+    s = gate.expert_idx.shape[0]
+    trash = num_experts * capacity
+    dest = jnp.where(gate.kept > 0,
+                     gate.expert_idx * capacity + gate.slot,
+                     trash).astype(jnp.int32)
+    slot_token = jnp.full((trash + 1,), s, jnp.int32)
+    slot_token = slot_token.at[dest].set(jnp.arange(s, dtype=jnp.int32),
+                                         mode="drop")
+    return slot_token[:trash], dest
+
+
+def dispatch_gather(slot_token: jnp.ndarray, tokens: jnp.ndarray,
+                    capacity: int, num_experts: int) -> jnp.ndarray:
+    """[E*C] x [S, M] -> [E, C, M]; empty slots read a zero row."""
+    pad = jnp.concatenate([tokens, jnp.zeros((1, tokens.shape[-1]),
+                                             tokens.dtype)])
+    return pad[slot_token].reshape(num_experts, capacity, tokens.shape[-1])
+
+
+def combine_gather(gate: GateOutput, dest: jnp.ndarray,
+                   expert_out: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """[S] x [E, C, M] -> [S, M]: out[s] = gate_prob[s] * expert_out[dest[s]]
+    (dropped tokens read the zero pad row — reference combine-to-zeros)."""
+    e, c, m = expert_out.shape
+    pad = jnp.concatenate([expert_out.reshape(e * c, m),
+                           jnp.zeros((1, m), expert_out.dtype)])
+    out = pad[dest] * gate.gate_scalar[:, None].astype(expert_out.dtype)
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
+def dispatch_streams_gather(gate: GateOutput, capacity: int, num_experts: int,
+                            seq_len: int, streams: Dict[str, Any]
+                            ) -> tuple:
+    """Fast-path version of ``dispatch_streams`` (same routing contract);
+    also returns ``dest`` for ``combine_gather``."""
+    slot_token, dest = dispatch_slots(gate, capacity, num_experts)
+    out = {}
+    for name, v in streams.items():
+        if not isinstance(v, jnp.ndarray):
+            out[name] = v
+            continue
+        if v.ndim == 2:  # [B, C'] -> broadcast per token
+            b, c = v.shape
+            vv = jnp.broadcast_to(v[:, None, :], (b, seq_len, c)).reshape(-1, c)
+            out[name] = dispatch_gather(slot_token, vv, capacity, num_experts)
+        elif v.ndim == 3:
+            if v.shape[1] != seq_len:
+                out[name] = v  # passthrough (e.g. text stream)
+            else:
+                out[name] = dispatch_gather(slot_token,
+                                            v.reshape(-1, v.shape[-1]),
+                                            capacity, num_experts)
+        else:
+            raise ValueError(f"MoE dispatch got bad stream {name}: {v.shape}")
+    return out, dest
 
 
 def dispatch_streams(dispatch_mask: jnp.ndarray, seq_len: int,

@@ -203,14 +203,17 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # ------------------------------------------------------------ fused RoPE
 
 @jax.custom_vjp
-def flash_attention_rope(q, k, v, cos, sin):
-    """Fused rotary + attention. q,k,v [B,H,S,D]; cos/sin [S,D] fp32 tables
-    over the concatenated stream order (same tables for q and k, standard
-    self-attention over one concatenation)."""
-    return _flash_rope_impl(q, k, v, cos, sin)
+def flash_attention_rope(q, k, v, cos, sin, kcos, ksin):
+    """Fused rotary + attention. q,k,v [B,H,S,D]; cos/sin [Sq,D] fp32 tables
+    in concatenated stream order. kcos/ksin [Skv,D] are the K-side tables —
+    identical to cos/sin for plain self-attention, EXTENDED tables for the
+    KV-append CrossAttn mode (appended condition rows carry the identity
+    rotation cos=1, sin=0, reference JointConditionAttnProcessor applies no
+    rope to condition keys, src/UniGenUtils.py:684-707)."""
+    return _flash_rope_impl(q, k, v, cos, sin, kcos, ksin)
 
 
-def _flash_rope_impl(q, k, v, cos, sin):
+def _flash_rope_impl(q, k, v, cos, sin, kcos, ksin):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     skv_pad = _round_up(skv, 128)
@@ -221,9 +224,10 @@ def _flash_rope_impl(q, k, v, cos, sin):
     qr = q.reshape(b * h, sq, d)
     kr = k.reshape(b * h, skv, d)
     vr = v.reshape(b * h, skv, d)
-    cos = cos.astype(jnp.float32)
-    sin = sin.astype(jnp.float32)
-    qcos, qsin, kcos, ksin = cos, sin, cos, sin
+    qcos = cos.astype(jnp.float32)
+    qsin = sin.astype(jnp.float32)
+    kcos = kcos.astype(jnp.float32)
+    ksin = ksin.astype(jnp.float32)
     if sq_pad != sq:
         qr = jnp.pad(qr, ((0, 0), (0, sq_pad - sq), (0, 0)))
         qcos = jnp.pad(qcos, ((0, sq_pad - sq), (0, 0)))
@@ -267,22 +271,240 @@ def _flash_rope_impl(q, k, v, cos, sin):
     return out[:, :sq].reshape(b, h, sq, d)
 
 
-def _ref_attn_rope(q, k, v, cos, sin):
+def _ref_attn_rope(q, k, v, cos, sin, kcos, ksin):
     from unigen_tpu.ops.attention import sdpa_xla
     from unigen_tpu.ops.rope import apply_rotary
-    return sdpa_xla(apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v)
+    return sdpa_xla(apply_rotary(q, cos, sin), apply_rotary(k, kcos, ksin), v)
 
 
-def _flash_rope_fwd(q, k, v, cos, sin):
-    return _flash_rope_impl(q, k, v, cos, sin), (q, k, v, cos, sin)
+def _flash_rope_fwd(q, k, v, cos, sin, kcos, ksin):
+    return (_flash_rope_impl(q, k, v, cos, sin, kcos, ksin),
+            (q, k, v, cos, sin, kcos, ksin))
 
 
 def _flash_rope_bwd(res, g):
-    q, k, v, cos, sin = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin),
-                     q, k, v)
+    q, k, v, cos, sin, kcos, ksin = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin, kcos, ksin),
+        q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin)
+    return (dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin),
+            jnp.zeros_like(kcos), jnp.zeros_like(ksin))
 
 
 flash_attention_rope.defvjp(_flash_rope_fwd, _flash_rope_bwd)
+
+
+# ---------------------------------------------------- streaming (long KV)
+#
+# Online-softmax flash schedule for sequences whose full K/V does not fit
+# VMEM (>~6k tokens at D=128: 1024^2 multi-condition streams, SURVEY §2.6).
+# grid = (B*H, Sq/BQ, Skv/BK), kv innermost; the running max / sum / output
+# accumulator live in VMEM scratch across kv steps ([BQ, 128] lane-replicated
+# m/l — the efficient TPU layout for per-row scalars). Numerics: fp32
+# logits/softmax state, bf16 MXU matmuls — same contract as the full-KV
+# kernel, so outputs agree to bf16 tolerance.
+
+BQ_STREAM = 512
+BK_STREAM = 1024
+
+
+def _stream_inner(logits, v, j, acc_ref, m_ref, l_ref, o_ref, *,
+                  kv_len: int, bk: int):
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < kv_len, logits, -1e30)
+    m_prev = m_ref[:]                                   # [BQ, 128]
+    l_prev = l_ref[:]
+    m_next = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_next)                    # [BQ, 128]
+    p = jnp.exp(logits - m_next[:, :1])                 # [BQ, BK]
+    m_ref[:] = m_next
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _stream_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                   scale: float, kv_len: int, bk: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    _stream_inner(logits, v, j, acc_ref, m_ref, l_ref, o_ref,
+                  kv_len=kv_len, bk=bk)
+
+
+def _stream_rope_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
+                        ksin_ref, o_ref, acc_ref, m_ref, l_ref, qrot_ref, *,
+                        scale: float, kv_len: int, bk: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        qrot_ref[:] = _rotate(q_ref[0], qcos_ref[:], qsin_ref[:]
+                              ).astype(qrot_ref.dtype)
+
+    v = v_ref[0]
+    k = _rotate(k_ref[0], kcos_ref[:], ksin_ref[:]).astype(v.dtype)
+    logits = jax.lax.dot_general(qrot_ref[:].astype(v.dtype), k,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    _stream_inner(logits, v, j, acc_ref, m_ref, l_ref, o_ref,
+                  kv_len=kv_len, bk=bk)
+
+
+def _stream_call(qr, kr, vr, rope_tables, *, scale, skv, d, bq, bk):
+    bh, sq_pad, _ = qr.shape
+    skv_pad = kr.shape[1]
+    grid = (bh, sq_pad // bq, skv_pad // bk)
+    qspec = pl.BlockSpec((1, bq, d), lambda i, jq, jk: (i, jq, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, bk, d), lambda i, jq, jk: (i, jk, 0),
+                         memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((bq, d), jnp.float32),     # acc
+               pltpu.VMEM((bq, 128), jnp.float32),   # running max
+               pltpu.VMEM((bq, 128), jnp.float32)]   # running sum
+    if rope_tables is None:
+        kernel = functools.partial(_stream_kernel, scale=scale, kv_len=skv,
+                                   bk=bk)
+        in_specs = [qspec, kspec, kspec]
+        args = (qr, kr, vr)
+    else:
+        kernel = functools.partial(_stream_rope_kernel, scale=scale,
+                                   kv_len=skv, bk=bk)
+        in_specs = [qspec, kspec, kspec,
+                    pl.BlockSpec((bq, d), lambda i, jq, jk: (jq, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bq, d), lambda i, jq, jk: (jq, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bk, d), lambda i, jq, jk: (jk, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bk, d), lambda i, jq, jk: (jk, 0),
+                                 memory_space=pltpu.VMEM)]
+        args = (qr, kr, vr) + rope_tables
+        scratch.append(pltpu.VMEM((bq, d), jnp.float32))  # rotated q cache
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), qr.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, jq, jk: (i, jq, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_pad * skv_pad * d,
+            bytes_accessed=(qr.size + (kr.size + vr.size) * (sq_pad // bq))
+            * qr.dtype.itemsize,
+            transcendentals=bh * sq_pad * skv_pad),
+        interpret=_INTERPRET,
+    )(*args)
+
+
+def _stream_prep(q, k, v, cos=None, sin=None, kcos=None, ksin=None):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq, bk = min(BQ_STREAM, _round_up(sq, 128)), BK_STREAM
+    sq_pad = _round_up(sq, bq)
+    skv_pad = _round_up(skv, bk)
+    qr = q.reshape(b * h, sq, d)
+    kr = k.reshape(b * h, skv, d)
+    vr = v.reshape(b * h, skv, d)
+    if sq_pad != sq:
+        qr = jnp.pad(qr, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if skv_pad != skv:
+        kr = jnp.pad(kr, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        vr = jnp.pad(vr, ((0, 0), (0, skv_pad - skv), (0, 0)))
+    tables = None
+    if cos is not None:
+        def padt(t, n):
+            t = t.astype(jnp.float32)
+            return jnp.pad(t, ((0, n - t.shape[0]), (0, 0))) \
+                if t.shape[0] != n else t
+        tables = (padt(cos, sq_pad), padt(sin, sq_pad),
+                  padt(kcos, skv_pad), padt(ksin, skv_pad))
+    return qr, kr, vr, tables, (b, h, sq, skv, d, bq, bk)
+
+
+@jax.custom_vjp
+def flash_attention_streaming(q, k, v):
+    """Online-softmax KV-blocked attention for long streams. [B,H,S,D]."""
+    return _flash_stream_impl(q, k, v)
+
+
+def _flash_stream_impl(q, k, v):
+    qr, kr, vr, _, (b, h, sq, skv, d, bq, bk) = _stream_prep(q, k, v)
+    out = _stream_call(qr, kr, vr, None, scale=1.0 / (d ** 0.5), skv=skv,
+                       d=d, bq=bq, bk=bk)
+    return out[:, :sq].reshape(b, h, sq, d)
+
+
+def _flash_stream_fwd(q, k, v):
+    return _flash_stream_impl(q, k, v), (q, k, v)
+
+
+def _flash_stream_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_ref_attn, q, k, v)
+    return vjp(g)
+
+
+flash_attention_streaming.defvjp(_flash_stream_fwd, _flash_stream_bwd)
+
+
+@jax.custom_vjp
+def flash_attention_streaming_rope(q, k, v, cos, sin, kcos, ksin):
+    """Streaming attention with in-VMEM rotary (separate q/k tables — see
+    flash_attention_rope for the KV-append extended-table convention)."""
+    return _flash_stream_rope_impl(q, k, v, cos, sin, kcos, ksin)
+
+
+def _flash_stream_rope_impl(q, k, v, cos, sin, kcos, ksin):
+    qr, kr, vr, tables, (b, h, sq, skv, d, bq, bk) = _stream_prep(
+        q, k, v, cos, sin, kcos, ksin)
+    out = _stream_call(qr, kr, vr, tables, scale=1.0 / (d ** 0.5), skv=skv,
+                       d=d, bq=bq, bk=bk)
+    return out[:, :sq].reshape(b, h, sq, d)
+
+
+def _flash_stream_rope_fwd(q, k, v, cos, sin, kcos, ksin):
+    return (_flash_stream_rope_impl(q, k, v, cos, sin, kcos, ksin),
+            (q, k, v, cos, sin, kcos, ksin))
+
+
+def _flash_stream_rope_bwd(res, g):
+    q, k, v, cos, sin, kcos, ksin = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin, kcos, ksin),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return (dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin),
+            jnp.zeros_like(kcos), jnp.zeros_like(ksin))
+
+
+flash_attention_streaming_rope.defvjp(_flash_stream_rope_fwd,
+                                      _flash_stream_rope_bwd)
+
+
+def streaming_supported(q, k, v) -> bool:
+    """dtype/head-dim gate for the streaming kernels (no KV length bound)."""
+    if not _HAS_PLTPU:
+        return False
+    if q.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    d = q.shape[-1]
+    return d % 128 == 0 or d in (64, 128)

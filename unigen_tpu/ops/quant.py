@@ -1,15 +1,24 @@
-"""Int8 quantized serving path (weights + dynamic activation quantization).
+"""Quantized serving paths: W8A8 and W4A8 (weights + dynamic activation quant).
 
 v5e's int8 MXU peak is ~2x bf16 (394 vs 197 TOPS), so for serving we offer
 AQT-style W8A8: per-output-channel symmetric weight scales, per-token dynamic
 activation scales, int8 x int8 -> int32 matmul, fp rescale. Layers opt in by
 param shape: ``layers/core.linear`` dispatches to the quantized kernel when a
-param dict carries ``w_q``/``w_scale`` instead of ``w``. ``quantize_tree``
-converts every eligible linear of a pytree in one pass (stacked block weights
-quantize per block x out-channel).
+param dict carries ``w_q``/``w_scale`` (int8) or ``w_q4``/``w_scale`` (int4)
+instead of ``w``. ``quantize_tree`` converts every eligible linear of a
+pytree in one pass (stacked block weights quantize per block x out-channel).
+
+W4A8 exists so the REAL 19/38 12B FLUX + 4.7B adapter fits ONE v5e chip
+(int4 base ~6 GB + int8 adapter; bf16 needs 33 GB). int4 values are stored
+NIBBLE-PACKED in an int8 carrier (two [-7,7] values per byte, paired along
+the in-dim) because the axon runtime cannot pass S4 arrays across a jit
+boundary (device_put layout recursion); the unpack is two VPU shifts inside
+the jitted matmul. The MXU compute stays int8 x int8.
 
 This is a serving-speed feature — training and parity testing use the bf16/
-fp32 path; SSIM-grade numerics are NOT claimed for W8A8.
+fp32 path; SSIM-grade numerics are NOT claimed for W8A8, and W4A8 trades
+further fidelity for fitting on-chip (bench.py logs the measured per-forward
+error next to every quantized throughput number).
 """
 
 from __future__ import annotations
@@ -29,28 +38,78 @@ def quantize_weight(w: jnp.ndarray) -> dict:
     return {"w_q": q, "w_scale": scale.astype(jnp.float32)}
 
 
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """int8 values in [-7, 7], [..., in, out] -> packed int8 [..., in/2, out].
+    Adjacent in-dim pairs share a byte: even row -> low nibble, odd -> high."""
+    assert q.shape[-2] % 2 == 0, f"in-dim must be even to nibble-pack: {q.shape}"
+    lo = q[..., 0::2, :] & jnp.int8(0x0F)
+    hi = jnp.left_shift(q[..., 1::2, :], 4)
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4(p: jnp.ndarray) -> jnp.ndarray:
+    """packed int8 [..., in/2, out] -> int8 [..., in, out] (sign-extended)."""
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)      # arithmetic: sign-extend
+    hi = jnp.right_shift(p, 4)
+    stacked = jnp.stack([lo, hi], axis=-2)             # [..., in/2, 2, out]
+    return stacked.reshape(*p.shape[:-2], p.shape[-2] * 2, p.shape[-1])
+
+
+def quantize_weight_int4(w: jnp.ndarray) -> dict:
+    """[..., in, out] -> nibble-packed int4 with per-(block, out-chan) scales.
+    Symmetric [-7, 7] (the -8 code is unused, keeping the scale symmetric)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7
+                 ).astype(jnp.int8)
+    return {"w_q4": pack_int4(q), "w_scale": scale.astype(jnp.float32)}
+
+
+def _quantize_act(x: jnp.ndarray):
+    """Dynamic per-token symmetric activation quantization to int8."""
+    xf = x.astype(jnp.float32)
+    xmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.where(xmax > 0, xmax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def _check_2d(w, name):
+    if w.ndim != 2:
+        raise ValueError(
+            f"{name} needs a 2-D weight [in, out], got {w.shape}; "
+            "stacked per-block quantized weights must be gathered to one "
+            "block (inside the lax.scan) before the matmul")
+
+
 def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                 out_dtype=None) -> jnp.ndarray:
     """Dynamic per-token activation quantization + int8 MXU matmul.
 
     x [..., N, in] fp; w_q [in, out] int8; w_scale [1, out]."""
-    if w_q.ndim != 2:
-        raise ValueError(
-            f"int8_matmul needs a 2-D weight [in, out], got {w_q.shape}; "
-            "stacked per-block quantized weights must be gathered to one "
-            "block (inside the lax.scan) before the matmul")
+    _check_2d(w_q, "int8_matmul")
     out_dtype = out_dtype or x.dtype
-    xf = x.astype(jnp.float32)
-    xmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.where(xmax > 0, xmax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    xq, xs = _quantize_act(x)
     acc = jax.lax.dot_general(xq, w_q, (((xq.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32) * xs * w_scale.reshape(-1)).astype(out_dtype)
 
 
+def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, w_scale: jnp.ndarray,
+                out_dtype=None) -> jnp.ndarray:
+    """W4A8: unpack the nibble-packed weight (two VPU shifts) and run the
+    int8 MXU matmul. x [..., N, in] fp; w_q4 [in/2, out] packed int8."""
+    _check_2d(w_q4, "int4_matmul")
+    out_dtype = out_dtype or x.dtype
+    xq, xs = _quantize_act(x)
+    acc = jax.lax.dot_general(xq, unpack_int4(w_q4),
+                              (((xq.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * xs * w_scale.reshape(-1)).astype(out_dtype)
+
+
 def is_quantized(p: dict) -> bool:
-    return isinstance(p, dict) and "w_q" in p
+    return isinstance(p, dict) and ("w_q" in p or "w_q4" in p)
 
 
 def _eligible(path_names, leaf_dict, *, min_dim: int, skip: Sequence[str]) -> bool:
@@ -64,17 +123,25 @@ def _eligible(path_names, leaf_dict, *, min_dim: int, skip: Sequence[str]) -> bo
 
 
 def quantize_tree(params: Any, *, min_dim: int = 512,
-                  skip: Sequence[str] = ("gate", "experts")) -> Any:
-    """Convert every eligible {'w','b'} linear in a pytree to int8 form.
-    Small layers (below min_dim), the router gate, and the MoE expert stacks
-    (consumed by the batched-einsum path, not ``linear``) stay fp. AdaLN
-    modulation linears DO quantize (they are ~37% of double-block weights);
-    LayerNorm/RMSNorm params have no 'w' key and are never touched."""
+                  skip: Sequence[str] = ("gate", "experts"),
+                  bits: int = 8) -> Any:
+    """Convert every eligible {'w','b'} linear in a pytree to int8 (or
+    nibble-packed int4, ``bits=4``) form. Small layers (below min_dim), the
+    router gate, and the MoE expert stacks (consumed by the batched-einsum
+    path, not ``linear``) stay fp. AdaLN modulation linears DO quantize (they
+    are ~37% of double-block weights); LayerNorm/RMSNorm params have no 'w'
+    key and are never touched."""
+    assert bits in (4, 8), bits
+    qfn = quantize_weight if bits == 8 else quantize_weight_int4
+
     def _walk(node, path):
         if isinstance(node, dict):
             if "w" in node and isinstance(node["w"], jnp.ndarray):
                 if _eligible(path, node, min_dim=min_dim, skip=skip):
-                    q = quantize_weight(node["w"])
+                    w = node["w"]
+                    if bits == 4 and w.shape[-2] % 2 != 0:
+                        return node            # odd in-dim: not packable
+                    q = qfn(w)
                     if "b" in node:
                         q["b"] = node["b"]
                     return q
@@ -84,6 +151,17 @@ def quantize_tree(params: Any, *, min_dim: int = 512,
             return type(node)(_walk(v, path) for v in node)
         return node
     return _walk(params, ())
+
+
+def quantize_unigen_serving(params: dict, *, base_bits: int = 4) -> dict:
+    """The single-chip full-topology serving policy (VERDICT r1 #1): the
+    frozen 12B base quantizes to W4 (~6 GB), the trainable adapter to W8
+    (reference serves both in bf16 across many A100s, infer.py:115-149).
+    Expert stacks / router stay bf16 (einsum path)."""
+    out = dict(params)
+    out["base"] = quantize_tree(params["base"], bits=base_bits)
+    out["control"] = quantize_tree(params["control"], bits=8)
+    return out
 
 
 def quantized_bytes(params: Any) -> int:

@@ -75,6 +75,22 @@ def flux_bench(condition_types=("canny",)) -> C.UniGenConfig:
     )
 
 
+def flux_full(condition_types=("canny",)) -> C.UniGenConfig:
+    """The REAL FLUX.1 topology — 19 double / 38 single base blocks at width
+    3072 (24 heads x 128), 9 + 19 control blocks, full MoE + shared expert:
+    BASELINE config #1's exact model (reference UniGenTransformer.py:744,
+    infer.py:115-149). bf16 needs ~33 GB (multi-chip path, parallel/);
+    single-chip serving quantizes with ops/quant.quantize_unigen_serving
+    (W4A8 frozen base + W8A8 adapter ~= 11 GB)."""
+    return C.UniGenConfig(
+        family="flux",
+        flux=C.FluxBackboneConfig(guidance_embeds=False),
+        # per-sample routing keeps the router linear in batch (serving mode)
+        control=C.ControlConfig(moe=C.MoEConfig(batch_mode="per_sample")),
+        condition_types=tuple(condition_types),
+    )
+
+
 def tiny(condition_types=("canny",)) -> C.UniGenConfig:
     return C.UniGenConfig(family="flux", flux=C.tiny_flux_config(),
                           condition_types=tuple(condition_types))
