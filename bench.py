@@ -100,12 +100,14 @@ def main():
     # die into its quantized form instead of materialising the 35 GiB tree.
     t_init = time.time()
 
+    adapter_bits = int(os.environ.get("UNIGEN_BENCH_ADAPTER_BITS", "4"))
+
     def _init(k, mode=None):
         p = init_unigen_flux_params(k, cfg, dtype=dtype)
         mode_ = quant if mode is None else mode
         if mode_ == "w4a8":
             from unigen_tpu.ops.quant import quantize_unigen_serving
-            p = quantize_unigen_serving(p)
+            p = quantize_unigen_serving(p, adapter_block_bits=adapter_bits)
         elif mode_ == "w8a8":
             from unigen_tpu.ops.quant import quantize_tree
             p = quantize_tree(p)

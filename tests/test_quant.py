@@ -107,15 +107,21 @@ def test_serving_policy_mixed_bits():
     tree = {
         "base": {"attn": {"w": jnp.ones((512, 512)) * 0.01},
                  "gate": {"w": jnp.ones((512, 8))}},
-        "control": {"attn": {"w": jnp.ones((512, 512)) * 0.01},
-                    "experts": {"w": jnp.ones((512, 512))}},
+        "control": {"double_blocks": {"attn": {"w": jnp.ones((512, 512)) * .01}},
+                    "shared_expert": {"attn": {"w": jnp.ones((512, 512)) * .01}},
+                    "moe": {"experts": {"w": jnp.ones((512, 512))}}},
     }
     q = quantize_unigen_serving(tree)
     assert "w_q4" in q["base"]["attn"], "frozen base -> int4"
-    assert "w_q" in q["control"]["attn"], "adapter -> int8"
-    assert "w" in q["base"]["gate"] and "w" in q["control"]["experts"]
+    assert "w_q4" in q["control"]["double_blocks"]["attn"], "adapter blocks -> int4"
+    assert "w_q" in q["control"]["shared_expert"]["attn"], "small adapter -> int8"
+    assert "w" in q["base"]["gate"] and "w" in q["control"]["moe"]["experts"]
+    # the W8 variant of the adapter blocks stays available
+    q8 = quantize_unigen_serving(tree, adapter_block_bits=8)
+    assert "w_q" in q8["control"]["double_blocks"]["attn"]
     # int4 halves the int8 footprint for the same weight
-    assert q["base"]["attn"]["w_q4"].nbytes == q["control"]["attn"]["w_q"].nbytes // 2
+    assert (q["control"]["double_blocks"]["attn"]["w_q4"].nbytes
+            == q["control"]["shared_expert"]["attn"]["w_q"].nbytes // 2)
 
 
 def test_tiny_model_int8_forward_close():

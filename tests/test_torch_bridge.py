@@ -268,3 +268,113 @@ def test_load_clip_and_t5_and_vae_shapes():
     lat = vae_lib.vae_encode(vae_params, vcfg, px)
     out = vae_lib.vae_decode(vae_params, vcfg, lat)
     assert out.shape == px.shape
+
+
+def test_strict_adapter_load_flags_unmapped_keys():
+    """strict=True: a clean reference-name dict loads with every key consumed;
+    one stray key fails loudly naming it (VERDICT r1 #8 loader audit)."""
+    flux = cfg_lib.tiny_flux_config()
+    ucfg = cfg_lib.UniGenConfig(family="flux", flux=flux, condition_types=("canny",))
+    n_cn = flux.num_layers // ucfg.control.single_control_dev
+    n_cn_s = flux.num_single_layers // ucfg.control.single_control_dev
+    e_num = ucfg.control.moe.num_experts(1)
+
+    # base: full diffusers name set consumed exactly
+    base_sd = _flux_tiny_sd(flux)
+    tb.load_flux_transformer(base_sd, flux.num_layers, flux.num_single_layers,
+                             dtype=jnp.float32, strict=True)
+    base_sd["transformer_blocks.0.attn.to_q.lora_A"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="lora_A"):
+        tb.load_flux_transformer(base_sd, flux.num_layers,
+                                 flux.num_single_layers, dtype=jnp.float32,
+                                 strict=True)
+
+    # adapter: reference names incl. the DeepSpeed-MoE expert key layout
+    sd = _build_adapter_sd(flux, ucfg, n_cn, n_cn_s, e_num)
+    tb.load_unigen_adapter(sd, n_cn=n_cn, n_cn_single=n_cn_s,
+                           num_experts=e_num, dtype=jnp.float32, strict=True)
+    sd["moe.moe_layer.experts.deepspeed_experts.99.0.0.weight"] = \
+        np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="deepspeed_experts.99"):
+        tb.load_unigen_adapter(sd, n_cn=n_cn, n_cn_single=n_cn_s,
+                               num_experts=e_num, dtype=jnp.float32, strict=True)
+
+
+def _build_adapter_sd(flux, ucfg, n_cn, n_cn_s, e_num):
+    g = _rng_sd()
+    d, pd, ic = flux.inner_dim, flux.pooled_projection_dim, flux.in_channels
+    hd = flux.attention_head_dim
+    sd = {}
+
+    def lin(name, i, o):
+        sd[f"{name}.weight"] = g(o, i)
+        sd[f"{name}.bias"] = g(o)
+
+    lin("control_x_embedder", ic, d)
+    lin("control_context_embedder", d, d)
+    for root in ["control_time_text_embed", "control_condition_embed"]:
+        for e, ind in [("timestep_embedder", 256), ("text_embedder", pd)]:
+            lin(f"{root}.{e}.linear_1", ind, d)
+            lin(f"{root}.{e}.linear_2", d, d)
+
+    def dbl(p):
+        lin(f"{p}.norm1.linear", d, 6 * d)
+        lin(f"{p}.norm1_context.linear", d, 6 * d)
+        for n in ["to_q", "to_k", "to_v", "to_out.0", "add_q_proj",
+                  "add_k_proj", "add_v_proj", "to_add_out"]:
+            lin(f"{p}.attn.{n}", d, d)
+        for n in ["norm_q", "norm_k", "norm_added_q", "norm_added_k"]:
+            sd[f"{p}.attn.{n}.weight"] = g(hd)
+        for ff in ["ff", "ff_context"]:
+            lin(f"{p}.{ff}.net.0.proj", d, 4 * d)
+            lin(f"{p}.{ff}.net.2", 4 * d, d)
+
+    for i in range(n_cn):
+        dbl(f"control_joint_trans_blocks.{i}")
+        lin(f"controlnet_add_joint_blocks.{i}", d, d)
+    for i in range(n_cn_s):
+        p = f"control_single_trans_blocks.{i}"
+        lin(f"{p}.norm.linear", d, 3 * d)
+        for n in ["to_q", "to_k", "to_v"]:
+            lin(f"{p}.attn.{n}", d, d)
+        sd[f"{p}.attn.norm_q.weight"] = g(hd)
+        sd[f"{p}.attn.norm_k.weight"] = g(hd)
+        lin(f"{p}.proj_mlp", d, 4 * d)
+        lin(f"{p}.proj_out", 5 * d, d)
+        lin(f"controlnet_add_single_blocks.{i}", d, d)
+    sd["moe.moe_layer.gate.wg.weight"] = g(e_num, d)
+    for e in range(e_num):
+        lin(f"moe.moe_layer.experts.deepspeed_experts.{e}.0.0", d, d)
+        lin(f"moe.moe_layer.experts.deepspeed_experts.{e}.0.1", pd, d)
+        lin(f"moe.moe_layer.experts.deepspeed_experts.{e}.1.0", d, d)
+        lin(f"moe.moe_layer.experts.deepspeed_experts.{e}.1.1", pd, d)
+    dbl("shared_expert.0")
+    dbl("shared_expert.1")
+    return sd
+
+
+def test_strict_load_through_bin_shard_format():
+    """strict mode applies identically through the {module}_weights_{idx}.bin
+    shard layout (hook.py:16-21)."""
+    torch = pytest.importorskip("torch")
+    import tempfile, os
+    flux = cfg_lib.tiny_flux_config()
+    ucfg = cfg_lib.UniGenConfig(family="flux", flux=flux, condition_types=("canny",))
+    n_cn = flux.num_layers // ucfg.control.single_control_dev
+    n_cn_s = flux.num_single_layers // ucfg.control.single_control_dev
+    e_num = ucfg.control.moe.num_experts(1)
+    sd = _build_adapter_sd(flux, ucfg, n_cn, n_cn_s, e_num)
+
+    with tempfile.TemporaryDirectory() as td:
+        by_module = {}
+        for k, v in sd.items():
+            mod = k.split(".")[0]
+            by_module.setdefault(mod, {})[k] = torch.tensor(v)
+        for i, (mod, part) in enumerate(sorted(by_module.items())):
+            torch.save(part, os.path.join(td, f"{mod}_weights_{i}.bin"))
+        got = tb.load_adapter_checkpoint(td, n_cn=n_cn, n_cn_single=n_cn_s,
+                                         num_experts=e_num, dtype=jnp.float32,
+                                         strict=True)
+        np.testing.assert_allclose(
+            np.asarray(got["moe"]["experts"]["hid_pool"]["w"][1]),
+            sd["moe.moe_layer.experts.deepspeed_experts.1.1.1.weight"].T)

@@ -153,14 +153,25 @@ def quantize_tree(params: Any, *, min_dim: int = 512,
     return _walk(params, ())
 
 
-def quantize_unigen_serving(params: dict, *, base_bits: int = 4) -> dict:
-    """The single-chip full-topology serving policy (VERDICT r1 #1): the
-    frozen 12B base quantizes to W4 (~6 GB), the trainable adapter to W8
-    (reference serves both in bf16 across many A100s, infer.py:115-149).
-    Expert stacks / router stay bf16 (einsum path)."""
+def quantize_unigen_serving(params: dict, *, base_bits: int = 4,
+                            adapter_block_bits: int = 4) -> dict:
+    """The single-chip full-topology serving policy (VERDICT r1 #1): frozen
+    12B base -> W4 (~5.6 GiB); adapter control-block stacks -> W4 (~2.7 GiB,
+    ``adapter_block_bits=8`` for the higher-fidelity 12.1 GiB variant); the
+    small adapter pieces (shared-expert weave, zero-init add linears,
+    embedders) -> W8. Expert stacks / router stay bf16 (einsum path).
+
+    Memory note: the axon v5e runtime needs ~4 GiB of free HBM for its
+    host-transfer path — at 12.1 GiB resident every device->host read fails
+    with ResourceExhausted, so the DEFAULT policy lands at ~9.5 GiB.
+    (Reference serves everything bf16 across many A100s, infer.py:115-149.)"""
     out = dict(params)
     out["base"] = quantize_tree(params["base"], bits=base_bits)
-    out["control"] = quantize_tree(params["control"], bits=8)
+    ctrl = {}
+    for k, v in params["control"].items():
+        bits = adapter_block_bits if k in ("double_blocks", "single_blocks") else 8
+        ctrl[k] = quantize_tree(v, bits=bits)
+    out["control"] = ctrl
     return out
 
 
