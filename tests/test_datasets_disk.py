@@ -95,3 +95,74 @@ def test_multigen_jsonl(tmp_path):
     # deterministic per (seed, index)
     s2 = MultiGen(root, "canny", resolution=16, split="train")[1]
     np.testing.assert_array_equal(s["pixel_values"], s2["pixel_values"])
+
+
+def test_multigen_reference_record_layout(tmp_path):
+    """Real MultiGen-20M record semantics: 'source' is the TARGET under
+    images/, 'control_{task}' names the condition under conditions/group_*."""
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "json_files"), exist_ok=True)
+    recs = []
+    for i in range(5):
+        _img(os.path.join(root, "images", f"pics/{i}.jpg"), (20 * i, 40, 90),
+             size=(48, 32))
+        _img(os.path.join(root, "conditions", f"group_0_{i}.jpg"),
+             (90, 20 * i, 40), size=(48, 32))
+        recs.append({"source": f"./pics/{i}.jpg",
+                     "control_canny": f"whatever_group_0_{i}.jpg",
+                     "prompt": f"p{i}"})
+    with open(os.path.join(root, "json_files",
+                           "aesthetics_plus_all_group_canny_all.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in recs))
+    ds = MultiGen(root, "canny", resolution=16, split="train")
+    s = ds[0]
+    assert s["pixel_values"].shape == (3, 16, 16)
+    assert s["task_names"] == "canny"
+    assert s["descriptions"] == "p0"  # MultiGen prompt dropout OFF (ref :115)
+
+
+def test_multigen_crop_parity_vs_reference_port():
+    """resize_image_control/target vs an independent numpy port of the
+    reference's crop math (dataloader.py:37-67): same rng -> identical crop
+    windows and identical pixels."""
+    import random as pyrandom
+    import cv2
+    from unigen_tpu.data.datasets import (resize_image_control,
+                                          resize_image_target)
+
+    rng1 = pyrandom.Random(123)
+    rng2 = pyrandom.Random(123)
+    r = np.random.default_rng(0)
+    control = r.integers(0, 255, (40, 64, 3), dtype=np.uint8)   # W > H
+    target = r.integers(0, 255, (80, 128, 3), dtype=np.uint8)   # 2x dims
+    res = 48  # upscales from crop 40 -> LANCZOS4 (k = 48/40 > 1)
+
+    got_c, rates = resize_image_control(control, res, rng1)
+    got_t = resize_image_target(target, res, rates)
+
+    # independent port of the reference math
+    H, W = control.shape[:2]
+    crop = H
+    crop_l = rng2.randint(0, W - crop)
+    ref_c = cv2.resize(control[0:H, crop_l:crop_l + crop], (res, res),
+                       interpolation=cv2.INTER_LANCZOS4)
+    exp_rates = (0.0, 1.0, crop_l / W, (crop_l + crop) / W)
+    H2, W2 = target.shape[:2]
+    t, b = int(exp_rates[0] * H2), int(exp_rates[1] * H2)
+    l, rr = int(exp_rates[2] * W2), int(exp_rates[3] * W2)
+    # k is computed from EACH image's own pre-crop dims: 48/80 < 1 -> AREA
+    ref_t = cv2.resize(target[t:b, l:rr], (res, res),
+                       interpolation=cv2.INTER_AREA)
+
+    assert rates == pytest.approx(exp_rates)
+    np.testing.assert_array_equal(got_c, ref_c)
+    np.testing.assert_array_equal(got_t, ref_t)
+
+    # downscale branch picks AREA (k < 1)
+    big = r.integers(0, 255, (600, 400, 3), dtype=np.uint8)
+    got_big, _ = resize_image_control(big, 128, pyrandom.Random(7))
+    rng3 = pyrandom.Random(7)
+    top = rng3.randint(0, 600 - 400)
+    ref_big = cv2.resize(big[top:top + 400, 0:400], (128, 128),
+                         interpolation=cv2.INTER_AREA)
+    np.testing.assert_array_equal(got_big, ref_big)

@@ -83,12 +83,51 @@ _SYNTH: Dict[str, Callable] = {
 }
 
 
+def make_depth_fn(params: dict, cfg=None, *, target_multiple: int = 14
+                  ) -> Callable:
+    """Build the depth synthesizer from a loaded Depth-Anything tree
+    (models/depth.py + io/torch_bridge.load_depth_anything — the JAX
+    equivalent of the reference's depth-anything-small-hf pipeline,
+    condition.py:52-60). Returns uint8 HWC like every other synthesizer."""
+    import jax
+    import jax.numpy as jnp
+    from unigen_tpu.models.depth import (DepthAnythingConfig, depth_forward,
+                                         depth_to_condition_image)
+    cfg = cfg or DepthAnythingConfig()
+    jfwd = jax.jit(lambda px: depth_to_condition_image(
+        depth_forward(params, cfg, px)))
+
+    # ImageNet normalization (the HF depth pipeline's preprocessing)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def depth_fn(img_u8: np.ndarray) -> np.ndarray:
+        h, w = img_u8.shape[:2]
+        mh = max(target_multiple, h // target_multiple * target_multiple)
+        mw = max(target_multiple, w // target_multiple * target_multiple)
+        from PIL import Image as PILImage
+        resized = np.asarray(PILImage.fromarray(img_u8).resize(
+            (mw, mh), PILImage.BILINEAR))
+        x = (resized.astype(np.float32) / 255.0 - mean) / std
+        out = np.asarray(jfwd(jnp.asarray(x.transpose(2, 0, 1)[None])))[0]
+        out_hwc = np.clip(out.transpose(1, 2, 0), 0, 255).astype(np.uint8)
+        if (mh, mw) != (h, w):
+            out_hwc = np.asarray(PILImage.fromarray(out_hwc).resize(
+                (w, h), PILImage.BILINEAR))
+        return out_hwc
+
+    return depth_fn
+
+
 def synthesize(condition_type: str, img_u8: np.ndarray,
                depth_fn: Optional[Callable] = None, **kw) -> np.ndarray:
-    """Create a condition image. 'depth' requires an injected depth model
-    callable (the reference uses a depth-anything pipeline, condition.py:37)."""
+    """Create a condition image. 'depth' uses an injected depth model
+    callable — build one with ``make_depth_fn`` (the reference downloads
+    depth-anything-small-hf at call time, condition.py:37)."""
     if condition_type == "depth":
-        assert depth_fn is not None, "depth condition needs a depth model"
+        assert depth_fn is not None, \
+            "depth condition needs a depth model: conditions.make_depth_fn(" \
+            "torch_bridge.load_depth_anything(read_checkpoint_dir(ckpt)))"
         return depth_fn(img_u8)
     fn = _SYNTH.get(condition_type)
     if fn is None:

@@ -52,15 +52,43 @@ def _resize(img: np.ndarray, size: int, *, down_ok: bool = True) -> np.ndarray:
     return np.asarray(pil.resize((size, size), method))
 
 
-def _random_crop_pair(target: np.ndarray, control: np.ndarray, rng: random.Random,
-                      min_rate: float = 0.8):
-    """Random crop with the same crop rate/offset applied to both images."""
-    h, w = target.shape[:2]
-    rate = rng.uniform(min_rate, 1.0)
-    ch, cw = int(h * rate), int(w * rate)
-    y = rng.randint(0, h - ch) if h > ch else 0
-    x = rng.randint(0, w - cw) if w > cw else 0
-    return target[y:y + ch, x:x + cw], control[y:y + ch, x:x + cw]
+def _ref_resize(img: np.ndarray, size: int, k: float) -> np.ndarray:
+    """cv2.resize to (size, size); LANCZOS4 when the pre-crop shorter side
+    upscales (k > 1) else AREA — the reference's exact interpolation rule,
+    including the quirk that k is computed from the ORIGINAL dims, not the
+    cropped square (dataloader.py:52-55,65-66)."""
+    try:
+        import cv2
+        interp = cv2.INTER_LANCZOS4 if k > 1 else cv2.INTER_AREA
+        return cv2.resize(img, (size, size), interpolation=interp)
+    except ImportError:  # pragma: no cover
+        return _resize(img, size, down_ok=(k <= 1))
+
+
+def resize_image_control(img: np.ndarray, resolution: int, rng: random.Random):
+    """Reference ``resize_image_control`` (dataloader.py:37-55): random
+    SQUARE crop of the shorter side, resize, and return the crop RATES
+    [t/H, b/H, l/W, r/W] so the target applies the same relative crop."""
+    h, w = img.shape[:2]
+    if w >= h:
+        crop = h
+        left = rng.randint(0, w - crop)      # randint is inclusive, like the ref
+        t, b, l, r = 0, h, left, left + crop
+    else:
+        crop = w
+        top = rng.randint(0, h - crop)
+        t, b, l, r = top, top + crop, 0, w
+    out = _ref_resize(img[t:b, l:r], resolution, resolution / min(h, w))
+    return out, (t / h, b / h, l / w, r / w)
+
+
+def resize_image_target(img: np.ndarray, resolution: int, rates) -> np.ndarray:
+    """Reference ``resize_image_target`` (dataloader.py:57-67): the control's
+    crop rates re-scaled to THIS image's dims, then the same resize rule."""
+    h, w = img.shape[:2]
+    tr, br, lr, rr = rates
+    t, b, l, r = int(tr * h), int(br * h), int(lr * w), int(rr * w)
+    return _ref_resize(img[t:b, l:r], resolution, resolution / min(h, w))
 
 
 class MultiGen:
@@ -68,12 +96,16 @@ class MultiGen:
 
     def __init__(self, data_path: str, task: str, resolution: int = 512,
                  split: str = "train", seed: int = 0,
-                 json_dir: str = "json_files"):
+                 json_dir: str = "json_files", prompt_dropout: float = 0.0):
+        # prompt_dropout defaults OFF: the reference ships MultiGen's 30%
+        # dropout commented out (dataloader.py:115) — only Subjects200K
+        # drops prompts
         self.data_path = data_path
         self.task = task
         self.resolution = resolution
         self.split = split
         self.seed = seed
+        self.prompt_dropout = prompt_dropout
         json_path = os.path.join(
             data_path, json_dir, f"aesthetics_plus_all_group_{task}_all.json")
         self.records: List[dict] = []
@@ -93,20 +125,39 @@ class MultiGen:
     def __getitem__(self, i: int) -> Dict[str, Any]:
         rec = self.records[i]
         rng = random.Random(self.seed * 1_000_003 + i)
-        target = _load_image(os.path.join(self.data_path, rec.get("image", rec.get("target", ""))))
-        control = _load_image(os.path.join(self.data_path, rec.get("source", rec.get("control", ""))))
-        if self.split == "train":
-            target, control = _random_crop_pair(target, control, rng)
-        target = _resize(target, self.resolution)
-        control = _resize(control, self.resolution)
+        # Reference record layout (dataloader.py:84-100): the single key
+        # containing 'control' names the condition under conditions/
+        # (``group_`` + the part after '_group_'); 'source' is the TARGET
+        # under images/ ('./' prefix stripped).
+        ckeys = [k for k in rec if "control" in k]
+        if len(ckeys) == 1 and "source" in rec:
+            ckey = ckeys[0]
+            control_path = os.path.join(
+                self.data_path, "conditions",
+                "group_" + rec[ckey].split("_group_")[-1])
+            tname = rec["source"]
+            tname = tname[2:] if tname.startswith("./") else tname
+            target_path = os.path.join(self.data_path, "images", tname)
+            task = ckey.replace("control_", "")
+        else:  # simplified synthetic layout (tests / custom data)
+            target_path = os.path.join(self.data_path,
+                                       rec.get("image", rec.get("target", "")))
+            control_path = os.path.join(self.data_path,
+                                        rec.get("source", rec.get("control", "")))
+            task = self.task
+        target = _load_image(target_path)
+        control = _load_image(control_path)
+        # crop-rate propagation control -> target, BOTH splits (ref :106-107)
+        control, rates = resize_image_control(control, self.resolution, rng)
+        target = resize_image_target(target, self.resolution, rates)
         prompt = rec.get("prompt", "")
-        if self.split == "train" and rng.random() < PROMPT_DROPOUT:
+        if self.split == "train" and rng.random() < self.prompt_dropout:
             prompt = ""
         return {
             "pixel_values": C.to_model_range(target),
             "condition_pixels": C.to_model_range(control),
             "descriptions": prompt,
-            "task_names": self.task,
+            "task_names": task,
         }
 
 

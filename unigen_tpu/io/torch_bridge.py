@@ -389,3 +389,80 @@ def load_vae(sd: Dict[str, np.ndarray], block_out_channels=(128, 256, 512, 512),
             block["up"] = _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", dtype)
         dec["up"].append(block)
     return {"encoder": enc, "decoder": dec}
+
+
+# ------------------------------------------------------------ Depth-Anything
+
+def _conv_raw(sd, name, dtype, *, bias=True):
+    """Conv kept in torch OIHW layout (models/depth.py convs expect OIHW)."""
+    p = {"w": jnp.asarray(sd[f"{name}.weight"], dtype)}
+    if bias and f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+    return p
+
+
+def load_depth_anything(sd: Dict[str, np.ndarray], cfg=None, *,
+                        dtype=jnp.float32) -> dict:
+    """transformers DepthAnythingForDepthEstimation state dict -> the
+    models/depth.py tree (the reference's depth-anything-small-hf condition
+    synthesizer, src/condition.py:52-60)."""
+    from unigen_tpu.models.depth import DepthAnythingConfig
+    cfg = cfg or DepthAnythingConfig()
+
+    def layer(i):
+        p = f"backbone.encoder.layer.{i}"
+        out = {
+            "norm1": _ln(sd, f"{p}.norm1", dtype),
+            "attn": {"q": _lin(sd, f"{p}.attention.attention.query", dtype),
+                     "k": _lin(sd, f"{p}.attention.attention.key", dtype),
+                     "v": _lin(sd, f"{p}.attention.attention.value", dtype),
+                     "out": _lin(sd, f"{p}.attention.output.dense", dtype)},
+            "norm2": _ln(sd, f"{p}.norm2", dtype),
+            "fc1": _lin(sd, f"{p}.mlp.fc1", dtype),
+            "fc2": _lin(sd, f"{p}.mlp.fc2", dtype),
+        }
+        if f"{p}.layer_scale1.lambda1" in sd:
+            out["ls1"] = jnp.asarray(sd[f"{p}.layer_scale1.lambda1"], dtype)
+            out["ls2"] = jnp.asarray(sd[f"{p}.layer_scale2.lambda1"], dtype)
+        return out
+
+    backbone = {
+        "cls_token": jnp.asarray(sd["backbone.embeddings.cls_token"], dtype),
+        "pos_embed": jnp.asarray(sd["backbone.embeddings.position_embeddings"],
+                                 dtype),
+        "patch_embed": _conv_raw(
+            sd, "backbone.embeddings.patch_embeddings.projection", dtype),
+        "layers": [layer(i) for i in range(cfg.num_layers)],
+        "norm": _ln(sd, "backbone.layernorm", dtype),
+    }
+    reassemble = []
+    for i, factor in enumerate(cfg.reassemble_factors):
+        p = f"neck.reassemble_stage.layers.{i}"
+        r = {"proj": _conv_raw(sd, f"{p}.projection", dtype)}
+        if factor > 1:
+            # ConvTranspose2d weight stays [in, out, f, f]
+            r["resize"] = {"w": jnp.asarray(sd[f"{p}.resize.weight"], dtype),
+                           "b": jnp.asarray(sd[f"{p}.resize.bias"], dtype)}
+        elif factor < 1:
+            r["resize"] = _conv_raw(sd, f"{p}.resize", dtype)
+        reassemble.append(r)
+    fusion = []
+    for i in range(len(cfg.neck_hidden_sizes)):
+        p = f"neck.fusion_stage.layers.{i}"
+        fusion.append({
+            "proj": _conv_raw(sd, f"{p}.projection", dtype),
+            "res1": {"conv1": _conv_raw(sd, f"{p}.residual_layer1.convolution1", dtype),
+                     "conv2": _conv_raw(sd, f"{p}.residual_layer1.convolution2", dtype)},
+            "res2": {"conv1": _conv_raw(sd, f"{p}.residual_layer2.convolution1", dtype),
+                     "conv2": _conv_raw(sd, f"{p}.residual_layer2.convolution2", dtype)},
+        })
+    return {
+        "backbone": backbone,
+        "reassemble": reassemble,
+        "neck_convs": [_conv_raw(sd, f"neck.convs.{i}", dtype, bias=False)
+                       for i in range(len(cfg.neck_hidden_sizes))],
+        "fusion": fusion,
+        "head": {"conv1": _conv_raw(sd, "head.conv1", dtype),
+                 "conv2": _conv_raw(sd, "head.conv2", dtype),
+                 "conv3": _conv_raw(sd, "head.conv3", dtype)},
+    }

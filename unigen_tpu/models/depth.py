@@ -1,0 +1,239 @@
+"""Depth-Anything (DINOv2 backbone + DPT neck/head) in JAX — the depth
+condition synthesizer.
+
+The reference derives its "depth" condition images from the HF
+``depth-anything-small-hf`` pipeline (src/condition.py:52-60); this is the
+TPU-native equivalent: DINOv2-S/14 ViT encoder, DPT reassemble+fusion neck,
+3-conv relative-depth head (transformers DepthAnythingForDepthEstimation
+semantics, golden-tested against it in tests/test_depth_model.py). Weights
+load through io/torch_bridge.load_depth_anything.
+
+Everything static-shaped: convs via lax.conv, torch-style bilinear resizes
+(both align_corners conventions) via precomputed gather weights, the
+stride=kernel ConvTranspose as an exact einsum upsample.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unigen_tpu.layers.core import layer_norm
+
+
+@dataclass(frozen=True)
+class DepthAnythingConfig:
+    # DINOv2 backbone
+    hidden_size: int = 384
+    num_layers: int = 12
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    patch_size: int = 14
+    layerscale: bool = True
+    out_indices: Tuple[int, ...] = (9, 10, 11, 12)  # hidden_states indices
+    # DPT neck / head
+    neck_hidden_sizes: Tuple[int, ...] = (48, 96, 192, 384)
+    reassemble_factors: Tuple[float, ...] = (4, 2, 1, 0.5)
+    fusion_hidden_size: int = 64
+    head_hidden_size: int = 32
+    max_depth: float = 1.0
+
+
+def tiny_depth_config(**overrides) -> DepthAnythingConfig:
+    base = dict(hidden_size=32, num_layers=4, num_heads=2, patch_size=14,
+                out_indices=(1, 2, 3, 4), neck_hidden_sizes=(8, 16, 24, 32),
+                fusion_hidden_size=16, head_hidden_size=8)
+    base.update(overrides)
+    return DepthAnythingConfig(**base)
+
+
+# ------------------------------------------------------------ torch-style ops
+
+def conv2d(p: dict, x: jnp.ndarray, *, stride: int = 1, padding: int = 0
+           ) -> jnp.ndarray:
+    """NCHW conv with torch OIHW weights in ``p['w']``."""
+    out = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), [(padding, padding)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "b" in p:
+        out = out + p["b"][None, :, None, None]
+    return out
+
+
+def conv_transpose_exact(p: dict, x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """ConvTranspose2d with kernel_size == stride == factor (no overlap):
+    exact einsum upsample. ``p['w']`` keeps the torch [in, out, f, f] layout."""
+    b_, c, h, w = x.shape
+    out = jnp.einsum("bchw,cofg->bohfwg", x, p["w"])
+    out = out.reshape(b_, -1, h * factor, w * factor)
+    return out + p["b"][None, :, None, None]
+
+
+def _resize_axis_weights(n_in: int, n_out: int, align_corners: bool):
+    if n_out == 1:
+        idx0 = jnp.zeros((1,), jnp.int32)
+        return idx0, idx0, jnp.zeros((1,), jnp.float32)
+    if align_corners:
+        src = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+    else:
+        src = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * n_in / n_out - 0.5
+        src = jnp.clip(src, 0.0, n_in - 1)
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+    i1 = jnp.minimum(i0 + 1, n_in - 1)
+    return i0, i1, src - i0.astype(jnp.float32)
+
+
+def interpolate_bilinear(x: jnp.ndarray, size: Tuple[int, int], *,
+                         align_corners: bool) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear') parity for NCHW, both corner
+    conventions (DPT uses align_corners=True on upsamples, =False when
+    matching residual sizes)."""
+    h_out, w_out = size
+    h_in, w_in = x.shape[2], x.shape[3]
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    i0, i1, wy = _resize_axis_weights(h_in, h_out, align_corners)
+    rows = (x[:, :, i0, :] * (1 - wy)[None, None, :, None]
+            + x[:, :, i1, :] * wy[None, None, :, None])
+    j0, j1, wx = _resize_axis_weights(w_in, w_out, align_corners)
+    return (rows[:, :, :, j0] * (1 - wx)[None, None, None, :]
+            + rows[:, :, :, j1] * wx[None, None, None, :])
+
+
+# ------------------------------------------------------------ DINOv2 encoder
+
+def _attention(p: dict, x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    hd = d // heads
+
+    def proj(name, v):
+        return (v @ p[name]["w"] + p[name]["b"]).reshape(b, s, heads, hd
+                                                         ).transpose(0, 2, 1, 3)
+
+    q, k, v = proj("q", x), proj("k", x), proj("v", x)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+    return out @ p["out"]["w"] + p["out"]["b"]
+
+
+def _dinov2_layer(p: dict, x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    h = layer_norm(x, weight=p["norm1"]["scale"], bias=p["norm1"]["bias"])
+    h = _attention(p["attn"], h, heads)
+    if "ls1" in p:
+        h = h * p["ls1"]
+    x = x + h
+    h = layer_norm(x, weight=p["norm2"]["scale"], bias=p["norm2"]["bias"])
+    h = jax.nn.gelu(h @ p["fc1"]["w"] + p["fc1"]["b"], approximate=False)
+    h = h @ p["fc2"]["w"] + p["fc2"]["b"]
+    if "ls2" in p:
+        h = h * p["ls2"]
+    return x + h
+
+
+def _backbone(p: dict, cfg: DepthAnythingConfig, pixels: jnp.ndarray
+              ) -> Tuple[List[jnp.ndarray], int, int]:
+    """pixels [B,3,H,W] -> selected hidden states [B, 1+N, C] (post shared
+    final layernorm, cls kept — the neck drops it) + patch grid dims."""
+    b, _, h, w = pixels.shape
+    ph, pw = h // cfg.patch_size, w // cfg.patch_size
+    tokens = conv2d(p["patch_embed"], pixels, stride=cfg.patch_size)
+    tokens = tokens.reshape(b, cfg.hidden_size, ph * pw).transpose(0, 2, 1)
+    cls = jnp.broadcast_to(p["cls_token"], (b, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, tokens], axis=1)
+
+    pos = p["pos_embed"]  # [1, 1+N0, C]
+    n0 = pos.shape[1] - 1
+    g0 = int(round(n0 ** 0.5))
+    if (g0, g0) != (ph, pw):
+        # bicubic grid interpolation would match torch exactly only for the
+        # native grid; use bilinear here and keep goldens on the native size
+        grid = pos[:, 1:].reshape(1, g0, g0, -1).transpose(0, 3, 1, 2)
+        grid = interpolate_bilinear(grid, (ph, pw), align_corners=False)
+        grid = grid.transpose(0, 2, 3, 1).reshape(1, ph * pw, -1)
+        pos = jnp.concatenate([pos[:, :1], grid], axis=1)
+    x = x + pos
+
+    selected = {}
+    hidden_index = 0
+    if hidden_index in cfg.out_indices:
+        selected[0] = x
+    for i, lp in enumerate(p["layers"]):
+        x = _dinov2_layer(lp, x, cfg.num_heads)
+        if (i + 1) in cfg.out_indices:
+            selected[i + 1] = x
+    outs = [layer_norm(selected[i], weight=p["norm"]["scale"],
+                       bias=p["norm"]["bias"]) for i in sorted(selected)]
+    return outs, ph, pw
+
+
+# ------------------------------------------------------------ DPT neck + head
+
+def _preact_residual(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    h = conv2d(p["conv1"], jax.nn.relu(x), padding=1)
+    h = conv2d(p["conv2"], jax.nn.relu(h), padding=1)
+    return h + x
+
+
+def _fusion_layer(p: dict, x: jnp.ndarray, residual, size) -> jnp.ndarray:
+    if residual is not None:
+        if residual.shape != x.shape:
+            residual = interpolate_bilinear(residual, x.shape[2:],
+                                            align_corners=False)
+        x = x + _preact_residual(p["res1"], residual)
+    x = _preact_residual(p["res2"], x)
+    target = size if size is not None else (x.shape[2] * 2, x.shape[3] * 2)
+    x = interpolate_bilinear(x, target, align_corners=True)
+    return conv2d(p["proj"], x)
+
+
+def depth_forward(params: dict, cfg: DepthAnythingConfig,
+                  pixels: jnp.ndarray) -> jnp.ndarray:
+    """[B, 3, H, W] (normalized) -> relative depth [B, H, W]."""
+    hidden, ph, pw = _backbone(params["backbone"], cfg, pixels)
+
+    # reassemble: drop cls, to NCHW grid, project, resize per factor
+    feats = []
+    for i, (hs, factor) in enumerate(zip(hidden, cfg.reassemble_factors)):
+        grid = hs[:, 1:].reshape(hs.shape[0], ph, pw, -1).transpose(0, 3, 1, 2)
+        rp = params["reassemble"][i]
+        grid = conv2d(rp["proj"], grid)
+        if factor > 1:
+            grid = conv_transpose_exact(rp["resize"], grid, int(factor))
+        elif factor < 1:
+            grid = conv2d(rp["resize"], grid, stride=int(1 / factor), padding=1)
+        feats.append(conv2d({"w": params["neck_convs"][i]["w"]}, grid,
+                            padding=1))
+
+    # fusion: reversed; the first layer consumes the deepest feature alone,
+    # later layers fuse the running state with the next feature as residual
+    fused = None
+    feats_r = feats[::-1]
+    for idx, fp in enumerate(params["fusion"]):
+        size = feats_r[idx + 1].shape[2:] if idx + 1 < len(feats_r) else None
+        if idx == 0:
+            fused = _fusion_layer(fp, feats_r[idx], None, size)
+        else:
+            fused = _fusion_layer(fp, fused, feats_r[idx], size)
+
+    d = conv2d(params["head"]["conv1"], fused, padding=1)
+    d = interpolate_bilinear(d, (ph * cfg.patch_size, pw * cfg.patch_size),
+                             align_corners=True)
+    d = jax.nn.relu(conv2d(params["head"]["conv2"], d, padding=1))
+    d = conv2d(params["head"]["conv3"], d)
+    d = jax.nn.relu(d) * cfg.max_depth
+    return d[:, 0]
+
+
+def depth_to_condition_image(depth: jnp.ndarray) -> jnp.ndarray:
+    """Relative depth map -> uint8-range RGB condition image (the HF depth
+    pipeline normalizes to [0,255] per image; condition.py consumes that)."""
+    dmin = jnp.min(depth, axis=(-2, -1), keepdims=True)
+    dmax = jnp.max(depth, axis=(-2, -1), keepdims=True)
+    norm = (depth - dmin) / jnp.maximum(dmax - dmin, 1e-8) * 255.0
+    return jnp.repeat(norm[:, None], 3, axis=1)  # [B, 3, H, W]
