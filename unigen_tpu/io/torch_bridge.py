@@ -466,3 +466,37 @@ def load_depth_anything(sd: Dict[str, np.ndarray], cfg=None, *,
                  "conv2": _conv_raw(sd, "head.conv2", dtype),
                  "conv3": _conv_raw(sd, "head.conv3", dtype)},
     }
+
+
+# ------------------------------------------------------------ Gemma-2 (SANA)
+
+def load_gemma_text(sd: Dict[str, np.ndarray], num_layers: int = 26, *,
+                    dtype=jnp.float32) -> dict:
+    """transformers Gemma2Model state dict -> models/gemma_text tree (the
+    SANA family's prompt encoder)."""
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def layer(i):
+        p = f"{pre}layers.{i}"
+        return {
+            "input_ln": {"scale": jnp.asarray(sd[f"{p}.input_layernorm.weight"], dtype)},
+            "post_attn_ln": {"scale": jnp.asarray(
+                sd[f"{p}.post_attention_layernorm.weight"], dtype)},
+            "pre_ff_ln": {"scale": jnp.asarray(
+                sd[f"{p}.pre_feedforward_layernorm.weight"], dtype)},
+            "post_ff_ln": {"scale": jnp.asarray(
+                sd[f"{p}.post_feedforward_layernorm.weight"], dtype)},
+            "attn": {"q": _lin(sd, f"{p}.self_attn.q_proj", dtype),
+                     "k": _lin(sd, f"{p}.self_attn.k_proj", dtype),
+                     "v": _lin(sd, f"{p}.self_attn.v_proj", dtype),
+                     "o": _lin(sd, f"{p}.self_attn.o_proj", dtype)},
+            "gate": _lin(sd, f"{p}.mlp.gate_proj", dtype),
+            "up": _lin(sd, f"{p}.mlp.up_proj", dtype),
+            "down": _lin(sd, f"{p}.mlp.down_proj", dtype),
+        }
+
+    return {
+        "embed": jnp.asarray(sd[f"{pre}embed_tokens.weight"], dtype),
+        "layers": [layer(i) for i in range(num_layers)],
+        "final_ln": {"scale": jnp.asarray(sd[f"{pre}norm.weight"], dtype)},
+    }

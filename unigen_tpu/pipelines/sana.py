@@ -1,0 +1,173 @@
+"""UniGenSanaPipeline — controllable generation on the SANA family.
+
+Beyond-parity: the reference builds SANAUniGen (UniGenTransformer.py:
+1453-2112) but ships NO pipeline for it; this completes the family with the
+same one-jit design as pipelines/flux.py: AE-encode the control image, run
+the N-step flow-matching Euler loop (lax.scan) through sana_unigen_forward,
+AE-decode.
+
+Text encoding follows the reference's split conditioning: the PROMPT
+sequence embedding comes from Gemma-2 (SANA's native encoder,
+models/gemma_text.py), while pooled prompt/condition-task embeddings come
+from CLIP-L (the reference reuses its CLIP-based ``encode_prompt`` one-
+encoder mode for every family, train.py:392-397 — hence SANA's
+pooled_projection_dim of 768).
+
+The autoencoder is pluggable (``ae_encode``/``ae_decode`` callables +
+``ae_downscale``): SANA's DC-AE is f32c32; checkpoint bridging for DC-AE
+needs a weights-available environment, and any latent autoencoder with the
+right channel count drives the pipeline (tests use the tiny KL VAE).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unigen_tpu.config import UniGenConfig
+from unigen_tpu.models.clip_text import CLIPTextConfig, clip_encode
+from unigen_tpu.models.gemma_text import GemmaConfig, gemma_encode
+from unigen_tpu.models.sana import sana_unigen_forward
+from unigen_tpu.pipelines import scheduling
+
+
+@dataclass
+class UniGenSanaPipeline:
+    cfg: UniGenConfig
+    params: Dict[str, Any]                      # base, control
+    ae_encode: Callable                         # [B,3,H,W] -> [B,C,h,w]
+    ae_decode: Callable                         # [B,C,h,w] -> [B,3,H,W]
+    ae_downscale: int = 32                      # DC-AE f32c32
+    gemma_cfg: Optional[GemmaConfig] = None
+    gemma_params: Optional[dict] = None
+    clip_cfg: Optional[CLIPTextConfig] = None
+    clip_params: Optional[dict] = None
+    tokenizer: Any = None                       # Gemma tokenizer
+    tokenizer_clip: Any = None
+    scheduler: scheduling.FlowMatchConfig = field(
+        default_factory=lambda: scheduling.FlowMatchConfig(
+            shift=3.0, use_dynamic_shifting=False))   # SANA flow shift
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self._program_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------ text
+
+    def encode_prompt(self, prompt: Union[str, Sequence[str]],
+                      max_sequence_length: int = 300) -> jnp.ndarray:
+        """Gemma-2 last hidden states [B, S, caption_channels]."""
+        assert self.tokenizer is not None and self.gemma_params is not None
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        ids = self.tokenizer(prompts, padding="max_length",
+                             max_length=max_sequence_length, truncation=True,
+                             return_tensors="np")
+        embeds = jax.jit(partial(gemma_encode, cfg=self.gemma_cfg))(
+            self.gemma_params, input_ids=jnp.asarray(ids.input_ids),
+            attention_mask=jnp.asarray(ids.attention_mask))
+        return (embeds.astype(self.dtype),
+                jnp.asarray(ids.attention_mask))
+
+    def encode_pooled(self, text: Union[str, Sequence[str]]) -> jnp.ndarray:
+        """CLIP-L pooled embedding (prompt or condition task name)."""
+        assert self.tokenizer_clip is not None and self.clip_params is not None
+        prompts = [text] if isinstance(text, str) else list(text)
+        clip_len = min(77, self.clip_cfg.max_position_embeddings)
+        ids = self.tokenizer_clip(prompts, padding="max_length",
+                                  max_length=clip_len, truncation=True,
+                                  return_tensors="np").input_ids
+        _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
+            self.clip_params, input_ids=jnp.asarray(ids))
+        return pooled.astype(self.dtype)
+
+    # ------------------------------------------------------------ program
+
+    def _denoise_program(self, num_steps: int, height: int, width: int,
+                         scale_schedule):
+        cfg = self.cfg
+        lh, lw = height // self.ae_downscale, width // self.ae_downscale
+        sigmas, timesteps = scheduling.inference_sigmas(
+            self.scheduler, num_steps, image_seq_len=lh * lw)
+        sigmas = np.asarray(sigmas)
+        timesteps = np.asarray(timesteps)
+
+        def program(params, latents, control_pixels, prompt_embeds,
+                    prompt_mask, pooled, cond_pooled):
+            control_lat = self.ae_encode(control_pixels).astype(self.dtype)
+            b = latents.shape[0]
+            sig = jnp.asarray(sigmas)
+            tsteps = jnp.asarray(timesteps)
+            sched = jnp.asarray(scale_schedule)
+
+            def step(lat, i):
+                pred, _, _ = sana_unigen_forward(
+                    params, cfg, hidden=lat, condition=control_lat,
+                    encoder=prompt_embeds, pooled=pooled,
+                    condition_pooled=cond_pooled,
+                    timestep=jnp.full((b,), tsteps[i] / 1000.0, self.dtype),
+                    encoder_mask=prompt_mask,
+                    conditioning_scale=sched[i])
+                lat = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
+                return lat, None
+
+            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            return self.ae_decode(latents.astype(jnp.float32))
+
+        return program, (lh, lw)
+
+    def generate(self, *, prompt_embeds, prompt_mask, pooled, cond_pooled,
+                 control_pixels, height: int = 512, width: int = 512,
+                 num_inference_steps: int = 20,
+                 conditioning_scale: float = 1.0,
+                 control_guidance_start: float = 0.0,
+                 control_guidance_end: float = 1.0,
+                 seed: int = 0, latents=None) -> np.ndarray:
+        steps = num_inference_steps
+        keep = np.array([
+            1.0 - float((i / steps < control_guidance_start)
+                        or ((i + 1) / steps > control_guidance_end))
+            for i in range(steps)], np.float32)
+        schedule = tuple(conditioning_scale * keep)
+        key = (steps, height, width, schedule)
+        if key in self._program_cache:
+            program, (lh, lw) = self._program_cache[key]
+        else:
+            program, (lh, lw) = self._denoise_program(steps, height, width,
+                                                      np.asarray(schedule))
+            program = jax.jit(program)
+            self._program_cache[key] = (program, (lh, lw))
+        b = prompt_embeds.shape[0]
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (b, self.cfg.sana.in_channels, lh, lw), self.dtype)
+        pixels = program(self.params, latents,
+                         jnp.asarray(control_pixels, self.dtype),
+                         prompt_embeds, prompt_mask, pooled, cond_pooled)
+        imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
+        return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
+
+    # ------------------------------------------------------------ public
+
+    def __call__(self, prompt: Union[str, Sequence[str]],
+                 condition_prompt: str, control_image: np.ndarray,
+                 height: int = 512, width: int = 512,
+                 num_inference_steps: int = 20,
+                 conditioning_scale: float = 1.0,
+                 max_sequence_length: int = 300, seed: int = 0,
+                 **kw) -> np.ndarray:
+        embeds, mask = self.encode_prompt(prompt, max_sequence_length)
+        pooled = self.encode_pooled(prompt)
+        cond_pooled = self.encode_pooled(condition_prompt)
+        return self.generate(
+            prompt_embeds=embeds, prompt_mask=mask, pooled=pooled,
+            cond_pooled=cond_pooled,
+            control_pixels=jnp.asarray(control_image, self.dtype),
+            height=height, width=width,
+            num_inference_steps=num_inference_steps,
+            conditioning_scale=conditioning_scale, seed=seed, **kw)
