@@ -79,9 +79,10 @@ def flux_full(condition_types=("canny",)) -> C.UniGenConfig:
     """The REAL FLUX.1 topology — 19 double / 38 single base blocks at width
     3072 (24 heads x 128), 9 + 19 control blocks, full MoE + shared expert:
     BASELINE config #1's exact model (reference UniGenTransformer.py:744,
-    infer.py:115-149). bf16 needs ~33 GB (multi-chip path, parallel/);
+    infer.py:115-149). bf16 needs ~35 GiB (multi-chip path, parallel/);
     single-chip serving quantizes with ops/quant.quantize_unigen_serving
-    (W4A8 frozen base + W8A8 adapter ~= 11 GB)."""
+    (W4 base + W4 adapter blocks + W8 small pieces = 9.4 GiB, leaving the
+    HBM headroom the axon runtime's host-transfer path requires)."""
     return C.UniGenConfig(
         family="flux",
         flux=C.FluxBackboneConfig(guidance_embeds=False),
