@@ -68,10 +68,17 @@ def model_flops_per_forward(cfg, s_img: int, s_txt: int, s_cond: int) -> float:
 
 def bench_train():
     """UNIGEN_BENCH_TRAIN=1: one-chip flow-matching train-step throughput
-    (BASELINE config #5's hot loop, reference train.py:517-697). bf16 proxy
-    preset (full-width 6/12 depth — bf16 params + grads + AdamW state for
-    the full 19/38 topology exceed one v5e), micro-batch per the reference's
-    per-GPU batch of 1 (ds_zero3.json:30), remat on."""
+    (BASELINE config #5's hot loop, reference train.py:517-697). Real width
+    at reduced depth (presets.flux_train_bench: 2 double / 4 single — the
+    adapter's params+grads+AdamW state quadruple its bytes, so full depth is
+    the multi-chip/ZeRO path just as the reference needs ZeRO-3 + CPU
+    offload, ds_zero3.json). The frozen base runs QLoRA-style in int4
+    (straight-through quantized matmuls, ops/quant.py); adapter + optimizer
+    in bf16; micro-batch 1 (reference per-GPU batch, ds_zero3.json:30);
+    remat on. Fallback rung drops the shared-expert weave (~45% of the tiny
+    adapter) and is labelled accordingly."""
+    import gc
+
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/unigen_jax_cache")
@@ -79,66 +86,91 @@ def bench_train():
 
     from unigen_tpu import config as C, presets
     from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.ops.quant import quantize_tree, quantized_bytes
     from unigen_tpu.train import train_step as ts
 
-    cfg = presets.flux_bench()
-    tcfg = C.TrainConfig(train_batch_size=1, remat=True)
-    bb = cfg.flux
-    dtype = jnp.bfloat16
     res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
     b = int(os.environ.get("UNIGEN_BENCH_TRAIN_BATCH", "1"))
     lat_hw, t_len = res // 8, 512
+    tcfg = C.TrainConfig(train_batch_size=b, remat=True)
+    dtype = jnp.bfloat16
 
-    t0 = time.time()
-    params = jax.jit(lambda k: init_unigen_flux_params(k, cfg, dtype=dtype))(
-        jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    state = jax.jit(lambda c: ts.init_train_state(c, tcfg))(params["control"])
-    jax.block_until_ready(state)
-    print(f"# train param+opt init {time.time()-t0:.1f}s", file=sys.stderr)
+    def run(shared_expert: bool):
+        cfg = presets.flux_train_bench(shared_expert=shared_expert)
+        bb = cfg.flux
+        t0 = time.time()
 
-    ks = jax.random.split(jax.random.PRNGKey(1), 5)
-    batch = {
-        "latents": jax.random.normal(ks[0], (b, 16, lat_hw, lat_hw), dtype),
-        "condition_latents": jax.random.normal(ks[1], (b, 16, lat_hw, lat_hw),
-                                               dtype),
-        "prompt_embeds": jax.random.normal(ks[2], (b, t_len,
-                                                   bb.joint_attention_dim), dtype),
-        "pooled": jax.random.normal(ks[3], (b, bb.pooled_projection_dim), dtype),
-        "condition_pooled": jax.random.normal(ks[4],
-                                              (b, bb.pooled_projection_dim), dtype),
-    }
-    step_fn = jax.jit(ts.make_train_step(cfg, tcfg, attn_impl="auto"),
-                      donate_argnums=(0,))
-    rng = jax.random.PRNGKey(2)
+        def _init(k):
+            p = init_unigen_flux_params(k, cfg, dtype=dtype)
+            # frozen base -> int4 (QLoRA); adapter stays bf16 for training
+            return {"base": quantize_tree(p["base"], bits=4),
+                    "control": p["control"]}
 
-    t0 = time.time()
-    state, metrics = step_fn(state, params["base"], batch, rng)
-    loss0 = float(metrics["step_loss"])  # d2h sync
-    compile_s = time.time() - t0
-    K = 4
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(K):
-            state, metrics = step_fn(state, params["base"], batch, rng)
-        _ = float(metrics["step_loss"])
-        times.append((time.perf_counter() - t0) / K)
-    dt = min(times)
-    flops_image = 3 * model_flops_per_forward(
-        cfg, (res // 16) ** 2, t_len, (res // 16) ** 2)   # fwd + bwd ~= 3x fwd
-    est_ref_a100 = 312e12 * 0.35 / flops_image
-    sps = b / dt
-    print(f"# train b={b} compile={compile_s:.1f}s step={dt*1000:.1f}ms "
-          f"loss0={loss0:.3f} mfu={flops_image*sps/197e12:.3f} (bf16 peak)",
-          file=sys.stderr)
-    print(json.dumps({
-        "metric": "unigen_flux_train_step_512px_samples_per_sec",
-        "value": round(sps, 4), "unit": "samples/sec/chip",
-        "vs_baseline": round(sps / est_ref_a100, 3),
-        "config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
-                  f"w{bb.inner_dim}_bf16_train",
-    }))
+        params = jax.jit(_init)(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        state = jax.jit(lambda c: ts.init_train_state(c, tcfg))(params["control"])
+        jax.block_until_ready(state)
+        resident = (quantized_bytes(params) + quantized_bytes(state)) / 2 ** 30
+        print(f"# train init {time.time()-t0:.1f}s shared_expert="
+              f"{shared_expert} resident={resident:.2f}GiB", file=sys.stderr)
+
+        ks = jax.random.split(jax.random.PRNGKey(1), 5)
+        batch = {
+            "latents": jax.random.normal(ks[0], (b, 16, lat_hw, lat_hw), dtype),
+            "condition_latents": jax.random.normal(
+                ks[1], (b, 16, lat_hw, lat_hw), dtype),
+            "prompt_embeds": jax.random.normal(
+                ks[2], (b, t_len, bb.joint_attention_dim), dtype),
+            "pooled": jax.random.normal(ks[3], (b, bb.pooled_projection_dim),
+                                        dtype),
+            "condition_pooled": jax.random.normal(
+                ks[4], (b, bb.pooled_projection_dim), dtype),
+        }
+        step_fn = jax.jit(ts.make_train_step(cfg, tcfg, attn_impl="auto"),
+                          donate_argnums=(0,))
+        rng = jax.random.PRNGKey(2)
+
+        t0 = time.time()
+        state2, metrics = step_fn(state, params["base"], batch, rng)
+        loss0 = float(metrics["step_loss"])  # d2h sync
+        compile_s = time.time() - t0
+        K = 4
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                state2, metrics = step_fn(state2, params["base"], batch, rng)
+            _ = float(metrics["step_loss"])
+            times.append((time.perf_counter() - t0) / K)
+        dt = min(times)
+        flops_image = 3 * model_flops_per_forward(
+            cfg, (res // 16) ** 2, t_len, (res // 16) ** 2)  # fwd+bwd ~= 3x fwd
+        est_ref_a100 = 312e12 * 0.35 / flops_image
+        sps = b / dt
+        print(f"# train b={b} compile={compile_s:.1f}s step={dt*1000:.1f}ms "
+              f"loss0={loss0:.3f} mfu={flops_image*sps/394e12:.3f} "
+              f"(int8 peak; int4 base + bf16 adapter)", file=sys.stderr)
+        se = "" if shared_expert else "_noshared"
+        print(json.dumps({
+            "metric": "unigen_flux_train_step_512px_samples_per_sec",
+            "value": round(sps, 4), "unit": "samples/sec/chip",
+            "vs_baseline": round(sps / est_ref_a100, 3),
+            "config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                      f"w{bb.inner_dim}_w4base_bf16adapter_train{se}",
+        }))
+
+    for shared in (True, False):
+        try:
+            run(shared)
+            return
+        except Exception as e:
+            print(f"# train rung shared_expert={shared} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            gc.collect()
+            time.sleep(30)
+    print(json.dumps({"metric": "unigen_flux_train_step_512px_samples_per_sec",
+                      "value": 0.0, "unit": "samples/sec/chip",
+                      "vs_baseline": 0.0, "error": "all rungs failed"}))
 
 
 def main():

@@ -151,3 +151,26 @@ def test_tiny_model_int8_forward_close():
     got, _, _ = unigen_flux_forward(qparams, cfg, **batch)
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 0.15, rel  # serving-grade, not parity-grade
+
+
+def test_quantized_matmul_straight_through_gradients():
+    """QLoRA convention: dx flows through quantized frozen weights (the
+    dequantized transpose), the integer weight itself gets no grad — so a
+    frozen W4/W8 base still back-propagates into upstream adapter params."""
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32)) * 0.05
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    g_ref = jax.grad(lambda x_: float(0) + jnp.sum(jnp.tanh(x_ @ w)))(x)
+    q8 = quantize_weight(w)
+    q4 = quantize_weight_int4(w)
+    g8 = jax.grad(lambda x_: jnp.sum(jnp.tanh(
+        int8_matmul(x_, q8["w_q"], q8["w_scale"]))))(x)
+    g4 = jax.grad(lambda x_: jnp.sum(jnp.tanh(
+        int4_matmul(x_, q4["w_q4"], q4["w_scale"]))))(x)
+    assert float(jnp.linalg.norm(g8 - g_ref) / jnp.linalg.norm(g_ref)) < 0.05
+    assert float(jnp.linalg.norm(g4 - g_ref) / jnp.linalg.norm(g_ref)) < 0.35
+    # upstream param behind a quantized frozen layer still gets gradient
+    a0 = jnp.eye(64, 64)
+    ga = jax.grad(lambda a: jnp.sum(int8_matmul(x @ a, q8["w_q"],
+                                                q8["w_scale"])))(a0)
+    assert bool(jnp.any(ga != 0))

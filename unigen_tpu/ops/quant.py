@@ -23,6 +23,7 @@ error next to every quantized throughput number).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import jax
@@ -82,11 +83,21 @@ def _check_2d(w, name):
             "block (inside the lax.scan) before the matmul")
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                 out_dtype=None) -> jnp.ndarray:
     """Dynamic per-token activation quantization + int8 MXU matmul.
 
-    x [..., N, in] fp; w_q [in, out] int8; w_scale [1, out]."""
+    x [..., N, in] fp; w_q [in, out] int8; w_scale [1, out].
+
+    Differentiable w.r.t. x via a straight-through VJP (dx = g W_deq^T,
+    the QLoRA convention) so gradients FLOW THROUGH a quantized frozen
+    backbone into upstream adapter params; the integer weight itself gets
+    no gradient (it is frozen by construction)."""
+    return _int8_matmul_fwd_only(x, w_q, w_scale, out_dtype)
+
+
+def _int8_matmul_fwd_only(x, w_q, w_scale, out_dtype=None):
     _check_2d(w_q, "int8_matmul")
     out_dtype = out_dtype or x.dtype
     xq, xs = _quantize_act(x)
@@ -95,10 +106,31 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     return (acc.astype(jnp.float32) * xs * w_scale.reshape(-1)).astype(out_dtype)
 
 
+def _int8_mm_fwd(x, w_q, w_scale, out_dtype):
+    return _int8_matmul_fwd_only(x, w_q, w_scale, out_dtype), (x, w_q, w_scale)
+
+
+def _int8_mm_bwd(out_dtype, res, g):
+    x, w_q, w_scale = res
+    w_deq = w_q.astype(jnp.float32) * w_scale       # [in, out]
+    dx = jax.lax.dot_general(g.astype(jnp.float32), w_deq,
+                             (((g.ndim - 1,), (1,)), ((), ())))
+    return dx.astype(x.dtype), None, None
+
+
+int8_matmul.defvjp(_int8_mm_fwd, _int8_mm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, w_scale: jnp.ndarray,
                 out_dtype=None) -> jnp.ndarray:
     """W4A8: unpack the nibble-packed weight (two VPU shifts) and run the
-    int8 MXU matmul. x [..., N, in] fp; w_q4 [in/2, out] packed int8."""
+    int8 MXU matmul. x [..., N, in] fp; w_q4 [in/2, out] packed int8.
+    Straight-through VJP like int8_matmul (QLoRA-style frozen base)."""
+    return _int4_matmul_fwd_only(x, w_q4, w_scale, out_dtype)
+
+
+def _int4_matmul_fwd_only(x, w_q4, w_scale, out_dtype=None):
     _check_2d(w_q4, "int4_matmul")
     out_dtype = out_dtype or x.dtype
     xq, xs = _quantize_act(x)
@@ -106,6 +138,21 @@ def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, w_scale: jnp.ndarray,
                               (((xq.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32) * xs * w_scale.reshape(-1)).astype(out_dtype)
+
+
+def _int4_mm_fwd(x, w_q4, w_scale, out_dtype):
+    return _int4_matmul_fwd_only(x, w_q4, w_scale, out_dtype), (x, w_q4, w_scale)
+
+
+def _int4_mm_bwd(out_dtype, res, g):
+    x, w_q4, w_scale = res
+    w_deq = unpack_int4(w_q4).astype(jnp.float32) * w_scale
+    dx = jax.lax.dot_general(g.astype(jnp.float32), w_deq,
+                             (((g.ndim - 1,), (1,)), ((), ())))
+    return dx.astype(x.dtype), None, None
+
+
+int4_matmul.defvjp(_int4_mm_fwd, _int4_mm_bwd)
 
 
 def is_quantized(p: dict) -> bool:

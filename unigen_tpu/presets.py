@@ -92,6 +92,27 @@ def flux_full(condition_types=("canny",)) -> C.UniGenConfig:
     )
 
 
+def flux_train_bench(condition_types=("canny",), *,
+                     shared_expert: bool = True) -> C.UniGenConfig:
+    """Single-chip TRAIN-step benchmark preset: real width (3072), 2 double /
+    4 single base blocks (1 + 2 control blocks). Training quadruples adapter
+    bytes (params + grads + AdamW m/v), so even with the frozen base in int4
+    (QLoRA-style straight-through matmuls, ops/quant.py) full depth cannot
+    fit one v5e — per-block step time extrapolates. ``shared_expert=False``
+    is the smaller fallback rung (the 2-block weave is ~45% of the tiny
+    adapter)."""
+    return C.UniGenConfig(
+        family="flux",
+        flux=C.FluxBackboneConfig(
+            in_channels=64, num_layers=2, num_single_layers=4,
+            attention_head_dim=128, num_attention_heads=24,
+            joint_attention_dim=4096, pooled_projection_dim=768,
+            guidance_embeds=False, axes_dims_rope=(16, 56, 56)),
+        control=C.ControlConfig(use_shared_expert=shared_expert),
+        condition_types=tuple(condition_types),
+    )
+
+
 def tiny(condition_types=("canny",)) -> C.UniGenConfig:
     return C.UniGenConfig(family="flux", flux=C.tiny_flux_config(),
                           condition_types=tuple(condition_types))
