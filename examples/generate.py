@@ -20,6 +20,8 @@ def main():
     apply_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default=None, help="diffusers-layout FLUX dir")
+    p.add_argument("--family", default="flux", choices=["flux", "sana"],
+                   help="model family for the random tiny demo")
     p.add_argument("--prompt", default="a cat wearing a hat")
     p.add_argument("--condition", default="canny")
     p.add_argument("--image", default=None, help="control image path")
@@ -41,6 +43,33 @@ def main():
         imgs = pipe(prompt=args.prompt, condition_prompt=args.condition,
                     control_image=C.to_model_range(control)[None],
                     num_inference_steps=args.steps)
+    elif args.family == "sana":
+        print("no --ckpt given: running the random tiny SANA demo")
+        from unigen_tpu import config as cfg_lib
+        from unigen_tpu.models import vae as vae_lib
+        from unigen_tpu.models.sana import init_sana_unigen_params
+        from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+
+        sana = cfg_lib.tiny_sana_config()
+        ucfg = cfg_lib.UniGenConfig(family="sana", sana=sana,
+                                    condition_types=(args.condition,))
+        params = init_sana_unigen_params(jax.random.PRNGKey(0), ucfg)
+        vae_cfg = vae_lib.tiny_vae_config(latent_channels=sana.in_channels)
+        vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+        pipe = UniGenSanaPipeline(
+            cfg=ucfg, params=params,
+            ae_encode=lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px),
+            ae_decode=lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat),
+            ae_downscale=vae_cfg.downscale)
+        res = 8 * vae_cfg.downscale
+        ks = jax.random.split(jax.random.PRNGKey(2), 2)
+        imgs = pipe.generate(
+            prompt_embeds=jax.random.normal(ks[0], (1, 8, sana.caption_channels)),
+            prompt_mask=jnp.ones((1, 8), jnp.int32),
+            pooled=jax.random.normal(ks[1], (1, sana.pooled_projection_dim)),
+            cond_pooled=jnp.zeros((1, sana.pooled_projection_dim)),
+            control_pixels=np.zeros((1, 3, res, res), np.float32),
+            height=res, width=res, num_inference_steps=args.steps)
     else:
         print("no --ckpt given: running the random tiny demo model")
         from unigen_tpu import config as cfg_lib, presets
