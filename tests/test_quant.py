@@ -174,3 +174,21 @@ def test_quantized_matmul_straight_through_gradients():
     ga = jax.grad(lambda a: jnp.sum(int8_matmul(x @ a, q8["w_q"],
                                                 q8["w_scale"])))(a0)
     assert bool(jnp.any(ga != 0))
+
+
+def test_w4a8_pallas_kernel_matches_xla():
+    """Fused dequant-matmul kernel (packed-int4 read, VPU unpack, int8 MXU)
+    is bit-identical to the XLA unpack path (interpret mode on CPU)."""
+    import os
+    os.environ["UNIGEN_PALLAS_INTERPRET"] = "1"
+    from unigen_tpu.ops import quant
+    from unigen_tpu.ops.pallas import quant_matmul as qm
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(2048, 384)).astype(np.float32)) * 0.02
+    x = jnp.asarray(rng.normal(size=(200, 2048)).astype(np.float32))
+    q4 = quantize_weight_int4(w)
+    ref = int4_matmul(x, q4["w_q4"], q4["w_scale"], jnp.float32)
+    xq, xs = quant._quantize_act(x)
+    got = qm.w4a8_matmul_pallas(xq, xs, q4["w_q4"],
+                                q4["w_scale"].reshape(1, -1), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

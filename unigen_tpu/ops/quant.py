@@ -24,6 +24,7 @@ error next to every quantized throughput number).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Sequence
 
 import jax
@@ -134,6 +135,18 @@ def _int4_matmul_fwd_only(x, w_q4, w_scale, out_dtype=None):
     _check_2d(w_q4, "int4_matmul")
     out_dtype = out_dtype or x.dtype
     xq, xs = _quantize_act(x)
+    if os.environ.get("UNIGEN_W4_KERNEL", "0") == "1" \
+            and jax.default_backend() == "tpu":
+        # fused dequant-matmul: packed weight read straight into VMEM,
+        # nibble unpack on the VPU — no HBM materialisation of the int8
+        # weight (ops/pallas/quant_matmul.py). Opt-in until A/B'd.
+        from unigen_tpu.ops.pallas import quant_matmul as qm
+        if qm.supported(x, w_q4):
+            lead = x.shape[:-1]
+            out = qm.w4a8_matmul_pallas(
+                xq.reshape(-1, x.shape[-1]), xs.reshape(-1, 1),
+                w_q4, w_scale.reshape(1, -1), out_dtype)
+            return out.reshape(*lead, -1)
     acc = jax.lax.dot_general(xq, unpack_int4(w_q4),
                               (((xq.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
