@@ -179,10 +179,12 @@ def test_quantized_matmul_straight_through_gradients():
 def test_w4a8_pallas_kernel_matches_xla():
     """Fused dequant-matmul kernel (packed-int4 read, VPU unpack, int8 MXU)
     is bit-identical to the XLA unpack path (interpret mode on CPU)."""
+    import importlib
     import os
     os.environ["UNIGEN_PALLAS_INTERPRET"] = "1"
     from unigen_tpu.ops import quant
     from unigen_tpu.ops.pallas import quant_matmul as qm
+    importlib.reload(qm)  # pick up interpret mode even if imported earlier
     rng = np.random.default_rng(7)
     w = jnp.asarray(rng.normal(size=(2048, 384)).astype(np.float32)) * 0.02
     x = jnp.asarray(rng.normal(size=(200, 2048)).astype(np.float32))
