@@ -84,6 +84,28 @@ def test_unigen_base_variant(sd3_cfg):
     assert jnp.isfinite(pred).all() and jnp.isfinite(losses["moe_loss"])
 
 
+def test_unigen_base_variant_use_pos_embed(sd3_cfg):
+    """use_pos_embed=True creates a separate trainable target PatchEmbed,
+    warm-started to equal base pos_embed (reference :53-65,146-147) — so the
+    forward at init matches the use_pos_embed=False path exactly."""
+    import dataclasses
+    from unigen_tpu.models.unigen_sd3 import (init_unigen_sd3_params,
+                                              unigen_base_forward)
+    cfg2 = dataclasses.replace(
+        sd3_cfg, control=dataclasses.replace(sd3_cfg.control,
+                                             use_pos_embed=True))
+    params = init_unigen_sd3_params(jax.random.PRNGKey(2), cfg2,
+                                    base_variant=True)
+    assert "pos_embed" in params["control"]
+    np.testing.assert_array_equal(
+        np.asarray(params["control"]["pos_embed"]["proj"]["w"]),
+        np.asarray(params["base"]["pos_embed"]["proj"]["w"]))
+    batch = _sd3_batch(cfg2, key=3)
+    pred, _, _ = unigen_base_forward(params, cfg2, **batch)
+    assert pred.shape == batch["hidden"].shape
+    assert jnp.isfinite(pred).all()
+
+
 # ------------------------------------------------------------ SANA
 
 @pytest.fixture(scope="module")

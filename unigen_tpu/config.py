@@ -145,6 +145,10 @@ class ControlConfig:
     use_consis_module: bool = False
     use_modulate: bool = False
     use_rope: bool = True
+    use_pos_embed: bool = False            # separate trainable control
+    #   PatchEmbed for the TARGET stream in the UniGenBase variant
+    #   (reference UniGenTransformer.py:53-65,311-314); False re-embeds the
+    #   target through the frozen base pos_embed (the :314 else branch)
     cn2base_method: str = "add"            # or "CrossAttn"
     extra_conditioning_channels: int = 0   # SD3 only
     num_layers: Optional[int] = None       # SD3 control depth override

@@ -153,6 +153,15 @@ def load_sd3_unigen_adapter(sd: Dict[str, np.ndarray], cfg: SD3BackboneConfig,
     if "control_pos_embed_input.pos_embed" in sd:
         ctrl["pos_embed_input"]["pos_embed"] = jnp.asarray(
             sd["control_pos_embed_input.pos_embed"][0], jnp.float32)
+    if "control_pos_embed.proj.weight" in sd:
+        # use_pos_embed=True: trainable target-stream PatchEmbed (:53-65)
+        ctrl["pos_embed"] = {"proj": {"w": jnp.asarray(
+            sd["control_pos_embed.proj.weight"].reshape(cfg.inner_dim, -1).T,
+            dtype),
+            "b": jnp.asarray(sd["control_pos_embed.proj.bias"], dtype)}}
+        if "control_pos_embed.pos_embed" in sd:
+            ctrl["pos_embed"]["pos_embed"] = jnp.asarray(
+                sd["control_pos_embed.pos_embed"][0], jnp.float32)
 
     gate_key = next(k for k in sd if k.endswith("gate.wg.weight"))
     prefix = gate_key[: -len("gate.wg.weight")]

@@ -106,6 +106,13 @@ def init_unigen_sd3_control(key, cfg: UniGenConfig, *, dtype=jnp.float32,
                                                use_dual_attention=True,
                                                qk_norm=bb.qk_norm, dtype=dtype),
         }
+    if base_variant and cc.use_pos_embed:
+        # separate trainable PatchEmbed for the TARGET stream (reference
+        # :53-65 control_pos_embed; warm-started from base pos_embed :146-147)
+        p["pos_embed"] = init_patch_embed(
+            next(ks), bb.patch_size, bb.in_channels, d, bb.pos_embed_max_size,
+            base_size, pos_embed_type=(None if cc.use_rope else "sincos"),
+            dtype=dtype)
     if base_variant:
         p["preprocess_block"] = {
             "b0": init_sd3_joint_block(next(ks), d, heads, hd,
@@ -147,6 +154,10 @@ def warm_start_sd3_control(control: dict, base: dict, cfg: UniGenConfig) -> dict
                 == base["pos_embed"]["proj"]["w"].shape):
             control["pos_embed_input"]["proj"] = jax.tree.map(
                 jnp.copy, base["pos_embed"]["proj"])
+    if "pos_embed" in control and "pos_embed" in base:
+        # control_pos_embed.load_state_dict(pos_embed..., strict=False) :146-147
+        control["pos_embed"]["proj"] = jax.tree.map(
+            jnp.copy, base["pos_embed"]["proj"])
     return control
 
 
@@ -297,8 +308,10 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
     b, c, height, width = hidden.shape
     dtype = hidden.dtype
 
-    # control branch inputs (reference control_forward :310-344)
-    ctrl_hidden = patch_embed(base["pos_embed"], hidden, bb.patch_size,
+    # control branch inputs (reference control_forward :310-344); a trainable
+    # control pos_embed embeds the target when use_pos_embed (:311-314)
+    target_embed = ctrl.get("pos_embed", base["pos_embed"])
+    ctrl_hidden = patch_embed(target_embed, hidden, bb.patch_size,
                               bb.pos_embed_max_size)
     cond_tokens = patch_embed(ctrl["pos_embed_input"], condition, bb.patch_size,
                               bb.pos_embed_max_size)
