@@ -173,6 +173,43 @@ def bench_train():
                       "vs_baseline": 0.0, "error": "all rungs failed"}))
 
 
+def direct_quantized_init(key, init_quantized_fn):
+    """Build the quantized serving tree leaf-by-leaf from its eval_shape
+    structure, never materialising the bf16 source tree.
+
+    The one-shot ``jit(init -> quantize)`` program relies on XLA freeing each
+    bf16 leaf right after its quantized twin is produced; at full 19/38
+    topology XLA's scheduling keeps enough of the ~33 GiB bf16 tree live to
+    RESOURCE_EXHAUST a 16 GB chip (observed repeatedly on a clean relay).
+    Bench weights are random either way, so content doesn't matter — only
+    shapes/dtypes/layout do: fill int leaves with uniform int8 (random bytes
+    == random packed int4 nibbles), ``w_scale`` leaves with the magnitude a
+    real quantize of N(0, 0.02) weights would produce, other float leaves
+    with N(0, 0.02). Transient HBM = one leaf; resident = the quantized tree
+    only. The measured forward program is IDENTICAL to the real-checkpoint
+    one (scripts/measure_fidelity.py exercises the real quantize path)."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(init_quantized_fn, key)
+    flat, treedef = jax.tree.flatten_with_path(shapes)
+
+    def fill(k, name, shape, dtype):
+        if jnp.issubdtype(dtype, jnp.integer):
+            return jax.random.randint(k, shape, -127, 128,
+                                      jnp.int32).astype(dtype)
+        if "w_scale" in name:
+            return jax.random.uniform(k, shape, dtype, 1e-4, 1e-3)
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    jfill = jax.jit(fill, static_argnums=(1, 2, 3))
+    leaves = []
+    for i, (path, s) in enumerate(flat):
+        leaves.append(jfill(jax.random.fold_in(key, i), str(path[-1]),
+                            tuple(s.shape), s.dtype))
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def main():
     import gc
 
@@ -227,7 +264,12 @@ def main():
             return p
 
         t_init = time.time()
-        params = jax.jit(_init)(jax.random.PRNGKey(0))
+        if quant == "bf16":
+            params = jax.jit(_init)(jax.random.PRNGKey(0))
+        else:
+            # leaf-wise direct fill: the one-shot init->quantize program OOMs
+            # at full topology (see direct_quantized_init docstring)
+            params = direct_quantized_init(jax.random.PRNGKey(0), _init)
         jax.block_until_ready(params)
         print(f"# param init {time.time()-t_init:.1f}s preset={preset} "
               f"quant={quant} resident={quantized_bytes(params)/2**30:.2f}GiB",
@@ -328,19 +370,31 @@ def main():
     else:
         ladder = [("full", "w4a8"), ("proxy", "w8a8"), ("proxy", "bf16")]
 
+    # Two passes with growing backoff: zombie HBM buffers from crashed
+    # sessions self-release after idle time (CLAUDE.md), so a rung that
+    # RESOURCE_EXHAUSTs can succeed minutes later. Pass 1 backs off 30 s,
+    # pass 2 waits 5 min first — keeps worst-case runtime bounded while
+    # never recording zero just because the relay was momentarily full.
     results, config_desc, est_ref = {}, "none", 1.0
-    for preset, quant in ladder:
-        try:
-            results, config_desc, est_ref = run_preset(preset, quant)
-        except Exception as e:
-            print(f"# rung ({preset},{quant}) failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
+    for backoff, pre_sleep in ((30, 0), (90, 300)):
+        if pre_sleep:
+            print(f"# ladder pass failed everywhere; idling {pre_sleep}s for "
+                  "the relay to release zombie buffers", file=sys.stderr)
+            time.sleep(pre_sleep)
+        for preset, quant in ladder:
+            try:
+                results, config_desc, est_ref = run_preset(preset, quant)
+            except Exception as e:
+                print(f"# rung ({preset},{quant}) failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr)
+                gc.collect()
+                time.sleep(backoff)
+                continue
+            if results:
+                break
             gc.collect()
-            time.sleep(30)
-            continue
         if results:
             break
-        gc.collect()
 
     if not results:
         print(json.dumps({"metric":
