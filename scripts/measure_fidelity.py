@@ -12,12 +12,19 @@ Measures, on device, with IDENTICAL weights and inputs:
      (4-step denoise + VAE decode) between bf16 and each quantized path
      (--ssim; the BASELINE gate metric, unigen_tpu/eval.py).
 
+HBM discipline (CLAUDE.md: d2h fails at >=~12 GiB residency): the three
+param trees are 8.6 + 4.3 + 2.4 GiB — never resident together. Each path
+re-derives its tree from the deterministic PRNGKey-0 init, runs, pulls its
+output to host, and deletes the tree before the next path starts. The only
+d2h reads happen at <=8.6 GiB residency.
+
 Writes one JSON line to stdout and (optionally) FIDELITY.json.
 """
 
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -26,6 +33,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def _delete_tree(tree):
+    import jax
+    for leaf in jax.tree.leaves(tree):
+        try:
+            leaf.delete()
+        except Exception:
+            pass
+    gc.collect()
 
 
 def main(argv=None):
@@ -57,11 +74,23 @@ def main(argv=None):
     s_img = hw * hw
     b = 1
 
-    params = jax.jit(lambda k: init_unigen_flux_params(k, cfg, dtype=dtype))(
-        jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    q8 = jax.jit(quantize_tree)(params)
-    q4 = jax.jit(quantize_unigen_serving)(params)
+    init_fn = jax.jit(lambda k: init_unigen_flux_params(k, cfg, dtype=dtype))
+    quantizers = {"bf16": None, "w8a8": jax.jit(quantize_tree),
+                  "w4a8_serving": jax.jit(quantize_unigen_serving)}
+
+    def make_params(path: str):
+        """Fresh tree for one path; bf16 never coexists with a DIFFERENT
+        path's tree (quantize transiently holds bf16+quantized, ~12.9 GiB
+        worst case, with no d2h in between)."""
+        params = init_fn(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        q = quantizers[path]
+        if q is None:
+            return params
+        qp = q(params)
+        jax.block_until_ready(qp)
+        _delete_tree(params)
+        return qp
 
     ks = jax.random.split(jax.random.PRNGKey(1), 6)
     batch = dict(
@@ -89,54 +118,63 @@ def main(argv=None):
         cos = float(np.dot(a, r) / (np.linalg.norm(a) * np.linalg.norm(r)))
         return rel, cos
 
-    t0 = time.time()
-    ref = np.asarray(fwd(params))
-    rel8, cos8 = fidelity(fwd(q8), ref)
-    rel4, cos4 = fidelity(fwd(q4), ref)
-    out = {
-        "proxy_topology": f"{bb.num_layers}dbl_{bb.num_single_layers}sgl_w{bb.inner_dim}",
-        "res": res,
-        "w8a8": {"rel_err": round(rel8, 5), "cosine": round(cos8, 6)},
-        "w4a8_serving": {"rel_err": round(rel4, 5), "cosine": round(cos4, 6)},
-    }
-    print(f"# per-forward fidelity measured in {time.time()-t0:.0f}s",
-          file=sys.stderr)
-
+    # --- optional e2e denoise+decode program (shared across paths) ---
     if args.ssim:
-        from unigen_tpu.eval import image_metrics
         from unigen_tpu.models import vae as vae_lib
+        from unigen_tpu.ops.packing import unpack_latents
         vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels // 4)
         vae_params = jax.jit(lambda k: jax.tree.map(
             lambda x: x.astype(jnp.float32),
             vae_lib.init_vae_params(k, vae_cfg)))(jax.random.PRNGKey(2))
         num_steps = 4
-        sigmas, _ = scheduling.inference_sigmas(
+        sig_host, _ = scheduling.inference_sigmas(
             scheduling.FlowMatchConfig(shift=1.0), num_steps)
-        from unigen_tpu.ops.packing import unpack_latents
+        sig_host = np.asarray(sig_host)
         lh = lw = (res // 16) * 2
 
         def denoise_decode(p, lat):
+            sigmas = jnp.asarray(sig_host)
+
             def step(lat, i):
                 pred, _, _ = unigen_flux_forward(
                     p, cfg, **{**batch, "hidden": lat,
                                "timestep": jnp.full((b,), sigmas[i], dtype)},
                     attn_impl="auto")
-                return scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1]), None
+                return scheduling.euler_step(lat, pred, sigmas[i],
+                                             sigmas[i + 1]), None
             lat, _ = jax.lax.scan(step, lat, jnp.arange(num_steps))
             px = vae_lib.vae_decode(vae_params, vae_cfg,
                                     unpack_latents(lat.astype(jnp.float32), lh, lw))
             return jnp.clip(px, -1, 1)
 
         jdd = jax.jit(denoise_decode)
-        lat0 = batch["hidden"]
 
         def to_u8(px):
             return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
                     * 127.5).round().astype(np.uint8)
 
-        img_ref = to_u8(jdd(params, lat0))
-        for name, qp in (("w8a8", q8), ("w4a8_serving", q4)):
-            m = image_metrics(img_ref, to_u8(jdd(qp, lat0)))
+    # --- one path at a time: derive tree -> run -> pull -> delete ---
+    host = {}
+    for path in ("bf16", "w8a8", "w4a8_serving"):
+        t0 = time.time()
+        params = make_params(path)
+        rec = {"fwd": np.asarray(fwd(params))}
+        if args.ssim:
+            rec["img"] = to_u8(jdd(params, batch["hidden"]))
+        _delete_tree(params)
+        host[path] = rec
+        print(f"# {path} path done in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    out = {"proxy_topology":
+           f"{bb.num_layers}dbl_{bb.num_single_layers}sgl_w{bb.inner_dim}",
+           "res": res}
+    for name in ("w8a8", "w4a8_serving"):
+        rel, cos = fidelity(host[name]["fwd"], host["bf16"]["fwd"])
+        out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}
+    if args.ssim:
+        from unigen_tpu.eval import image_metrics
+        for name in ("w8a8", "w4a8_serving"):
+            m = image_metrics(host["bf16"]["img"], host[name]["img"])
             out[name]["e2e_ssim"] = round(m["ssim"], 5)
             out[name]["e2e_psnr"] = round(m["psnr"], 2)
         out["e2e"] = f"{num_steps}-step denoise + VAE decode @ {res}px"

@@ -9,7 +9,13 @@ at 0.5 B/param.
 
 Layout: x is pre-quantized per-token int8 (xq [M, K], scale xs [M, 1] —
 the dynamic-activation step stays in XLA where it fuses with the producer);
-w_q4 [K/2, N] packed int8 (ops/quant.pack_int4 pairing), w_scale [1, N].
+w_q4 [K/2, N] packed int8 with ops/quant.pack_int4's HALF-PAIRING: packed
+row j = (source row j) | (source row j + K/2) << 4. Each grid step therefore
+dots the low-nibble plane against xq[:, kk-th low K-slice] and the high
+plane against xq[:, kk-th high K-slice] — two contiguous int8 dots, no row
+interleave (Mosaic rejects sublane interleaves of int8 operands, which is
+what sank the first version of this kernel on the real backend).
+
 grid = (M/BM, N/BN, K/BK), K innermost, int32 VMEM accumulator, fp32
 epilogue applying xs * w_scale on the last K step.
 """
@@ -34,30 +40,22 @@ except Exception:  # pragma: no cover
 BM, BN, BK = 256, 512, 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _unpack_block(p):
-    """packed int8 [BK/2, BN] -> int8 [BK, BN] (interleaved rows, matching
-    ops/quant.pack_int4: even source row = low nibble, odd = high)."""
-    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
-    hi = jnp.right_shift(p, 4)
-    half, bn = p.shape
-    out = jnp.stack([lo, hi], axis=1)          # [BK/2, 2, BN]
-    return out.reshape(half * 2, bn)
-
-
-def _w4a8_kernel(xq_ref, wp_ref, xs_ref, ws_ref, o_ref, acc_ref, *, nk: int):
+def _w4a8_kernel(xlo_ref, xhi_ref, wp_ref, xs_ref, ws_ref, o_ref, acc_ref,
+                 *, nk: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _unpack_block(wp_ref[:])
+    p = wp_ref[:]
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)      # sign-extend low nibble
+    hi = jnp.right_shift(p, 4)                         # arithmetic: high nibble
     acc_ref[:] += jax.lax.dot_general(
-        xq_ref[:], w, (((1,), (0,)), ((), ())),
+        xlo_ref[:], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_ref[:] += jax.lax.dot_general(
+        xhi_ref[:], hi, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
 
     @pl.when(k == nk - 1)
@@ -70,25 +68,33 @@ def w4a8_matmul_pallas(xq: jnp.ndarray, xs: jnp.ndarray, w_q4: jnp.ndarray,
                        w_scale: jnp.ndarray, out_dtype=jnp.bfloat16
                        ) -> jnp.ndarray:
     """xq [M, K] int8, xs [M, 1] fp32, w_q4 [K/2, N] packed, w_scale [1, N]
-    -> [M, N] out_dtype."""
+    -> [M, N] out_dtype. Requires K % (2*BK) == 0 is NOT needed — K % BK == 0
+    is (half-pairing is global, so K cannot be padded after packing; all
+    serving-path layers have K a multiple of 1024: 3072/12288/15360)."""
     m, k = xq.shape
     n = w_q4.shape[1]
-    m_pad, k_pad, n_pad = _round_up(m, BM), _round_up(k, BK), _round_up(n, BN)
-    if (m_pad, k_pad) != (m, k):
-        xq = jnp.pad(xq, ((0, m_pad - m), (0, k_pad - k)))
+    assert k % BK == 0 and w_q4.shape[0] * 2 == k, (xq.shape, w_q4.shape)
+    m_pad, n_pad = -(-m // BM) * BM, -(-n // BN) * BN
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
         xs = jnp.pad(xs, ((0, m_pad - m), (0, 0)))
-    if (k_pad // 2, n_pad) != w_q4.shape:
-        w_q4 = jnp.pad(w_q4, ((0, (k_pad - k) // 2), (0, n_pad - n)))
+    if n_pad != n:
+        w_q4 = jnp.pad(w_q4, ((0, 0), (0, n_pad - n)))
         w_scale = jnp.pad(w_scale, ((0, 0), (0, n_pad - n)))
-    nk = k_pad // BK
+    nk = k // BK
+    hk = BK // 2  # packed rows / xq columns consumed per grid step per plane
     out = pl.pallas_call(
         functools.partial(_w4a8_kernel, nk=nk),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
         grid=(m_pad // BM, n_pad // BN, nk),
         in_specs=[
-            pl.BlockSpec((BM, BK), lambda i, j, kk: (i, kk),
+            # low-half K-slice of xq: columns [kk*hk, (kk+1)*hk)
+            pl.BlockSpec((BM, hk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK // 2, BN), lambda i, j, kk: (kk, j),
+            # high-half K-slice: columns [K/2 + kk*hk, ...) = block kk + nk
+            pl.BlockSpec((BM, hk), lambda i, j, kk: (i, kk + nk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hk, BN), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BM, 1), lambda i, j, kk: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -99,16 +105,18 @@ def w4a8_matmul_pallas(xq: jnp.ndarray, xs: jnp.ndarray, w_q4: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((BM, BN), jnp.int32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * k_pad,
+            flops=2 * m_pad * n_pad * k,
             bytes_accessed=xq.size + w_q4.size + 2 * m_pad * n_pad,
             transcendentals=0),
         interpret=_INTERPRET,
-    )(xq, w_q4, xs.astype(jnp.float32), w_scale.astype(jnp.float32))
+    )(xq, xq, w_q4, xs.astype(jnp.float32), w_scale.astype(jnp.float32))
     return out[:m, :n]
 
 
 def supported(x, w_q4) -> bool:
     if not _HAS_PLTPU:
         return False
-    # the kernel wants a real K to amortise; tiny layers stay on XLA
-    return x.shape[-1] >= 1024 and w_q4.shape[-1] >= 256
+    k = x.shape[-1]
+    # half-pairing is global over K, so K cannot be padded post-packing;
+    # the kernel wants a real K to amortise anyway — tiny layers stay on XLA
+    return k % BK == 0 and w_q4.shape[0] * 2 == k and w_q4.shape[-1] >= 256

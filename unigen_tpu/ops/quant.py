@@ -42,10 +42,15 @@ def quantize_weight(w: jnp.ndarray) -> dict:
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
     """int8 values in [-7, 7], [..., in, out] -> packed int8 [..., in/2, out].
-    Adjacent in-dim pairs share a byte: even row -> low nibble, odd -> high."""
+    HALF-PAIRED along the in-dim: packed row j holds source row j in the low
+    nibble and row j + in/2 in the high nibble. This layout keeps the Pallas
+    fused kernel (ops/pallas/quant_matmul.py) free of row interleaves —
+    unpack is two elementwise shifts + a concat, and in-kernel each nibble
+    plane dots against its own contiguous K-slice of the activation."""
     assert q.shape[-2] % 2 == 0, f"in-dim must be even to nibble-pack: {q.shape}"
-    lo = q[..., 0::2, :] & jnp.int8(0x0F)
-    hi = jnp.left_shift(q[..., 1::2, :], 4)
+    half = q.shape[-2] // 2
+    lo = q[..., :half, :] & jnp.int8(0x0F)
+    hi = jnp.left_shift(q[..., half:, :], 4)
     return (lo | hi).astype(jnp.int8)
 
 
@@ -53,8 +58,7 @@ def unpack_int4(p: jnp.ndarray) -> jnp.ndarray:
     """packed int8 [..., in/2, out] -> int8 [..., in, out] (sign-extended)."""
     lo = jnp.right_shift(jnp.left_shift(p, 4), 4)      # arithmetic: sign-extend
     hi = jnp.right_shift(p, 4)
-    stacked = jnp.stack([lo, hi], axis=-2)             # [..., in/2, 2, out]
-    return stacked.reshape(*p.shape[:-2], p.shape[-2] * 2, p.shape[-1])
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def quantize_weight_int4(w: jnp.ndarray) -> dict:
