@@ -48,9 +48,11 @@ def _w4a8_kernel(xlo_ref, xhi_ref, wp_ref, xs_ref, ws_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = wp_ref[:]
-    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)      # sign-extend low nibble
-    hi = jnp.right_shift(p, 4)                         # arithmetic: high nibble
+    # Mosaic cannot legalize shifts on i8 vectors (arith.shli on vector<i8>):
+    # widen to i32 for the nibble extraction, narrow back for the MXU dots
+    p = wp_ref[:].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
+    hi = jnp.right_shift(p, 4).astype(jnp.int8)
     acc_ref[:] += jax.lax.dot_general(
         xlo_ref[:], lo, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
