@@ -63,7 +63,8 @@ def main(argv=None):
     from unigen_tpu.models.unigen_flux import (init_unigen_flux_params,
                                                unigen_flux_forward)
     from unigen_tpu.ops.packing import prepare_latent_image_ids
-    from unigen_tpu.ops.quant import quantize_tree, quantize_unigen_serving
+    from unigen_tpu.ops.quant import (quantize_tree_streaming,
+                                      quantize_unigen_serving_streaming)
     from unigen_tpu.pipelines import scheduling
 
     cfg = presets.flux_bench()
@@ -75,22 +76,20 @@ def main(argv=None):
     b = 1
 
     init_fn = jax.jit(lambda k: init_unigen_flux_params(k, cfg, dtype=dtype))
-    quantizers = {"bf16": None, "w8a8": jax.jit(quantize_tree),
-                  "w4a8_serving": jax.jit(quantize_unigen_serving)}
+    quantizers = {"bf16": None, "w8a8": quantize_tree_streaming,
+                  "w4a8_serving": quantize_unigen_serving_streaming}
 
     def make_params(path: str):
-        """Fresh tree for one path; bf16 never coexists with a DIFFERENT
-        path's tree (quantize transiently holds bf16+quantized, ~12.9 GiB
-        worst case, with no d2h in between)."""
+        """Fresh tree for one path. The streaming quantizers consume the
+        bf16 source leaf-by-leaf (donate=True), so peak HBM stays at the
+        source tree + one leaf — jit(quantize)(tree) holds source +
+        quantized together and RESOURCE_EXHAUSTs at this size."""
         params = init_fn(jax.random.PRNGKey(0))
         jax.block_until_ready(params)
         q = quantizers[path]
         if q is None:
             return params
-        qp = q(params)
-        jax.block_until_ready(qp)
-        _delete_tree(params)
-        return qp
+        return q(params)
 
     ks = jax.random.split(jax.random.PRNGKey(1), 6)
     batch = dict(

@@ -194,3 +194,33 @@ def test_w4a8_pallas_kernel_matches_xla():
     got = qm.w4a8_matmul_pallas(xq, xs, q4["w_q4"],
                                 q4["w_scale"].reshape(1, -1), jnp.float32)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_quantize_tree_streaming_matches_one_shot():
+    """The bounded-memory streaming walk produces numerically identical
+    trees to quantize_tree / quantize_unigen_serving (donate=False on CPU —
+    deletion semantics are device-memory behavior, not numerics)."""
+    from unigen_tpu.ops.quant import (quantize_tree,
+                                      quantize_tree_streaming,
+                                      quantize_unigen_serving,
+                                      quantize_unigen_serving_streaming)
+    rng = jax.random.PRNGKey(0)
+    tree = {"base": {"blk": {"w": jax.random.normal(rng, (768, 512)),
+                             "b": jnp.zeros((512,))},
+                     "gate": {"w": jax.random.normal(rng, (768, 768))}},
+            "control": {"double_blocks": {"w": jax.random.normal(rng, (2, 640, 640))},
+                        "small": {"w": jax.random.normal(rng, (16, 16))}}}
+    def check(x, y):
+        # int leaves exact; fp scales within jit-vs-eager rounding (~1e-9)
+        xa, ya = np.asarray(x), np.asarray(y)
+        if np.issubdtype(xa.dtype, np.integer):
+            np.testing.assert_array_equal(xa, ya)
+        else:
+            np.testing.assert_allclose(xa, ya, rtol=1e-6, atol=1e-8)
+
+    a = quantize_tree(tree, bits=8)
+    b = quantize_tree_streaming(tree, bits=8, donate=False)
+    jax.tree.map(check, a, b)
+    sa = quantize_unigen_serving(tree)
+    sb = quantize_unigen_serving_streaming(tree, donate=False)
+    jax.tree.map(check, sa, sb)

@@ -242,5 +242,62 @@ def quantize_unigen_serving(params: dict, *, base_bits: int = 4,
     return out
 
 
+def quantize_tree_streaming(params: Any, *, min_dim: int = 512,
+                            skip: Sequence[str] = ("gate", "experts"),
+                            bits: int = 8, donate: bool = True) -> Any:
+    """quantize_tree with BOUNDED device memory: one jitted quantize call
+    per eligible linear, deleting each bf16 source right after its quantized
+    twin lands (``donate=True``). Peak HBM = source tree + one leaf, and it
+    DECREASES as the walk proceeds — where ``jit(quantize_tree)`` transiently
+    holds source + quantized trees together (observed RESOURCE_EXHAUSTED at
+    8.6 GiB source on a 16 GB chip). This is the pattern for quantizing a
+    real bf16 checkpoint for single-chip serving; the source tree is
+    CONSUMED when donate=True."""
+    assert bits in (4, 8), bits
+    qfn = quantize_weight if bits == 8 else quantize_weight_int4
+    jq = jax.jit(qfn)
+
+    def _walk(node, path):
+        if isinstance(node, dict):
+            if "w" in node and isinstance(node["w"], jnp.ndarray):
+                if _eligible(path, node, min_dim=min_dim, skip=skip):
+                    w = node["w"]
+                    if bits == 4 and w.shape[-2] % 2 != 0:
+                        return node
+                    q = jq(w)
+                    jax.block_until_ready(q)
+                    if donate:
+                        try:
+                            w.delete()
+                        except Exception:
+                            pass
+                    if "b" in node:
+                        q = dict(q)
+                        q["b"] = node["b"]
+                    return q
+                return node
+            return {k: _walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(_walk(v, path) for v in node)
+        return node
+    return _walk(params, ())
+
+
+def quantize_unigen_serving_streaming(params: dict, *, base_bits: int = 4,
+                                      adapter_block_bits: int = 4,
+                                      donate: bool = True) -> dict:
+    """quantize_unigen_serving with the bounded-memory streaming walk
+    (consumes ``params`` when donate=True)."""
+    out = dict(params)
+    out["base"] = quantize_tree_streaming(params["base"], bits=base_bits,
+                                          donate=donate)
+    ctrl = {}
+    for k, v in params["control"].items():
+        bits = adapter_block_bits if k in ("double_blocks", "single_blocks") else 8
+        ctrl[k] = quantize_tree_streaming(v, bits=bits, donate=donate)
+    out["control"] = ctrl
+    return out
+
+
 def quantized_bytes(params: Any) -> int:
     return sum(int(x.size) * x.dtype.itemsize for x in jax.tree.leaves(params))
