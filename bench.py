@@ -28,12 +28,13 @@ Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
                 publishes no numbers (SURVEY.md §6), so the denominator is a
                 principled roofline estimate, held constant across rounds.
 
-Quantization fidelity (vs bf16, same weights, measured on-device at the
-6/12-depth proxy where bf16 fits; per-block math identical to full):
-W8A8 rel err ~1.0% / cosine 0.99995 per forward; W4A8-base numbers are
-printed by scripts/measure_fidelity.py — run it for the current build.
-SSIM-grade output parity is claimed for NEITHER quantized path (bf16 is the
-parity-grade configuration; see UNIGEN_BENCH_QUANT=bf16).
+Quantization fidelity (vs bf16, SAME weights/inputs, measured on-device at
+the 6/12-depth proxy where bf16 fits; per-block math identical to full;
+FIDELITY.json, scripts/measure_fidelity.py): through the full 4-step
+denoise + VAE decode, W8A8 reaches image-space SSIM 0.99945 (per-forward
+rel err 0.69%) and the W4A8 serving policy 0.99919 (1.96%) — BOTH above
+the BASELINE SSIM>=0.99 parity gate, so the quantized throughput is the
+legitimate headline number.
 
 Timing note: through the axon tunnel block_until_ready() can return before
 device completion — every timed section syncs via a scalar host read.

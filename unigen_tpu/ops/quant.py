@@ -15,10 +15,11 @@ the in-dim) because the axon runtime cannot pass S4 arrays across a jit
 boundary (device_put layout recursion); the unpack is two VPU shifts inside
 the jitted matmul. The MXU compute stays int8 x int8.
 
-This is a serving-speed feature — training and parity testing use the bf16/
-fp32 path; SSIM-grade numerics are NOT claimed for W8A8, and W4A8 trades
-further fidelity for fitting on-chip (bench.py logs the measured per-forward
-error next to every quantized throughput number).
+Measured output fidelity vs bf16 (same weights/inputs, on device, through
+the full 4-step denoise + VAE decode; FIDELITY.json): W8A8 image-space SSIM
+0.99945 (per-forward rel err 0.69%), W4A8 serving policy SSIM 0.99919
+(1.96%) — both above the BASELINE SSIM>=0.99 gate. Training and golden
+parity tests still use the bf16/fp32 path.
 """
 
 from __future__ import annotations
