@@ -156,7 +156,7 @@ def bench_train():
               f"(int8 peak; int4 base + bf16 adapter)", file=sys.stderr)
         se = "" if shared_expert else "_noshared"
         print(json.dumps({
-            "metric": "unigen_flux_train_step_512px_samples_per_sec",
+            "metric": f"unigen_flux_train_step_{res}px_samples_per_sec",
             "value": round(sps, 4), "unit": "samples/sec/chip",
             "vs_baseline": round(sps / est_ref_a100, 3),
             "config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
@@ -172,7 +172,7 @@ def bench_train():
                   f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             gc.collect()
             time.sleep(30)
-    print(json.dumps({"metric": "unigen_flux_train_step_512px_samples_per_sec",
+    print(json.dumps({"metric": f"unigen_flux_train_step_{res}px_samples_per_sec",
                       "value": 0.0, "unit": "samples/sec/chip",
                       "vs_baseline": 0.0, "error": "all rungs failed"}))
 
@@ -410,7 +410,7 @@ def main():
     best_b = max(results, key=results.get)
     images_per_sec = results[best_b]
     print(json.dumps({
-        "metric": "unigen_flux_bench_512px_4step_denoise_images_per_sec",
+        "metric": f"unigen_flux_bench_{res}px_4step_denoise_images_per_sec",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / est_ref, 3),

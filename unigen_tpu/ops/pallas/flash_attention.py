@@ -43,11 +43,15 @@ def _pick_bq(sq: int, skv_pad: int, d: int = 128) -> int:
     (k, v, rotated-K scratch, fp32 cos/sin tables ~= 14 B per kv element)
     and shrinks bq so the fp32 logits block fits the remainder."""
     sq128 = _round_up(sq, 128)
-    fixed = skv_pad * d * 14              # k+v+scratch+kcos+ksin bytes
-    logits_budget = max(13 * 1024 * 1024 - fixed, 2 * 1024 * 1024)
-    vmem_cap = int(logits_budget / (4 * skv_pad)) // 128 * 128
-    bq = min(sq128, DEFAULT_BQ, max(vmem_cap, 128))
-    return max(bq, 128)
+    # Empirically verified schedule (v5e, d=128): Mosaic's scoped-vmem cost
+    # is NOT linear in the modeled buffer bytes — measured on device:
+    # (skv<=2048, bq 768) ok; (2560, 512) ok but (2560, 768) wants 17.46 MB
+    # and FAILS; (4608, 256) ok but (4608, 128) wants 16.86 MB and FAILS.
+    # A byte-budget formula cannot reproduce that table, so pick from the
+    # verified points, scaled to d via the kv-resident footprint.
+    kv_rows_eq = skv_pad * d // 128          # d-normalised KV rows
+    cap = DEFAULT_BQ if kv_rows_eq <= 2048 else 512
+    return min(sq128, cap)
 
 
 def supported(q, k, v) -> bool:
@@ -63,8 +67,11 @@ def supported(q, k, v) -> bool:
     if not (d % 128 == 0 or d in (64, 128)):
         return False
     skv_pad = _round_up(k.shape[2], 128)
-    fixed = skv_pad * d * 14 + 128 * skv_pad * 4
-    return fixed <= 13 * 1024 * 1024
+    # device-verified ceiling: (skv 2560, bq 512) compiles repeatably at
+    # d=128; (skv 4608, bq 256) compiled once then failed scoped-vmem on a
+    # later identical compile (the remote helper is not stable at the
+    # margin), so longer KV takes the streaming kernel
+    return skv_pad * d // 128 <= 3072
 
 
 def _rotate(x, cos, sin):
@@ -194,7 +201,10 @@ def _bwd_supported(q, k, v) -> bool:
         return False
     d = q.shape[-1]
     skv_pad = _round_up(k.shape[2], 128)
-    return skv_pad * d * 20 + 128 * skv_pad * 8 <= 13 * 1024 * 1024
+    # calibrated on device: the rope-variant backward holds ~7 live fp32
+    # [BQ, Skv] blocks on the Mosaic stack plus 24 B/kv-elem of fixed
+    # buffers (measured 16.89 MB at skv 2560 / bq 128 -> refuse; 2048 fits)
+    return skv_pad * (d * 24 + 128 * 4 * 7) <= 15 * 1024 * 1024
 
 
 def _flash_fwd(q, k, v, mask):
@@ -531,11 +541,15 @@ flash_attention_streaming_rope.defvjp(_flash_stream_rope_fwd,
 # weak #7).
 
 def _pick_bq_bwd(sq: int, skv_pad: int, d: int) -> int:
-    # resident: k+v bf16 + dk+dv fp32 + rot scratch; two fp32 [BQ, Skv]
-    # blocks (logits + dp)
+    # resident: k+v bf16 + dk+dv fp32 acc + k_rot fp32 scratch + kcos/ksin
+    # fp32 (the rope variant's worst case, 24 B/kv elem), plus FOUR live
+    # fp32 [BQ, Skv] blocks — the block math keeps p/dp/ds (+ exp temp)
+    # alive together (measured: skv 2048, bq 384 under the old two-block
+    # model wants 17.14 MB scoped vmem and fails; four-block accounting
+    # lands every shape under the 16 MB ceiling).
     fixed = skv_pad * d * (2 * 2 + 2 * 4 + 4 + 8)
-    budget = max(13 * 1024 * 1024 - fixed, 2 * 1024 * 1024)
-    bq = int(budget / (2 * 4 * skv_pad)) // 128 * 128
+    budget = max(15 * 1024 * 1024 - fixed, 2 * 1024 * 1024)
+    bq = int(budget / (7 * 4 * skv_pad)) // 128 * 128
     return max(128, min(_round_up(sq, 128), 512, bq))
 
 
