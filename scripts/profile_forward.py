@@ -78,7 +78,12 @@ def main():
             p = quantize_tree(p)
         return p
 
-    params = jax.jit(_init)(jax.random.PRNGKey(0))
+    if quant == "bf16":
+        params = jax.jit(_init)(jax.random.PRNGKey(0))
+    else:
+        # leaf-wise fill: one-shot jit(init->quantize) OOMs at full topology
+        import bench as B
+        params = B.direct_quantized_init(jax.random.PRNGKey(0), _init)
     jax.block_until_ready(params)
 
     ks = jax.random.split(jax.random.PRNGKey(1), 6)
