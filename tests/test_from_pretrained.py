@@ -320,3 +320,22 @@ def test_full_text_to_image_call(fake_ckpt):
                 control_image=control, height=h, width=w,
                 num_inference_steps=2, max_sequence_length=8)
     assert imgs.shape == (1, h, w, 3) and imgs.dtype == np.uint8
+
+
+def test_load_flux_pipeline_quantized(fake_ckpt):
+    """quantize='w4a8' wires the streaming serving quantizer into loading;
+    at tiny dims the policy is a no-op (min_dim gate) but the path must
+    still produce a working pipeline."""
+    from unigen_tpu.pipelines.loading import load_flux_pipeline
+    pipe = load_flux_pipeline(fake_ckpt, condition_types=["canny"],
+                              dtype=jnp.float32, quantize="w4a8")
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    flux = pipe.cfg.flux
+    imgs = pipe.generate(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=2)
+    assert imgs.shape == (b, h, w, 3) and imgs.dtype == np.uint8

@@ -34,10 +34,18 @@ def _subcfg(root: str, sub: str) -> dict:
 
 def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",),
                        adapter_dir: Optional[str] = None,
-                       dtype=jnp.bfloat16, control_overrides: Optional[dict] = None):
+                       dtype=jnp.bfloat16, control_overrides: Optional[dict] = None,
+                       quantize: Optional[str] = None):
     """Build a UniGenFluxPipeline from a FLUX.1 HF directory. The control
     branch is warm-started from the base unless an adapter checkpoint is
-    given (reference infer.py:115-140)."""
+    given (reference infer.py:115-140).
+
+    quantize: None/'bf16' keeps the load dtype; 'w4a8' applies the
+    single-chip serving policy (int4 base + blocks, int8 small pieces —
+    9.4 GiB for the real 12B+4.7B stack); 'w8a8' quantizes everything
+    eligible to int8. Both use the bounded-memory streaming walk
+    (ops/quant) so a checkpoint larger than free HBM still quantizes
+    in place on one chip."""
     from unigen_tpu.models.unigen_flux import init_unigen_flux_control
     from unigen_tpu.pipelines.flux import UniGenFluxPipeline
 
@@ -71,6 +79,15 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
     else:
         control = init_unigen_flux_control(jax.random.PRNGKey(0), cfg,
                                            dtype=dtype, base_params=base)
+
+    if quantize in ("w4a8", "w8a8"):
+        from unigen_tpu.ops import quant
+        tree = {"base": base, "control": control}
+        if quantize == "w4a8":
+            tree = quant.quantize_unigen_serving_streaming(tree)
+        else:
+            tree = quant.quantize_tree_streaming(tree)
+        base, control = tree["base"], tree["control"]
 
     vcfg_raw = _subcfg(root, "vae")
     vae_cfg = vae_lib.VAEConfig(
