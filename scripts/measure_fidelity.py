@@ -91,23 +91,35 @@ def main(argv=None):
             return params
         return q(params)
 
+    # batch stays HOST numpy: closing a jit over device arrays does a
+    # trace-time d2h pull, the exact fragile path this script avoids
+    # (CLAUDE.md closure-constants rule); jnp conversion happens inside the
+    # jitted programs from host buffers.
     ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    _h = lambda x: np.asarray(x.astype(jnp.float32))
+    _FP = ("hidden", "condition", "encoder", "pooled", "condition_pooled")
     batch = dict(
-        hidden=jax.random.normal(ks[0], (b, s_img, bb.in_channels), dtype),
-        condition=jax.random.normal(ks[1], (b, s_img, bb.in_channels), dtype),
-        encoder=jax.random.normal(ks[2], (b, t_len, bb.joint_attention_dim), dtype),
-        pooled=jax.random.normal(ks[3], (b, bb.pooled_projection_dim), dtype),
-        condition_pooled=jax.random.normal(ks[4], (b, bb.pooled_projection_dim),
-                                           dtype),
-        timestep=jnp.full((b,), 0.5, dtype),
-        img_ids=prepare_latent_image_ids(hw, hw),
-        txt_ids=jnp.zeros((t_len, 3)),
-        condition_ids=prepare_latent_image_ids(hw, hw),
+        hidden=_h(jax.random.normal(ks[0], (b, s_img, bb.in_channels), dtype)),
+        condition=_h(jax.random.normal(ks[1], (b, s_img, bb.in_channels), dtype)),
+        encoder=_h(jax.random.normal(ks[2], (b, t_len, bb.joint_attention_dim),
+                                     dtype)),
+        pooled=_h(jax.random.normal(ks[3], (b, bb.pooled_projection_dim), dtype)),
+        condition_pooled=_h(jax.random.normal(
+            ks[4], (b, bb.pooled_projection_dim), dtype)),
+        img_ids=np.asarray(prepare_latent_image_ids(hw, hw)),
+        txt_ids=np.zeros((t_len, 3), np.float32),
+        condition_ids=np.asarray(prepare_latent_image_ids(hw, hw)),
     )
 
+    def _cast(batch):
+        return {k: jnp.asarray(v, dtype if k in _FP else None)
+                for k, v in batch.items()}
+
     @jax.jit
-    def fwd(p):
-        out, _, _ = unigen_flux_forward(p, cfg, **batch, attn_impl="auto")
+    def fwd(p, batch):
+        out, _, _ = unigen_flux_forward(
+            p, cfg, **_cast(batch), timestep=jnp.full((b,), 0.5, dtype),
+            attn_impl="auto")
         return out.astype(jnp.float32)
 
     def fidelity(a, r):
@@ -122,22 +134,27 @@ def main(argv=None):
         from unigen_tpu.models import vae as vae_lib
         from unigen_tpu.ops.packing import unpack_latents
         vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels // 4)
-        vae_params = jax.jit(lambda k: jax.tree.map(
-            lambda x: x.astype(jnp.float32),
-            vae_lib.init_vae_params(k, vae_cfg)))(jax.random.PRNGKey(2))
+        # vae params built ON HOST (numpy tree) so jdd takes them as an
+        # argument — no device-array closures (CLAUDE.md)
+        vae_host = jax.tree.map(
+            lambda x: np.asarray(x, np.float32),
+            vae_lib.init_vae_params(jax.random.PRNGKey(2), vae_cfg))
         num_steps = 4
         sig_host, _ = scheduling.inference_sigmas(
             scheduling.FlowMatchConfig(shift=1.0), num_steps)
         sig_host = np.asarray(sig_host)
         lh = lw = (res // 16) * 2
 
-        def denoise_decode(p, lat):
+        @jax.jit
+        def jdd(p, batch, vae_params):
+            inp = _cast(batch)
+            lat = inp["hidden"]
             sigmas = jnp.asarray(sig_host)
 
             def step(lat, i):
                 pred, _, _ = unigen_flux_forward(
-                    p, cfg, **{**batch, "hidden": lat,
-                               "timestep": jnp.full((b,), sigmas[i], dtype)},
+                    p, cfg, **{**inp, "hidden": lat},
+                    timestep=jnp.full((b,), sigmas[i], dtype),
                     attn_impl="auto")
                 return scheduling.euler_step(lat, pred, sigmas[i],
                                              sigmas[i + 1]), None
@@ -145,8 +162,6 @@ def main(argv=None):
             px = vae_lib.vae_decode(vae_params, vae_cfg,
                                     unpack_latents(lat.astype(jnp.float32), lh, lw))
             return jnp.clip(px, -1, 1)
-
-        jdd = jax.jit(denoise_decode)
 
         def to_u8(px):
             return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
@@ -157,9 +172,9 @@ def main(argv=None):
     for path in ("bf16", "w8a8", "w4a8_serving"):
         t0 = time.time()
         params = make_params(path)
-        rec = {"fwd": np.asarray(fwd(params))}
+        rec = {"fwd": np.asarray(fwd(params, batch))}
         if args.ssim:
-            rec["img"] = to_u8(jdd(params, batch["hidden"]))
+            rec["img"] = to_u8(jdd(params, batch, vae_host))
         _delete_tree(params)
         host[path] = rec
         print(f"# {path} path done in {time.time()-t0:.0f}s", file=sys.stderr)

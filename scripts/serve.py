@@ -116,15 +116,29 @@ def main(argv=None):
     print(f"# serving ready: batch={args.batch_size} steps={args.steps} "
           f"res={args.resolution} quant={args.quant}; JSON lines on stdin",
           file=sys.stderr)
+    def _save(out_path):
+        def cb(fut):
+            if fut.cancelled() or fut.exception() is not None:
+                print(f"# {out_path}: "
+                      f"{'cancelled' if fut.cancelled() else fut.exception()}",
+                      file=sys.stderr)
+                return
+            Image.fromarray(fut.result()[0]).save(out_path)
+            print(out_path, flush=True)
+        return cb
+
     pending = []
+    res = args.resolution
     for line in sys.stdin:
         line = line.strip()
         if not line:
             continue
         req = json.loads(line)
-        img = np.asarray(Image.open(req["control"]).convert("RGB"),
-                         np.float32)
-        img = (img / 127.5 - 1.0).transpose(2, 0, 1)[None]
+        # every control image is resized to the server's fixed resolution:
+        # the compiled program (and the micro-batch concat) is shape-static
+        pil = Image.open(req["control"]).convert("RGB").resize(
+            (res, res), Image.LANCZOS)
+        img = (np.asarray(pil, np.float32) / 127.5 - 1.0).transpose(2, 0, 1)[None]
         embeds, pooled = pipe.encode_prompt(req["prompt"])
         cond_pooled = pipe.encode_condition_prompt(
             req.get("condition", args.condition_types[0]))
@@ -132,11 +146,9 @@ def main(argv=None):
                          pooled=np.asarray(pooled),
                          cond_pooled=np.asarray(cond_pooled),
                          control_pixels=img)
-        pending.append((fut, req["out"]))
-    for fut, out_path in pending:
-        Image.fromarray(fut.result()[0]).save(out_path)
-        print(out_path)
-    srv.close()
+        fut.add_done_callback(_save(req["out"]))   # saves as batches finish
+        pending.append(fut)
+    srv.close()          # drains; callbacks have all fired by join()
 
 
 if __name__ == "__main__":

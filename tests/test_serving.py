@@ -121,3 +121,45 @@ def test_serving_tiny_unigen_program():
                             for k, v in r.items()})
         np.testing.assert_allclose(np.asarray(out), np.asarray(direct[:1]),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_carry_request_survives_close():
+    """A request that didn't fit the current batch must still complete when
+    close() races in behind it (regression: the old tail re-queue could land
+    it behind the shutdown sentinel and drop it silently)."""
+    srv = MicroBatchServer(_echo_run, batch_size=8, max_wait_ms=200)
+    f1 = srv.submit(x=np.full((4, 3), 1, np.float32),
+                    b=np.zeros((4,), np.float32))
+    f2 = srv.submit(x=np.full((6, 3), 2, np.float32),
+                    b=np.zeros((6,), np.float32))   # 4+6>8 -> carried
+    srv.close()                                     # sentinel behind f2
+    np.testing.assert_allclose(f1.result(timeout=10)["y"],
+                               np.full((4, 3), 2.0))
+    np.testing.assert_allclose(f2.result(timeout=10)["y"],
+                               np.full((6, 3), 4.0))
+    assert srv.stats.batches == 2
+
+
+def test_close_nodrain_cancels_queued():
+    import threading
+    release = threading.Event()
+
+    def slow(inputs):
+        release.wait(10)
+        return _echo_run(inputs)
+
+    srv = MicroBatchServer(slow, batch_size=1, max_wait_ms=1)
+    f1 = srv.submit(x=np.ones((1, 3), np.float32), b=np.zeros((1,), np.float32))
+    time.sleep(0.2)        # worker picked up f1 and is blocked in slow()
+    f2 = srv.submit(x=np.ones((1, 3), np.float32), b=np.zeros((1,), np.float32))
+    # close on a side thread: its drain loop cancels the still-queued f2
+    # immediately (the worker is blocked), then it joins the worker, which
+    # only finishes once we release the in-flight batch
+    closer = threading.Thread(target=lambda: srv.close(drain=False))
+    closer.start()
+    time.sleep(0.2)
+    assert f2.cancelled()
+    release.set()
+    closer.join(timeout=10)
+    assert not closer.is_alive()
+    assert f1.result(timeout=10) is not None       # in-flight completes

@@ -49,8 +49,12 @@ def _pick_bq(sq: int, skv_pad: int, d: int = 128) -> int:
     # and FAILS; (4608, 256) ok but (4608, 128) wants 16.86 MB and FAILS.
     # A byte-budget formula cannot reproduce that table, so pick from the
     # verified points, scaled to d via the kv-resident footprint.
+    # Two independent VMEM terms: the fixed K/V/rope buffers scale with
+    # skv_pad*d, but the fp32 logits block is [bq, skv_pad] REGARDLESS of d
+    # — so the gate must bound skv_pad itself too, or d=64 (SD3 head dim)
+    # admits twice the logits bytes of any verified point.
     kv_rows_eq = skv_pad * d // 128          # d-normalised KV rows
-    cap = DEFAULT_BQ if kv_rows_eq <= 2048 else 512
+    cap = DEFAULT_BQ if (kv_rows_eq <= 2048 and skv_pad <= 2048) else 512
     return min(sq128, cap)
 
 
@@ -70,8 +74,10 @@ def supported(q, k, v) -> bool:
     # device-verified ceiling: (skv 2560, bq 512) compiles repeatably at
     # d=128; (skv 4608, bq 256) compiled once then failed scoped-vmem on a
     # later identical compile (the remote helper is not stable at the
-    # margin), so longer KV takes the streaming kernel
-    return skv_pad * d // 128 <= 3072
+    # margin), so longer KV takes the streaming kernel. Both the d-scaled
+    # K/V footprint AND raw skv_pad (the d-independent logits width) are
+    # bounded — see _pick_bq.
+    return skv_pad * d // 128 <= 3072 and skv_pad <= 3072
 
 
 def _rotate(x, cos, sin):

@@ -71,6 +71,8 @@ class MicroBatchServer:
         self.stats = ServerStats()
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
+        self._carry: Optional[_Request] = None   # didn't fit the last batch
+        self._shutdown = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -95,20 +97,36 @@ class MicroBatchServer:
 
     def close(self, *, drain: bool = True):
         """Stop the worker. With drain=True pending requests complete first;
-        otherwise they fail with CancelledError."""
+        otherwise queued-but-undispatched requests are cancelled (their
+        futures report .cancelled())."""
         self._closed = True
+        if not drain:
+            # pull everything still queued and cancel it; in-flight batches
+            # (already collected by the worker) still complete
+            while True:
+                try:
+                    r = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if r is not None:
+                    r.future.cancel()
         self._q.put(None)
-        if drain:
-            self._worker.join()
+        self._worker.join()
 
     # ------------------------------------------------------------ worker
 
     def _collect(self) -> Optional[List[_Request]]:
         """Block for the first request, then fill up to batch_size for at
-        most max_wait. None = shutdown."""
-        first = self._q.get()
-        if first is None:
-            return None
+        most max_wait. None = shutdown. A request that does not fit the
+        current batch is held in ``self._carry`` (never re-queued — that
+        would break FIFO and could land behind the shutdown sentinel,
+        silently dropping it)."""
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            first = self._q.get()
+            if first is None:
+                return None
         batch, filled = [first], first.n
         import time
         t_end = time.monotonic() + self.max_wait
@@ -121,10 +139,10 @@ class MicroBatchServer:
             except queue.Empty:
                 break
             if nxt is None:
-                self._q.put(None)   # re-signal shutdown for the outer loop
+                self._shutdown = True   # dispatch this batch, then exit
                 break
             if filled + nxt.n > self.batch_size:
-                self._q.put(nxt)    # doesn't fit this batch; runs next
+                self._carry = nxt       # heads the NEXT batch (FIFO kept)
                 break
             batch.append(nxt)
             filled += nxt.n
@@ -141,6 +159,8 @@ class MicroBatchServer:
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+            if self._shutdown and self._carry is None:
+                return
 
     def _dispatch(self, batch: List[_Request]):
         filled = sum(r.n for r in batch)
@@ -163,6 +183,10 @@ class MicroBatchServer:
         self.stats.padded_samples += pad
 
         import jax
+        # ONE device->host materialisation per leaf, then host-side slicing
+        # (per-request np.asarray would pull the full batch output once per
+        # request through the fragile tunnel d2h path)
+        out = jax.tree.map(np.asarray, out)
         leaves = jax.tree.leaves(out)
         assert leaves and all(np.shape(l)[0] == self.batch_size
                               for l in leaves), \
@@ -170,5 +194,6 @@ class MicroBatchServer:
         off = 0
         for r in batch:
             sl = slice(off, off + r.n)
-            r.future.set_result(jax.tree.map(lambda l: np.asarray(l)[sl], out))
+            if not r.future.done():
+                r.future.set_result(jax.tree.map(lambda l: l[sl], out))
             off += r.n
