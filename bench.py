@@ -70,6 +70,150 @@ def model_flops_per_forward(cfg, s_img: int, s_txt: int, s_cond: int) -> float:
     return float(total)
 
 
+def sd3_flops_per_forward(cfg, s_img: int, s_txt: int) -> float:
+    """Dense matmul FLOPs of one UniGenSD3 forward (base + interleaved
+    control + MoE preprocess), one CFG branch."""
+    bb = cfg.sd3
+    d = bb.inner_dim
+    s_all = s_img + s_txt
+
+    def attn(sq, skv):
+        return 2 * sq * skv * d * 2
+
+    # joint block: per-token qkv/o (4d^2) + 4x FF (8d^2) + adaln (6d^2) on
+    # BOTH streams, + joint attention
+    joint = 2 * (18 * d * d) * s_all + attn(s_all, s_all)
+    dual_extra = 2 * (7 * d * d) * s_img + attn(s_img, s_img)
+    base = bb.num_layers * joint + len(bb.dual_attention_layers) * dual_extra
+    control = bb.num_layers * joint          # one control block per base block
+    moe = 2 * (2 * 13 * d * d) * (2 * s_img)  # expert single-block pairs
+    shared = 2 * joint                        # 2-block weave approx
+    return float(base + control + moe + shared)
+
+
+def bench_sd3():
+    """UNIGEN_BENCH_FAMILY=sd3: BASELINE config #2 — UniGenSD3 depth control
+    on SD3.5-medium (24 joint blocks, dual-attn 0..12, width 1536), 512^2,
+    28-step flow denoise WITH CFG (guidance 7.0 doubles the transformer
+    batch per step, reference UniGenPipeline sd3 path). bf16 fits one v5e
+    (~7 GiB base+adapter), so this measures the parity-grade dtype."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/unigen_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from unigen_tpu import presets
+    from unigen_tpu.models.unigen_sd3 import (init_unigen_sd3_params,
+                                              unigen_sd3_forward)
+    from unigen_tpu.ops.quant import quantized_bytes
+    from unigen_tpu.pipelines import scheduling
+
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
+    num_steps = 28
+    t_len = 77 + 256                       # CLIP + T5 joint context
+    lat = res // 8
+    s_img = (lat // 2) ** 2                # patch 2
+    batch_sizes = [int(x) for x in
+                   os.environ.get("UNIGEN_BENCH_BATCHES", "1,2,4").split(",")]
+    quant = os.environ.get("UNIGEN_BENCH_QUANT", "bf16")
+
+    cfg = presets.sd35_medium()
+    bb = cfg.sd3
+    dtype = jnp.bfloat16
+
+    def _init(k):
+        p = init_unigen_sd3_params(k, cfg, dtype=dtype)
+        if quant == "w8a8":
+            from unigen_tpu.ops.quant import quantize_tree
+            p = quantize_tree(p)
+        return p
+
+    t0 = time.time()
+    if quant == "bf16":
+        params = jax.jit(_init)(jax.random.PRNGKey(0))
+    else:
+        params = direct_quantized_init(jax.random.PRNGKey(0), _init)
+    jax.block_until_ready(params)
+    print(f"# sd3 init {time.time()-t0:.1f}s quant={quant} "
+          f"resident={quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
+
+    sigmas = np.asarray(scheduling.inference_sigmas(
+        scheduling.FlowMatchConfig(shift=3.0), num_steps)[0])
+    flops_image = sd3_flops_per_forward(cfg, s_img, t_len) * num_steps * 2
+    est_ref = 312e12 * 0.35 / flops_image
+
+    def measure(b: int) -> float:
+        ks = jax.random.split(jax.random.PRNGKey(1), 6)
+        prompt = jax.random.normal(ks[0], (2 * b, t_len, bb.joint_attention_dim), dtype)
+        pooled = jax.random.normal(ks[1], (2 * b, bb.pooled_projection_dim), dtype)
+        cond_pooled = jax.random.normal(ks[2], (2 * b, bb.pooled_projection_dim), dtype)
+        condition = jax.random.normal(ks[3], (b, bb.in_channels, lat, lat), dtype)
+        latents0 = jax.random.normal(ks[4], (b, bb.in_channels, lat, lat), dtype)
+        guidance = 7.0
+
+        def denoise(params, latents, condition, prompt, pooled, cond_pooled):
+            sig = jnp.asarray(sigmas)
+            cond2 = jnp.concatenate([condition, condition], 0)
+
+            def step(lat, i):
+                lat2 = jnp.concatenate([lat, lat], 0)
+                t = jnp.full((2 * b,), sig[i] * 1000.0, dtype)
+                pred, _, _ = unigen_sd3_forward(
+                    params, cfg, hidden=lat2, condition=cond2,
+                    encoder=prompt, pooled=pooled,
+                    condition_pooled=cond_pooled, timestep=t,
+                    attn_impl="auto")
+                uncond, text = pred[:b], pred[b:]
+                pred = uncond + guidance * (text - uncond)
+                return scheduling.euler_step(lat, pred, sig[i], sig[i + 1]), None
+
+            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            return latents
+
+        jfn = jax.jit(denoise)
+        fn = lambda: jfn(params, latents0, condition, prompt, pooled, cond_pooled)
+        t0 = time.time()
+        _ = float(jnp.sum(fn().astype(jnp.float32)))
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            _ = float(jnp.sum(out.astype(jnp.float32)))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        ips = b / dt
+        peak = 197e12 if quant == "bf16" else 394e12
+        print(f"# sd3 b={b} compile={compile_s:.1f}s denoise={dt*1000:.0f}ms "
+              f"ips={ips:.3f} mfu={flops_image*ips/peak:.3f}", file=sys.stderr)
+        return ips
+
+    results = {}
+    for b in batch_sizes:
+        try:
+            results[b] = measure(b)
+        except Exception as e:
+            print(f"# sd3 b={b} failed: {type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr)
+            gc.collect()
+    if not results:
+        print(json.dumps({"metric":
+                          f"unigen_sd3_bench_{res}px_28step_cfg_images_per_sec",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0, "error": "all batches failed"}))
+        return
+    best_b = max(results, key=results.get)
+    print(json.dumps({
+        "metric": f"unigen_sd3_bench_{res}px_28step_cfg_images_per_sec",
+        "value": round(results[best_b], 4), "unit": "images/sec/chip",
+        "vs_baseline": round(results[best_b] / est_ref, 3),
+        "config": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_{quant}_cfg"}))
+    print(f"# best_batch={best_b} est_ref_a100={est_ref:.3f}img/s",
+          file=sys.stderr)
+
+
 def bench_train():
     """UNIGEN_BENCH_TRAIN=1: one-chip flow-matching train-step throughput
     (BASELINE config #5's hot loop, reference train.py:517-697). Real width
@@ -224,6 +368,8 @@ def main():
 
     if os.environ.get("UNIGEN_BENCH_TRAIN") == "1":
         return bench_train()
+    if os.environ.get("UNIGEN_BENCH_FAMILY", "flux") == "sd3":
+        return bench_sd3()
 
     from unigen_tpu import presets
     from unigen_tpu.models.unigen_flux import (init_unigen_flux_params,

@@ -67,27 +67,30 @@ def unpatchify(x: jnp.ndarray, h_patches: int, w_patches: int, patch_size: int,
     return x.reshape(b, out_channels, h_patches * p, w_patches * p)
 
 
-def _sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
-    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+def _sincos_1d(embed_dim: int, pos: jnp.ndarray) -> jnp.ndarray:
+    omega = jnp.arange(embed_dim // 2, dtype=jnp.float64) / (embed_dim / 2.0)
     omega = 1.0 / (10000.0 ** omega)
-    out = np.einsum("m,d->md", pos.reshape(-1), omega)
-    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+    out = jnp.einsum("m,d->md", pos.reshape(-1), omega)
+    return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)
 
 
 def sincos_2d_pos_embed(embed_dim: int, grid_size: int, base_size: int,
-                        interpolation_scale: float = 1.0) -> np.ndarray:
+                        interpolation_scale: float = 1.0) -> jnp.ndarray:
     """2-D sincos table [grid_size**2, embed_dim] (diffusers PatchEmbed semantics).
 
     First half of channels encodes the H coordinate, second half the W
-    coordinate; positions are rescaled by base_size/grid_size.
+    coordinate; positions are rescaled by base_size/grid_size. Computed with
+    jnp so a jitted init TRACES the table instead of embedding a
+    [max_size^2, D] literal — at SD3.5 size (384^2 x 1536 fp32 = 906 MB)
+    that literal blew the remote-compile request limit (HTTP 413).
     """
-    grid_h = np.arange(grid_size, dtype=np.float32) / (grid_size / base_size) / interpolation_scale
-    grid_w = np.arange(grid_size, dtype=np.float32) / (grid_size / base_size) / interpolation_scale
-    grid = np.meshgrid(grid_w, grid_h)  # w goes first (diffusers convention)
-    grid = np.stack(grid, axis=0).reshape(2, grid_size, grid_size)
+    grid_h = jnp.arange(grid_size, dtype=jnp.float32) / (grid_size / base_size) / interpolation_scale
+    grid_w = jnp.arange(grid_size, dtype=jnp.float32) / (grid_size / base_size) / interpolation_scale
+    grid = jnp.meshgrid(grid_w, grid_h)  # w goes first (diffusers convention)
+    grid = jnp.stack(grid, axis=0).reshape(2, grid_size, grid_size)
     emb_h = _sincos_1d(embed_dim // 2, grid[0])
     emb_w = _sincos_1d(embed_dim // 2, grid[1])
-    return np.concatenate([emb_h, emb_w], axis=1)  # [G*G, D]
+    return jnp.concatenate([emb_h, emb_w], axis=1)  # [G*G, D]
 
 
 def cropped_pos_embed(table: jnp.ndarray, max_size: int, h_patches: int,
