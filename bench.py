@@ -214,6 +214,116 @@ def bench_sd3():
           file=sys.stderr)
 
 
+def bench_sana():
+    """UNIGEN_BENCH_FAMILY=sana: SANA-1.6B UniGen control (20 linear-attn
+    blocks, width 2240, DC-AE f32 latents), 1024^2, 20-step flow denoise —
+    beyond parity (the reference builds SANAUniGen but ships no pipeline or
+    numbers for it)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/unigen_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from unigen_tpu import config as C
+    from unigen_tpu.models.sana import (init_sana_unigen_params,
+                                        sana_unigen_forward)
+    from unigen_tpu.pipelines import scheduling
+
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "1024"))
+    num_steps = 20
+    t_len = 300
+    lat = res // 32                       # DC-AE f32
+    s_img = lat * lat
+    batch_sizes = [int(x) for x in
+                   os.environ.get("UNIGEN_BENCH_BATCHES", "1,2,4").split(",")]
+
+    cfg = C.UniGenConfig(family="sana", sana=C.SanaBackboneConfig(),
+                         control=C.ControlConfig(),
+                         condition_types=("canny",))
+    bb = cfg.sana
+    d = bb.inner_dim
+    dtype = jnp.bfloat16
+
+    t0 = time.time()
+    params = jax.jit(lambda k: init_sana_unigen_params(k, cfg, dtype=dtype))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    from unigen_tpu.ops.quant import quantized_bytes
+    print(f"# sana init {time.time()-t0:.1f}s "
+          f"resident={quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
+
+    sigmas = np.asarray(scheduling.inference_sigmas(
+        scheduling.FlowMatchConfig(shift=3.0), num_steps)[0])
+    timesteps = sigmas[:-1] * 1000.0
+    # linear attention is O(S d^2/heads): negligible next to the projections
+    per_tok = 2 * ((4 + 2 * 2.5 + 2.5 * 0.28) * d * d)   # attn+GLUMB+cross
+    flops_image = (bb.num_layers * 2 + 3) * per_tok * s_img * num_steps
+    est_ref = 312e12 * 0.35 / flops_image
+
+    def measure(b: int) -> float:
+        ks = jax.random.split(jax.random.PRNGKey(1), 5)
+        prompt = jax.random.normal(ks[0], (b, t_len, bb.caption_channels), dtype)
+        pooled = jax.random.normal(ks[1], (b, bb.pooled_projection_dim), dtype)
+        cond_pooled = jax.random.normal(ks[2], (b, bb.pooled_projection_dim), dtype)
+        condition = jax.random.normal(ks[3], (b, bb.in_channels, lat, lat), dtype)
+        latents0 = jax.random.normal(ks[4], (b, bb.in_channels, lat, lat), dtype)
+
+        def denoise(params, latents, condition, prompt, pooled, cond_pooled):
+            sig = jnp.asarray(sigmas)
+            tst = jnp.asarray(timesteps)
+
+            def step(lat_x, i):
+                pred, _, _ = sana_unigen_forward(
+                    params, cfg, hidden=lat_x, condition=condition,
+                    encoder=prompt, pooled=pooled,
+                    condition_pooled=cond_pooled,
+                    timestep=jnp.full((b,), tst[i], dtype))
+                return scheduling.euler_step(lat_x, pred, sig[i], sig[i + 1]), None
+
+            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            return latents
+
+        jfn = jax.jit(denoise)
+        fn = lambda: jfn(params, latents0, condition, prompt, pooled, cond_pooled)
+        t0 = time.time()
+        _ = float(jnp.sum(fn().astype(jnp.float32)))
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            _ = float(jnp.sum(out.astype(jnp.float32)))
+            times.append(time.perf_counter() - t0)
+        ips = b / min(times)
+        print(f"# sana b={b} compile={compile_s:.1f}s denoise="
+              f"{min(times)*1000:.0f}ms ips={ips:.3f} "
+              f"mfu={flops_image*ips/197e12:.3f}", file=sys.stderr)
+        return ips
+
+    results = {}
+    for b in batch_sizes:
+        try:
+            results[b] = measure(b)
+        except Exception as e:
+            print(f"# sana b={b} failed: {type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr)
+            gc.collect()
+    if not results:
+        print(json.dumps({"metric":
+                          f"unigen_sana_bench_{res}px_20step_images_per_sec",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0, "error": "all batches failed"}))
+        return
+    best_b = max(results, key=results.get)
+    print(json.dumps({
+        "metric": f"unigen_sana_bench_{res}px_20step_images_per_sec",
+        "value": round(results[best_b], 4), "unit": "images/sec/chip",
+        "vs_baseline": round(results[best_b] / est_ref, 3),
+        "config": f"sana1.6b_{bb.num_layers}blk_w{d}_bf16"}))
+
+
 def bench_train():
     """UNIGEN_BENCH_TRAIN=1: one-chip flow-matching train-step throughput
     (BASELINE config #5's hot loop, reference train.py:517-697). Real width
@@ -368,8 +478,11 @@ def main():
 
     if os.environ.get("UNIGEN_BENCH_TRAIN") == "1":
         return bench_train()
-    if os.environ.get("UNIGEN_BENCH_FAMILY", "flux") == "sd3":
+    family = os.environ.get("UNIGEN_BENCH_FAMILY", "flux")
+    if family == "sd3":
         return bench_sd3()
+    if family == "sana":
+        return bench_sana()
 
     from unigen_tpu import presets
     from unigen_tpu.models.unigen_flux import (init_unigen_flux_params,
