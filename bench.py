@@ -239,9 +239,13 @@ def bench_sana():
     batch_sizes = [int(x) for x in
                    os.environ.get("UNIGEN_BENCH_BATCHES", "1,2,4").split(",")]
 
-    cfg = C.UniGenConfig(family="sana", sana=C.SanaBackboneConfig(),
-                         control=C.ControlConfig(),
-                         condition_types=("canny",))
+    cfg = C.UniGenConfig(
+        family="sana", sana=C.SanaBackboneConfig(),
+        # per-sample routing keeps the router linear in batch (serving mode,
+        # same choice as the flux presets; global mode measured 0.817 ->
+        # 0.657 img/s from b=1 to b=4 — the quadratic router dominates)
+        control=C.ControlConfig(moe=C.MoEConfig(batch_mode="per_sample")),
+        condition_types=("canny",))
     bb = cfg.sana
     d = bb.inner_dim
     dtype = jnp.bfloat16

@@ -170,45 +170,54 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
     n_cn = ctrl["add_blocks"]["w"].shape[0]
     interval = bb.num_layers / n_cn
 
-    pre: Optional[SanaPreprocess] = None
-    for i in range(bb.num_layers):
-        block_p = index_params(base["blocks"], i)
-        h = sana_block(block_p, h, enc, proj_t, hp, wp, heads=heads,
-                       cross_heads=xheads, ctx_mask=encoder_mask,
-                       attn_impl=attn_impl)
-        if pre is None:
-            cond_tokens = linear(ctrl["pos_embed_input"],
-                                 patchify(condition, bb.patch_size))
-            cond_proj_t, _ = adaln_single(ctrl["condition_embed"], timestep,
-                                          dtype=h.dtype)
-            control_enc = linear(ctrl["context_embedder"], enc)
-            streams = {"temb": cond_proj_t, "condition_temb": cond_proj_t,
-                       "pooled": pooled, "condition_pooled": condition_pooled}
-            out = moe_lib.moe_apply(ctrl["moe"], cc, num_experts, h,
-                                    cond_tokens, streams, rng=rng,
-                                    training=training)
-            exp_h, exp_c = out.expert_hidden, out.expert_condition
-            if "shared_expert" in ctrl:
-                hc = jnp.concatenate([h, cond_tokens], axis=1)
-                hc = sana_block(ctrl["shared_expert"]["block0"], hc, control_enc,
-                                cond_proj_t, 2 * hp, wp, heads=heads,
-                                cross_heads=xheads, ctx_mask=encoder_mask,
-                                attn_impl=attn_impl)
-                s = h.shape[1]
-                exp_h = hc[:, :s] + exp_h
-                exp_c = hc[:, s:] + exp_c
-            pre = SanaPreprocess(exp_h + exp_c, control_enc, cond_proj_t,
-                                 out.aux_loss, out.expert_counts)
-            cn_in = pre.moe_hidden
-        else:
-            cn_in = h
-        cn_idx = int(i / interval)
-        cn_p = index_params(ctrl["blocks"], cn_idx)
-        cn_out = sana_block(cn_p, cn_in, pre.control_enc, pre.cond_temb, hp, wp,
+    # ---- base block 0 + MoE preprocess (the i==0 special case)
+    h = sana_block(index_params(base["blocks"], 0), h, enc, proj_t, hp, wp,
+                   heads=heads, cross_heads=xheads, ctx_mask=encoder_mask,
+                   attn_impl=attn_impl)
+    cond_tokens = linear(ctrl["pos_embed_input"],
+                         patchify(condition, bb.patch_size))
+    cond_proj_t, _ = adaln_single(ctrl["condition_embed"], timestep,
+                                  dtype=h.dtype)
+    control_enc = linear(ctrl["context_embedder"], enc)
+    streams = {"temb": cond_proj_t, "condition_temb": cond_proj_t,
+               "pooled": pooled, "condition_pooled": condition_pooled}
+    out = moe_lib.moe_apply(ctrl["moe"], cc, num_experts, h,
+                            cond_tokens, streams, rng=rng, training=training)
+    exp_h, exp_c = out.expert_hidden, out.expert_condition
+    if "shared_expert" in ctrl:
+        hc = jnp.concatenate([h, cond_tokens], axis=1)
+        hc = sana_block(ctrl["shared_expert"]["block0"], hc, control_enc,
+                        cond_proj_t, 2 * hp, wp, heads=heads,
+                        cross_heads=xheads, ctx_mask=encoder_mask,
+                        attn_impl=attn_impl)
+        s = h.shape[1]
+        exp_h = hc[:, :s] + exp_h
+        exp_c = hc[:, s:] + exp_c
+    pre = SanaPreprocess(exp_h + exp_c, control_enc, cond_proj_t,
+                         out.aux_loss, out.expert_counts)
+
+    def cn_apply(cn_in, h, cn_idx):
+        cn_out = sana_block(index_params(ctrl["blocks"], cn_idx), cn_in,
+                            pre.control_enc, pre.cond_temb, hp, wp,
                             heads=heads, cross_heads=xheads,
                             ctx_mask=encoder_mask, attn_impl=attn_impl)
-        h = h + linear(index_params(ctrl["add_blocks"], cn_idx), cn_out) \
+        return h + linear(index_params(ctrl["add_blocks"], cn_idx), cn_out) \
             * conditioning_scale
+
+    h = cn_apply(pre.moe_hidden, h, 0)
+
+    # ---- blocks 1..n-1 under lax.scan (blocks gathered by index, like
+    # unigen_flux — the unrolled loop compiled 5x slower and scheduled
+    # poorly at batch >1 on device)
+    cn_table = jnp.asarray([int(i / interval) for i in range(bb.num_layers)])
+
+    def body(h, i):
+        h = sana_block(index_params(base["blocks"], i), h, enc, proj_t, hp,
+                       wp, heads=heads, cross_heads=xheads,
+                       ctx_mask=encoder_mask, attn_impl=attn_impl)
+        return cn_apply(h, h, cn_table[i]), None
+
+    h, _ = jax.lax.scan(body, h, jnp.arange(1, bb.num_layers))
 
     mods = base["scale_shift_table"][None] + emb_t[:, None, :]
     shift, scale = mods[:, 0][:, None, :], mods[:, 1][:, None, :]
