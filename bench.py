@@ -14,10 +14,10 @@ Env knobs:
   UNIGEN_BENCH_QUANT    w4a8 | w8a8 | bf16  (default: full->w4a8, proxy->w8a8)
   UNIGEN_BENCH_INT8=0   legacy alias for UNIGEN_BENCH_QUANT=bf16
   UNIGEN_BENCH_RES      image resolution (default 512)
-  UNIGEN_BENCH_BATCHES  comma list (default "2,4,8"; throughput is monotone
-                        in batch with the gather-based MoE dispatch —
-                        measured 0.386/0.707/0.936/1.308 img/s at b=1/2/4/8
-                        full topology; b=1 latency 2.59 s/image)
+  UNIGEN_BENCH_BATCHES  comma list (default "2,4,8"; measured full-topology
+                        1.185/1.371/1.360/1.309 img/s at b=1/2/4/8 after the
+                        half-paired int4 layout change — b=2 is the knee,
+                        b=1 latency 844 ms/image)
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
   value       — images/sec for the jitted 4-step denoise loop (text encode /
