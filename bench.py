@@ -31,8 +31,8 @@ Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
 Quantization fidelity (vs bf16, SAME weights/inputs, measured on-device at
 the 6/12-depth proxy where bf16 fits; per-block math identical to full;
 FIDELITY.json, scripts/measure_fidelity.py): through the full 4-step
-denoise + VAE decode, W8A8 reaches image-space SSIM 0.99945 (per-forward
-rel err 0.69%) and the W4A8 serving policy 0.99919 (1.96%) — BOTH above
+denoise + VAE decode, W8A8 reaches image-space SSIM 0.99937 (per-forward
+rel err 0.69%) and the W4A8 serving policy 0.99901 (1.96%) — BOTH above
 the BASELINE SSIM>=0.99 parity gate, so the quantized throughput is the
 legitimate headline number.
 
