@@ -45,14 +45,142 @@ def _delete_tree(tree):
     gc.collect()
 
 
+def _fidelity(a, r):
+    a = np.asarray(a, np.float64).ravel()
+    r = np.asarray(r, np.float64).ravel()
+    rel = float(np.linalg.norm(a - r) / np.linalg.norm(r))
+    cos = float(np.dot(a, r) / (np.linalg.norm(a) * np.linalg.norm(r)))
+    return rel, cos
+
+
+def main_sd3(args):
+    """--family sd3: W8A8 vs bf16 on the FULL SD3.5-medium UniGen stack
+    (bf16 fits one chip, so no proxy is needed; trees run one at a time
+    like the flux path). e2e = 28-step CFG denoise + tiny-VAE decode."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/unigen_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from unigen_tpu import presets
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_sd3 import (init_unigen_sd3_params,
+                                              unigen_sd3_forward)
+    from unigen_tpu.ops.quant import quantize_tree_streaming
+    from unigen_tpu.pipelines import scheduling
+
+    cfg = presets.sd35_medium()
+    bb = cfg.sd3
+    dtype = jnp.bfloat16
+    res = args.res
+    lat, t_len, b = res // 8, 77 + 256, 1
+
+    init_fn = jax.jit(lambda k: init_unigen_sd3_params(k, cfg, dtype=dtype))
+
+    def make_params(path):
+        params = init_fn(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        if path == "bf16":
+            return params
+        return quantize_tree_streaming(params)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    _h = lambda x: np.asarray(x.astype(jnp.float32))
+    batch = dict(
+        hidden=_h(jax.random.normal(ks[0], (b, bb.in_channels, lat, lat), dtype)),
+        condition=_h(jax.random.normal(ks[1], (b, bb.in_channels, lat, lat), dtype)),
+        encoder=_h(jax.random.normal(ks[2], (2 * b, t_len, bb.joint_attention_dim), dtype)),
+        pooled=_h(jax.random.normal(ks[3], (2 * b, bb.pooled_projection_dim), dtype)),
+        condition_pooled=_h(jax.random.normal(
+            ks[4], (2 * b, bb.pooled_projection_dim), dtype)),
+    )
+
+    @jax.jit
+    def fwd(p, batch):
+        inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
+        out, _, _ = unigen_sd3_forward(
+            p, cfg, hidden=inp["hidden"], condition=inp["condition"],
+            encoder=inp["encoder"][:b], pooled=inp["pooled"][:b],
+            condition_pooled=inp["condition_pooled"][:b],
+            timestep=jnp.full((b,), 500.0, dtype), attn_impl="auto")
+        return out.astype(jnp.float32)
+
+    num_steps = 28
+    sig_host = np.asarray(scheduling.inference_sigmas(
+        scheduling.FlowMatchConfig(shift=3.0), num_steps)[0])
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_host = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                            vae_lib.init_vae_params(jax.random.PRNGKey(2),
+                                                    vae_cfg))
+
+    @jax.jit
+    def jdd(p, batch, vae_params):
+        inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
+        sig = jnp.asarray(sig_host)
+        cond2 = jnp.concatenate([inp["condition"]] * 2, 0)
+
+        def step(lat_x, i):
+            lat2 = jnp.concatenate([lat_x, lat_x], 0)
+            pred, _, _ = unigen_sd3_forward(
+                p, cfg, hidden=lat2, condition=cond2, encoder=inp["encoder"],
+                pooled=inp["pooled"],
+                condition_pooled=inp["condition_pooled"],
+                timestep=jnp.full((2 * b,), sig[i] * 1000.0, dtype),
+                attn_impl="auto")
+            uncond, text = pred[:b], pred[b:]
+            pred = uncond + 7.0 * (text - uncond)
+            return scheduling.euler_step(lat_x, pred, sig[i], sig[i + 1]), None
+
+        lat_x, _ = jax.lax.scan(step, inp["hidden"], jnp.arange(num_steps))
+        px = vae_lib.vae_decode(vae_params, vae_cfg,
+                                lat_x.astype(jnp.float32))
+        return jnp.clip(px, -1, 1)
+
+    def to_u8(px):
+        return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
+                * 127.5).round().astype(np.uint8)
+
+    host = {}
+    for path in ("bf16", "w8a8"):
+        t0 = time.time()
+        params = make_params(path)
+        rec = {"fwd": np.asarray(fwd(params, batch))}
+        if args.ssim:
+            rec["img"] = to_u8(jdd(params, batch, vae_host))
+        _delete_tree(params)
+        host[path] = rec
+        print(f"# sd3 {path} path done in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+
+    rel, cos = _fidelity(host["w8a8"]["fwd"], host["bf16"]["fwd"])
+    out = {"family": "sd3",
+           "topology": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}",
+           "res": res,
+           "w8a8": {"rel_err": round(rel, 5), "cosine": round(cos, 6)}}
+    if args.ssim:
+        from unigen_tpu.eval import image_metrics
+        m = image_metrics(host["bf16"]["img"], host["w8a8"]["img"])
+        out["w8a8"]["e2e_ssim"] = round(m["ssim"], 5)
+        out["w8a8"]["e2e_psnr"] = round(m["psnr"], 2)
+        out["e2e"] = f"{num_steps}-step CFG denoise + VAE decode @ {res}px"
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ssim", action="store_true",
                    help="also run the e2e denoise+VAE SSIM comparison")
     p.add_argument("--res", type=int, default=256,
                    help="image resolution for the e2e SSIM pass")
+    p.add_argument("--family", default="flux", choices=["flux", "sd3"])
     p.add_argument("--out", default=None, help="write JSON here too")
     args = p.parse_args(argv)
+    if args.family == "sd3":
+        return main_sd3(args)
 
     import jax
     import jax.numpy as jnp
