@@ -34,7 +34,11 @@ FIDELITY.json, scripts/measure_fidelity.py): through the full 4-step
 denoise + VAE decode, W8A8 reaches image-space SSIM 0.99937 (per-forward
 rel err 0.69%) and the W4A8 serving policy 0.99901 (1.96%) — BOTH above
 the BASELINE SSIM>=0.99 parity gate, so the quantized throughput is the
-legitimate headline number.
+legitimate headline number. Caveat: these SSIMs are RELATIVE fidelity on
+randomly initialized weights (no released checkpoint is reachable in this
+environment); real checkpoints typically carry outlier channels that
+quantize worse, so the gate should be re-measured via
+scripts/validate_real_ckpt.py the moment real weights are available.
 
 Timing note: through the axon tunnel block_until_ready() can return before
 device completion — every timed section syncs via a scalar host read.

@@ -68,7 +68,11 @@ def unpatchify(x: jnp.ndarray, h_patches: int, w_patches: int, patch_size: int,
 
 
 def _sincos_1d(embed_dim: int, pos: jnp.ndarray) -> jnp.ndarray:
-    omega = jnp.arange(embed_dim // 2, dtype=jnp.float64) / (embed_dim / 2.0)
+    # float32 intermediates (the diffusers reference computes this table in
+    # np.float64; without jax_enable_x64 a float64 request silently downcasts
+    # anyway, so ask for what we get — drift vs float64 is ~1e-7 and the
+    # stored table is float32 regardless)
+    omega = jnp.arange(embed_dim // 2, dtype=jnp.float32) / (embed_dim / 2.0)
     omega = 1.0 / (10000.0 ** omega)
     out = jnp.einsum("m,d->md", pos.reshape(-1), omega)
     return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)

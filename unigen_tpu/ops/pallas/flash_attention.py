@@ -76,8 +76,11 @@ def supported(q, k, v) -> bool:
     # later identical compile (the remote helper is not stable at the
     # margin), so longer KV takes the streaming kernel. Both the d-scaled
     # K/V footprint AND raw skv_pad (the d-independent logits width) are
-    # bounded — see _pick_bq.
-    return skv_pad * d // 128 <= 3072 and skv_pad <= 3072
+    # bounded — see _pick_bq. The gate admits only up to the VERIFIED 2560
+    # point (3072 was previously admitted but never compiled on device —
+    # shapes in (2560, 3072] now take the streaming kernel instead of
+    # risking a marginal scoped-vmem compile failure).
+    return skv_pad * d // 128 <= 2560 and skv_pad <= 2560
 
 
 def _rotate(x, cos, sin):

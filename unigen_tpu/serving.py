@@ -71,6 +71,7 @@ class MicroBatchServer:
         self.stats = ServerStats()
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
+        self._close_lock = threading.Lock()   # orders submit() vs close()
         self._carry: Optional[_Request] = None   # didn't fit the last batch
         self._shutdown = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -82,8 +83,6 @@ class MicroBatchServer:
         """Enqueue one request. Every array must share the same leading dim
         (usually 1); returns a Future resolving to the request's slice of
         the program output (leading dim preserved)."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         sizes = {k: np.shape(v)[0] for k, v in inputs.items()
                  if hasattr(v, "shape") and np.ndim(v) > 0}
         n = next(iter(sizes.values()), 1)
@@ -92,14 +91,21 @@ class MicroBatchServer:
         assert n <= self.batch_size, \
             f"request of {n} samples exceeds batch_size={self.batch_size}"
         fut: Future = Future()
-        self._q.put(_Request(inputs, fut, n))
+        # the closed-check and the enqueue are one atomic section vs close():
+        # without the lock a submit racing close() could pass the check and
+        # land BEHIND the shutdown sentinel, leaving its future unresolved
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._q.put(_Request(inputs, fut, n))
         return fut
 
     def close(self, *, drain: bool = True):
         """Stop the worker. With drain=True pending requests complete first;
         otherwise queued-but-undispatched requests are cancelled (their
         futures report .cancelled())."""
-        self._closed = True
+        with self._close_lock:
+            self._closed = True
         if not drain:
             # pull everything still queued and cancel it; in-flight batches
             # (already collected by the worker) still complete
