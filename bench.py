@@ -439,6 +439,157 @@ def bench_train():
                       "vs_baseline": 0.0, "error": "all rungs failed"}))
 
 
+def bench_suite():
+    """UNIGEN_BENCH_SUITE=1: BASELINE config #3 — the full MultiGen condition
+    suite with per-condition LoRA expert switching (reference
+    lora_switching_module.py:4-39 + hook.py:29-84; README.md:77 lists the
+    twelve spatial conditions). Full 19/38 W4A8 serving tree on one chip;
+    per condition type: fold that type's LoRA expert into the live quantized
+    weights (models/lora.LoraSwitcher — refold from pristine host copies,
+    timed) and run the 4-step 512² denoise (timed). Writes SUITE.json with
+    per-type rows {type, ips, switch_ms} and prints the suite-mean JSON line.
+
+    Env: UNIGEN_BENCH_SUITE_TYPES (comma list, default the 12 MultiGen types),
+    UNIGEN_BENCH_SUITE_BATCH (default 2), UNIGEN_BENCH_RES (default 512)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu import presets
+    from unigen_tpu.config import CONDITION_TYPES
+    from unigen_tpu.models.lora import LoraSwitcher, init_lora_adapters
+    from unigen_tpu.models.unigen_flux import unigen_flux_forward, \
+        init_unigen_flux_params
+    from unigen_tpu.ops.packing import prepare_latent_image_ids
+    from unigen_tpu.ops.quant import quantize_unigen_serving, quantized_bytes
+    from unigen_tpu.pipelines import scheduling
+
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
+    b = int(os.environ.get("UNIGEN_BENCH_SUITE_BATCH", "2"))
+    types = os.environ.get("UNIGEN_BENCH_SUITE_TYPES", "")
+    types = types.split(",") if types else list(CONDITION_TYPES)
+    hw, t_len = res // 16, 512
+    s_img = hw * hw
+    num_steps = 4
+    preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
+    cfg = {"full": presets.flux_full, "proxy": presets.flux_bench,
+           "tiny": presets.tiny}[preset]()
+    bb = cfg.flux
+    if preset == "tiny":   # CPU smoke: shrink the token budget too
+        hw, t_len = 4, 8
+        s_img = hw * hw
+    dtype = jnp.bfloat16
+
+    img_ids = np.asarray(prepare_latent_image_ids(hw, hw))
+    txt_ids = np.zeros((t_len, 3), np.float32)
+    sigmas = np.asarray(scheduling.inference_sigmas(
+        scheduling.FlowMatchConfig(shift=1.0), num_steps)[0])
+
+    def _init(k):
+        return quantize_unigen_serving(init_unigen_flux_params(k, cfg, dtype=dtype))
+
+    t0 = time.time()
+    params = direct_quantized_init(jax.random.PRNGKey(0), _init)
+    jax.block_until_ready(params)
+    print(f"# suite init {time.time()-t0:.1f}s resident="
+          f"{quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
+
+    # Per-condition LoRA experts over the control attention projections
+    # (rank 16; random non-zero factors — the fold work is content-agnostic).
+    # Factor shapes come from an abstract UNQUANTIZED tiny eval_shape... the
+    # real path: shapes derive from the quantized tree directly.
+    targets = ["double_blocks.attn.to_q", "double_blocks.attn.to_v",
+               "single_blocks.attn.to_q", "single_blocks.attn.to_v"]
+    n_cn = bb.num_layers // cfg.control.single_control_dev
+    n_cn_s = bb.num_single_layers // cfg.control.single_control_dev
+    d = bb.inner_dim
+    rank = 16
+    adapters = {}
+    kr = jax.random.PRNGKey(42)
+    for ti, name in enumerate(types):
+        lora = {}
+        for path in targets:
+            L = n_cn if path.startswith("double") else n_cn_s
+            ka, kb = jax.random.split(jax.random.fold_in(kr, ti * 8 + len(lora)))
+            lora[f"control.{path}"] = {
+                "a": jax.random.normal(ka, (L, d, rank), jnp.float32) / np.sqrt(d),
+                "b": 0.01 * jax.random.normal(kb, (L, rank, d), jnp.float32)}
+        adapters[name] = lora
+    t0 = time.time()
+    switcher = LoraSwitcher(adapters, params)   # pulls pristine host copies
+    print(f"# switcher init (pristine d2h) {time.time()-t0:.1f}s", file=sys.stderr)
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    prompt = jax.random.normal(ks[0], (b, t_len, bb.joint_attention_dim), dtype)
+    pooled = jax.random.normal(ks[1], (b, bb.pooled_projection_dim), dtype)
+    cond_pooled = jax.random.normal(ks[2], (b, bb.pooled_projection_dim), dtype)
+    condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
+    latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
+
+    def denoise(params, latents, condition, prompt, pooled, cond_pooled):
+        sig = jnp.asarray(sigmas)
+        ids_i = jnp.asarray(img_ids)
+        ids_t = jnp.asarray(txt_ids)
+
+        def step(lat, i):
+            pred, _, _ = unigen_flux_forward(
+                params, cfg, hidden=lat, condition=condition,
+                encoder=prompt, pooled=pooled, condition_pooled=cond_pooled,
+                timestep=jnp.full((b,), sig[i], dtype),
+                img_ids=ids_i, txt_ids=ids_t, condition_ids=ids_i,
+                attn_impl="auto")
+            return scheduling.euler_step(lat, pred, sig[i], sig[i + 1]), None
+        latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+        return latents
+
+    jfn = jax.jit(denoise)
+    t0 = time.time()
+    _ = sync(jfn(params, latents0, condition, prompt, pooled, cond_pooled))
+    print(f"# suite compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rows = []
+    flops_image = model_flops_per_forward(cfg, s_img, t_len, s_img) * num_steps
+    est_ref = 312e12 * 0.35 / flops_image
+    for name in types:
+        t0 = time.perf_counter()
+        params = switcher.switch(params, name)
+        jax.block_until_ready(jax.tree.leaves(params)[0])
+        # sync the refolded leaves via a scalar reduce of one replaced node
+        node = params["control"]["double_blocks"]["attn"]["to_q"]
+        _ = sync(node.get("w_scale", next(iter(node.values()))))
+        switch_ms = (time.perf_counter() - t0) * 1000
+        K = max(1, 4 // b)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out = jfn(params, latents0, condition, prompt, pooled, cond_pooled)
+            _ = sync(out)
+            times.append((time.perf_counter() - t0) / K)
+        ips = b / min(times)
+        rows.append({"type": name, "ips": round(ips, 4),
+                     "switch_ms": round(switch_ms, 1)})
+        print(f"# {name}: {ips:.3f} img/s switch={switch_ms:.0f}ms", file=sys.stderr)
+
+    mean_ips = float(np.mean([r["ips"] for r in rows]))
+    suite = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                       f"w{bb.inner_dim}_w4a8_lora_suite",
+             "res": res, "batch": b, "rank": rank, "targets": targets,
+             "rows": rows, "mean_ips": round(mean_ips, 4),
+             "mean_switch_ms": round(float(np.mean(
+                 [r["switch_ms"] for r in rows])), 1)}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SUITE.json"), "w") as f:
+        json.dump(suite, f, indent=1)
+    print(json.dumps({
+        "metric": f"unigen_flux_condition_suite_{res}px_images_per_sec",
+        "value": round(mean_ips, 4), "unit": "images/sec/chip",
+        "vs_baseline": round(mean_ips / est_ref, 3),
+        "config": suite["config"]}))
+
+
 def direct_quantized_init(key, init_quantized_fn):
     """Build the quantized serving tree leaf-by-leaf from its eval_shape
     structure, never materialising the bf16 source tree.
@@ -486,6 +637,8 @@ def main():
 
     if os.environ.get("UNIGEN_BENCH_TRAIN") == "1":
         return bench_train()
+    if os.environ.get("UNIGEN_BENCH_SUITE") == "1":
+        return bench_suite()
     family = os.environ.get("UNIGEN_BENCH_FAMILY", "flux")
     if family == "sd3":
         return bench_sd3()

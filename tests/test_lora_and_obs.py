@@ -81,3 +81,143 @@ def test_param_report_and_logging(tmp_path):
 def test_replica_consistency_single_device():
     x = jnp.ones((4, 4))
     obs.assert_replica_consistency(x)  # single shard -> trivially consistent
+
+
+# ------------------------------------------------------------ round 3: end-to-end
+# reference-format load path (hook.py:48-76), quantized-tree folding, and the
+# LoraSwitcher runtime switching that pipelines/flux wires into __call__.
+
+def _rooted_params():
+    cfg, params = _tiny_params()
+    return cfg, params
+
+
+def _nonzero_adapters(params, names=("canny", "depth"), rank=2,
+                      targets=("attn.to_q", "ff.fc1")):
+    adapters = lora.init_lora_adapters(
+        jax.random.PRNGKey(7), params, targets=list(targets), rank=rank,
+        adapter_names=list(names))
+    # non-zero deltas (b is zero-init by design)
+    for name in names:
+        for path, ab in adapters[name].items():
+            key = jax.random.PRNGKey(hash((name, path)) % (2**31))
+            adapters[name][path] = {
+                "a": ab["a"],
+                "b": 0.05 * jax.random.normal(key, ab["b"].shape, ab["b"].dtype)}
+    return adapters
+
+
+def test_lora_reference_roundtrip(tmp_path):
+    """export (reference per-adapter layout) -> load -> identical factors and
+    identical fold result."""
+    from unigen_tpu.io import torch_bridge as tb
+    cfg, params = _rooted_params()
+    adapters = _nonzero_adapters(params)
+    written = tb.export_lora_adapters_reference(adapters, str(tmp_path))
+    assert all(p.endswith("pytorch_lora_weights.safetensors") for p in written)
+    loaded = tb.load_lora_adapters(str(tmp_path), params)
+    assert sorted(loaded) == sorted(adapters)
+    for name in adapters:
+        assert sorted(loaded[name]) == sorted(adapters[name])
+        for path in adapters[name]:
+            np.testing.assert_allclose(
+                np.asarray(loaded[name][path]["a"]),
+                np.asarray(adapters[name][path]["a"]), atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(loaded[name][path]["b"]),
+                np.asarray(adapters[name][path]["b"]), atol=1e-6)
+    # fold equality through the loaded copy
+    f1 = lora.fold_adapter(params, adapters, "depth")
+    f2 = lora.fold_adapter(params, loaded, "depth")
+    for a, b in zip(jax.tree.leaves(f1), jax.tree.leaves(f2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_lora_quantized_fold_matches_requantize():
+    """Folding into a quantized tree == quantizing the bf16-folded weights."""
+    from unigen_tpu.ops import quant
+    cfg, params = _rooted_params()
+    adapters = _nonzero_adapters(params)
+    qtree = quant.quantize_tree(params, min_dim=8)
+    folded_q = lora.fold_adapter(qtree, adapters, "canny")
+    folded_then_q = quant.quantize_tree(
+        lora.fold_adapter(params, adapters, "canny"), min_dim=8)
+    leaf_q = folded_q["control"]["double_blocks"]["attn"]["to_q"]
+    leaf_ref = folded_then_q["control"]["double_blocks"]["attn"]["to_q"]
+    assert "w_q" in leaf_q, "tiny dims unexpectedly skipped quantization"
+    # the quantized-tree fold starts from dequant(Q) = W +- scale/2, so its
+    # refit scale differs from the bf16-fold scale by up to one quant step
+    np.testing.assert_allclose(np.asarray(leaf_q["w_scale"]),
+                               np.asarray(leaf_ref["w_scale"]), rtol=2e-2)
+    # int codes may differ by 1 at rounding boundaries; compare dequantized
+    deq = np.asarray(leaf_q["w_q"], np.float32) * np.asarray(leaf_q["w_scale"])
+    deq_ref = (np.asarray(leaf_ref["w_q"], np.float32)
+               * np.asarray(leaf_ref["w_scale"]))
+    np.testing.assert_allclose(deq, deq_ref, atol=2e-2)
+
+
+def test_lora_switcher_exact_restore():
+    """x -> y -> disable cycles restore pristine weights EXACTLY (host
+    pristine copies; no fold/unfold drift), for fp and quantized trees."""
+    from unigen_tpu.ops import quant
+    cfg, params = _rooted_params()
+    adapters = _nonzero_adapters(params)
+    for tree in (params, quant.quantize_tree(params, min_dim=8)):
+        sw = lora.LoraSwitcher(adapters, tree)
+        orig = {p: {k: np.asarray(v) for k, v in lora.tree_get(tree, p).items()}
+                for p in sw._pristine}
+        t1 = sw.switch(tree, "canny")
+        t2 = sw.switch(t1, "depth")
+        t3 = sw.switch(t2, None)
+        changed = any(
+            not np.array_equal(
+                np.asarray(next(iter(orig[p].values()))),
+                np.asarray(next(iter(
+                    {k: v for k, v in lora.tree_get(t1, p).items()}.values()))))
+            for p in sw._pristine)
+        assert changed, "switch('canny') changed nothing"
+        for p in sw._pristine:
+            node = lora.tree_get(t3, p)
+            for k, v in orig[p].items():
+                np.testing.assert_array_equal(np.asarray(node[k]), v,
+                                              err_msg=f"{p}.{k} not restored")
+
+
+def test_pipeline_condition_switching():
+    """__call__-level auto-switching: per-condition adapters produce
+    different outputs; repeated same-condition calls reuse the fold."""
+    import jax.numpy as jnp
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.flux import UniGenFluxPipeline
+    cfg, params = _rooted_params()
+    adapters = _nonzero_adapters(params, targets=("attn.to_q",))
+    vae_cfg = vae_lib.VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenFluxPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                              vae_params=vae_params, dtype=jnp.float32)
+    pipe.load_lora(adapters)
+    b = 1
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (b, 8, cfg.flux.joint_attention_dim), jnp.float32)
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.flux.pooled_projection_dim), jnp.float32)
+    ctrl = jnp.asarray(np.random.RandomState(0).rand(b, 3, 32, 32) * 2 - 1, jnp.float32)
+
+    def gen():
+        return pipe.generate(prompt_embeds=embeds, pooled=pooled,
+                             cond_pooled=pooled, control_pixels=ctrl,
+                             height=32, width=32, num_inference_steps=2)
+
+    pipe.set_condition_adapter(None)
+    base_img = gen()
+    pipe.set_condition_adapter("canny")
+    canny_img = gen()
+    pipe.set_condition_adapter("depth")
+    depth_img = gen()
+    assert not np.array_equal(base_img, canny_img)
+    assert not np.array_equal(canny_img, depth_img)
+    # back to disabled == original run exactly (pristine restore + same program)
+    pipe.set_condition_adapter(None)
+    np.testing.assert_array_equal(gen(), base_img)
+    # auto-switch path: _auto_switch picks the adapter from the condition type
+    pipe._auto_switch("canny")
+    assert pipe._lora.active == (("canny", 1.0),)

@@ -21,7 +21,7 @@ from __future__ import annotations
 import glob as globlib
 import os
 import re
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -291,6 +291,231 @@ def load_adapter_checkpoint(work_dir: str, **kw) -> dict:
         else:
             sd = read_checkpoint_dir(work_dir)
     return load_unigen_adapter(sd, **kw)
+
+
+# ------------------------------------------------------------ LoRA adapters
+#
+# The reference saves one PEFT LoRA per adapter (= per condition type) via
+# FluxPipeline.save_lora_weights into {dir}/{adapter_name}/ (hook.py:29-45)
+# and restores them with FluxPipeline.lora_state_dict +
+# set_peft_model_state_dict (hook.py:48-76): keys are
+# ``transformer.{module}.lora_A.weight`` [r, in] / ``lora_B.weight`` [out, r].
+# Here those map onto models/lora adapter dicts {dotted_path: {'a','b'}} with
+# stacked per-block factors ([L, in, r] / [L, r, out]) rooted at base./control.
+
+_LORA_DOUBLE_SUB = {
+    "norm1.linear": "norm1.linear",
+    "norm1_context.linear": "norm1_context.linear",
+    "attn.to_q": "attn.to_q", "attn.to_k": "attn.to_k", "attn.to_v": "attn.to_v",
+    "attn.add_q_proj": "attn.add_q", "attn.add_k_proj": "attn.add_k",
+    "attn.add_v_proj": "attn.add_v",
+    "attn.to_out.0": "attn.to_out", "attn.to_add_out": "attn.to_add_out",
+    "ff.net.0.proj": "ff.fc1", "ff.net.2": "ff.fc2",
+    "ff_context.net.0.proj": "ff_context.fc1", "ff_context.net.2": "ff_context.fc2",
+}
+_LORA_SINGLE_SUB = {
+    "norm.linear": "norm.linear",
+    "attn.to_q": "attn.to_q", "attn.to_k": "attn.to_k", "attn.to_v": "attn.to_v",
+    "proj_mlp": "proj_mlp", "proj_out": "proj_out",
+}
+# torch stacked-module prefix -> (jax stack path, within-block map)
+_LORA_STACKS = {
+    "transformer_blocks": ("base.double_blocks", _LORA_DOUBLE_SUB),
+    "single_transformer_blocks": ("base.single_blocks", _LORA_SINGLE_SUB),
+    "control_joint_trans_blocks": ("control.double_blocks", _LORA_DOUBLE_SUB),
+    "control_single_trans_blocks": ("control.single_blocks", _LORA_SINGLE_SUB),
+}
+# torch non-stacked module prefix -> (jax path prefix, within map or None)
+_LORA_FLAT = {
+    "shared_expert.0": ("control.shared_expert.weave_cond", _LORA_DOUBLE_SUB),
+    "shared_expert.1": ("control.shared_expert.weave_text", _LORA_DOUBLE_SUB),
+    "consis_module.0": ("control.consis.block0", _LORA_DOUBLE_SUB),
+    "consis_module.1": ("control.consis.block1", _LORA_DOUBLE_SUB),
+    "x_embedder": ("base.x_embedder", None),
+    "context_embedder": ("base.context_embedder", None),
+    "proj_out": ("base.proj_out", None),
+    "control_x_embedder": ("control.x_embedder", None),
+    "control_context_embedder": ("control.context_embedder", None),
+}
+
+
+def _lora_torch_to_jax(module: str):
+    """torch module path -> (jax dotted path, block index or None)."""
+    for prefix, (stack, sub) in _LORA_STACKS.items():
+        if module.startswith(prefix + "."):
+            rest = module[len(prefix) + 1:]
+            idx, _, tail = rest.partition(".")
+            if idx.isdigit() and tail in sub:
+                return f"{stack}.{sub[tail]}", int(idx)
+    for prefix, (jax_path, sub) in _LORA_FLAT.items():
+        if module == prefix and sub is None:
+            return jax_path, None
+        if sub is not None and module.startswith(prefix + "."):
+            tail = module[len(prefix) + 1:]
+            if tail in sub:
+                return f"{jax_path}.{sub[tail]}", None
+    return None, None
+
+
+def load_lora_adapters(input_dir: str, params: dict,
+                       adapter_names: Optional[List[str]] = None, *,
+                       dtype=jnp.float32, strict: bool = True
+                       ) -> Dict[str, Dict[str, dict]]:
+    """Load per-adapter LoRA directories (the reference load_model_hook
+    layout, hook.py:48-76) into a models/lora adapters dict usable by
+    fold_adapter / LoraSwitcher.
+
+    input_dir/{adapter_name}/pytorch_lora_weights.safetensors with
+    ``transformer.``-prefixed PEFT keys. Per-module ``.alpha`` entries (PEFT
+    rank-scaling) are folded into 'b' as alpha/rank. Stacked blocks with no
+    LoRA weights get zero factors (delta 0). `params` supplies stack depths
+    and weight shapes for validation."""
+    import jax
+
+    if adapter_names is None:
+        adapter_names = sorted(
+            d for d in os.listdir(input_dir)
+            if os.path.isfile(os.path.join(
+                input_dir, d, "pytorch_lora_weights.safetensors")))
+        if not adapter_names:
+            raise FileNotFoundError(
+                f"no */pytorch_lora_weights.safetensors under {input_dir}")
+
+    def node_shape(dotted):
+        node = params
+        for part in dotted.split("."):
+            node = node[part]
+        if "w" in node:
+            return tuple(node["w"].shape)
+        if "w_q" in node:
+            return tuple(node["w_q"].shape)
+        if "w_q4" in node:  # packed in-dim is halved
+            s = node["w_q4"].shape
+            return tuple(s[:-2]) + (s[-2] * 2, s[-1])
+        raise KeyError(f"no weight under {dotted}")
+
+    adapters: Dict[str, Dict[str, dict]] = {}
+    for name in adapter_names:
+        sd = read_checkpoint_dir(os.path.join(input_dir, name))
+        per_path: Dict[str, dict] = {}   # jax path -> {idx|None: {a,b,alpha}}
+        unmapped = []
+        for key, val in sd.items():
+            k = key[len("transformer."):] if key.startswith("transformer.") else key
+            if k.endswith(".lora_A.weight"):
+                module, part = k[: -len(".lora_A.weight")], "a"
+            elif k.endswith(".lora_B.weight"):
+                module, part = k[: -len(".lora_B.weight")], "b"
+            elif k.endswith(".alpha"):
+                module, part = k[: -len(".alpha")], "alpha"
+            else:
+                unmapped.append(key)
+                continue
+            jax_path, idx = _lora_torch_to_jax(module)
+            if jax_path is None:
+                unmapped.append(key)
+                continue
+            per_path.setdefault(jax_path, {}).setdefault(idx, {})[part] = val
+        if strict and unmapped:
+            head = ", ".join(unmapped[:8])
+            raise ValueError(f"LoRA adapter '{name}': {len(unmapped)} key(s) "
+                             f"mapped to nothing: {head}"
+                             + (f" (+{len(unmapped) - 8} more)"
+                                if len(unmapped) > 8 else ""))
+
+        lora: Dict[str, dict] = {}
+        for jax_path, blocks in per_path.items():
+            shape = node_shape(jax_path)
+            ranks = {b["a"].shape[0] for b in blocks.values() if "a" in b}
+            assert len(ranks) == 1, \
+                f"{jax_path}: mixed LoRA ranks {ranks} within one stack"
+            r = ranks.pop()
+            stacked = len(shape) == 3
+            in_dim, out_dim = shape[-2], shape[-1]
+
+            def factors(blk):
+                # torch A [r, in] -> a [in, r]; B [out, r] -> b [r, out];
+                # PEFT applies scale = alpha/r on the delta -> fold into b
+                a = np.asarray(blk["a"], np.float32).T
+                b = np.asarray(blk["b"], np.float32).T
+                if "alpha" in blk:
+                    b = b * (float(np.asarray(blk["alpha"])) / r)
+                assert a.shape == (in_dim, r) and b.shape == (r, out_dim), \
+                    f"{jax_path}: LoRA {a.shape}/{b.shape} vs weight {shape}"
+                return a, b
+
+            if stacked:
+                n_blocks = shape[0]
+                a_stack = np.zeros((n_blocks, in_dim, r), np.float32)
+                b_stack = np.zeros((n_blocks, r, out_dim), np.float32)
+                for idx, blk in blocks.items():
+                    assert idx is not None and idx < n_blocks, \
+                        f"{jax_path}: block index {idx} >= stack depth {n_blocks}"
+                    a_stack[idx], b_stack[idx] = factors(blk)
+                lora[jax_path] = {"a": jnp.asarray(a_stack, dtype),
+                                  "b": jnp.asarray(b_stack, dtype)}
+            else:
+                (idx, blk), = blocks.items()
+                assert idx is None, f"{jax_path}: unexpected block index {idx}"
+                a, b = factors(blk)
+                lora[jax_path] = {"a": jnp.asarray(a, dtype),
+                                  "b": jnp.asarray(b, dtype)}
+        adapters[name] = lora
+    return adapters
+
+
+def export_lora_adapters_reference(adapters: Dict[str, Dict[str, dict]],
+                                   output_dir: str) -> List[str]:
+    """Write adapters in the reference's per-adapter layout (hook.py:41-45):
+    {output_dir}/{name}/pytorch_lora_weights.safetensors with
+    ``transformer.``-prefixed PEFT-style keys. All-zero per-block factors
+    (blocks the adapter never touched) are skipped, matching PEFT's
+    target_modules behavior. Returns the written file paths."""
+    from safetensors.numpy import save_file
+
+    inv_stacks = {v[0]: (k, {j: t for t, j in v[1].items()})
+                  for k, v in _LORA_STACKS.items()}
+    inv_flat = {}
+    for prefix, (jax_path, sub) in _LORA_FLAT.items():
+        if sub is None:
+            inv_flat[jax_path] = (prefix, None)
+        else:
+            inv_flat[jax_path] = (prefix, {j: t for t, j in sub.items()})
+
+    def torch_module(jax_path, idx):
+        for stack, (tprefix, inv) in inv_stacks.items():
+            if jax_path.startswith(stack + "."):
+                tail = jax_path[len(stack) + 1:]
+                return f"{tprefix}.{idx}.{inv[tail]}"
+        for jroot, (tprefix, inv) in inv_flat.items():
+            if jax_path == jroot and inv is None:
+                return tprefix
+            if inv is not None and jax_path.startswith(jroot + "."):
+                return f"{tprefix}.{inv[jax_path[len(jroot) + 1:]]}"
+        raise KeyError(f"no torch name for LoRA path '{jax_path}'")
+
+    written = []
+    for name, lora in adapters.items():
+        sd = {}
+        for jax_path, ab in lora.items():
+            a = np.asarray(ab["a"], np.float32)
+            b = np.asarray(ab["b"], np.float32)
+            if a.ndim == 3:
+                for i in range(a.shape[0]):
+                    if not (a[i].any() or b[i].any()):
+                        continue
+                    m = torch_module(jax_path, i)
+                    sd[f"transformer.{m}.lora_A.weight"] = a[i].T.copy()
+                    sd[f"transformer.{m}.lora_B.weight"] = b[i].T.copy()
+            else:
+                m = torch_module(jax_path, None)
+                sd[f"transformer.{m}.lora_A.weight"] = a.T.copy()
+                sd[f"transformer.{m}.lora_B.weight"] = b.T.copy()
+        adapter_dir = os.path.join(output_dir, name)
+        os.makedirs(adapter_dir, exist_ok=True)
+        path = os.path.join(adapter_dir, "pytorch_lora_weights.safetensors")
+        save_file(sd, path)
+        written.append(path)
+    return written
 
 
 # ------------------------------------------------------------ CLIP / T5 / VAE

@@ -11,8 +11,18 @@ a single dense weight (the BASELINE north star).
 
 API:
   init_lora_adapters(key, params, targets, rank, adapter_names)
-  fold_adapter(params, loras, name, scale)  -> folded params (jit-safe)
-  lora_delta(loras, name, path)             -> the raw delta for inspection
+  fold_adapter(params, loras, name, scale)  -> folded params (jit-safe; folds
+                                               into bf16 'w' leaves AND
+                                               quantized w_q/w_q4 leaf dicts
+                                               via dequant-add-requant)
+  LoraSwitcher(adapters, params)            -> runtime adapter switching with
+                                               pristine host copies: switch()
+                                               always refolds FROM the
+                                               original weights, so cycling
+                                               through adapters accumulates
+                                               zero drift (bf16) and zero
+                                               requantization error stacking
+                                               (int8/int4 serving trees)
   enable_lora(...) context manager          -> parity convenience: yields
                                                folded params, restores nothing
                                                (functional — originals are
@@ -22,10 +32,11 @@ API:
 from __future__ import annotations
 
 import contextlib
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _match(path_names: Tuple[str, ...], patterns: Sequence[str]) -> bool:
@@ -65,24 +76,53 @@ def init_lora_adapters(key, params, targets: Sequence[str], rank: int,
     return adapters
 
 
+def _delta(ab: dict, scale: float) -> jnp.ndarray:
+    return scale * jnp.einsum("...ir,...ro->...io",
+                              ab["a"].astype(jnp.float32),
+                              ab["b"].astype(jnp.float32))
+
+
+def fold_linear_node(node: dict, ab: dict, scale: float = 1.0) -> dict:
+    """Fold one LoRA delta into one linear param dict — bf16/f32 {'w': ...}
+    or quantized {'w_q'|'w_q4', 'w_scale'} (dequant + delta + requant with a
+    freshly fitted scale, so the folded weight uses the full int range)."""
+    from unigen_tpu.ops import quant
+    out = dict(node)
+    if "w" in node:
+        out["w"] = node["w"] + _delta(ab, scale).astype(node["w"].dtype)
+    elif "w_q" in node:
+        w = node["w_q"].astype(jnp.float32) * node["w_scale"]
+        out.update(quant.quantize_weight(w + _delta(ab, scale)))
+    elif "w_q4" in node:
+        w = quant.unpack_int4(node["w_q4"]).astype(jnp.float32) * node["w_scale"]
+        out.update(quant.quantize_weight_int4(w + _delta(ab, scale)))
+    else:
+        raise ValueError(f"not a linear param dict: {sorted(node)}")
+    return out
+
+
+def _is_linear_node(node) -> bool:
+    return isinstance(node, dict) and any(k in node for k in ("w", "w_q", "w_q4"))
+
+
 def fold_adapter(params, adapters: Dict[str, Dict[str, dict]], name: str,
                  scale: float = 1.0):
-    """Return params with the named adapter's deltas folded into 'w' leaves.
-    Pure function — safe under jit; re-trace only when `name` changes."""
+    """Return params with the named adapter's deltas folded into its linears
+    (fp 'w' leaves and quantized w_q/w_q4 dicts alike). Pure function — safe
+    under jit; re-trace only when `name` changes."""
     lora = adapters[name]
 
-    def _fold(path, leaf):
-        names = tuple(str(getattr(k, "key", k)) for k in path)
-        if names[-1] != "w":
-            return leaf
-        key = ".".join(names[:-1])
-        if key not in lora:
-            return leaf
-        ab = lora[key]
-        delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"])
-        return leaf + scale * delta.astype(leaf.dtype)
+    def _walk(node, path):
+        if _is_linear_node(node):
+            key = ".".join(path)
+            if key in lora:
+                return fold_linear_node(node, lora[key], scale)
+            return node
+        if isinstance(node, dict):
+            return {k: _walk(v, path + (k,)) for k, v in node.items()}
+        return node
 
-    return jax.tree_util.tree_map_with_path(_fold, params)
+    return _walk(params, ())
 
 
 def fold_condition_experts(params, adapters, condition_type: str,
@@ -92,6 +132,91 @@ def fold_condition_experts(params, adapters, condition_type: str,
         raise KeyError(f"no LoRA adapter for condition '{condition_type}' "
                        f"(have {sorted(adapters)})")
     return fold_adapter(params, adapters, condition_type, scale)
+
+
+# ------------------------------------------------------------ path utilities
+
+def tree_get(tree, dotted: str):
+    node = tree
+    for part in dotted.split("."):
+        node = node[part]
+    return node
+
+
+def tree_set(tree, dotted: str, value):
+    """Functional set: returns a tree with `dotted` replaced; dicts along the
+    path are shallow-copied, every other subtree is shared."""
+    parts = dotted.split(".")
+
+    def _go(node, i):
+        out = dict(node)
+        out[parts[i]] = value if i == len(parts) - 1 else _go(node[parts[i]], i + 1)
+        return out
+
+    return _go(tree, 0)
+
+
+# ------------------------------------------------------------ switching
+
+class LoraSwitcher:
+    """Runtime per-condition adapter switching over a LIVE (possibly
+    quantized) param tree — the TPU answer to the reference's PEFT scaling
+    flips (src/lora_switching_module.py:11-39).
+
+    At construction, a pristine HOST (numpy) copy is kept of every linear
+    node any adapter touches (int8/int4 codes + scales for quantized trees —
+    a few bytes/param). ``switch(params, name)`` refolds each affected node
+    FROM its pristine copy, so:
+      * switching is exact — no fold/unfold drift on bf16, no stacked
+        requantization error on int8/int4 (always one quantize of W+Δ);
+      * nodes the new adapter doesn't touch are restored to pristine;
+      * untouched subtrees are shared, not copied — the switch cost is the
+        affected linears only (measured per-switch in the bench suite rung).
+    The folded tree has identical shapes/dtypes, so jitted programs never
+    retrace on a switch."""
+
+    def __init__(self, adapters: Dict[str, Dict[str, dict]], params):
+        self.adapters = adapters
+        self.active: Tuple[Tuple[str, float], ...] = ()
+        paths = sorted({p for lora in adapters.values() for p in lora})
+        self._pristine: Dict[str, Dict[str, np.ndarray]] = {}
+        for p in paths:
+            node = tree_get(params, p)
+            if not _is_linear_node(node):
+                raise KeyError(f"LoRA path '{p}' does not name a linear node")
+            self._pristine[p] = {k: np.asarray(v) for k, v in node.items()
+                                 if k != "b"}
+        self._fold_jit = jax.jit(fold_linear_node, static_argnames=("scale",))
+
+    @property
+    def names(self) -> List[str]:
+        return sorted(self.adapters)
+
+    def switch(self, params, names: Union[str, Sequence[str], None],
+               scale: float = 1.0):
+        """Return params with exactly `names` folded in (None/[] = all
+        adapters disabled -> pristine weights)."""
+        if names is None:
+            names = []
+        elif isinstance(names, str):
+            names = [names]
+        for n in names:
+            if n not in self.adapters:
+                raise KeyError(f"no LoRA adapter '{n}' (have {self.names})")
+        want = tuple((n, scale) for n in names)
+        if want == self.active:
+            return params
+        for path, host in self._pristine.items():
+            node = dict(tree_get(params, path))
+            fresh = {k: jnp.asarray(v) for k, v in host.items()}
+            folded = dict(node, **fresh)
+            for n in names:
+                ab = self.adapters[n].get(path)
+                if ab is not None:
+                    folded = self._fold_jit(folded, ab, scale=scale)
+            params = tree_set(params, path, folded)
+        self.active = want
+        return params
 
 
 @contextlib.contextmanager

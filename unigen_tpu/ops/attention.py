@@ -41,10 +41,34 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     separate K-side tables (the KV-append CrossAttn convention) — fused into
     the Pallas kernels (rotary computed in VMEM, no HBM roundtrip),
     pre-applied on other paths.
+
+    Sequence parallelism: when a parallel/sp.sequence_sharding context is
+    active at trace time (and shapes divide), "auto" routes through the
+    partial-manual Ulysses shard_map — the WHOLE forward runs sequence-
+    sharded without the model threading a mesh. "auto_local" is "auto"
+    minus that check (used INSIDE the manual region to avoid recursion).
     """
+    sp_allowed = impl in ("auto", "ulysses")
+    if impl == "auto_local":
+        impl = "auto"
+        sp_allowed = False
     if impl == "auto":
         import os
         impl = os.environ.get("UNIGEN_ATTN_IMPL", "auto")  # experiment knob
+
+    if sp_allowed and impl in ("auto", "ulysses"):
+        from unigen_tpu.parallel import sp as sp_lib
+        ctx = sp_lib.current_sp()
+        if ctx is not None and mask is None:
+            mesh, axis = ctx
+            if sp_lib.sp_divisible(q, k, mesh, axis):
+                if rope is not None:
+                    from unigen_tpu.ops.rope import apply_rotary
+                    cos, sin = rope[0], rope[1]
+                    kcos, ksin = (rope[2], rope[3]) if len(rope) == 4 else (cos, sin)
+                    q = apply_rotary(q, cos, sin)
+                    k = apply_rotary(k, kcos, ksin)
+                return sp_lib.sharded_ulysses_sdpa(q, k, v, mesh, axis)
 
     def _rope4():
         if rope is None:

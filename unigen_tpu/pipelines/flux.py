@@ -57,6 +57,43 @@ class UniGenFluxPipeline:
 
     def __post_init__(self):
         self._program_cache: Dict[Any, Any] = {}
+        self._lora = None               # models/lora.LoraSwitcher when loaded
+
+    # ------------------------------------------------------------ LoRA experts
+
+    def load_lora(self, adapters_or_dir, adapter_names=None) -> None:
+        """Attach per-condition LoRA experts (reference lora_switching_module
+        + hook.py load_model_hook). Accepts a directory in the reference
+        per-adapter layout ({dir}/{name}/pytorch_lora_weights.safetensors) or
+        an in-memory adapters dict from models/lora. Works on bf16 AND
+        quantized serving trees (dequant-add-requant fold)."""
+        from unigen_tpu.models.lora import LoraSwitcher
+        if isinstance(adapters_or_dir, str):
+            from unigen_tpu.io import torch_bridge as tb
+            adapters = tb.load_lora_adapters(adapters_or_dir, self.params,
+                                             adapter_names, dtype=jnp.float32)
+        else:
+            adapters = adapters_or_dir
+        self._lora = LoraSwitcher(adapters, self.params)
+
+    def set_condition_adapter(self, names, scale: float = 1.0) -> None:
+        """Fold exactly `names` (str, list, or None=disable all) into the
+        live weights — the trace-time equivalent of the reference's runtime
+        PEFT scaling flips. Shapes/dtypes are unchanged, so compiled programs
+        are reused across switches; cost is the refold of affected linears."""
+        assert self._lora is not None, "call load_lora() first"
+        self.params = self._lora.switch(self.params, names, scale)
+
+    def _auto_switch(self, condition_prompt) -> None:
+        """Per-call expert selection by condition type (enable_lora parity):
+        a single condition type with a matching adapter selects it; unknown
+        types (or mixed-type batches) leave the current fold untouched."""
+        if self._lora is None:
+            return
+        names = ([condition_prompt] if isinstance(condition_prompt, str)
+                 else list(dict.fromkeys(condition_prompt)))
+        if len(names) == 1 and names[0] in self._lora.adapters:
+            self.set_condition_adapter(names[0])
 
     # ------------------------------------------------------------ text
 
@@ -230,6 +267,7 @@ class UniGenFluxPipeline:
                  max_sequence_length: int = 512, seed: int = 0) -> np.ndarray:
         """Single-condition call (reference UniGenPipeline.py:486-807).
         control_image: float array [B,3,H,W] in [-1,1]."""
+        self._auto_switch(condition_prompt)
         embeds, pooled = self.encode_prompt(prompt, max_sequence_length)
         cond_pooled = self.encode_condition_prompt(condition_prompt)
         neg_embeds = neg_pooled = None
@@ -264,6 +302,13 @@ class UniGenFluxPipeline:
         """Multi-condition joint control (reference UniGenPipeline.py:809-1134):
         per-condition pooled embeds + stacked control images feed
         MultiCondition forward (summed expert outputs)."""
+        if self._lora is not None:
+            # joint control enables every present condition's expert at once
+            # (reference enable_lora takes a LIST of adapters to keep active)
+            present = [cp for cp in dict.fromkeys(condition_prompts)
+                       if cp in self._lora.adapters]
+            if present:
+                self.set_condition_adapter(present)
         embeds, pooled = self.encode_prompt(prompt, max_sequence_length)
         cond_pooled = jnp.stack([self.encode_condition_prompt(cp)
                                  for cp in condition_prompts])

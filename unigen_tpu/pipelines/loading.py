@@ -35,7 +35,9 @@ def _subcfg(root: str, sub: str) -> dict:
 def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",),
                        adapter_dir: Optional[str] = None,
                        dtype=jnp.bfloat16, control_overrides: Optional[dict] = None,
-                       quantize: Optional[str] = None):
+                       quantize: Optional[str] = None,
+                       lora_dir: Optional[str] = None,
+                       lora_adapter_names: Optional[Sequence[str]] = None):
     """Build a UniGenFluxPipeline from a FLUX.1 HF directory. The control
     branch is warm-started from the base unless an adapter checkpoint is
     given (reference infer.py:115-140).
@@ -45,7 +47,12 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
     9.4 GiB for the real 12B+4.7B stack); 'w8a8' quantizes everything
     eligible to int8. Both use the bounded-memory streaming walk
     (ops/quant) so a checkpoint larger than free HBM still quantizes
-    in place on one chip."""
+    in place on one chip.
+
+    lora_dir: per-condition LoRA experts in the reference per-adapter layout
+    ({lora_dir}/{adapter}/pytorch_lora_weights.safetensors, hook.py:48-76);
+    loaded AFTER quantization so switching refolds through the quantized
+    tree (see pipelines/flux.load_lora)."""
     from unigen_tpu.models.unigen_flux import init_unigen_flux_control
     from unigen_tpu.pipelines.flux import UniGenFluxPipeline
 
@@ -142,12 +149,16 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
     except Exception:
         pass
 
-    return UniGenFluxPipeline(
+    pipe = UniGenFluxPipeline(
         cfg=cfg, params={"base": base, "control": control},
         vae_cfg=vae_cfg, vae_params=vae_params,
         clip_cfg=clip_cfg, clip_params=clip_params,
         t5_cfg=t5_cfg, t5_params=t5_params, scheduler=scheduler,
         tokenizer=tokenizer, tokenizer_2=tokenizer_2, dtype=dtype)
+    if lora_dir:
+        pipe.load_lora(lora_dir, list(lora_adapter_names)
+                       if lora_adapter_names else None)
+    return pipe
 
 
 def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),

@@ -8,9 +8,14 @@ Checkpoints via orbax every N steps with a ``latest`` resume tag; rank-0
 logging of step_loss/flow_loss/moe_loss/lr/expert_counts (reference
 train.py:687-695).
 
-Multi-host: batches are assembled per-process by the deterministic
-MultiTaskMixedBatchSampler (rank-strided) and combined with
-jax.make_array_from_process_local_data over the 'data' mesh axis.
+Multi-host / sharded: pass ``mesh`` and the Trainer becomes the distributed
+engine the reference delegates to DeepSpeed (script/train.sh:44-61 +
+config/ds_zero3.json): params and optimizer state are placed by
+parallel/sharding.param_spec (ZeRO-style stacked-axis sharding over 'data',
+TP over 'model', experts over 'expert'), the jitted step runs under the mesh
+so XLA emits the collectives, and per-process batches are assembled into
+global arrays with jax.make_array_from_process_local_data over the 'data'
+axis (single-process: the same call just places the shards locally).
 """
 
 from __future__ import annotations
@@ -41,11 +46,20 @@ class Trainer:
         encode_text(task_names)['pooled'] doubles as the condition embed.
         encode_images(pixels [B,3,H,W]) -> latents [B,C,h,w] (jitted VAE)."""
         self.ucfg, self.tcfg = ucfg, tcfg
-        self.base_params = base_params
         self.encode_text = encode_text
         self.encode_images = encode_images
         self.work_dir = work_dir
         self.mesh = mesh
+        if mesh is not None:
+            # distributed placement: frozen base + trainable adapter go onto
+            # the mesh per the sharding rules; the optimizer state created
+            # from the sharded adapter INHERITS its placement (zeros_like
+            # preserves sharding) — the ZeRO-3 equivalence, with XLA
+            # scheduling the gather-on-use collectives
+            from unigen_tpu.parallel.sharding import shard_params
+            base_params = shard_params(base_params, mesh)
+            control_params = shard_params(control_params, mesh)
+        self.base_params = base_params
         self.state = init_train_state(control_params, tcfg)
         self.global_step = 0
         self._step_fn = jax.jit(make_train_step(ucfg, tcfg),
@@ -68,6 +82,15 @@ class Trainer:
         if restored is None:
             return False
         control, opt_state, meta = restored
+        if self.mesh is not None:
+            # re-place restored state on the mesh (restore lands host-local);
+            # shardings are read off the live pre-restore state trees
+            control = jax.tree.map(
+                lambda x, ref: jax.device_put(jnp.asarray(x), ref.sharding),
+                control, self.state.control)
+            opt_state = jax.tree.map(
+                lambda x, ref: jax.device_put(jnp.asarray(x), ref.sharding),
+                opt_state, self.state.opt_state)
         self.state = TrainState(control=control, opt_state=opt_state,
                                 step=jnp.asarray(meta["step"], jnp.int32))
         self.global_step = int(meta["step"])
@@ -94,8 +117,28 @@ class Trainer:
                     prompt_embeds=text["prompt_embeds"], pooled=text["pooled"],
                     condition_pooled=cond_pooled)
 
+    def _global_batch(self, device_batch: Dict[str, jnp.ndarray]
+                      ) -> Dict[str, jnp.ndarray]:
+        """Assemble per-process encoder outputs into GLOBAL arrays sharded
+        over the 'data' mesh axis (the make_array_from_process_local_data
+        step the reference delegates to the DeepSpeed dataloader). The batch
+        axis of multi-condition arrays [K, B, ...] is axis 1."""
+        if self.mesh is None:
+            return device_batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        multi = device_batch["condition_latents"].ndim == 5
+        out = {}
+        for k, v in device_batch.items():
+            arr = np.asarray(v)
+            lead = 1 if (multi and k.startswith("condition_")) else 0
+            spec = [None] * arr.ndim
+            spec[lead] = "data"
+            out[k] = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P(*spec)), arr)
+        return out
+
     def step(self, batch: Dict[str, Any]) -> Dict[str, float]:
-        device_batch = self.prepare_batch(batch)
+        device_batch = self._global_batch(self.prepare_batch(batch))
         self._rng, step_rng = jax.random.split(self._rng)
         self.state, metrics = self._step_fn(self.state, self.base_params,
                                             device_batch, step_rng)
