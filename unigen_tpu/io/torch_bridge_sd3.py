@@ -12,6 +12,20 @@ from unigen_tpu.config import SanaBackboneConfig, SD3BackboneConfig
 from unigen_tpu.io.torch_bridge import _lin, _rms, _stack
 
 
+def _conv1x1_lin(sd, name, dtype, *, bias=True):
+    """A 1x1 Conv2d treated as a linear. Real diffusers checkpoints store
+    [out, in, 1, 1] (SANA GLUMBConv conv_inverted/conv_point); squeeze the
+    spatial dims before the linear transpose. 2-D weights pass through."""
+    w = sd[f"{name}.weight"]
+    if w.ndim == 4:
+        assert w.shape[-2:] == (1, 1), f"{name}: not a 1x1 conv {w.shape}"
+        w = w[:, :, 0, 0]
+    p = {"w": jnp.asarray(np.asarray(w).T, dtype)}
+    if bias and f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+    return p
+
+
 def _sd3_attn(sd, p, dtype, *, context: bool, context_pre_only: bool = False,
               qk_norm: Optional[str] = None):
     a = {"to_q": _lin(sd, f"{p}.to_q", dtype), "to_k": _lin(sd, f"{p}.to_k", dtype),
@@ -97,12 +111,12 @@ def load_sana_transformer(sd: Dict[str, np.ndarray], cfg: SanaBackboneConfig, *,
                       "to_k": _lin(sd, f"{p}.attn2.to_k", dtype),
                       "to_v": _lin(sd, f"{p}.attn2.to_v", dtype),
                       "to_out": _lin(sd, f"{p}.attn2.to_out.0", dtype)},
-            "ff": {"inverted": _lin(sd, f"{p}.ff.conv_inverted", dtype),
+            "ff": {"inverted": _conv1x1_lin(sd, f"{p}.ff.conv_inverted", dtype),
                    "depth": {"w": jnp.asarray(
                        sd[f"{p}.ff.conv_depth.weight"].transpose(2, 3, 1, 0), dtype),
                        "b": jnp.asarray(sd[f"{p}.ff.conv_depth.bias"], dtype)},
-                   "point": {"w": jnp.asarray(sd[f"{p}.ff.conv_point.weight"]
-                                              .squeeze(-1).squeeze(-1).T, dtype)}},
+                   "point": _conv1x1_lin(sd, f"{p}.ff.conv_point", dtype,
+                                        bias=False)},
         }
 
     return {
@@ -221,13 +235,12 @@ def load_sana_unigen_adapter(sd: Dict[str, np.ndarray], cfg: SanaBackboneConfig,
                       "to_k": _lin(sd, f"{p}.attn2.to_k", dtype),
                       "to_v": _lin(sd, f"{p}.attn2.to_v", dtype),
                       "to_out": _lin(sd, f"{p}.attn2.to_out.0", dtype)},
-            "ff": {"inverted": _lin(sd, f"{p}.ff.conv_inverted", dtype),
+            "ff": {"inverted": _conv1x1_lin(sd, f"{p}.ff.conv_inverted", dtype),
                    "depth": {"w": jnp.asarray(
                        sd[f"{p}.ff.conv_depth.weight"].transpose(2, 3, 1, 0), dtype),
                        "b": jnp.asarray(sd[f"{p}.ff.conv_depth.bias"], dtype)},
-                   "point": {"w": jnp.asarray(
-                       sd[f"{p}.ff.conv_point.weight"].squeeze(-1).squeeze(-1).T,
-                       dtype)}},
+                   "point": _conv1x1_lin(sd, f"{p}.ff.conv_point", dtype,
+                                        bias=False)},
         }
 
     ctrl = {
