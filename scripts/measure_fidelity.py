@@ -34,6 +34,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# honor an explicit JAX_PLATFORMS request (the env var alone does not steer
+# JAX here — the image's sitecustomize force-registers the axon plugin)
+_want_platform = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+if _want_platform:
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", _want_platform)
+    except Exception:
+        pass
+
 
 def _delete_tree(tree):
     import jax
@@ -178,8 +188,19 @@ def main(argv=None):
                    help="image resolution for the e2e SSIM pass")
     p.add_argument("--family", default="flux", choices=["flux", "sd3"])
     p.add_argument("--out", default=None, help="write JSON here too")
+    p.add_argument("--ckpt", default=None,
+                   help="diffusers-layout checkpoint dir: measure fidelity "
+                        "on REAL weights at the checkpoint's own topology "
+                        "(flux family; scripts/validate_real_ckpt.py stage 3)"
+                        " instead of the random-init proxy")
+    p.add_argument("--adapter", default=None,
+                   help="UniGen adapter dir for --ckpt mode (default: "
+                        "warm-started control branch)")
     args = p.parse_args(argv)
     if args.family == "sd3":
+        if args.ckpt:
+            raise SystemExit("--ckpt is flux-only for now (SD3 real-weights "
+                             "fidelity: extend main_sd3 when weights exist)")
         return main_sd3(args)
 
     import jax
@@ -195,15 +216,58 @@ def main(argv=None):
                                       quantize_unigen_serving_streaming)
     from unigen_tpu.pipelines import scheduling
 
-    cfg = presets.flux_bench()
-    bb = cfg.flux
     dtype = jnp.bfloat16
+    if args.ckpt:
+        # real weights at the checkpoint's own topology (the re-measurement
+        # the random-weight caveat in bench.py calls for)
+        import json as _json
+        import os as _os
+        from unigen_tpu import config as _C
+        with open(_os.path.join(args.ckpt, "transformer", "config.json")) as f:
+            tcfg = _json.load(f)
+        cfg = _C.UniGenConfig(
+            family="flux",
+            flux=_C.FluxBackboneConfig(
+                in_channels=tcfg.get("in_channels", 64),
+                num_layers=tcfg.get("num_layers", 19),
+                num_single_layers=tcfg.get("num_single_layers", 38),
+                attention_head_dim=tcfg.get("attention_head_dim", 128),
+                num_attention_heads=tcfg.get("num_attention_heads", 24),
+                joint_attention_dim=tcfg.get("joint_attention_dim", 4096),
+                pooled_projection_dim=tcfg.get("pooled_projection_dim", 768),
+                guidance_embeds=tcfg.get("guidance_embeds", False),
+                axes_dims_rope=tuple(tcfg.get("axes_dims_rope", (16, 56, 56)))),
+            condition_types=("canny",))
+    else:
+        cfg = presets.flux_bench()
+    bb = cfg.flux
     res = args.res
     hw, t_len = res // 16, 512
     s_img = hw * hw
     b = 1
 
-    init_fn = jax.jit(lambda k: init_unigen_flux_params(k, cfg, dtype=dtype))
+    if args.ckpt:
+        from unigen_tpu.io import torch_bridge as _tb
+        from unigen_tpu.models.unigen_flux import init_unigen_flux_control
+
+        def init_fn(_k):
+            import os as _os
+            sd = _tb.read_checkpoint_dir(_os.path.join(args.ckpt, "transformer"))
+            base = _tb.load_flux_transformer(sd, bb.num_layers,
+                                             bb.num_single_layers, dtype=dtype)
+            n_cn = bb.num_layers // cfg.control.single_control_dev
+            n_cn_s = bb.num_single_layers // cfg.control.single_control_dev
+            if args.adapter:
+                control = _tb.load_adapter_checkpoint(
+                    args.adapter, n_cn=n_cn, n_cn_single=n_cn_s,
+                    num_experts=cfg.control.moe.num_experts(cfg.condition_nums),
+                    dtype=dtype, guidance=bb.guidance_embeds)
+            else:
+                control = init_unigen_flux_control(jax.random.PRNGKey(0), cfg,
+                                                   dtype=dtype, base_params=base)
+            return {"base": base, "control": control}
+    else:
+        init_fn = jax.jit(lambda k: init_unigen_flux_params(k, cfg, dtype=dtype))
     quantizers = {"bf16": None, "w8a8": quantize_tree_streaming,
                   "w4a8_serving": quantize_unigen_serving_streaming}
 

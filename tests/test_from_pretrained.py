@@ -339,3 +339,26 @@ def test_load_flux_pipeline_quantized(fake_ckpt):
         control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
         height=h, width=w, num_inference_steps=2)
     assert imgs.shape == (b, h, w, 3) and imgs.dtype == np.uint8
+
+
+def test_validate_real_ckpt_harness(fake_ckpt):
+    """The real-checkpoint validation harness executes end-to-end against a
+    (tiny, fake) diffusers-layout dir: strict load + fidelity stage; the
+    diffusers-golden stage is skipped (no diffusers in this image)."""
+    import json
+    import subprocess
+    import sys as _sys
+    out = os.path.join(fake_ckpt, "validate.json")
+    r = subprocess.run(
+        [_sys.executable, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "validate_real_ckpt.py"),
+         "--ckpt", fake_ckpt, "--skip-diffusers", "--res", "64",
+         "--out", out],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    with open(out) as f:
+        rep = json.load(f)
+    assert rep["strict_load"]["transformer"].startswith("ok")
+    assert rep["ssim_gate"]["pass"], rep

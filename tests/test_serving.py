@@ -163,3 +163,39 @@ def test_close_nodrain_cancels_queued():
     closer.join(timeout=10)
     assert not closer.is_alive()
     assert f1.result(timeout=10) is not None       # in-flight completes
+
+
+def test_multi_size_program_ladder():
+    """batch_sizes=(1,2,4): low load dispatches the SMALLEST fitting program
+    instead of padding to the max (VERDICT r2 weak #8)."""
+    sizes_seen = []
+
+    def run(inputs):
+        b = inputs["x"].shape[0]
+        sizes_seen.append(b)
+        return {"y": inputs["x"] * 2}
+
+    srv = MicroBatchServer(run, batch_sizes=(1, 2, 4), max_wait_ms=0)
+    # a single request -> the b=1 program, zero pad
+    r = srv.submit(x=np.ones((1, 3))).result(timeout=30)
+    assert r["y"].shape == (1, 3)
+    assert sizes_seen[-1] == 1
+    assert srv.stats.padded_samples == 0
+    # three requests together -> b=4 program with 1 pad row
+    srv2 = MicroBatchServer(run, batch_sizes=(1, 2, 4), max_wait_ms=200)
+    futs = [srv2.submit(x=np.full((1, 3), i)) for i in range(3)]
+    outs = [f.result(timeout=30)["y"] for f in futs]
+    assert all(np.allclose(o, 2 * i) for i, o in enumerate(outs))
+    assert sizes_seen[-1] == 4 and srv2.stats.padded_samples == 1
+    assert 0 < srv2.stats.wasted_pad_fraction < 1
+    srv.close()
+    srv2.close()
+
+
+def test_wasted_pad_fraction_stat():
+    srv = MicroBatchServer(lambda ins: {"y": ins["x"]}, batch_size=4,
+                           max_wait_ms=0)
+    srv.submit(x=np.ones((1, 2))).result(timeout=30)
+    srv.close()
+    assert srv.stats.padded_samples == 3
+    assert abs(srv.stats.wasted_pad_fraction - 0.75) < 1e-9
