@@ -590,6 +590,140 @@ def bench_suite():
         "config": suite["config"]}))
 
 
+def bench_multi():
+    """UNIGEN_BENCH_MULTI=<K>: BASELINE config #4 — K-condition joint
+    control (depth+canny+openpose style) at FULL 19/38 topology, W4A8, 512²
+    4-step denoise. The MultiCondtion forward runs the MoE preprocess once
+    per condition (summed expert outputs + tembs, reference
+    UniGenTransformer.py:1274-1450); throughput + per-forward latency are
+    recorded in MULTI.json and the JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu import presets
+    from unigen_tpu.models.unigen_flux import (init_unigen_flux_params,
+                                               unigen_flux_forward)
+    from unigen_tpu.ops.packing import prepare_latent_image_ids
+    from unigen_tpu.ops.quant import quantize_unigen_serving, quantized_bytes
+    from unigen_tpu.pipelines import scheduling
+
+    k_cond = int(os.environ.get("UNIGEN_BENCH_MULTI", "3"))
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
+    batches = [int(x) for x in
+               os.environ.get("UNIGEN_BENCH_BATCHES", "1,2").split(",")]
+    preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
+    cfg = {"full": presets.flux_full, "proxy": presets.flux_bench,
+           "tiny": presets.tiny}[preset]()
+    bb = cfg.flux
+    hw, t_len = res // 16, 512
+    if preset == "tiny":
+        hw, t_len = 4, 8
+    s_img = hw * hw
+    num_steps = 4
+    dtype = jnp.bfloat16
+
+    img_ids = np.asarray(prepare_latent_image_ids(hw, hw))
+    txt_ids = np.zeros((t_len, 3), np.float32)
+    sigmas = np.asarray(scheduling.inference_sigmas(
+        scheduling.FlowMatchConfig(shift=1.0), num_steps)[0])
+
+    def _init(k):
+        p = init_unigen_flux_params(k, cfg, dtype=dtype)
+        if preset != "tiny":
+            p = quantize_unigen_serving(p)
+        return p
+
+    t0 = time.time()
+    params = (direct_quantized_init(jax.random.PRNGKey(0), _init)
+              if preset != "tiny" else jax.jit(_init)(jax.random.PRNGKey(0)))
+    jax.block_until_ready(params)
+    print(f"# multi init {time.time()-t0:.1f}s resident="
+          f"{quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
+
+    flops_image = model_flops_per_forward(cfg, s_img, t_len, s_img)
+    # the MoE preprocess + weave runs per condition; approximate the extra
+    # conditions' cost as the weave+expert term repeated (k-1) more times
+    flops_image = flops_image * num_steps
+    est_ref = 312e12 * 0.35 / flops_image
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    def measure(b):
+        ks = jax.random.split(jax.random.PRNGKey(1), 6)
+        prompt = jax.random.normal(ks[0], (b, t_len, bb.joint_attention_dim), dtype)
+        pooled = jax.random.normal(ks[1], (b, bb.pooled_projection_dim), dtype)
+        cond_pooled = jax.random.normal(
+            ks[2], (k_cond, b, bb.pooled_projection_dim), dtype)
+        condition = jax.random.normal(
+            ks[3], (k_cond, b, s_img, bb.in_channels), dtype)
+        latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
+
+        def denoise(params, latents, condition, prompt, pooled, cond_pooled):
+            sig = jnp.asarray(sigmas)
+            ids_i = jnp.asarray(img_ids)
+            ids_t = jnp.asarray(txt_ids)
+            ids_c = jnp.broadcast_to(ids_i[None],
+                                     (k_cond,) + ids_i.shape)
+
+            def step(lat, i):
+                pred, _, _ = unigen_flux_forward(
+                    params, cfg, hidden=lat, condition=condition,
+                    encoder=prompt, pooled=pooled,
+                    condition_pooled=cond_pooled,
+                    timestep=jnp.full((b,), sig[i], dtype),
+                    img_ids=ids_i, txt_ids=ids_t, condition_ids=ids_c,
+                    attn_impl="auto")
+                return scheduling.euler_step(lat, pred, sig[i], sig[i + 1]), None
+            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            return latents
+
+        jfn = jax.jit(denoise)
+        fn = lambda: jfn(params, latents0, condition, prompt, pooled, cond_pooled)
+        t0 = time.time()
+        _ = sync(fn())
+        compile_s = time.time() - t0
+        K = max(1, 2 // b)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out = fn()
+            _ = sync(out)
+            times.append((time.perf_counter() - t0) / K)
+        dt = min(times)
+        print(f"# multi k={k_cond} b={b} compile={compile_s:.1f}s "
+              f"step={dt*1000:.1f}ms ips={b/dt:.3f} "
+              f"fwd_ms={dt*1000/num_steps:.1f}", file=sys.stderr)
+        return b / dt, dt * 1000 / num_steps
+
+    results = {}
+    for b in batches:
+        try:
+            ips, fwd_ms = measure(b)
+            results[b] = {"ips": round(ips, 4), "fwd_ms": round(fwd_ms, 1)}
+        except Exception as e:
+            print(f"# multi b={b} failed: {type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr)
+    if not results:
+        print(json.dumps({"metric": "unigen_flux_multicond_images_per_sec",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0, "error": "all batches failed"}))
+        return
+    best = max(results, key=lambda b: results[b]["ips"])
+    doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                     f"w{bb.inner_dim}_w4a8_multi{k_cond}",
+           "res": res, "k_conditions": k_cond, "rows": results}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "MULTI.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({
+        "metric": f"unigen_flux_multicond{k_cond}_{res}px_images_per_sec",
+        "value": results[best]["ips"], "unit": "images/sec/chip",
+        "vs_baseline": round(results[best]["ips"] / est_ref, 3),
+        "config": doc["config"]}))
+
+
 def direct_quantized_init(key, init_quantized_fn):
     """Build the quantized serving tree leaf-by-leaf from its eval_shape
     structure, never materialising the bf16 source tree.
@@ -639,6 +773,8 @@ def main():
         return bench_train()
     if os.environ.get("UNIGEN_BENCH_SUITE") == "1":
         return bench_suite()
+    if os.environ.get("UNIGEN_BENCH_MULTI"):
+        return bench_multi()
     family = os.environ.get("UNIGEN_BENCH_FAMILY", "flux")
     if family == "sd3":
         return bench_sd3()
