@@ -425,13 +425,92 @@ def bench_train():
                       f"w{bb.inner_dim}_w4base_bf16adapter_train{se}",
         }))
 
-    for shared in (True, False):
+    def run_full(accum: int):
+        """FULL 19/38 topology single-chip fine-tune (BASELINE config #5 at
+        the real depth): serving-quantized tree resident (int4 base+blocks,
+        int8 small pieces), trainable = the fp subset (MoE experts + gate +
+        norms + biases, ops/quant.split_trainable) under AdamW with
+        gradient accumulation to the reference's global batch 16
+        (train.sh:60, README.md:74 — optax.MultiSteps)."""
+        from unigen_tpu.ops.quant import (quantize_unigen_serving,
+                                          split_trainable)
+        cfg = presets.flux_full()
+        bb = cfg.flux
+        tcfg_f = C.TrainConfig(train_batch_size=b, remat=True,
+                               gradient_accumulation_steps=accum)
+        t0 = time.time()
+
+        def _init(k):
+            return quantize_unigen_serving(
+                init_unigen_flux_params(k, cfg, dtype=dtype))
+
+        params = direct_quantized_init(jax.random.PRNGKey(0), _init)
+        jax.block_until_ready(params)
+        trainable, frozen = split_trainable(params["control"])
+        state = jax.jit(lambda c: ts.init_train_state(c, tcfg_f))(trainable)
+        jax.block_until_ready(state)
+        resident = (quantized_bytes(params) + quantized_bytes(state)) / 2 ** 30
+        n_train = sum(int(x.size) for x in jax.tree.leaves(trainable))
+        print(f"# train-full init {time.time()-t0:.1f}s accum={accum} "
+              f"trainable={n_train/1e6:.0f}M resident={resident:.2f}GiB",
+              file=sys.stderr)
+        frozen_arg = {"base": params["base"], "control_frozen": frozen}
+
+        ks = jax.random.split(jax.random.PRNGKey(1), 5)
+        batch = {
+            "latents": jax.random.normal(ks[0], (b, 16, lat_hw, lat_hw), dtype),
+            "condition_latents": jax.random.normal(
+                ks[1], (b, 16, lat_hw, lat_hw), dtype),
+            "prompt_embeds": jax.random.normal(
+                ks[2], (b, t_len, bb.joint_attention_dim), dtype),
+            "pooled": jax.random.normal(ks[3], (b, bb.pooled_projection_dim),
+                                        dtype),
+            "condition_pooled": jax.random.normal(
+                ks[4], (b, bb.pooled_projection_dim), dtype),
+        }
+        step_fn = jax.jit(ts.make_train_step(cfg, tcfg_f, attn_impl="auto"),
+                          donate_argnums=(0,))
+        t0 = time.time()
+        state2, metrics = step_fn(state, frozen_arg, batch, jax.random.PRNGKey(2))
+        loss0 = float(metrics["step_loss"])
+        compile_s = time.time() - t0
+        K = 4
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                state2, metrics = step_fn(state2, frozen_arg, batch,
+                                          jax.random.PRNGKey(2))
+            _ = float(metrics["step_loss"])
+            times.append((time.perf_counter() - t0) / K)
+        dt = min(times)
+        sps = b / dt
+        flops_image = 3 * model_flops_per_forward(
+            cfg, (res // 16) ** 2, t_len, (res // 16) ** 2)
+        est_ref_a100 = 312e12 * 0.35 / flops_image
+        print(f"# train-full b={b}x{accum} compile={compile_s:.1f}s "
+              f"step={dt*1000:.1f}ms loss0={loss0:.3f} "
+              f"mfu={flops_image*sps/394e12:.3f} (int8 peak)", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"unigen_flux_train_step_{res}px_samples_per_sec",
+            "value": round(sps, 4), "unit": "samples/sec/chip",
+            "vs_baseline": round(sps / est_ref_a100, 3),
+            "config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                      f"w{bb.inner_dim}_w4a8frozen_fp_subset_train_"
+                      f"globalbatch{b * accum}",
+        }))
+
+    accum = int(os.environ.get("UNIGEN_BENCH_TRAIN_ACCUM", "16"))
+    rungs = [lambda: run_full(accum), lambda: run(True), lambda: run(False)]
+    if os.environ.get("UNIGEN_BENCH_TRAIN_PRESET") == "reduced":
+        rungs = rungs[1:]
+    for rung in rungs:
         try:
-            run(shared)
+            rung()
             return
         except Exception as e:
-            print(f"# train rung shared_expert={shared} failed: "
-                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            print(f"# train rung failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
             gc.collect()
             time.sleep(30)
     print(json.dumps({"metric": f"unigen_flux_train_step_{res}px_samples_per_sec",

@@ -36,3 +36,52 @@ def test_grad_accumulation_updates_at_boundary():
     state2, _ = step(state1, params["base"], batch, jax.random.PRNGKey(2))
     w2 = np.asarray(state2.control["context_embedder"]["w"])
     assert not np.array_equal(w1, w2)      # boundary: params move
+
+
+def test_split_trainable_roundtrip_and_split_train_step():
+    """ops/quant.split_trainable: complementary-None split/merge round-trip,
+    and a train step where the quantized control leaves ride frozen while
+    the fp subset trains (the full-topology single-chip fine-tune mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unigen_tpu import config as C
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.ops import quant
+    from unigen_tpu.train import train_step as ts
+
+    flux = C.tiny_flux_config()
+    cfg = C.UniGenConfig(family="flux", flux=flux, condition_types=("canny",))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+    qcontrol = quant.quantize_tree(params["control"], min_dim=8)
+    trainable, frozen = quant.split_trainable(qcontrol)
+    # frozen holds the int leaves, trainable everything else; merge restores
+    merged = quant.merge_split(trainable, frozen)
+    for (pa, a), (pb, b_) in zip(
+            jax.tree_util.tree_flatten_with_path(qcontrol)[0],
+            jax.tree_util.tree_flatten_with_path(merged)[0]):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    froz_leaves = jax.tree.leaves(frozen)
+    assert froz_leaves and all(
+        l.dtype == jnp.int8 or l.dtype == jnp.float32 for l in froz_leaves)
+    assert any(l.dtype == jnp.int8 for l in froz_leaves)
+
+    tcfg = C.TrainConfig(train_batch_size=1, max_train_steps=10, remat=False,
+                         gradient_accumulation_steps=2)
+    state = ts.init_train_state(trainable, tcfg)
+    b = 1
+    ks = jax.random.split(jax.random.PRNGKey(5), 5)
+    batch = dict(
+        latents=jax.random.normal(ks[0], (b, 4, 8, 8)),
+        condition_latents=jax.random.normal(ks[1], (b, 4, 8, 8)),
+        prompt_embeds=jax.random.normal(ks[2], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[3], (b, flux.pooled_projection_dim)),
+        condition_pooled=jax.random.normal(ks[4], (b, flux.pooled_projection_dim)),
+    )
+    step = jax.jit(ts.make_train_step(cfg, tcfg), donate_argnums=(0,))
+    frozen_arg = {"base": params["base"], "control_frozen": frozen}
+    state, m1 = step(state, frozen_arg, batch, jax.random.PRNGKey(7))
+    state, m2 = step(state, frozen_arg, batch, jax.random.PRNGKey(8))
+    assert np.isfinite(float(m1["step_loss"]))
+    assert np.isfinite(float(m2["grad_norm"]))

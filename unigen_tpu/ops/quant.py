@@ -302,3 +302,49 @@ def quantize_unigen_serving_streaming(params: dict, *, base_bits: int = 4,
 
 def quantized_bytes(params: Any) -> int:
     return sum(int(x.size) * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+
+_FROZEN_KEYS = ("w_q", "w_q4", "w_scale")
+
+
+def split_trainable(tree: Any):
+    """Split a (partially) quantized tree into (trainable, frozen) trees of
+    the SAME structure with complementary None leaves (None is an empty
+    pytree node, so optimizers/grads simply skip the frozen side).
+
+    Frozen = the quantized weight leaves (w_q/w_q4/w_scale); trainable =
+    every fp leaf (MoE experts + gate, norm scales/biases, linear biases...).
+    This is the single-chip full-topology fine-tune split: the serving-
+    quantized 12B+adapter stays resident int4/int8 while the fp subset
+    trains with AdamW (QLoRA-style straight-through VJPs through the
+    quantized matmuls, reference ds_zero3.json's role)."""
+    def walk(node):
+        if isinstance(node, dict):
+            t, f = {}, {}
+            for k, v in node.items():
+                if k in _FROZEN_KEYS:
+                    t[k], f[k] = None, v
+                else:
+                    t[k], f[k] = walk(v)
+            return t, f
+        if isinstance(node, (list, tuple)):
+            pairs = [walk(v) for v in node]
+            return (type(node)(p[0] for p in pairs),
+                    type(node)(p[1] for p in pairs))
+        return node, None
+    return walk(tree)
+
+
+def merge_split(trainable: Any, frozen: Any):
+    """Inverse of split_trainable (complementary-None merge)."""
+    if trainable is None:
+        return frozen
+    if frozen is None:
+        return trainable
+    if isinstance(trainable, dict):
+        return {k: merge_split(trainable.get(k), frozen.get(k))
+                for k in {**trainable, **frozen}}
+    if isinstance(trainable, (list, tuple)):
+        return type(trainable)(merge_split(a, b)
+                               for a, b in zip(trainable, frozen))
+    return trainable

@@ -85,6 +85,13 @@ def make_train_step(ucfg: UniGenConfig, tcfg: TrainConfig, *,
       prompt_embeds      [B, T, joint_dim]
       pooled             [B, pooled_dim]
       condition_pooled   [B, pooled_dim] or [K, B, pooled_dim]
+
+    base_params is either the frozen base tree, or a dict
+    {"base": ..., "control_frozen": ...} for the single-chip full-topology
+    fine-tune split (ops/quant.split_trainable): state.control then holds
+    only the fp trainable subset and the quantized control leaves ride along
+    frozen — gradients flow through their straight-through VJPs but stop at
+    the int weights.
     """
     tx = make_optimizer(tcfg)
     sigma_table = jnp.asarray(scheduling.training_sigmas(
@@ -121,9 +128,15 @@ def make_train_step(ucfg: UniGenConfig, tcfg: TrainConfig, *,
         guidance = (jnp.full((b,), tcfg.guidance_scale, latents.dtype)
                     if use_guidance else None)
 
+        split = isinstance(base_params, dict) and "control_frozen" in base_params
+        base = base_params["base"] if split else base_params
+
         def loss_fn(control):
+            if split:
+                from unigen_tpu.ops.quant import merge_split
+                control = merge_split(control, base_params["control_frozen"])
             pred, add_losses, add_outputs = unigen_flux_forward(
-                {"base": base_params, "control": control}, ucfg,
+                {"base": base, "control": control}, ucfg,
                 hidden=packed_noisy, condition=packed_cond,
                 encoder=batch["prompt_embeds"], pooled=batch["pooled"],
                 condition_pooled=batch["condition_pooled"],
