@@ -132,6 +132,13 @@ def bench_sd3():
         if quant == "w8a8":
             from unigen_tpu.ops.quant import quantize_tree
             p = quantize_tree(p)
+        elif quant == "w4a8":
+            # serving split mirroring the flux policy: frozen base int4,
+            # adapter int8 (SD3 control uses joint_blocks/add_blocks keys,
+            # so quantize_unigen_serving's flux key map doesn't apply)
+            from unigen_tpu.ops.quant import quantize_tree
+            p = {"base": quantize_tree(p["base"], bits=4),
+                 "control": quantize_tree(p["control"], bits=8)}
         return p
 
     t0 = time.time()
@@ -253,13 +260,23 @@ def bench_sana():
     bb = cfg.sana
     d = bb.inner_dim
     dtype = jnp.bfloat16
+    quant = os.environ.get("UNIGEN_BENCH_QUANT", "bf16")
+
+    def _init(k):
+        p = init_sana_unigen_params(k, cfg, dtype=dtype)
+        if quant == "w8a8":
+            from unigen_tpu.ops.quant import quantize_tree
+            p = quantize_tree(p)
+        return p
 
     t0 = time.time()
-    params = jax.jit(lambda k: init_sana_unigen_params(k, cfg, dtype=dtype))(
-        jax.random.PRNGKey(0))
+    if quant == "bf16":
+        params = jax.jit(_init)(jax.random.PRNGKey(0))
+    else:
+        params = direct_quantized_init(jax.random.PRNGKey(0), _init)
     jax.block_until_ready(params)
     from unigen_tpu.ops.quant import quantized_bytes
-    print(f"# sana init {time.time()-t0:.1f}s "
+    print(f"# sana init {time.time()-t0:.1f}s quant={quant} "
           f"resident={quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
 
     sigmas = np.asarray(scheduling.inference_sigmas(
@@ -305,9 +322,10 @@ def bench_sana():
             _ = float(jnp.sum(out.astype(jnp.float32)))
             times.append(time.perf_counter() - t0)
         ips = b / min(times)
+        peak = 197e12 if quant == "bf16" else 394e12
         print(f"# sana b={b} compile={compile_s:.1f}s denoise="
               f"{min(times)*1000:.0f}ms ips={ips:.3f} "
-              f"mfu={flops_image*ips/197e12:.3f}", file=sys.stderr)
+              f"mfu={flops_image*ips/peak:.3f}", file=sys.stderr)
         return ips
 
     results = {}
@@ -329,7 +347,7 @@ def bench_sana():
         "metric": f"unigen_sana_bench_{res}px_20step_images_per_sec",
         "value": round(results[best_b], 4), "unit": "images/sec/chip",
         "vs_baseline": round(results[best_b] / est_ref, 3),
-        "config": f"sana1.6b_{bb.num_layers}blk_w{d}_bf16"}))
+        "config": f"sana1.6b_{bb.num_layers}blk_w{d}_{quant}"}))
 
 
 def bench_train():

@@ -92,6 +92,11 @@ def main_sd3(args):
         jax.block_until_ready(params)
         if path == "bf16":
             return params
+        if path == "w4a8":
+            # the SD3 serving split (bench_sd3): frozen base int4, adapter int8
+            return {"base": quantize_tree_streaming(params["base"], bits=4),
+                    "control": quantize_tree_streaming(params["control"],
+                                                       bits=8)}
         return quantize_tree_streaming(params)
 
     ks = jax.random.split(jax.random.PRNGKey(1), 6)
@@ -151,7 +156,7 @@ def main_sd3(args):
                 * 127.5).round().astype(np.uint8)
 
     host = {}
-    for path in ("bf16", "w8a8"):
+    for path in ("bf16", "w8a8", "w4a8"):
         t0 = time.time()
         params = make_params(path)
         rec = {"fwd": np.asarray(fwd(params, batch))}
@@ -162,9 +167,123 @@ def main_sd3(args):
         print(f"# sd3 {path} path done in {time.time()-t0:.0f}s",
               file=sys.stderr)
 
-    rel, cos = _fidelity(host["w8a8"]["fwd"], host["bf16"]["fwd"])
     out = {"family": "sd3",
            "topology": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}",
+           "res": res}
+    for name in ("w8a8", "w4a8"):
+        rel, cos = _fidelity(host[name]["fwd"], host["bf16"]["fwd"])
+        out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}
+        if args.ssim:
+            from unigen_tpu.eval import image_metrics
+            m = image_metrics(host["bf16"]["img"], host[name]["img"])
+            out[name]["e2e_ssim"] = round(m["ssim"], 5)
+            out[name]["e2e_psnr"] = round(m["psnr"], 2)
+    if args.ssim:
+        out["e2e"] = f"{num_steps}-step CFG denoise + VAE decode @ {res}px"
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+def main_sana(args):
+    """--family sana: W8A8 vs bf16 on the full SANA-1.6B UniGen stack
+    (3.2 GiB bf16 — both trees trivially fit one at a time). e2e = 20-step
+    denoise + tiny-VAE decode on the f32 latent grid."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/unigen_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from unigen_tpu import config as C
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.sana import (init_sana_unigen_params,
+                                        sana_unigen_forward)
+    from unigen_tpu.ops.quant import quantize_tree_streaming
+    from unigen_tpu.pipelines import scheduling
+
+    cfg = C.UniGenConfig(
+        family="sana", sana=C.SanaBackboneConfig(),
+        control=C.ControlConfig(moe=C.MoEConfig(batch_mode="per_sample")),
+        condition_types=("canny",))
+    bb = cfg.sana
+    dtype = jnp.bfloat16
+    res = args.res if args.res != 256 else 512
+    lat, t_len, b = res // 32, 300, 1
+
+    init_fn = jax.jit(lambda k: init_sana_unigen_params(k, cfg, dtype=dtype))
+
+    def make_params(path):
+        params = init_fn(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        return params if path == "bf16" else quantize_tree_streaming(params)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    _h = lambda x: np.asarray(x.astype(jnp.float32))
+    batch = dict(
+        hidden=_h(jax.random.normal(ks[0], (b, bb.in_channels, lat, lat), dtype)),
+        condition=_h(jax.random.normal(ks[1], (b, bb.in_channels, lat, lat), dtype)),
+        encoder=_h(jax.random.normal(ks[2], (b, t_len, bb.caption_channels), dtype)),
+        pooled=_h(jax.random.normal(ks[3], (b, bb.pooled_projection_dim), dtype)),
+        condition_pooled=_h(jax.random.normal(
+            ks[4], (b, bb.pooled_projection_dim), dtype)),
+    )
+
+    @jax.jit
+    def fwd(p, batch):
+        inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
+        out, _, _ = sana_unigen_forward(
+            p, cfg, hidden=inp["hidden"], condition=inp["condition"],
+            encoder=inp["encoder"], pooled=inp["pooled"],
+            condition_pooled=inp["condition_pooled"],
+            timestep=jnp.full((b,), 500.0, dtype))
+        return out.astype(jnp.float32)
+
+    num_steps = 20
+    sig_host = np.asarray(scheduling.inference_sigmas(
+        scheduling.FlowMatchConfig(shift=3.0), num_steps)[0])
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_host = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                            vae_lib.init_vae_params(jax.random.PRNGKey(2),
+                                                    vae_cfg))
+
+    @jax.jit
+    def jdd(p, batch, vae_params):
+        inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
+        sig = jnp.asarray(sig_host)
+
+        def step(lat_x, i):
+            pred, _, _ = sana_unigen_forward(
+                p, cfg, hidden=lat_x, condition=inp["condition"],
+                encoder=inp["encoder"], pooled=inp["pooled"],
+                condition_pooled=inp["condition_pooled"],
+                timestep=jnp.full((b,), sig[i] * 1000.0, dtype))
+            return scheduling.euler_step(lat_x, pred, sig[i], sig[i + 1]), None
+
+        lat_x, _ = jax.lax.scan(step, inp["hidden"], jnp.arange(num_steps))
+        px = vae_lib.vae_decode(vae_params, vae_cfg, lat_x.astype(jnp.float32))
+        return jnp.clip(px, -1, 1)
+
+    def to_u8(px):
+        return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
+                * 127.5).round().astype(np.uint8)
+
+    host = {}
+    for path in ("bf16", "w8a8"):
+        t0 = time.time()
+        params = make_params(path)
+        rec = {"fwd": np.asarray(fwd(params, batch))}
+        if args.ssim:
+            rec["img"] = to_u8(jdd(params, batch, vae_host))
+        _delete_tree(params)
+        host[path] = rec
+        print(f"# sana {path} path done in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+
+    rel, cos = _fidelity(host["w8a8"]["fwd"], host["bf16"]["fwd"])
+    out = {"family": "sana",
+           "topology": f"sana1.6b_{bb.num_layers}blk_w{bb.inner_dim}",
            "res": res,
            "w8a8": {"rel_err": round(rel, 5), "cosine": round(cos, 6)}}
     if args.ssim:
@@ -172,7 +291,7 @@ def main_sd3(args):
         m = image_metrics(host["bf16"]["img"], host["w8a8"]["img"])
         out["w8a8"]["e2e_ssim"] = round(m["ssim"], 5)
         out["w8a8"]["e2e_psnr"] = round(m["psnr"], 2)
-        out["e2e"] = f"{num_steps}-step CFG denoise + VAE decode @ {res}px"
+        out["e2e"] = f"{num_steps}-step denoise + VAE decode @ {res}px"
     line = json.dumps(out)
     print(line)
     if args.out:
@@ -285,7 +404,7 @@ def main(argv=None):
                    help="also run the e2e denoise+VAE SSIM comparison")
     p.add_argument("--res", type=int, default=256,
                    help="image resolution for the e2e SSIM pass")
-    p.add_argument("--family", default="flux", choices=["flux", "sd3"])
+    p.add_argument("--family", default="flux", choices=["flux", "sd3", "sana"])
     p.add_argument("--out", default=None, help="write JSON here too")
     p.add_argument("--ckpt", default=None,
                    help="diffusers-layout checkpoint dir: measure fidelity "
@@ -309,11 +428,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.full_topology:
         return main_full_topology(args)
-    if args.family == "sd3":
+    if args.family in ("sd3", "sana"):
         if args.ckpt:
-            raise SystemExit("--ckpt is flux-only for now (SD3 real-weights "
-                             "fidelity: extend main_sd3 when weights exist)")
-        return main_sd3(args)
+            raise SystemExit("--ckpt is flux-only for now (SD3/SANA "
+                             "real-weights fidelity: extend when weights exist)")
+        return main_sd3(args) if args.family == "sd3" else main_sana(args)
 
     import jax
     import jax.numpy as jnp
