@@ -138,10 +138,18 @@ class Trainer:
         return out
 
     def step(self, batch: Dict[str, Any]) -> Dict[str, float]:
+        import contextlib
         device_batch = self._global_batch(self.prepare_batch(batch))
         self._rng, step_rng = jax.random.split(self._rng)
-        self.state, metrics = self._step_fn(self.state, self.base_params,
-                                            device_batch, step_rng)
+        # a mesh with sequence>1 activates Ulysses sequence parallelism for
+        # the step's attention calls (parallel/sp; no-op when sequence == 1)
+        ctx = contextlib.nullcontext()
+        if self.mesh is not None:
+            from unigen_tpu.parallel import sp
+            ctx = sp.sequence_sharding(self.mesh)
+        with ctx:
+            self.state, metrics = self._step_fn(self.state, self.base_params,
+                                                device_batch, step_rng)
         self.global_step += 1
         return metrics
 
