@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--max_samples", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lora_dir", default=None,
+                   help="per-condition LoRA experts (reference hook.py "
+                        "per-adapter layout); auto-switched by condition type")
     return p.parse_args(argv)
 
 
@@ -50,7 +53,8 @@ def main(argv=None):
 
     pipe = load_flux_pipeline(args.pretrained_model_name_or_path,
                               condition_types=args.condition_types,
-                              adapter_dir=args.ckpt_path)
+                              adapter_dir=args.ckpt_path,
+                              lora_dir=args.lora_dir)
     param_report(pipe.params["base"], "base")
     param_report(pipe.params["control"], "adapter")
 

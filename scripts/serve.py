@@ -86,6 +86,13 @@ def main(argv=None):
     ap.add_argument("--adapter", help="UniGen adapter dir")
     ap.add_argument("--condition-types", nargs="+", default=["canny"])
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--batch-sizes", type=int, nargs="+", default=None,
+                    help="program-size ladder (e.g. 1 2 8): each dispatch "
+                         "runs the smallest compiled batch that fits, so low "
+                         "load stops paying max-batch pad compute")
+    ap.add_argument("--lora-dir", default=None,
+                    help="per-condition LoRA experts (reference per-adapter "
+                         "layout); switched by condition type")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--quant", default="w4a8", choices=["w4a8", "w8a8", "bf16"])
@@ -102,7 +109,10 @@ def main(argv=None):
     from unigen_tpu.serving import MicroBatchServer
 
     pipe = load_flux_pipeline(args.ckpt, condition_types=args.condition_types,
-                              adapter_dir=args.adapter, quantize=args.quant)
+                              adapter_dir=args.adapter, quantize=args.quant,
+                              lora_dir=args.lora_dir)
+    if args.lora_dir and args.condition_types:
+        pipe._auto_switch(args.condition_types[0])
 
     def run_batch(inputs):
         return pipe.generate(
@@ -112,7 +122,8 @@ def main(argv=None):
             height=args.resolution, width=args.resolution,
             num_inference_steps=args.steps)
 
-    srv = MicroBatchServer(run_batch, batch_size=args.batch_size)
+    srv = MicroBatchServer(run_batch, batch_size=args.batch_size,
+                           batch_sizes=args.batch_sizes)
     print(f"# serving ready: batch={args.batch_size} steps={args.steps} "
           f"res={args.resolution} quant={args.quant}; JSON lines on stdin",
           file=sys.stderr)
