@@ -612,8 +612,8 @@ def bench_suite():
                 "b": 0.01 * jax.random.normal(kb, (L, rank, d), jnp.float32)}
         adapters[name] = lora
     t0 = time.time()
-    switcher = LoraSwitcher(adapters, params)   # pulls pristine host copies
-    print(f"# switcher init (pristine d2h) {time.time()-t0:.1f}s", file=sys.stderr)
+    switcher = LoraSwitcher(adapters, params)   # device pristine refs
+    print(f"# switcher init {time.time()-t0:.1f}s", file=sys.stderr)
 
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))

@@ -163,9 +163,8 @@ class LoraSwitcher:
     quantized) param tree — the TPU answer to the reference's PEFT scaling
     flips (src/lora_switching_module.py:11-39).
 
-    At construction, a pristine HOST (numpy) copy is kept of every linear
-    node any adapter touches (int8/int4 codes + scales for quantized trees —
-    a few bytes/param). ``switch(params, name)`` refolds each affected node
+    At construction, a pristine copy is kept of every linear node any
+    adapter touches. ``switch(params, name)`` refolds each affected node
     FROM its pristine copy, so:
       * switching is exact — no fold/unfold drift on bf16, no stacked
         requantization error on int8/int4 (always one quantize of W+Δ);
@@ -173,19 +172,31 @@ class LoraSwitcher:
       * untouched subtrees are shared, not copied — the switch cost is the
         affected linears only (measured per-switch in the bench suite rung).
     The folded tree has identical shapes/dtypes, so jitted programs never
-    retrace on a switch."""
+    retrace on a switch.
 
-    def __init__(self, adapters: Dict[str, Dict[str, dict]], params):
+    pristine="device" (default) holds REFERENCES to the original device
+    arrays — restore is zero-copy and folds read HBM directly (measured:
+    host pristine cost ~21 s/switch through the axon tunnel's ~260 MB h2d;
+    device pristine folds on-chip). The held references add only the
+    affected-path bytes to residency (the rest of the tree is shared).
+    pristine="host" keeps numpy copies instead — for HBM-tight setups."""
+
+    def __init__(self, adapters: Dict[str, Dict[str, dict]], params, *,
+                 pristine: str = "device"):
+        assert pristine in ("device", "host"), pristine
         self.adapters = adapters
         self.active: Tuple[Tuple[str, float], ...] = ()
         paths = sorted({p for lora in adapters.values() for p in lora})
-        self._pristine: Dict[str, Dict[str, np.ndarray]] = {}
+        self._pristine: Dict[str, Dict[str, Any]] = {}
         for p in paths:
             node = tree_get(params, p)
             if not _is_linear_node(node):
                 raise KeyError(f"LoRA path '{p}' does not name a linear node")
-            self._pristine[p] = {k: np.asarray(v) for k, v in node.items()
-                                 if k != "b"}
+            if pristine == "device":
+                self._pristine[p] = {k: v for k, v in node.items() if k != "b"}
+            else:
+                self._pristine[p] = {k: np.asarray(v)
+                                     for k, v in node.items() if k != "b"}
         self._fold_jit = jax.jit(fold_linear_node, static_argnames=("scale",))
 
     @property
