@@ -167,7 +167,10 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
     num_experts = cc.moe.num_experts(cfg.condition_nums)
 
     h, enc, proj_t, emb_t = sana_embed_inputs(base, bb, hidden, encoder, timestep)
-    n_cn = ctrl["add_blocks"]["w"].shape[0]
+    # stack depth from whichever weight form is present (bf16 'w' or the
+    # quantized w_q/w_q4 serving layouts — leading axis is the stack either way)
+    ab = ctrl["add_blocks"]
+    n_cn = next(ab[k] for k in ("w", "w_q", "w_q4") if k in ab).shape[0]
     interval = bb.num_layers / n_cn
 
     # ---- base block 0 + MoE preprocess (the i==0 special case)
