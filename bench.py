@@ -28,13 +28,15 @@ Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
                 publishes no numbers (SURVEY.md §6), so the denominator is a
                 principled roofline estimate, held constant across rounds.
 
-Quantization fidelity (vs bf16, SAME weights/inputs, measured on-device at
-the 6/12-depth proxy where bf16 fits; per-block math identical to full;
-FIDELITY.json, scripts/measure_fidelity.py): through the full 4-step
-denoise + VAE decode, W8A8 reaches image-space SSIM 0.99937 (per-forward
-rel err 0.69%) and the W4A8 serving policy 0.99901 (1.96%) — BOTH above
-the BASELINE SSIM>=0.99 parity gate, so the quantized throughput is the
-legitimate headline number. Caveat: these SSIMs are RELATIVE fidelity on
+Quantization fidelity (vs bf16, SAME weights/inputs, measured on-device;
+FIDELITY.json, scripts/measure_fidelity.py): the full config is bracketed
+on BOTH axes — the real-width 6/12-depth proxy gives e2e SSIM 0.99937
+(W8A8) / 0.99901 (W4A8, per-forward rel err 1.97%), and the FULL-DEPTH
+19/38 run at half width (--full-topology; full-depth bf16 at real width is
+33 GiB and cannot fit the chip) gives 0.99959 (W8A8) / 0.99883 (W4A8,
+rel err 3.29%) — depth compounds quantization error measurably but every
+bracket point stays ABOVE the BASELINE SSIM>=0.99 parity gate, so the
+quantized throughput is the legitimate headline number. Caveat: these SSIMs are RELATIVE fidelity on
 randomly initialized weights (no released checkpoint is reachable in this
 environment); real checkpoints typically carry outlier channels that
 quantize worse, so the gate should be re-measured via
