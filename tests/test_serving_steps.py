@@ -1,0 +1,97 @@
+"""StepServer (step-level continuous batching): per-request outputs must be
+IDENTICAL to the one-shot pipeline denoise, alone or interleaved with other
+in-flight requests (row independence under per-sample routing)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unigen_tpu import config as cfg_lib
+from unigen_tpu.models import vae as vae_lib
+from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+from unigen_tpu.pipelines.flux import UniGenFluxPipeline
+from unigen_tpu.serving_steps import StepServer
+
+
+@pytest.fixture(scope="module")
+def tiny_world():
+    flux = cfg_lib.tiny_flux_config()
+    cfg = cfg_lib.UniGenConfig(
+        family="flux", flux=flux, condition_types=("canny",),
+        control=cfg_lib.ControlConfig(
+            moe=cfg_lib.MoEConfig(batch_mode="per_sample")))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+    # live gates so the condition path matters
+    params["control"]["add_double"]["w"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), params["control"]["add_double"]["w"].shape)
+    vae_cfg = vae_lib.VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    return cfg, params, vae_cfg, vae_params
+
+
+def _request(i, cfg, h=32, w=32):
+    ks = jax.random.split(jax.random.PRNGKey(100 + i), 4)
+    return dict(
+        prompt_embeds=jax.random.normal(
+            ks[0], (1, 8, cfg.flux.joint_attention_dim), jnp.float32),
+        pooled=jax.random.normal(
+            ks[1], (1, cfg.flux.pooled_projection_dim), jnp.float32),
+        cond_pooled=jax.random.normal(
+            ks[2], (1, cfg.flux.pooled_projection_dim), jnp.float32),
+        control_pixels=jax.random.normal(ks[3], (1, 3, h, w), jnp.float32),
+        latents=jax.random.normal(jax.random.PRNGKey(500 + i),
+                                  (1, 64, cfg.flux.in_channels), jnp.float32),
+    )
+
+
+def _pipeline_reference(tiny_world, req, steps=3):
+    cfg, params, vae_cfg, vae_params = tiny_world
+    pipe = UniGenFluxPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                              vae_params=vae_params, dtype=jnp.float32)
+    return pipe.generate(prompt_embeds=req["prompt_embeds"],
+                         pooled=req["pooled"], cond_pooled=req["cond_pooled"],
+                         control_pixels=req["control_pixels"],
+                         height=32, width=32, num_inference_steps=steps,
+                         latents=req["latents"])
+
+
+def test_step_server_matches_pipeline(tiny_world):
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 3
+    reqs = [_request(i, cfg) for i in range(3)]
+    refs = [_pipeline_reference(tiny_world, r, steps) for r in reqs]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=steps, height=32, width=32,
+                     dtype=jnp.float32)
+    # staggered admission: r0 first, r1+r2 join while r0 is in flight
+    f0 = srv.submit(**reqs[0])
+    f1 = srv.submit(**reqs[1])
+    f2 = srv.submit(**reqs[2])
+    outs = [f.result(timeout=300) for f in (f0, f1, f2)]
+    srv.close()
+    for out, ref in zip(outs, refs):
+        assert out.shape == ref.shape
+        # same math modulo fp32 reduction-order noise -> allow ±1 uint8 step
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_slot_reuse_and_errors(tiny_world):
+    cfg, params, vae_cfg, vae_params = tiny_world
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                     num_inference_steps=2, height=32, width=32,
+                     dtype=jnp.float32)
+    futs = [srv.submit(**_request(10 + i, cfg)) for i in range(2)]
+    for f in futs:
+        f.result(timeout=300)
+    # slots must be reusable after retirement
+    f3 = srv.submit(**_request(20, cfg))
+    img = f3.result(timeout=300)
+    assert img.dtype == np.uint8 and img.shape[0] == 1
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(**_request(21, cfg))
