@@ -823,6 +823,114 @@ def bench_multi():
         "config": doc["config"]}))
 
 
+def bench_stepserver():
+    """UNIGEN_BENCH_STEPSERVER=1: step-level continuous batching
+    (serving_steps.StepServer) at full topology W4A8 — measures (a) the
+    per-tick step time at full occupancy, (b) cold single-request latency
+    (the bound on admission delay), and (c) sustained throughput with
+    staggered arrivals, vs the request-batched ideal. Writes STEPSERVE.json."""
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu import config as C, presets
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.ops.quant import quantize_unigen_serving, quantized_bytes
+    from unigen_tpu.serving_steps import StepServer
+
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
+    B = int(os.environ.get("UNIGEN_BENCH_STEP_SLOTS", "4"))
+    num_steps = 4
+    preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
+    cfg_base = {"full": presets.flux_full, "proxy": presets.flux_bench,
+                "tiny": presets.tiny}[preset]()
+    # per-sample routing is a StepServer requirement (row independence)
+    cfg = C.replace(cfg_base, control=C.replace(
+        cfg_base.control, moe=C.replace(cfg_base.control.moe,
+                                        batch_mode="per_sample")))
+    bb = cfg.flux
+    dtype = jnp.bfloat16
+    if preset == "tiny":
+        res = 64
+
+    def _init(k):
+        p = init_unigen_flux_params(k, cfg, dtype=dtype)
+        return quantize_unigen_serving(p) if preset != "tiny" else p
+
+    t0 = time.time()
+    params = (direct_quantized_init(jax.random.PRNGKey(0), _init)
+              if preset != "tiny" else jax.jit(_init)(jax.random.PRNGKey(0)))
+    jax.block_until_ready(params)
+    print(f"# stepserver init {time.time()-t0:.1f}s resident="
+          f"{quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
+
+    vae_cfg = (vae_lib.tiny_vae_config(latent_channels=bb.in_channels // 4)
+               if preset == "tiny" else vae_lib.VAEConfig())
+    vae_params = jax.jit(lambda k: vae_lib.init_vae_params(k, vae_cfg))(
+        jax.random.PRNGKey(1))
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=B,
+                     num_inference_steps=num_steps, height=res, width=res,
+                     dtype=dtype)
+    t_len = 16 if preset == "tiny" else 512
+
+    def request(i):
+        ks = jax.random.split(jax.random.PRNGKey(1000 + i), 4)
+        return dict(
+            prompt_embeds=jax.random.normal(
+                ks[0], (1, t_len, bb.joint_attention_dim), dtype),
+            pooled=jax.random.normal(
+                ks[1], (1, bb.pooled_projection_dim), dtype),
+            cond_pooled=jax.random.normal(
+                ks[2], (1, bb.pooled_projection_dim), dtype),
+            control_pixels=jax.random.normal(ks[3], (1, 3, res, res),
+                                             jnp.float32))
+
+    # cold request: includes program compile; then a warm single request =
+    # the true admission-to-image latency bound
+    t0 = time.time()
+    srv.submit(**request(0)).result(timeout=3600)
+    cold_s = time.time() - t0
+    t0 = time.perf_counter()
+    srv.submit(**request(1)).result(timeout=600)
+    single_lat = time.perf_counter() - t0
+    print(f"# cold={cold_s:.1f}s warm single-request latency="
+          f"{single_lat*1000:.0f}ms", file=sys.stderr)
+
+    # sustained staggered load: keep all slots busy, submit as slots free
+    n_req = 4 * B
+    t0 = time.perf_counter()
+    futs = []
+    import collections
+    pending = collections.deque(range(2, 2 + n_req))
+    inflight = []
+    while pending or inflight:
+        while pending and len(inflight) < B:
+            inflight.append(srv.submit(**request(pending.popleft())))
+            futs.append(inflight[-1])
+        inflight[0].result(timeout=600)
+        inflight = [f for f in inflight if not f.done()]
+    sustained = n_req / (time.perf_counter() - t0)
+    srv.close()
+    print(f"# sustained {sustained:.3f} img/s over {n_req} staggered requests "
+          f"({B} slots)", file=sys.stderr)
+
+    doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                     f"w{bb.inner_dim}_stepserver{B}slots",
+           "res": res, "slots": B, "num_steps": num_steps,
+           "warm_single_request_latency_ms": round(single_lat * 1000, 1),
+           "sustained_img_per_sec": round(sustained, 4),
+           "note": "admission latency bounded by ONE denoise step; compare "
+                   "MicroBatchServer where a mid-batch arrival waits the "
+                   "full previous denoise"}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "STEPSERVE.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({
+        "metric": f"unigen_flux_stepserver_{res}px_images_per_sec",
+        "value": round(sustained, 4), "unit": "images/sec/chip",
+        "vs_baseline": 0.0, "config": doc["config"]}))
+
+
 def direct_quantized_init(key, init_quantized_fn):
     """Build the quantized serving tree leaf-by-leaf from its eval_shape
     structure, never materialising the bf16 source tree.
@@ -874,6 +982,8 @@ def main():
         return bench_suite()
     if os.environ.get("UNIGEN_BENCH_MULTI"):
         return bench_multi()
+    if os.environ.get("UNIGEN_BENCH_STEPSERVER") == "1":
+        return bench_stepserver()
     family = os.environ.get("UNIGEN_BENCH_FAMILY", "flux")
     if family == "sd3":
         return bench_sd3()

@@ -318,12 +318,41 @@ _LORA_SINGLE_SUB = {
     "attn.to_q": "attn.to_q", "attn.to_k": "attn.to_k", "attn.to_v": "attn.to_v",
     "proj_mlp": "proj_mlp", "proj_out": "proj_out",
 }
-# torch stacked-module prefix -> (jax stack path, within-block map)
+# SD3 joint blocks (torch_bridge_sd3._sd3_block naming; attn2 = the
+# SD3.5X dual-attention branch) and SANA blocks
+_LORA_SD3_SUB = {
+    "norm1.linear": "norm1.linear",
+    "norm1_context.linear": "norm1_context.linear",
+    "attn.to_q": "attn.to_q", "attn.to_k": "attn.to_k", "attn.to_v": "attn.to_v",
+    "attn.add_q_proj": "attn.add_q", "attn.add_k_proj": "attn.add_k",
+    "attn.add_v_proj": "attn.add_v",
+    "attn.to_out.0": "attn.to_out", "attn.to_add_out": "attn.to_add_out",
+    "attn2.to_q": "attn2.to_q", "attn2.to_k": "attn2.to_k",
+    "attn2.to_v": "attn2.to_v", "attn2.to_out.0": "attn2.to_out",
+    "ff.net.0.proj": "ff.fc1", "ff.net.2": "ff.fc2",
+    "ff_context.net.0.proj": "ff_context.fc1",
+    "ff_context.net.2": "ff_context.fc2",
+}
+_LORA_SANA_SUB = {
+    "attn1.to_q": "attn1.to_q", "attn1.to_k": "attn1.to_k",
+    "attn1.to_v": "attn1.to_v", "attn1.to_out.0": "attn1.to_out",
+    "attn2.to_q": "attn2.to_q", "attn2.to_k": "attn2.to_k",
+    "attn2.to_v": "attn2.to_v", "attn2.to_out.0": "attn2.to_out",
+    "ff.conv_inverted": "ff.inverted", "ff.conv_point": "ff.point",
+}
+# torch stacked-module prefix -> CANDIDATE (jax stack path, within-block map)
+# pairs; the loader keeps the first candidate whose stack exists in the
+# target param tree (the same torch name means different stacks per family:
+# flux `transformer_blocks` = double stream, SANA's = linear-attn blocks,
+# SD3 control's = joint blocks)
 _LORA_STACKS = {
-    "transformer_blocks": ("base.double_blocks", _LORA_DOUBLE_SUB),
-    "single_transformer_blocks": ("base.single_blocks", _LORA_SINGLE_SUB),
-    "control_joint_trans_blocks": ("control.double_blocks", _LORA_DOUBLE_SUB),
-    "control_single_trans_blocks": ("control.single_blocks", _LORA_SINGLE_SUB),
+    "transformer_blocks": [("base.double_blocks", _LORA_DOUBLE_SUB),
+                           ("base.blocks", _LORA_SANA_SUB)],
+    "single_transformer_blocks": [("base.single_blocks", _LORA_SINGLE_SUB)],
+    "control_joint_trans_blocks": [("control.double_blocks", _LORA_DOUBLE_SUB)],
+    "control_single_trans_blocks": [("control.single_blocks", _LORA_SINGLE_SUB)],
+    "control_transformer_blocks": [("control.joint_blocks", _LORA_SD3_SUB),
+                                   ("control.blocks", _LORA_SANA_SUB)],
 }
 # torch non-stacked module prefix -> (jax path prefix, within map or None)
 _LORA_FLAT = {

@@ -129,7 +129,9 @@ class StepServer:
                 timestep=t_now.astype(dtype),
                 img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
                 guidance=guidance,
-                conditioning_scale=scale[:, None, None])
+                # cast to the activation dtype: an f32 per-sample scale would
+                # promote bf16 residuals and break the scan carry dtype
+                conditioning_scale=scale[:, None, None].astype(dtype))
             return scheduling.euler_step(lat, pred, s_now[:, None, None],
                                          s_next[:, None, None])
 
