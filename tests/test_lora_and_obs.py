@@ -221,3 +221,48 @@ def test_pipeline_condition_switching():
     # auto-switch path: _auto_switch picks the adapter from the condition type
     pipe._auto_switch("canny")
     assert pipe._lora.active == (("canny", 1.0),)
+
+
+def test_lora_sd3_and_sana_mapping(tmp_path):
+    """Reference-format LoRA round-trips for the SD3 control stack
+    (control_transformer_blocks -> control.joint_blocks) and SANA blocks —
+    ambiguous torch stack names resolve against the target tree."""
+    from unigen_tpu import config as C
+    from unigen_tpu.io import torch_bridge as tb
+    from unigen_tpu.models.sana import init_sana_unigen_params
+    from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_params
+
+    # --- SD3 control joint blocks
+    sd3cfg = C.UniGenConfig(family="sd3", sd3=C.tiny_sd3_config(),
+                            control=C.ControlConfig(use_rope=False),
+                            condition_types=("depth",))
+    p_sd3 = init_unigen_sd3_params(jax.random.PRNGKey(0), sd3cfg)
+    ad = lora.init_lora_adapters(jax.random.PRNGKey(1), p_sd3,
+                                 targets=["joint_blocks.attn.to_q"],
+                                 rank=2, adapter_names=["depth"])
+    (path,) = ad["depth"].keys()
+    assert path == "control.joint_blocks.attn.to_q"
+    ad["depth"][path]["b"] = jnp.ones_like(ad["depth"][path]["b"]) * 0.1
+    tb.export_lora_adapters_reference(ad, str(tmp_path / "sd3"))
+    loaded = tb.load_lora_adapters(str(tmp_path / "sd3"), p_sd3)
+    np.testing.assert_allclose(np.asarray(loaded["depth"][path]["a"]),
+                               np.asarray(ad["depth"][path]["a"]), atol=1e-6)
+    folded = lora.fold_adapter(p_sd3, loaded, "depth")
+    assert not np.array_equal(
+        np.asarray(folded["control"]["joint_blocks"]["attn"]["to_q"]["w"]),
+        np.asarray(p_sd3["control"]["joint_blocks"]["attn"]["to_q"]["w"]))
+
+    # --- SANA base blocks (same torch name as flux double blocks)
+    sanacfg = C.UniGenConfig(family="sana", sana=C.tiny_sana_config(),
+                             condition_types=("canny",))
+    p_sana = init_sana_unigen_params(jax.random.PRNGKey(0), sanacfg)
+    ad2 = lora.init_lora_adapters(jax.random.PRNGKey(2), p_sana,
+                                  targets=["blocks.attn1.to_q"],
+                                  rank=2, adapter_names=["canny"])
+    keys = sorted(ad2["canny"])
+    assert "base.blocks.attn1.to_q" in keys, keys
+    ad2 = {"canny": {"base.blocks.attn1.to_q":
+                     ad2["canny"]["base.blocks.attn1.to_q"]}}
+    tb.export_lora_adapters_reference(ad2, str(tmp_path / "sana"))
+    loaded2 = tb.load_lora_adapters(str(tmp_path / "sana"), p_sana)
+    assert sorted(loaded2["canny"]) == ["base.blocks.attn1.to_q"]

@@ -368,21 +368,40 @@ _LORA_FLAT = {
 }
 
 
-def _lora_torch_to_jax(module: str):
-    """torch module path -> (jax dotted path, block index or None)."""
-    for prefix, (stack, sub) in _LORA_STACKS.items():
+def _node_exists(params, dotted: str) -> bool:
+    node = params
+    for part in dotted.split("."):
+        if not isinstance(node, dict) or part not in node:
+            return False
+        node = node[part]
+    return True
+
+
+def _lora_torch_to_jax(module: str, params=None):
+    """torch module path -> (jax dotted path, block index or None).
+    Ambiguous torch stack names (``transformer_blocks`` means flux double
+    blocks, SANA blocks, ...) resolve against the TARGET tree when given."""
+    candidates = []
+    for prefix, options in _LORA_STACKS.items():
         if module.startswith(prefix + "."):
             rest = module[len(prefix) + 1:]
             idx, _, tail = rest.partition(".")
-            if idx.isdigit() and tail in sub:
-                return f"{stack}.{sub[tail]}", int(idx)
+            if idx.isdigit():
+                for stack, sub in options:
+                    if tail in sub:
+                        candidates.append((f"{stack}.{sub[tail]}", int(idx)))
     for prefix, (jax_path, sub) in _LORA_FLAT.items():
         if module == prefix and sub is None:
-            return jax_path, None
-        if sub is not None and module.startswith(prefix + "."):
+            candidates.append((jax_path, None))
+        elif sub is not None and module.startswith(prefix + "."):
             tail = module[len(prefix) + 1:]
             if tail in sub:
-                return f"{jax_path}.{sub[tail]}", None
+                candidates.append((f"{jax_path}.{sub[tail]}", None))
+    if params is None:
+        return candidates[0] if candidates else (None, None)
+    for path, idx in candidates:
+        if _node_exists(params, path):
+            return path, idx
     return None, None
 
 
@@ -439,7 +458,7 @@ def load_lora_adapters(input_dir: str, params: dict,
             else:
                 unmapped.append(key)
                 continue
-            jax_path, idx = _lora_torch_to_jax(module)
+            jax_path, idx = _lora_torch_to_jax(module, params)
             if jax_path is None:
                 unmapped.append(key)
                 continue
@@ -501,8 +520,9 @@ def export_lora_adapters_reference(adapters: Dict[str, Dict[str, dict]],
     target_modules behavior. Returns the written file paths."""
     from safetensors.numpy import save_file
 
-    inv_stacks = {v[0]: (k, {j: t for t, j in v[1].items()})
-                  for k, v in _LORA_STACKS.items()}
+    inv_stacks = {stack: (k, {j: t for t, j in sub.items()})
+                  for k, options in _LORA_STACKS.items()
+                  for stack, sub in options}
     inv_flat = {}
     for prefix, (jax_path, sub) in _LORA_FLAT.items():
         if sub is None:
