@@ -106,6 +106,14 @@ class StepServer:
             vp, vae_cfg, unpack_latents(lat.astype(jnp.float32), lh, lw)),
             -1, 1))
         self._step_fn = None                    # built lazily (needs T)
+        # retirement (VAE decode + d2h) runs on its OWN thread so the step
+        # loop never waits on a host pull — ticks stay back-to-back async
+        # dispatches and the device pipelines them (measured: inline
+        # retirement cost the full-occupancy loop ~40% throughput)
+        import queue as _queue
+        self._retire_q: "_queue.Queue" = _queue.Queue()
+        self._retirer = threading.Thread(target=self._retire_loop, daemon=True)
+        self._retirer.start()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -183,6 +191,8 @@ class StepServer:
             self._closed = True
             self._work.notify()
         self._worker.join()
+        self._retire_q.put(None)
+        self._retirer.join()
 
     def drain(self):
         """Block until every admitted request has resolved."""
@@ -196,6 +206,8 @@ class StepServer:
     # ------------------------------------------------------------ worker
 
     def _loop(self):
+        import collections
+        inflight = collections.deque()   # recent tick outputs; bounded window
         while True:
             with self._work:
                 while not self._closed and all(s.free for s in self._slots):
@@ -240,21 +252,34 @@ class StepServer:
                             s.future.set_exception(e)
                         self._slots[i] = _Slot()
                 continue
+            # bounded async window: let the device pipeline 2 ticks, no more
+            # (an unbounded dispatch queue can wedge the axon relay)
+            inflight.append(new_lat)
+            if len(inflight) > 2:
+                jax.block_until_ready(inflight.popleft())
             with self._work:
                 self._lat = new_lat
-                done_rows = []
                 for i, s in active:
                     s.step += 1
                     if s.step >= self.num_steps:
-                        done_rows.append((i, s.future))
+                        # hand the finished ROW (a device slice of new_lat —
+                        # immutable, so later ticks can't clobber it) to the
+                        # retirement thread; the step loop moves straight on
+                        self._retire_q.put((new_lat[i:i + 1], s.future))
                         self._slots[i] = _Slot()
-            for i, fut in done_rows:          # decode off the lock
-                try:
-                    px = self._decode(self.vae_params, new_lat[i:i + 1])
-                    img = ((np.asarray(px, np.float32).transpose(0, 2, 3, 1)
-                            + 1) * 127.5).round().astype(np.uint8)
-                    if not fut.done():
-                        fut.set_result(img)
-                except Exception as e:
-                    if not fut.done():
-                        fut.set_exception(e)
+
+    def _retire_loop(self):
+        while True:
+            item = self._retire_q.get()
+            if item is None:
+                return
+            lat_row, fut = item
+            try:
+                px = self._decode(self.vae_params, lat_row)
+                img = ((np.asarray(px, np.float32).transpose(0, 2, 3, 1)
+                        + 1) * 127.5).round().astype(np.uint8)
+                if not fut.done():
+                    fut.set_result(img)
+            except Exception as e:
+                if not fut.done():
+                    fut.set_exception(e)
