@@ -896,19 +896,13 @@ def bench_stepserver():
     print(f"# cold={cold_s:.1f}s warm single-request latency="
           f"{single_lat*1000:.0f}ms", file=sys.stderr)
 
-    # sustained staggered load: keep all slots busy, submit as slots free
+    # sustained saturating load: blocking submit refills a slot the moment
+    # one retires, so occupancy holds at B
     n_req = 4 * B
     t0 = time.perf_counter()
-    futs = []
-    import collections
-    pending = collections.deque(range(2, 2 + n_req))
-    inflight = []
-    while pending or inflight:
-        while pending and len(inflight) < B:
-            inflight.append(srv.submit(**request(pending.popleft())))
-            futs.append(inflight[-1])
-        inflight[0].result(timeout=600)
-        inflight = [f for f in inflight if not f.done()]
+    futs = [srv.submit(**request(2 + i), wait=True) for i in range(n_req)]
+    for f in futs:
+        f.result(timeout=600)
     sustained = n_req / (time.perf_counter() - t0)
     srv.close()
     print(f"# sustained {sustained:.3f} img/s over {n_req} staggered requests "
@@ -919,9 +913,12 @@ def bench_stepserver():
            "res": res, "slots": B, "num_steps": num_steps,
            "warm_single_request_latency_ms": round(single_lat * 1000, 1),
            "sustained_img_per_sec": round(sustained, 4),
-           "note": "admission latency bounded by ONE denoise step; compare "
-                   "MicroBatchServer where a mid-batch arrival waits the "
-                   "full previous denoise"}
+           "note": "admission latency bounded by ONE denoise step (vs a full "
+                   "previous denoise under request batching); sustained "
+                   "includes per-request VAE encode+decode on the same "
+                   "stream, which the transformer-only headline excludes — "
+                   "use MicroBatchServer when peak batch throughput beats "
+                   "admission latency"}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "STEPSERVE.json"), "w") as f:
         json.dump(doc, f, indent=1)

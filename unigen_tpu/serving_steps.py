@@ -149,9 +149,12 @@ class StepServer:
 
     def submit(self, *, prompt_embeds, pooled, cond_pooled, control_pixels,
                conditioning_scale: float = 1.0, seed: int = 0,
-               latents=None) -> Future:
+               latents=None, wait: bool = False) -> Future:
         """Admit one request (leading dim 1 on every array). Returns a
-        Future resolving to a uint8 image [1, H, W, 3]."""
+        Future resolving to a uint8 image [1, H, W, 3]. wait=True blocks
+        until a slot frees instead of raising — the saturating-load mode
+        (slots are re-filled the moment a request retires, so occupancy
+        never dips between admissions)."""
         fut: Future = Future()
         embeds = jnp.asarray(prompt_embeds, self.dtype)
         assert embeds.shape[0] == 1, "one sample per request"
@@ -165,8 +168,13 @@ class StepServer:
             if self._closed:
                 raise RuntimeError("server is closed")
             idx = next((i for i, s in enumerate(self._slots) if s.free), None)
+            while idx is None and wait and not self._closed:
+                self._work.wait()
+                idx = next((i for i, s in enumerate(self._slots) if s.free),
+                           None)
             if idx is None:
-                raise RuntimeError("no free slot; back off and retry")
+                raise RuntimeError("server closed" if self._closed
+                                   else "no free slot; back off and retry")
             if self._embeds is None:
                 self._embeds = jnp.zeros(
                     (self.B,) + tuple(embeds.shape[1:]), self.dtype)
@@ -267,6 +275,7 @@ class StepServer:
                         # retirement thread; the step loop moves straight on
                         self._retire_q.put((new_lat[i:i + 1], s.future))
                         self._slots[i] = _Slot()
+                        self._work.notify_all()   # wake blocking submits
 
     def _retire_loop(self):
         while True:
