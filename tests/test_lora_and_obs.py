@@ -266,3 +266,47 @@ def test_lora_sd3_and_sana_mapping(tmp_path):
     tb.export_lora_adapters_reference(ad2, str(tmp_path / "sana"))
     loaded2 = tb.load_lora_adapters(str(tmp_path / "sana"), p_sana)
     assert sorted(loaded2["canny"]) == ["base.blocks.attn1.to_q"]
+
+
+def test_pipeline_switching_on_quantized_tree():
+    """The serving path: per-condition switching over an int8-quantized
+    pipeline tree — same program reused across switches (no retrace), and
+    disabling restores the exact pristine int codes."""
+    import jax.numpy as jnp
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.ops import quant
+    from unigen_tpu.pipelines.flux import UniGenFluxPipeline
+    cfg, params = _rooted_params()
+    adapters = _nonzero_adapters(params, targets=("attn.to_q",))
+    qparams = quant.quantize_tree(params, min_dim=8)
+    vae_cfg = vae_lib.VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenFluxPipeline(cfg=cfg, params=qparams, vae_cfg=vae_cfg,
+                              vae_params=vae_params, dtype=jnp.float32)
+    pipe.load_lora(adapters)
+    b = 1
+    embeds = jax.random.normal(jax.random.PRNGKey(2),
+                               (b, 8, cfg.flux.joint_attention_dim), jnp.float32)
+    pooled = jax.random.normal(jax.random.PRNGKey(3),
+                               (b, cfg.flux.pooled_projection_dim), jnp.float32)
+    ctrl = jnp.asarray(np.random.RandomState(0).rand(b, 3, 32, 32) * 2 - 1,
+                       jnp.float32)
+
+    def gen():
+        return pipe.generate(prompt_embeds=embeds, pooled=pooled,
+                             cond_pooled=pooled, control_pixels=ctrl,
+                             height=32, width=32, num_inference_steps=2)
+
+    base_img = gen()
+    pristine_codes = np.asarray(
+        pipe.params["control"]["double_blocks"]["attn"]["to_q"]["w_q"])
+    pipe.set_condition_adapter("canny")
+    canny_img = gen()
+    assert not np.array_equal(base_img, canny_img)
+    assert len(pipe._program_cache) == 1, "switch must not retrace"
+    pipe.set_condition_adapter(None)
+    np.testing.assert_array_equal(
+        np.asarray(pipe.params["control"]["double_blocks"]["attn"]["to_q"]["w_q"]),
+        pristine_codes)
+    np.testing.assert_array_equal(gen(), base_img)
