@@ -79,13 +79,41 @@ def main_sd3(args):
     from unigen_tpu.ops.quant import quantize_tree_streaming
     from unigen_tpu.pipelines import scheduling
 
-    cfg = presets.sd35_medium()
-    bb = cfg.sd3
     dtype = jnp.bfloat16
+    if args.ckpt:
+        # real weights at the checkpoint's own topology (ROADMAP r3 gap #2:
+        # SD3 real-weights fidelity — mirrors the flux --ckpt branch)
+        from unigen_tpu import config as _C
+        from unigen_tpu.io import torch_bridge as _tb
+        from unigen_tpu.io import torch_bridge_sd3 as _tb3
+        from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_control
+        from unigen_tpu.pipelines.loading import _subcfg, sd3_backbone_from_json
+        sd3 = sd3_backbone_from_json(_subcfg(args.ckpt, "transformer"))
+        cfg = _C.UniGenConfig(family="sd3", sd3=sd3,
+                              control=_C.ControlConfig(use_rope=False),
+                              condition_types=("depth",))
+        bb = cfg.sd3
+
+        def init_fn(_k):
+            sd = _tb.read_checkpoint_dir(os.path.join(args.ckpt, "transformer"))
+            base = _tb3.load_sd3_transformer(sd, bb, dtype=dtype)
+            if args.adapter:
+                n_cn = cfg.control.num_layers or bb.num_layers
+                control = _tb3.load_sd3_unigen_adapter(
+                    _tb.read_checkpoint_dir(args.adapter), bb, n_cn,
+                    cfg.control.moe.num_experts(cfg.condition_nums),
+                    dtype=dtype,
+                    modulated=(cfg.control.use_modulate or cfg.control.use_rope))
+            else:
+                control = init_unigen_sd3_control(jax.random.PRNGKey(0), cfg,
+                                                  dtype=dtype, base_params=base)
+            return {"base": base, "control": control}
+    else:
+        cfg = presets.sd35_medium()
+        bb = cfg.sd3
+        init_fn = jax.jit(lambda k: init_unigen_sd3_params(k, cfg, dtype=dtype))
     res = args.res
     lat, t_len, b = res // 8, 77 + 256, 1
-
-    init_fn = jax.jit(lambda k: init_unigen_sd3_params(k, cfg, dtype=dtype))
 
     def make_params(path):
         params = init_fn(jax.random.PRNGKey(0))
@@ -168,7 +196,8 @@ def main_sd3(args):
               file=sys.stderr)
 
     out = {"family": "sd3",
-           "topology": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}",
+           "topology": f"sd3_{bb.num_layers}blk_w{bb.inner_dim}",
+           "weights": "real-ckpt" if args.ckpt else "random-init",
            "res": res}
     for name in ("w8a8", "w4a8"):
         rel, cos = _fidelity(host[name]["fwd"], host["bf16"]["fwd"])
@@ -203,16 +232,44 @@ def main_sana(args):
     from unigen_tpu.ops.quant import quantize_tree_streaming
     from unigen_tpu.pipelines import scheduling
 
-    cfg = C.UniGenConfig(
-        family="sana", sana=C.SanaBackboneConfig(),
-        control=C.ControlConfig(moe=C.MoEConfig(batch_mode="per_sample")),
-        condition_types=("canny",))
-    bb = cfg.sana
     dtype = jnp.bfloat16
+    if args.ckpt:
+        # real weights at the checkpoint's own topology (ROADMAP r3 gap #2)
+        from unigen_tpu.io import torch_bridge as _tb
+        from unigen_tpu.io import torch_bridge_sd3 as _tb3
+        from unigen_tpu.models.sana import init_sana_unigen_control
+        from unigen_tpu.pipelines.loading import (_subcfg,
+                                                  sana_backbone_from_json)
+        sana_bb = sana_backbone_from_json(_subcfg(args.ckpt, "transformer"))
+        cfg = C.UniGenConfig(
+            family="sana", sana=sana_bb,
+            control=C.ControlConfig(moe=C.MoEConfig(batch_mode="per_sample")),
+            condition_types=("canny",))
+        bb = cfg.sana
+
+        def init_fn(_k):
+            sd = _tb.read_checkpoint_dir(os.path.join(args.ckpt, "transformer"))
+            base = _tb3.load_sana_transformer(sd, bb, dtype=dtype)
+            if args.adapter:
+                n_cn = cfg.control.num_layers or bb.num_layers
+                control = _tb3.load_sana_unigen_adapter(
+                    _tb.read_checkpoint_dir(args.adapter), bb, n_cn,
+                    cfg.control.moe.num_experts(cfg.condition_nums),
+                    dtype=dtype)
+            else:
+                control = init_sana_unigen_control(jax.random.PRNGKey(0), cfg,
+                                                   dtype=dtype,
+                                                   base_params=base)
+            return {"base": base, "control": control}
+    else:
+        cfg = C.UniGenConfig(
+            family="sana", sana=C.SanaBackboneConfig(),
+            control=C.ControlConfig(moe=C.MoEConfig(batch_mode="per_sample")),
+            condition_types=("canny",))
+        init_fn = jax.jit(lambda k: init_sana_unigen_params(k, cfg, dtype=dtype))
+    bb = cfg.sana
     res = args.res if args.res != 256 else 512
     lat, t_len, b = res // 32, 300, 1
-
-    init_fn = jax.jit(lambda k: init_sana_unigen_params(k, cfg, dtype=dtype))
 
     def make_params(path):
         params = init_fn(jax.random.PRNGKey(0))
@@ -283,7 +340,8 @@ def main_sana(args):
 
     rel, cos = _fidelity(host["w8a8"]["fwd"], host["bf16"]["fwd"])
     out = {"family": "sana",
-           "topology": f"sana1.6b_{bb.num_layers}blk_w{bb.inner_dim}",
+           "topology": f"sana_{bb.num_layers}blk_w{bb.inner_dim}",
+           "weights": "real-ckpt" if args.ckpt else "random-init",
            "res": res,
            "w8a8": {"rel_err": round(rel, 5), "cosine": round(cos, 6)}}
     if args.ssim:
@@ -310,8 +368,8 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None,
                    help="diffusers-layout checkpoint dir: measure fidelity "
                         "on REAL weights at the checkpoint's own topology "
-                        "(flux family; scripts/validate_real_ckpt.py stage 3)"
-                        " instead of the random-init proxy")
+                        "(all 3 families; scripts/validate_real_ckpt.py "
+                        "stage 3) instead of the random-init proxy")
     p.add_argument("--adapter", default=None,
                    help="UniGen adapter dir for --ckpt mode (default: "
                         "warm-started control branch)")
@@ -333,9 +391,6 @@ def main(argv=None):
                         "don't use (VERDICT r2 weak #7)")
     args = p.parse_args(argv)
     if args.family in ("sd3", "sana"):
-        if args.ckpt:
-            raise SystemExit("--ckpt is flux-only for now (SD3/SANA "
-                             "real-weights fidelity: extend when weights exist)")
         return main_sd3(args) if args.family == "sd3" else main_sana(args)
 
     import jax

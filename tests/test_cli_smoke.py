@@ -45,3 +45,72 @@ def test_example_demo(tmp_path):
         pytest.skip("single-CPU box too slow for the subprocess demo")
     assert out.returncode == 0, out.stderr[-500:]
     assert os.path.exists(tmp_path / "demo.png")
+
+
+def _write_transformer_dir(root, sd, cfg_json):
+    """Tiny diffusers-layout transformer subdir for measure_fidelity --ckpt."""
+    from safetensors.numpy import save_file
+    tdir = os.path.join(root, "transformer")
+    os.makedirs(tdir, exist_ok=True)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              os.path.join(tdir, "model.safetensors"))
+    with open(os.path.join(tdir, "config.json"), "w") as f:
+        json.dump(cfg_json, f)
+
+
+def test_measure_fidelity_sd3_ckpt(tmp_path):
+    """ROADMAP r3 gap #2: measure_fidelity --ckpt works for --family sd3
+    (real-weights fidelity at the checkpoint's own topology)."""
+    from unigen_tpu import config as cfg_lib
+    from tests.test_sd3_bridge_pipeline import _sd3_state_dict
+    cfg = cfg_lib.tiny_sd3_config()
+    _write_transformer_dir(str(tmp_path), _sd3_state_dict(cfg), {
+        "sample_size": cfg.sample_size, "patch_size": cfg.patch_size,
+        "in_channels": cfg.in_channels, "num_layers": cfg.num_layers,
+        "attention_head_dim": cfg.attention_head_dim,
+        "num_attention_heads": cfg.num_attention_heads,
+        "joint_attention_dim": cfg.joint_attention_dim,
+        "caption_projection_dim": cfg.caption_projection_dim,
+        "pooled_projection_dim": cfg.pooled_projection_dim,
+        "out_channels": cfg.out_channels,
+        "pos_embed_max_size": cfg.pos_embed_max_size,
+        "dual_attention_layers": list(cfg.dual_attention_layers),
+        "qk_norm": cfg.qk_norm})
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "measure_fidelity.py"),
+         "--family", "sd3", "--ckpt", str(tmp_path), "--res", "64"],
+        capture_output=True, text=True, env=ENV, timeout=900)
+    assert out.returncode == 0, out.stdout[-800:] + out.stderr[-800:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["weights"] == "real-ckpt"
+    # tiny layers fall below the quantizer's min_dim=512, so the quantized
+    # paths are identities here — this asserts the --ckpt plumbing (load,
+    # forward, compare), not quantization error
+    assert np.isfinite(rep["w8a8"]["rel_err"]) and rep["w8a8"]["cosine"] > 0.99
+    assert np.isfinite(rep["w4a8"]["rel_err"])
+
+
+def test_measure_fidelity_sana_ckpt(tmp_path):
+    """ROADMAP r3 gap #2: measure_fidelity --ckpt works for --family sana."""
+    from unigen_tpu import config as cfg_lib
+    from tests.test_sd3_bridge_pipeline import _sana_state_dict
+    cfg = cfg_lib.tiny_sana_config()
+    _write_transformer_dir(str(tmp_path), _sana_state_dict(cfg), {
+        "in_channels": cfg.in_channels, "out_channels": cfg.out_channels,
+        "num_layers": cfg.num_layers,
+        "attention_head_dim": cfg.attention_head_dim,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_cross_attention_heads": cfg.num_cross_attention_heads,
+        "cross_attention_head_dim": cfg.cross_attention_head_dim,
+        "cross_attention_dim": cfg.cross_attention_dim,
+        "caption_channels": cfg.caption_channels,
+        "mlp_ratio": cfg.mlp_ratio, "patch_size": cfg.patch_size,
+        "sample_size": cfg.sample_size})
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "measure_fidelity.py"),
+         "--family", "sana", "--ckpt", str(tmp_path), "--res", "64"],
+        capture_output=True, text=True, env=ENV, timeout=900)
+    assert out.returncode == 0, out.stdout[-800:] + out.stderr[-800:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["weights"] == "real-ckpt"
+    assert np.isfinite(rep["w8a8"]["rel_err"]) and rep["w8a8"]["cosine"] > 0.99

@@ -88,9 +88,7 @@ def test_load_sd3_transformer_runs():
     assert w.shape == (cfg.in_channels * cfg.patch_size ** 2, cfg.inner_dim)
 
 
-def test_load_sana_transformer_runs():
-    from unigen_tpu.models.sana import sana_forward
-    cfg = cfg_lib.tiny_sana_config()
+def _sana_state_dict(cfg):
     g = _g()
     d = cfg.inner_dim
     inner_x = cfg.num_cross_attention_heads * cfg.cross_attention_head_dim
@@ -130,6 +128,13 @@ def test_load_sana_transformer_runs():
         sd[f"{p}.ff.conv_depth.weight"] = g(2 * hidden_ff, 1, 3, 3)
         sd[f"{p}.ff.conv_depth.bias"] = g(2 * hidden_ff)
         sd[f"{p}.ff.conv_point.weight"] = g(d, hidden_ff, 1, 1)
+    return sd
+
+
+def test_load_sana_transformer_runs():
+    from unigen_tpu.models.sana import sana_forward
+    cfg = cfg_lib.tiny_sana_config()
+    sd = _sana_state_dict(cfg)
     params = tb3.load_sana_transformer(sd, cfg, dtype=jnp.float32)
     b, hw, t = 1, 8, 5
     ks = jax.random.split(jax.random.PRNGKey(0), 2)

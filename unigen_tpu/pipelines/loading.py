@@ -161,17 +161,10 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
     return pipe
 
 
-def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),
-                      adapter_dir: Optional[str] = None,
-                      dtype=jnp.float32, control_overrides: Optional[dict] = None):
-    """Build a UniGenSD3Pipeline from an SD3.5 HF directory (reference
-    train.py:259-307 asset loading for the SD3 family)."""
-    from unigen_tpu.io import torch_bridge_sd3 as tb3
-    from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_control
-    from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
-
-    tcfg = _subcfg(root, "transformer")
-    sd3 = cfg_lib.SD3BackboneConfig(
+def sd3_backbone_from_json(tcfg: dict) -> cfg_lib.SD3BackboneConfig:
+    """diffusers SD3Transformer2DModel config.json -> SD3BackboneConfig
+    (shared by load_sd3_pipeline and measure_fidelity --ckpt)."""
+    return cfg_lib.SD3BackboneConfig(
         sample_size=tcfg.get("sample_size", 128),
         patch_size=tcfg.get("patch_size", 2),
         in_channels=tcfg.get("in_channels", 16),
@@ -185,6 +178,36 @@ def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),
         pos_embed_max_size=tcfg.get("pos_embed_max_size", 384),
         dual_attention_layers=tuple(tcfg.get("dual_attention_layers", ())),
         qk_norm=tcfg.get("qk_norm"))
+
+
+def sana_backbone_from_json(tcfg: dict) -> cfg_lib.SanaBackboneConfig:
+    """diffusers SanaTransformer2DModel config.json -> SanaBackboneConfig."""
+    return cfg_lib.SanaBackboneConfig(
+        in_channels=tcfg.get("in_channels", 32),
+        out_channels=tcfg.get("out_channels", 32),
+        num_layers=tcfg.get("num_layers", 20),
+        attention_head_dim=tcfg.get("attention_head_dim", 32),
+        num_attention_heads=tcfg.get("num_attention_heads", 70),
+        num_cross_attention_heads=tcfg.get("num_cross_attention_heads", 20),
+        cross_attention_head_dim=tcfg.get("cross_attention_head_dim", 112),
+        cross_attention_dim=tcfg.get("cross_attention_dim", 2240),
+        caption_channels=tcfg.get("caption_channels", 2304),
+        mlp_ratio=tcfg.get("mlp_ratio", 2.5),
+        patch_size=tcfg.get("patch_size", 1),
+        sample_size=tcfg.get("sample_size", 32))
+
+
+def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),
+                      adapter_dir: Optional[str] = None,
+                      dtype=jnp.float32, control_overrides: Optional[dict] = None):
+    """Build a UniGenSD3Pipeline from an SD3.5 HF directory (reference
+    train.py:259-307 asset loading for the SD3 family)."""
+    from unigen_tpu.io import torch_bridge_sd3 as tb3
+    from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_control
+    from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
+
+    tcfg = _subcfg(root, "transformer")
+    sd3 = sd3_backbone_from_json(tcfg)
     overrides = dict(control_overrides or {})
     overrides.setdefault("use_rope", False)
     cfg = cfg_lib.UniGenConfig(family="sd3", sd3=sd3,
