@@ -823,6 +823,205 @@ def bench_multi():
         "config": doc["config"]}))
 
 
+def bench_cache():
+    """UNIGEN_BENCH_CACHE=<k[,k2]>: control-residual step caching (the
+    control branch — MoE preprocess + control double/single blocks + gated
+    adds — is ~46% of the serving step at full topology, PROFILE_FULL.json;
+    recomputing it every k-th denoise step and replaying the cached
+    per-block residual adds in between trades fidelity for throughput,
+    FORA/TeaCache-style but scoped to the control branch only so the base
+    trajectory always gets fresh compute).
+
+    Full 19/38 W4A8, 512² 4-step denoise. For each k: throughput of the
+    cached program vs the exact program on the same weights/inputs, plus
+    image-space SSIM/PSNR between their outputs through the tiny-VAE decode
+    (same relative-fidelity method as measure_fidelity). Writes CACHE.json
+    and prints the best cached rung as the JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu import presets
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_flux import (init_unigen_flux_params,
+                                               unigen_flux_forward)
+    from unigen_tpu.ops.packing import prepare_latent_image_ids, unpack_latents
+    from unigen_tpu.ops.quant import quantize_unigen_serving, quantized_bytes
+    from unigen_tpu.pipelines import scheduling
+
+    intervals = [int(x) for x in os.environ["UNIGEN_BENCH_CACHE"].split(",")]
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
+    b = int(os.environ.get("UNIGEN_BENCH_CACHE_BATCH", "2"))
+    preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
+    cfg = {"full": presets.flux_full, "proxy": presets.flux_bench,
+           "tiny": presets.tiny}[preset]()
+    bb = cfg.flux
+    hw, t_len = res // 16, 512
+    if preset == "tiny":
+        hw, t_len = 4, 8
+    s_img = hw * hw
+    num_steps = 4
+    dtype = jnp.bfloat16
+
+    img_ids = np.asarray(prepare_latent_image_ids(hw, hw))
+    txt_ids = np.zeros((t_len, 3), np.float32)
+    sigmas = np.asarray(scheduling.inference_sigmas(
+        scheduling.FlowMatchConfig(shift=1.0), num_steps)[0])
+
+    def _init(k):
+        p = init_unigen_flux_params(k, cfg, dtype=dtype)
+        if preset != "tiny":
+            p = quantize_unigen_serving(p)
+        return p
+
+    t0 = time.time()
+    params = (direct_quantized_init(jax.random.PRNGKey(0), _init)
+              if preset != "tiny" else jax.jit(_init)(jax.random.PRNGKey(0)))
+    jax.block_until_ready(params)
+    print(f"# cache init {time.time()-t0:.1f}s resident="
+          f"{quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
+
+    flops_image = model_flops_per_forward(cfg, s_img, t_len, s_img) * num_steps
+    est_ref = 312e12 * 0.35 / flops_image
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    prompt = jax.random.normal(ks[0], (b, t_len, bb.joint_attention_dim), dtype)
+    pooled = jax.random.normal(ks[1], (b, bb.pooled_projection_dim), dtype)
+    cond_pooled = jax.random.normal(ks[2], (b, bb.pooled_projection_dim), dtype)
+    condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
+    latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
+
+    def make_denoise(interval: int):
+        def denoise(params, latents, condition, prompt, pooled, cond_pooled):
+            sig = jnp.asarray(sigmas)
+            ids_i = jnp.asarray(img_ids)
+            ids_t = jnp.asarray(txt_ids)
+
+            def fwd(lat, i, **kw):
+                pred, _, outs = unigen_flux_forward(
+                    params, cfg, hidden=lat, condition=condition,
+                    encoder=prompt, pooled=pooled, condition_pooled=cond_pooled,
+                    timestep=jnp.full((b,), sig[i], dtype),
+                    img_ids=ids_i, txt_ids=ids_t, condition_ids=ids_i,
+                    attn_impl="auto", **kw)
+                return pred, outs
+
+            if interval <= 1:
+                def step(lat, i):
+                    pred, _ = fwd(lat, i)
+                    return scheduling.euler_step(lat, pred, sig[i],
+                                                 sig[i + 1]), None
+                latents, _ = jax.lax.scan(step, latents,
+                                          jnp.arange(num_steps))
+                return latents
+
+            d = bb.inner_dim
+            zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
+                    jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
+                              dtype))
+
+            def step(carry, i):
+                lat, res = carry
+
+                def full():
+                    pred, outs = fwd(lat, i, return_control_residuals=True)
+                    return pred, outs["control_residuals"]
+
+                def replay():
+                    pred, _ = fwd(lat, i, control_residuals=res)
+                    return pred, res
+
+                pred, res = jax.lax.cond(i % interval == 0, full, replay)
+                return (scheduling.euler_step(lat, pred, sig[i], sig[i + 1]),
+                        res), None
+
+            (latents, _), _ = jax.lax.scan(step, (latents, zero),
+                                           jnp.arange(num_steps))
+            return latents
+        return denoise
+
+    # tiny-VAE decode for image-space relative fidelity (host vae params —
+    # no device closure constants)
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels // 4)
+    vae_host = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                            vae_lib.init_vae_params(jax.random.PRNGKey(2),
+                                                    vae_cfg))
+    lh = lw = hw * 2
+
+    @jax.jit
+    def decode(lat, vae_params):
+        px = vae_lib.vae_decode(vae_params, vae_cfg,
+                                unpack_latents(lat.astype(jnp.float32), lh, lw))
+        return jnp.clip(px, -1, 1)
+
+    def to_u8(px):
+        return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
+                * 127.5).round().astype(np.uint8)
+
+    def run(interval: int):
+        jfn = jax.jit(make_denoise(interval))
+        fn = lambda: jfn(params, latents0, condition, prompt, pooled,
+                         cond_pooled)
+        t0 = time.time()
+        out = fn()
+        _ = sync(out)
+        compile_s = time.time() - t0
+        img = to_u8(decode(out, vae_host))
+        K = max(1, 4 // b)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out = fn()
+            _ = sync(out)
+            times.append((time.perf_counter() - t0) / K)
+        dt = min(times)
+        print(f"# cache interval={interval} b={b} compile={compile_s:.1f}s "
+              f"step={dt*1000:.1f}ms ips={b/dt:.3f}", file=sys.stderr)
+        return b / dt, img
+
+    from unigen_tpu.eval import image_metrics
+    ips_exact, img_exact = run(1)
+    rows = []
+    for k in intervals:
+        if k <= 1:
+            continue
+        try:
+            ips_k, img_k = run(k)
+        except Exception as e:
+            print(f"# cache interval={k} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            continue
+        m = image_metrics(img_exact, img_k)
+        rows.append({"interval": k, "ips": round(ips_k, 4),
+                     "speedup": round(ips_k / ips_exact, 3),
+                     "ssim_vs_exact": round(m["ssim"], 5),
+                     "psnr_vs_exact": round(m["psnr"], 2)})
+        print(f"# interval={k}: {ips_k:.3f} img/s ({ips_k/ips_exact:.2f}x) "
+              f"ssim={m['ssim']:.5f}", file=sys.stderr)
+    doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                     f"w{bb.inner_dim}_w4a8_ctrlcache",
+           "res": res, "batch": b, "num_steps": num_steps,
+           "ips_exact": round(ips_exact, 4), "rows": rows}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "CACHE.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+    if not rows:
+        print(json.dumps({"metric": "unigen_flux_ctrlcache_images_per_sec",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0, "error": "all intervals failed"}))
+        return
+    best = max(rows, key=lambda r: r["ips"])
+    print(json.dumps({
+        "metric": f"unigen_flux_ctrlcache{best['interval']}_{res}px_"
+                  "images_per_sec",
+        "value": best["ips"], "unit": "images/sec/chip",
+        "vs_baseline": round(best["ips"] / est_ref, 3),
+        "config": doc["config"], "ssim_vs_exact": best["ssim_vs_exact"]}))
+
+
 def bench_stepserver():
     """UNIGEN_BENCH_STEPSERVER=1: step-level continuous batching
     (serving_steps.StepServer) at full topology W4A8 — measures (a) the
@@ -981,6 +1180,8 @@ def main():
         return bench_multi()
     if os.environ.get("UNIGEN_BENCH_STEPSERVER") == "1":
         return bench_stepserver()
+    if os.environ.get("UNIGEN_BENCH_CACHE"):
+        return bench_cache()
     family = os.environ.get("UNIGEN_BENCH_FAMILY", "flux")
     if family == "sd3":
         return bench_sd3()

@@ -27,6 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--guidance_scale", type=float, default=3.5)
     p.add_argument("--true_cfg_scale", type=float, default=1.0)
     p.add_argument("--conditioning_scale", type=float, default=1.0)
+    p.add_argument("--control_cache_interval", type=int, default=1,
+                   help="recompute the control branch every k-th step "
+                        "(serving approximation; see CACHE.json fidelity)")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--max_sequence_length", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=1)
@@ -70,6 +73,7 @@ def main(argv=None):
                     guidance_scale=args.guidance_scale,
                     true_cfg_scale=args.true_cfg_scale,
                     conditioning_scale=args.conditioning_scale,
+                    control_cache_interval=args.control_cache_interval,
                     seed=args.seed)
         Image.fromarray(imgs[0]).save(os.path.join(args.save_path, "res.png"))
         logger.info("saved %s", os.path.join(args.save_path, "res.png"))
@@ -92,6 +96,7 @@ def main(argv=None):
                     num_inference_steps=args.num_inference_steps,
                     guidance_scale=args.guidance_scale,
                     conditioning_scale=args.conditioning_scale,
+                    control_cache_interval=args.control_cache_interval,
                     seed=args.seed + start)
         for j, (i, s) in enumerate(zip(idxs, samples)):
             d = os.path.join(args.save_path, f"{i:05d}")

@@ -94,6 +94,11 @@ def main(argv=None):
                     help="per-condition LoRA experts (reference per-adapter "
                          "layout); switched by condition type")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--control-cache-interval", type=int, default=1,
+                    help="recompute the control branch every k-th denoise "
+                         "step, replay cached residual adds in between "
+                         "(serving approximation; measure fidelity first — "
+                         "see bench.py UNIGEN_BENCH_CACHE / CACHE.json)")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--quant", default="w4a8", choices=["w4a8", "w8a8", "bf16"])
     ap.add_argument("--demo", action="store_true",
@@ -120,7 +125,8 @@ def main(argv=None):
             cond_pooled=inputs["cond_pooled"],
             control_pixels=inputs["control_pixels"],
             height=args.resolution, width=args.resolution,
-            num_inference_steps=args.steps)
+            num_inference_steps=args.steps,
+            control_cache_interval=args.control_cache_interval)
 
     srv = MicroBatchServer(run_batch, batch_size=args.batch_size,
                            batch_sizes=args.batch_sizes)

@@ -1,0 +1,221 @@
+"""Control-residual caching (serving-only step-caching approximation of the
+control branch — unigen_flux.unigen_flux_forward control_residuals /
+return_control_residuals, and the pipeline's control_cache_interval knob).
+
+Invariants:
+  * return_control_residuals does not perturb the prediction;
+  * replaying the residuals captured at the SAME state reproduces the plain
+    forward exactly (same program math, control compute skipped);
+  * the cached residuals are unscaled: replaying under a different
+    conditioning_scale equals a fresh forward whose control adds were scaled
+    by that factor at the same sites (zero-init adapter makes this exact at
+    the add sites only when residuals dominate — checked via linearity);
+  * the pipeline with control_cache_interval=1 is bit-identical to default.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unigen_tpu import config as cfg_lib
+from unigen_tpu.models.unigen_flux import (init_unigen_flux_params,
+                                           unigen_flux_forward)
+from unigen_tpu.ops.packing import prepare_latent_image_ids
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    flux = cfg_lib.tiny_flux_config()
+    cfg = cfg_lib.UniGenConfig(family="flux", flux=flux,
+                               condition_types=("canny",))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+    # perturb the zero-init add projections so control residuals are nonzero
+    def bump(tree):
+        return jax.tree.map(lambda x: x + 0.05, tree)
+    ctrl = dict(params["control"])
+    ctrl["add_double"] = bump(ctrl["add_double"])
+    ctrl["add_single"] = bump(ctrl["add_single"])
+    return cfg, {"base": params["base"], "control": ctrl}
+
+
+def _batch(cfg, b=2, hw=4, t=6, key=7):
+    ks = jax.random.split(jax.random.PRNGKey(key), 6)
+    s = hw * hw
+    bb = cfg.flux
+    return dict(
+        hidden=jax.random.normal(ks[0], (b, s, bb.in_channels)),
+        condition=jax.random.normal(ks[1], (b, s, bb.in_channels)),
+        encoder=jax.random.normal(ks[2], (b, t, bb.joint_attention_dim)),
+        pooled=jax.random.normal(ks[3], (b, bb.pooled_projection_dim)),
+        condition_pooled=jax.random.normal(ks[4], (b, bb.pooled_projection_dim)),
+        timestep=jnp.full((b,), 0.5),
+        img_ids=prepare_latent_image_ids(hw, hw),
+        txt_ids=jnp.zeros((t, 3)),
+        condition_ids=prepare_latent_image_ids(hw, hw),
+    )
+
+
+def test_return_residuals_does_not_perturb_pred(tiny):
+    cfg, params = tiny
+    batch = _batch(cfg)
+    pred0, _, _ = unigen_flux_forward(params, cfg, **batch)
+    pred1, _, outs = unigen_flux_forward(params, cfg, **batch,
+                                         return_control_residuals=True)
+    np.testing.assert_array_equal(np.asarray(pred0), np.asarray(pred1))
+    dbl, sgl = outs["control_residuals"]
+    bb = cfg.flux
+    b, s = batch["hidden"].shape[0], batch["hidden"].shape[1]
+    t = batch["encoder"].shape[1]
+    assert dbl.shape == (bb.num_layers, b, s, bb.inner_dim)
+    assert sgl.shape == (bb.num_single_layers, b, t + s, bb.inner_dim)
+    assert float(jnp.abs(dbl).max()) > 0 and float(jnp.abs(sgl).max()) > 0
+
+
+def test_replay_same_state_is_exact(tiny):
+    cfg, params = tiny
+    batch = _batch(cfg)
+    pred0, _, outs = unigen_flux_forward(params, cfg, **batch,
+                                         return_control_residuals=True)
+    pred1, losses, outs1 = unigen_flux_forward(
+        params, cfg, **batch, control_residuals=outs["control_residuals"])
+    np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred0),
+                               rtol=0, atol=0)
+    assert float(losses["moe_loss"]) == 0.0
+    assert outs1["expert_counts"] is None
+
+
+def test_replay_rescales_residuals(tiny):
+    """Residuals are cached unscaled: replay at conditioning_scale=0 must
+    equal a plain forward with conditioning_scale=0 (control branch off)."""
+    cfg, params = tiny
+    batch = _batch(cfg)
+    _, _, outs = unigen_flux_forward(params, cfg, **batch,
+                                     return_control_residuals=True)
+    off, _, _ = unigen_flux_forward(params, cfg, **batch,
+                                    conditioning_scale=0.0)
+    replay0, _, _ = unigen_flux_forward(
+        params, cfg, **batch, control_residuals=outs["control_residuals"],
+        conditioning_scale=0.0)
+    np.testing.assert_allclose(np.asarray(replay0), np.asarray(off),
+                               rtol=0, atol=0)
+
+
+def test_replay_under_jit_and_different_state(tiny):
+    """The reuse path compiles, and replaying residuals from a DIFFERENT
+    latent state gives a finite approximation (the serving cache case)."""
+    cfg, params = tiny
+    batch = _batch(cfg, key=7)
+    _, _, outs = unigen_flux_forward(params, cfg, **batch,
+                                     return_control_residuals=True)
+    batch2 = dict(batch, hidden=batch["hidden"] * 0.9
+                  + 0.1 * jax.random.normal(jax.random.PRNGKey(9),
+                                            batch["hidden"].shape))
+
+    @jax.jit
+    def replay(p, b_, res):
+        pred, _, _ = unigen_flux_forward(p, cfg, **b_, control_residuals=res)
+        return pred
+
+    pred = replay(params, batch2, outs["control_residuals"])
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def _tiny_pipe(dtype=jnp.float32):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.flux import UniGenFluxPipeline
+    flux = cfg_lib.tiny_flux_config()
+    cfg = cfg_lib.UniGenConfig(family="flux", flux=flux,
+                               condition_types=("canny",))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=flux.in_channels // 4)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    return UniGenFluxPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                              vae_params=vae_params, dtype=dtype), flux
+
+
+def _gen(pipe, flux, steps, interval, scale=1.0, cfg_scale=1.0):
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    return pipe.generate(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps,
+        conditioning_scale=scale, true_cfg_scale=cfg_scale,
+        control_cache_interval=interval)
+
+
+def test_pipeline_cache_interval_plumbing_identity():
+    """With the control branch disabled (conditioning_scale=0) the cached
+    program must reproduce the default program bit-for-bit — validates the
+    cond/carry plumbing independent of the approximation."""
+    pipe, flux = _tiny_pipe()
+    base = _gen(pipe, flux, steps=4, interval=1, scale=0.0)
+    cached = _gen(pipe, flux, steps=4, interval=2, scale=0.0)
+    np.testing.assert_array_equal(base, cached)
+
+
+def test_pipeline_cache_interval_runs_with_control_and_cfg():
+    pipe, flux = _tiny_pipe()
+    img = _gen(pipe, flux, steps=4, interval=2, scale=1.0)
+    assert img.shape == (1, 16, 16, 3)
+    # true-CFG path carries TWO caches (pos + neg)
+    img2 = _gen(pipe, flux, steps=4, interval=2, scale=1.0, cfg_scale=2.0)
+    assert img2.shape == (1, 16, 16, 3)
+
+
+def test_pipeline_cache_matches_manual_composition():
+    """interval=num_steps: step 0 computes the control branch, later steps
+    replay — compare against a hand-rolled euler loop over the forward."""
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.ops.packing import (pack_latents, prepare_latent_image_ids,
+                                        unpack_latents)
+    from unigen_tpu.pipelines import scheduling
+    pipe, flux = _tiny_pipe()
+    cfg = pipe.cfg
+    b, h, w, steps, t = 1, 16, 16, 3, 8
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    prompt_embeds = jax.random.normal(ks[0], (b, t, flux.joint_attention_dim))
+    pooled = jax.random.normal(ks[1], (b, flux.pooled_projection_dim))
+    cond_pooled = jax.random.normal(ks[2], (b, flux.pooled_projection_dim))
+    control_pixels = jax.random.normal(ks[3], (b, 3, h, w))
+    vs = pipe.vae_cfg.downscale
+    lh, lw = 2 * (h // (vs * 2)), 2 * (w // (vs * 2))
+    latents0 = jax.random.normal(
+        jax.random.PRNGKey(0), (b, (lh // 2) * (lw // 2), flux.in_channels),
+        jnp.float32)
+
+    got = pipe.generate(prompt_embeds=prompt_embeds, pooled=pooled,
+                        cond_pooled=cond_pooled, control_pixels=control_pixels,
+                        height=h, width=w, num_inference_steps=steps,
+                        control_cache_interval=steps, seed=0,
+                        latents=latents0)
+
+    # ---- manual composition
+    sigmas, timesteps = scheduling.inference_sigmas(
+        pipe.scheduler, steps, image_seq_len=(lh // 2) * (lw // 2))
+    img_ids = prepare_latent_image_ids(lh // 2, lw // 2)
+    txt_ids = jnp.zeros((t, 3))
+    control_lat = pack_latents(
+        vae_lib.vae_encode(pipe.vae_params, pipe.vae_cfg, control_pixels))
+    lat = latents0
+    res = None
+    for i in range(steps):
+        kw = (dict(return_control_residuals=True) if i == 0
+              else dict(control_residuals=res))
+        pred, _, outs = unigen_flux_forward(
+            pipe.params, cfg, hidden=lat, condition=control_lat,
+            encoder=prompt_embeds, pooled=pooled, condition_pooled=cond_pooled,
+            timestep=jnp.full((b,), timesteps[i] / 1000.0, jnp.float32),
+            img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+            guidance=None, conditioning_scale=1.0, **kw)
+        if i == 0:
+            res = outs["control_residuals"]
+        lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+    px = vae_lib.vae_decode(pipe.vae_params, pipe.vae_cfg,
+                            unpack_latents(lat.astype(jnp.float32), lh, lw))
+    want = ((np.asarray(jnp.clip(px, -1, 1)).transpose(0, 2, 3, 1) + 1)
+            * 127.5).round().astype(np.uint8)
+    np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)

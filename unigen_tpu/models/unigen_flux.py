@@ -251,13 +251,27 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
                         conditioning_scale: float = 1.0,
                         attn_impl: str = "auto", remat: bool = False,
                         rng: Optional[jax.Array] = None, training: bool = False,
-                        expert_axis: Optional[str] = None
+                        expert_axis: Optional[str] = None,
+                        control_residuals: Optional[Tuple] = None,
+                        return_control_residuals: bool = False
                         ) -> Tuple[jnp.ndarray, Dict, Dict]:
     """Full UniGenFlux forward. condition/condition_pooled/condition_ids may
     carry a leading condition axis for multi-condition joint control.
 
     Returns (pred [B, S, C], add_losses, add_outputs) matching the reference
-    contract (UniGenTransformer.py:1261-1271)."""
+    contract (UniGenTransformer.py:1261-1271).
+
+    Control-residual caching (serving-only approximation, beyond reference
+    parity — FORA/TeaCache-style step caching applied to the control branch
+    only, which is ~46% of the serving step at full topology):
+      * ``return_control_residuals=True``: also return the UNSCALED per-block
+        control adds in ``add_outputs["control_residuals"]`` as
+        ``(dbl [n_base,B,S_img,D], sgl [n_single,B,S_stream,D])``.
+      * ``control_residuals=(dbl, sgl)``: skip the MoE preprocess and every
+        control block; add the cached residuals (times the CURRENT
+        conditioning_scale) at the same sites. aux loss/counts are zeros.
+    The prediction with residuals captured at the same state is bit-identical
+    to the plain forward (tests/test_control_cache.py)."""
     base, ctrl = params["base"], params["control"]
     bb = cfg.flux
     cc = cfg.control
@@ -276,37 +290,64 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
     n_cn = n_base // cc.single_control_dev
     cn_table = jnp.asarray(control_block_index_table(n_base, n_cn))
 
+    reuse = control_residuals is not None
+    assert not (reuse and return_control_residuals), \
+        "pass either control_residuals or return_control_residuals, not both"
+
     # ---- base double block 0 + MoE preprocess (the i==0 special case)
     block0 = index_params(base["double_blocks"], 0)
     enc, h = flux_double_block(block0, h, enc, temb, rope_base, heads=heads,
                                attn_impl=attn_impl)
-    pre = preprocess_moe(ctrl, cfg, h, enc, condition, pooled, condition_pooled,
-                         timestep, guidance, img_ids, txt_ids, condition_ids,
-                         rng=rng, training=training, attn_impl=attn_impl,
-                         expert_axis=expert_axis)
-    cn0 = index_params(ctrl["double_blocks"], 0)
-    _, cn_out = flux_double_block(cn0, pre.moe_hidden, pre.control_enc,
-                                  pre.block_temb, rope_cn_double, heads=heads,
-                                  context_first=False, attn_impl=attn_impl)
-    h = h + linear(index_params(ctrl["add_double"], 0), cn_out) * scale
+    if reuse:
+        dbl_res_in, sgl_res_in = control_residuals
+        pre = None
+        h = h + dbl_res_in[0] * scale
+    else:
+        pre = preprocess_moe(ctrl, cfg, h, enc, condition, pooled,
+                             condition_pooled, timestep, guidance, img_ids,
+                             txt_ids, condition_ids, rng=rng, training=training,
+                             attn_impl=attn_impl, expert_axis=expert_axis)
+        cn0 = index_params(ctrl["double_blocks"], 0)
+        _, cn_out = flux_double_block(cn0, pre.moe_hidden, pre.control_enc,
+                                      pre.block_temb, rope_cn_double,
+                                      heads=heads, context_first=False,
+                                      attn_impl=attn_impl)
+        res0 = linear(index_params(ctrl["add_double"], 0), cn_out)
+        h = h + res0 * scale
 
     # ---- double blocks 1..n-1 (scan over indices; blocks gathered by index —
     # avoids materialising a sliced copy of the stacked params)
-    def double_body(carry, i):
-        h, enc = carry
-        block_p = index_params(base["double_blocks"], i)
-        enc, h = flux_double_block(block_p, h, enc, temb, rope_base,
-                                   heads=heads, attn_impl=attn_impl)
-        cn_p = index_params(ctrl["double_blocks"], cn_table[i])
-        _, cn_out = flux_double_block(cn_p, h, pre.control_enc, pre.block_temb,
-                                      rope_cn_double, heads=heads,
-                                      context_first=False, attn_impl=attn_impl)
-        add_p = index_params(ctrl["add_double"], cn_table[i])
-        h = h + linear(add_p, cn_out) * scale
-        return (h, enc), None
+    if reuse:
+        def double_body(carry, xs):
+            h, enc = carry
+            i, res = xs
+            block_p = index_params(base["double_blocks"], i)
+            enc, h = flux_double_block(block_p, h, enc, temb, rope_base,
+                                       heads=heads, attn_impl=attn_impl)
+            h = h + res * scale
+            return (h, enc), None
 
-    body = jax.checkpoint(double_body) if remat else double_body
-    (h, enc), _ = jax.lax.scan(body, (h, enc), jnp.arange(1, n_base))
+        body = jax.checkpoint(double_body) if remat else double_body
+        (h, enc), _ = jax.lax.scan(body, (h, enc),
+                                   (jnp.arange(1, n_base), dbl_res_in[1:]))
+    else:
+        def double_body(carry, i):
+            h, enc = carry
+            block_p = index_params(base["double_blocks"], i)
+            enc, h = flux_double_block(block_p, h, enc, temb, rope_base,
+                                       heads=heads, attn_impl=attn_impl)
+            cn_p = index_params(ctrl["double_blocks"], cn_table[i])
+            _, cn_out = flux_double_block(cn_p, h, pre.control_enc,
+                                          pre.block_temb, rope_cn_double,
+                                          heads=heads, context_first=False,
+                                          attn_impl=attn_impl)
+            add_p = index_params(ctrl["add_double"], cn_table[i])
+            res = linear(add_p, cn_out)
+            h = h + res * scale
+            return (h, enc), (res if return_control_residuals else None)
+
+        body = jax.checkpoint(double_body) if remat else double_body
+        (h, enc), dbl_ys = jax.lax.scan(body, (h, enc), jnp.arange(1, n_base))
 
     # ---- single blocks over [txt | img]
     stream = jnp.concatenate([enc, h], axis=1)
@@ -317,25 +358,41 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
         n_cn_s = n_s // cc.single_control_dev
         cn_s_table = jnp.asarray(control_block_index_table(n_s, n_cn_s))
 
-        def single_body(stream, xs):
-            block_p, cn_idx = xs
-            stream = flux_single_block(block_p, stream, temb, rope_base,
-                                       heads=heads, attn_impl=attn_impl)
-            cn_p = index_params(ctrl["single_blocks"], cn_idx)
-            cn_out = flux_single_block(cn_p, stream, pre.block_temb, rope_single,
-                                       heads=heads, attn_impl=attn_impl)
-            add_p = index_params(ctrl["add_single"], cn_idx)
-            zc = linear(add_p, cn_out) * scale
+        def _apply_single_add(stream, zc):
             if cc.single_block_control_method == "overall_add":
-                stream = stream + zc
-            else:  # single_add: image section only
-                stream = jnp.concatenate(
-                    [stream[:, :enc_len], stream[:, enc_len:] + zc[:, enc_len:]], axis=1)
-            return stream, None
+                return stream + zc
+            # single_add: image section only
+            return jnp.concatenate(
+                [stream[:, :enc_len], stream[:, enc_len:] + zc[:, enc_len:]],
+                axis=1)
 
-        sbody = jax.checkpoint(single_body) if remat else single_body
-        stream, _ = jax.lax.scan(sbody, stream,
-                                 (base["single_blocks"], cn_s_table))
+        if reuse:
+            def single_body(stream, xs):
+                block_p, res = xs
+                stream = flux_single_block(block_p, stream, temb, rope_base,
+                                           heads=heads, attn_impl=attn_impl)
+                return _apply_single_add(stream, res * scale), None
+
+            sbody = jax.checkpoint(single_body) if remat else single_body
+            stream, _ = jax.lax.scan(sbody, stream,
+                                     (base["single_blocks"], sgl_res_in))
+        else:
+            def single_body(stream, xs):
+                block_p, cn_idx = xs
+                stream = flux_single_block(block_p, stream, temb, rope_base,
+                                           heads=heads, attn_impl=attn_impl)
+                cn_p = index_params(ctrl["single_blocks"], cn_idx)
+                cn_out = flux_single_block(cn_p, stream, pre.block_temb,
+                                           rope_single, heads=heads,
+                                           attn_impl=attn_impl)
+                add_p = index_params(ctrl["add_single"], cn_idx)
+                res = linear(add_p, cn_out)
+                stream = _apply_single_add(stream, res * scale)
+                return stream, (res if return_control_residuals else None)
+
+            sbody = jax.checkpoint(single_body) if remat else single_body
+            stream, sgl_ys = jax.lax.scan(sbody, stream,
+                                          (base["single_blocks"], cn_s_table))
     else:
         def single_body_plain(stream, block_p):
             return flux_single_block(block_p, stream, temb, rope_base,
@@ -347,6 +404,15 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
     h = adaln_continuous(base["norm_out"], h, temb)
     pred = linear(base["proj_out"], h)
 
-    add_losses = {"moe_loss": pre.aux_loss * cfg.control.moe.aux_loss_weight}
-    add_outputs = {"expert_counts": pre.expert_counts}
+    if reuse:
+        add_losses = {"moe_loss": jnp.zeros((), jnp.float32)}
+        add_outputs: Dict[str, Any] = {"expert_counts": None}
+    else:
+        add_losses = {"moe_loss": pre.aux_loss * cfg.control.moe.aux_loss_weight}
+        add_outputs = {"expert_counts": pre.expert_counts}
+    if return_control_residuals:
+        assert cc.use_single_trans_blocks and "single_blocks" in ctrl, \
+            "control-residual caching requires the single-block control path"
+        add_outputs["control_residuals"] = (
+            jnp.concatenate([res0[None], dbl_ys], axis=0), sgl_ys)
     return pred, add_losses, add_outputs

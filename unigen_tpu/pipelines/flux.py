@@ -135,7 +135,8 @@ class UniGenFluxPipeline:
 
     def _denoise_program(self, num_steps: int, height: int, width: int,
                          true_cfg_scale: float, guidance_scale: float,
-                         scale_schedule: jnp.ndarray, multi: bool):
+                         scale_schedule: jnp.ndarray, multi: bool,
+                         cache_interval: int = 1):
         cfg = self.cfg
         bb = cfg.flux
         vs = self.vae_cfg.downscale
@@ -164,25 +165,75 @@ class UniGenFluxPipeline:
             guidance = (jnp.full((b,), guidance_scale, self.dtype)
                         if bb.guidance_embeds else None)
 
-            def fwd(lat, i, embeds, pool):
-                pred, _, _ = unigen_flux_forward(
+            def fwd(lat, i, embeds, pool, **kw):
+                pred, _, outs = unigen_flux_forward(
                     params, cfg, hidden=lat, condition=control_lat,
                     encoder=embeds, pooled=pool, condition_pooled=cond_pooled,
                     timestep=jnp.full((b,), timesteps[i] / 1000.0, self.dtype),
                     img_ids=img_ids, txt_ids=txt_ids, condition_ids=cond_ids,
                     guidance=guidance,
-                    conditioning_scale=scale_schedule[i])
-                return pred
+                    conditioning_scale=scale_schedule[i], **kw)
+                return pred, outs
 
-            def step(lat, i):
-                pred = fwd(lat, i, prompt_embeds, pooled)
+            if cache_interval <= 1:
+                def step(lat, i):
+                    pred, _ = fwd(lat, i, prompt_embeds, pooled)
+                    if do_cfg:
+                        neg, _ = fwd(lat, i, neg_embeds, neg_pooled)
+                        pred = neg + true_cfg_scale * (pred - neg)
+                    lat = scheduling.euler_step(lat, pred, sigmas[i],
+                                                sigmas[i + 1])
+                    return lat, None
+
+                latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            else:
+                # control-residual step caching (see unigen_flux_forward
+                # docstring): recompute the control branch every
+                # cache_interval-th step, replay the cached per-block adds in
+                # between (rescaled by the live conditioning schedule)
+                bb_ = cfg.flux
+                s_img = (lh // 2) * (lw // 2)
+                s_stream = prompt_embeds.shape[1] + s_img
+                d = bb_.inner_dim
+
+                def zero_res():
+                    return (jnp.zeros((bb_.num_layers, b, s_img, d),
+                                      self.dtype),
+                            jnp.zeros((bb_.num_single_layers, b, s_stream, d),
+                                      self.dtype))
+
+                streams = [(prompt_embeds, pooled)]
                 if do_cfg:
-                    neg = fwd(lat, i, neg_embeds, neg_pooled)
-                    pred = neg + true_cfg_scale * (pred - neg)
-                lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
-                return lat, None
+                    streams.append((neg_embeds, neg_pooled))
 
-            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+                def step(carry, i):
+                    lat, caches = carry
+                    preds, new_caches = [], []
+                    for (emb, pool), res in zip(streams, caches):
+                        def full(lat=lat, emb=emb, pool=pool):
+                            pred, outs = fwd(lat, i, emb, pool,
+                                             return_control_residuals=True)
+                            return pred, outs["control_residuals"]
+
+                        def replay(lat=lat, emb=emb, pool=pool, res=res):
+                            pred, _ = fwd(lat, i, emb, pool,
+                                          control_residuals=res)
+                            return pred, res
+
+                        pred, res = jax.lax.cond(i % cache_interval == 0,
+                                                 full, replay)
+                        preds.append(pred)
+                        new_caches.append(res)
+                    pred = preds[0]
+                    if do_cfg:
+                        pred = preds[1] + true_cfg_scale * (preds[0] - preds[1])
+                    lat = scheduling.euler_step(lat, pred, sigmas[i],
+                                                sigmas[i + 1])
+                    return (lat, tuple(new_caches)), None
+
+                (latents, _), _ = jax.lax.scan(
+                    step, (latents, tuple(zero_res() for _ in streams)),
+                    jnp.arange(num_steps))
             pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
                                         unpack_latents(latents.astype(jnp.float32),
                                                        lh, lw))
@@ -198,10 +249,16 @@ class UniGenFluxPipeline:
                  control_guidance_start: float = 0.0,
                  control_guidance_end: float = 1.0,
                  subject_offset: Union[bool, Sequence[bool]] = False,
-                 seed: int = 0, latents: Optional[jnp.ndarray] = None
+                 seed: int = 0, latents: Optional[jnp.ndarray] = None,
+                 control_cache_interval: int = 1
                  ) -> np.ndarray:
         """Single-condition generation from precomputed embeddings.
-        Returns uint8 images [B, H, W, 3]."""
+        Returns uint8 images [B, H, W, 3].
+
+        control_cache_interval > 1 enables the control-residual step cache
+        (recompute the control branch + MoE preprocess every k-th denoise
+        step, replay the cached per-block adds in between) — a serving-only
+        approximation; measure fidelity before enabling in production."""
         multi = control_pixels.ndim == 5
         steps = num_inference_steps
         keep = np.array([
@@ -213,13 +270,14 @@ class UniGenFluxPipeline:
         # one compiled program per call shape (jit caches by fn identity, so
         # the closure must be cached too or every call would recompile)
         cache_key = (steps, height, width, true_cfg_scale > 1.0,
-                     round(guidance_scale, 4), tuple(np.asarray(schedule)), multi)
+                     round(guidance_scale, 4), tuple(np.asarray(schedule)),
+                     multi, control_cache_interval)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._denoise_program(
                 steps, height, width, true_cfg_scale, guidance_scale, schedule,
-                multi)
+                multi, cache_interval=control_cache_interval)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
 
@@ -264,7 +322,8 @@ class UniGenFluxPipeline:
                  true_cfg_scale: float = 1.0, conditioning_scale: float = 1.0,
                  control_guidance_start: float = 0.0,
                  control_guidance_end: float = 1.0,
-                 max_sequence_length: int = 512, seed: int = 0) -> np.ndarray:
+                 max_sequence_length: int = 512, seed: int = 0,
+                 control_cache_interval: int = 1) -> np.ndarray:
         """Single-condition call (reference UniGenPipeline.py:486-807).
         control_image: float array [B,3,H,W] in [-1,1]."""
         self._auto_switch(condition_prompt)
@@ -288,7 +347,8 @@ class UniGenFluxPipeline:
             conditioning_scale=conditioning_scale,
             control_guidance_start=control_guidance_start,
             control_guidance_end=control_guidance_end,
-            subject_offset=subject, seed=seed)
+            subject_offset=subject, seed=seed,
+            control_cache_interval=control_cache_interval)
 
     def multi_condition_call(self, prompt: Union[str, Sequence[str]],
                              condition_prompts: Sequence[str],
