@@ -60,14 +60,16 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         from unigen_tpu.parallel import sp as sp_lib
         ctx = sp_lib.current_sp()
         if ctx is not None and mask is None:
-            mesh, axis = ctx
-            if sp_lib.sp_divisible(q, k, mesh, axis):
+            mesh, axis, sp_impl = ctx
+            if sp_lib.sp_divisible(q, k, mesh, axis, sp_impl):
                 if rope is not None:
                     from unigen_tpu.ops.rope import apply_rotary
                     cos, sin = rope[0], rope[1]
                     kcos, ksin = (rope[2], rope[3]) if len(rope) == 4 else (cos, sin)
                     q = apply_rotary(q, cos, sin)
                     k = apply_rotary(k, kcos, ksin)
+                if sp_impl == "ring":
+                    return sp_lib.sharded_ring_sdpa(q, k, v, mesh, axis)
                 return sp_lib.sharded_ulysses_sdpa(q, k, v, mesh, axis)
 
     def _rope4():

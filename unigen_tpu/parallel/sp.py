@@ -39,29 +39,46 @@ from jax.sharding import Mesh, PartitionSpec as P
 _state = threading.local()
 
 
-def current_sp() -> Optional[Tuple[Mesh, str]]:
-    """The active (mesh, axis_name) sequence context, or None."""
+def current_sp() -> Optional[Tuple[Mesh, str, str]]:
+    """The active (mesh, axis_name, impl) sequence context, or None.
+    impl is "ulysses" (head<->sequence all_to_all pair) or "ring"
+    (K/V blocks rotate via ppermute, parallel/ring.py)."""
     return getattr(_state, "sp", None)
 
 
 @contextlib.contextmanager
-def sequence_sharding(mesh: Mesh, axis: str = "sequence"):
-    """Activate Ulysses sequence parallelism for attention calls traced
-    inside this block. A mesh whose `axis` has size 1 is a no-op."""
+def sequence_sharding(mesh: Mesh, axis: str = "sequence",
+                      impl: Optional[str] = None):
+    """Activate sequence parallelism for attention calls traced inside this
+    block. A mesh whose `axis` has size 1 is a no-op.
+
+    impl: "ulysses" (default) or "ring"; None reads UNIGEN_SP_IMPL.
+    Ulysses moves activations (two all_to_alls) and needs heads divisible
+    by the axis size; ring moves K/V blocks over neighbour links
+    (bandwidth ∝ KV size, no head-divisibility requirement) — the better
+    fit when heads are few or KV is much smaller than the stream."""
+    if impl is None:
+        import os
+        impl = os.environ.get("UNIGEN_SP_IMPL", "ulysses")
+    assert impl in ("ulysses", "ring"), impl
     prev = getattr(_state, "sp", None)
-    _state.sp = (mesh, axis) if mesh.shape.get(axis, 1) > 1 else None
+    _state.sp = ((mesh, axis, impl)
+                 if mesh.shape.get(axis, 1) > 1 else None)
     try:
         yield
     finally:
         _state.sp = prev
 
 
-def sp_divisible(q, k, mesh: Mesh, axis: str) -> bool:
+def sp_divisible(q, k, mesh: Mesh, axis: str, impl: str = "ulysses") -> bool:
     """Ulysses needs heads and BOTH sequence lengths divisible by the axis
-    size (two tiled all_to_alls)."""
+    size (two tiled all_to_alls); ring only needs the sequence lengths
+    (K/V blocks rotate whole)."""
     n = mesh.shape[axis]
-    return (q.shape[1] % n == 0 and q.shape[2] % n == 0
-            and k.shape[2] % n == 0)
+    seq_ok = q.shape[2] % n == 0 and k.shape[2] % n == 0
+    if impl == "ring":
+        return seq_ok
+    return seq_ok and q.shape[1] % n == 0
 
 
 def sharded_ulysses_sdpa(q, k, v, mesh: Mesh, axis: str = "sequence"):
@@ -75,6 +92,23 @@ def sharded_ulysses_sdpa(q, k, v, mesh: Mesh, axis: str = "sequence"):
 
     def run(q, k, v):
         return ulysses_sdpa(q, k, v, axis, impl=auto_inner)
+
+    return jax.shard_map(run, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, axis_names={axis},
+                         check_vma=False)(q, k, v)
+
+
+def sharded_ring_sdpa(q, k, v, mesh: Mesh, axis: str = "sequence"):
+    """[B,H,S,D] q/k/v (rope pre-applied) -> attention output via ring
+    attention (parallel/ring.py): K/V blocks rotate around the 'sequence'
+    ring over neighbour ICI links while each shard accumulates an online
+    softmax. Same partial-manual composition as sharded_ulysses_sdpa."""
+    from unigen_tpu.parallel.ring import ring_sdpa
+
+    spec = P(None, None, axis, None)
+
+    def run(q, k, v):
+        return ring_sdpa(q, k, v, axis)
 
     return jax.shard_map(run, mesh=mesh, in_specs=(spec, spec, spec),
                          out_specs=spec, axis_names={axis},

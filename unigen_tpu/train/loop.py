@@ -141,8 +141,9 @@ class Trainer:
         import contextlib
         device_batch = self._global_batch(self.prepare_batch(batch))
         self._rng, step_rng = jax.random.split(self._rng)
-        # a mesh with sequence>1 activates Ulysses sequence parallelism for
-        # the step's attention calls (parallel/sp; no-op when sequence == 1)
+        # a mesh with sequence>1 activates sequence parallelism for the
+        # step's attention calls (parallel/sp; no-op when sequence == 1);
+        # backend = ulysses unless UNIGEN_SP_IMPL=ring
         ctx = contextlib.nullcontext()
         if self.mesh is not None:
             from unigen_tpu.parallel import sp
