@@ -384,6 +384,12 @@ def main(argv=None):
                         "(8.6/4.4/2.4 GiB sequential trees). Combined with "
                         "the default real-width 6/12-depth proxy, the two "
                         "runs bracket the full config on both axes.")
+    p.add_argument("--cache-interval", type=int, default=1,
+                   dest="cache_interval",
+                   help="flux --ssim only: run the QUANTIZED paths with "
+                        "control-residual step caching at this interval "
+                        "(bf16 stays exact) — measures the ABSOLUTE "
+                        "quantization+caching fidelity")
     p.add_argument("--routing", default=None,
                    choices=["per_sample", "global"],
                    help="override MoE batch_mode: 'global' measures fidelity "
@@ -542,23 +548,63 @@ def main(argv=None):
         sig_host = np.asarray(sig_host)
         lh = lw = (res // 16) * 2
 
-        @jax.jit
-        def jdd(p, batch, vae_params):
-            inp = _cast(batch)
-            lat = inp["hidden"]
-            sigmas = jnp.asarray(sig_host)
+        def make_jdd(interval: int):
+            """interval>1: control-residual step caching on this path (the
+            bf16 reference path always runs exact) — measures the ABSOLUTE
+            quantization+caching fidelity, vs CACHE.json's cached-vs-exact."""
+            def jdd(p, batch, vae_params):
+                inp = _cast(batch)
+                lat = inp["hidden"]
+                sigmas = jnp.asarray(sig_host)
 
-            def step(lat, i):
-                pred, _, _ = unigen_flux_forward(
-                    p, cfg, **{**inp, "hidden": lat},
-                    timestep=jnp.full((b,), sigmas[i], dtype),
-                    attn_impl="auto")
-                return scheduling.euler_step(lat, pred, sigmas[i],
-                                             sigmas[i + 1]), None
-            lat, _ = jax.lax.scan(step, lat, jnp.arange(num_steps))
-            px = vae_lib.vae_decode(vae_params, vae_cfg,
-                                    unpack_latents(lat.astype(jnp.float32), lh, lw))
-            return jnp.clip(px, -1, 1)
+                def fwd(lat, i, **kw):
+                    pred, _, outs = unigen_flux_forward(
+                        p, cfg, **{**inp, "hidden": lat},
+                        timestep=jnp.full((b,), sigmas[i], dtype),
+                        attn_impl="auto", **kw)
+                    return pred, outs
+
+                if interval <= 1:
+                    def step(lat, i):
+                        pred, _ = fwd(lat, i)
+                        return scheduling.euler_step(
+                            lat, pred, sigmas[i], sigmas[i + 1]), None
+                    lat, _ = jax.lax.scan(step, lat, jnp.arange(num_steps))
+                else:
+                    d = bb.inner_dim
+                    zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
+                            jnp.zeros((bb.num_single_layers, b,
+                                       t_len + s_img, d), dtype))
+
+                    def step(carry, i):
+                        lat, res = carry
+
+                        def full():
+                            pred, outs = fwd(lat, i,
+                                             return_control_residuals=True)
+                            return pred, outs["control_residuals"]
+
+                        def replay():
+                            pred, _ = fwd(lat, i, control_residuals=res)
+                            return pred, res
+
+                        pred, res = jax.lax.cond(i % interval == 0, full,
+                                                 replay)
+                        return (scheduling.euler_step(lat, pred, sigmas[i],
+                                                      sigmas[i + 1]),
+                                res), None
+
+                    (lat, _), _ = jax.lax.scan(step, (lat, zero),
+                                               jnp.arange(num_steps))
+                px = vae_lib.vae_decode(
+                    vae_params, vae_cfg,
+                    unpack_latents(lat.astype(jnp.float32), lh, lw))
+                return jnp.clip(px, -1, 1)
+            return jax.jit(jdd)
+
+        jdd = make_jdd(1)
+        jdd_cached = (make_jdd(args.cache_interval)
+                      if args.cache_interval > 1 else jdd)
 
         def to_u8(px):
             return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
@@ -571,7 +617,10 @@ def main(argv=None):
         params = make_params(path)
         rec = {"fwd": np.asarray(fwd(params, batch))}
         if args.ssim:
-            rec["img"] = to_u8(jdd(params, batch, vae_host))
+            # bf16 is the exact reference; quantized paths additionally run
+            # the control cache when --cache-interval > 1
+            run_jdd = jdd if path == "bf16" else jdd_cached
+            rec["img"] = to_u8(run_jdd(params, batch, vae_host))
         _delete_tree(params)
         host[path] = rec
         print(f"# {path} path done in {time.time()-t0:.0f}s", file=sys.stderr)
@@ -581,6 +630,8 @@ def main(argv=None):
     out = {topo_key:
            f"{bb.num_layers}dbl_{bb.num_single_layers}sgl_w{bb.inner_dim}",
            "res": res}
+    if args.cache_interval > 1:
+        out["cache_interval"] = args.cache_interval
     for name in ("w8a8", "w4a8_serving"):
         rel, cos = fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}

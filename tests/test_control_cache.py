@@ -128,6 +128,15 @@ def _tiny_pipe(dtype=jnp.float32):
     cfg = cfg_lib.UniGenConfig(family="flux", flux=flux,
                                condition_types=("canny",))
     params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+    # the gated add projections are ZERO-initialised (ControlNet convention)
+    # — at plain init the control branch contributes nothing and every cache
+    # test would pass trivially; give the adds real weight
+    def bump(tree):
+        return jax.tree.map(lambda x: x + 0.05, tree)
+    ctrl = dict(params["control"])
+    ctrl["add_double"] = bump(ctrl["add_double"])
+    ctrl["add_single"] = bump(ctrl["add_single"])
+    params = {"base": params["base"], "control": ctrl}
     vae_cfg = vae_lib.tiny_vae_config(latent_channels=flux.in_channels // 4)
     vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
     return UniGenFluxPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
@@ -192,6 +201,15 @@ def test_pipeline_cache_matches_manual_composition():
                         height=h, width=w, num_inference_steps=steps,
                         control_cache_interval=steps, seed=0,
                         latents=latents0)
+    exact = pipe.generate(prompt_embeds=prompt_embeds, pooled=pooled,
+                          cond_pooled=cond_pooled,
+                          control_pixels=control_pixels,
+                          height=h, width=w, num_inference_steps=steps,
+                          control_cache_interval=1, seed=0, latents=latents0)
+    # the approximation must actually be ACTIVE (bumped adds -> caching
+    # changes the trajectory); a zero-diff here means the control branch
+    # contributes nothing and the test is vacuous
+    assert np.abs(got.astype(int) - exact.astype(int)).max() > 0
 
     # ---- manual composition
     sigmas, timesteps = scheduling.inference_sigmas(
