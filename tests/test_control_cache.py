@@ -237,3 +237,210 @@ def test_pipeline_cache_matches_manual_composition():
     want = ((np.asarray(jnp.clip(px, -1, 1)).transpose(0, 2, 3, 1) + 1)
             * 127.5).round().astype(np.uint8)
     np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)
+
+
+# ---------------------------------------------------------------- SD3 / SANA
+
+
+def _bump_adds(tree, eps=0.05):
+    return jax.tree.map(lambda x: x + eps, tree)
+
+
+@pytest.fixture(scope="module")
+def tiny_sd3():
+    from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_params
+    cfg = cfg_lib.UniGenConfig(family="sd3", sd3=cfg_lib.tiny_sd3_config(),
+                               control=cfg_lib.ControlConfig(use_rope=False),
+                               condition_types=("depth",))
+    params = init_unigen_sd3_params(jax.random.PRNGKey(0), cfg)
+    ctrl = dict(params["control"])
+    # strong bump: the pipeline-level activity check needs the cached-vs-exact
+    # trajectory difference to clear u8 image quantization in 3 tiny steps
+    ctrl["add_blocks"] = _bump_adds(ctrl["add_blocks"], 0.5)
+    return cfg, {"base": params["base"], "control": ctrl}
+
+
+def _sd3_batch(cfg, b=2, hw=8, t=6, key=3):
+    bb = cfg.sd3
+    ks = jax.random.split(jax.random.PRNGKey(key), 5)
+    return dict(
+        hidden=jax.random.normal(ks[0], (b, bb.in_channels, hw, hw)),
+        condition=jax.random.normal(ks[1], (b, bb.in_channels, hw, hw)),
+        encoder=jax.random.normal(ks[2], (b, t, bb.joint_attention_dim)),
+        pooled=jax.random.normal(ks[3], (b, bb.pooled_projection_dim)),
+        condition_pooled=jax.random.normal(ks[4],
+                                           (b, bb.pooled_projection_dim)),
+        timestep=jnp.full((b,), 500.0),
+    )
+
+
+def test_sd3_replay_same_state_is_exact(tiny_sd3):
+    from unigen_tpu.models.unigen_sd3 import unigen_sd3_forward
+    cfg, params = tiny_sd3
+    batch = _sd3_batch(cfg)
+    pred0, _, _ = unigen_sd3_forward(params, cfg, **batch)
+    pred1, _, outs = unigen_sd3_forward(params, cfg, **batch,
+                                        return_control_residuals=True)
+    np.testing.assert_array_equal(np.asarray(pred0), np.asarray(pred1))
+    res = outs["control_residuals"]
+    bb = cfg.sd3
+    s = (batch["hidden"].shape[2] // bb.patch_size) ** 2
+    assert res.shape == (bb.num_layers, 2, s, bb.inner_dim)
+    assert float(jnp.abs(res).max()) > 0
+    pred2, losses, outs2 = unigen_sd3_forward(params, cfg, **batch,
+                                              control_residuals=res)
+    np.testing.assert_allclose(np.asarray(pred2), np.asarray(pred0),
+                               rtol=0, atol=0)
+    assert float(losses["moe_loss"]) == 0.0
+    assert outs2["expert_counts"] is None
+
+
+def test_sd3_crossattn_replay_same_state_is_exact():
+    from unigen_tpu.models.unigen_sd3 import (init_unigen_sd3_params,
+                                              unigen_sd3_forward)
+    cfg = cfg_lib.UniGenConfig(
+        family="sd3", sd3=cfg_lib.tiny_sd3_config(),
+        control=cfg_lib.ControlConfig(use_rope=False,
+                                      cn2base_method="CrossAttn"),
+        condition_types=("depth",))
+    params = init_unigen_sd3_params(jax.random.PRNGKey(1), cfg)
+    batch = _sd3_batch(cfg)
+    pred0, _, outs = unigen_sd3_forward(params, cfg, **batch,
+                                        return_control_residuals=True)
+    # raw cn_out caching feeds BOTH the KV-append and the add merge
+    pred1, _, _ = unigen_sd3_forward(params, cfg, **batch,
+                                     control_residuals=outs["control_residuals"])
+    np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred0),
+                               rtol=0, atol=0)
+
+
+def test_sd3_base_variant_replay_exact(tiny_sd3):
+    from unigen_tpu.models.unigen_sd3 import (init_unigen_sd3_params,
+                                              unigen_base_forward)
+    cfg, _ = tiny_sd3
+    params = init_unigen_sd3_params(jax.random.PRNGKey(2), cfg,
+                                    base_variant=True)
+    batch = _sd3_batch(cfg, key=5)
+    pred0, _, outs = unigen_base_forward(params, cfg, **batch,
+                                         return_control_residuals=True)
+    res = outs["control_residuals"]
+    assert res.shape[0] == (cfg.control.num_layers or cfg.sd3.num_layers)
+    pred1, losses, _ = unigen_base_forward(params, cfg, **batch,
+                                           control_residuals=res)
+    np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred0),
+                               rtol=0, atol=0)
+    assert float(losses["moe_loss"]) == 0.0
+    # residuals are unscaled: replay at scale 0 == control branch off
+    off, _, _ = unigen_base_forward(params, cfg, **batch,
+                                    conditioning_scale=0.0)
+    r0, _, _ = unigen_base_forward(params, cfg, **batch,
+                                   control_residuals=res,
+                                   conditioning_scale=0.0)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(off),
+                               rtol=0, atol=0)
+
+
+@pytest.fixture(scope="module")
+def tiny_sana():
+    from unigen_tpu.models.sana import init_sana_unigen_params
+    cfg = cfg_lib.UniGenConfig(family="sana", sana=cfg_lib.tiny_sana_config(),
+                               condition_types=("canny",))
+    params = init_sana_unigen_params(jax.random.PRNGKey(0), cfg)
+    ctrl = dict(params["control"])
+    ctrl["add_blocks"] = _bump_adds(ctrl["add_blocks"])
+    return cfg, {"base": params["base"], "control": ctrl}
+
+
+def _sana_batch(cfg, b=2, hw=8, t=5, key=4):
+    bb = cfg.sana
+    ks = jax.random.split(jax.random.PRNGKey(key), 5)
+    return dict(
+        hidden=jax.random.normal(ks[0], (b, bb.in_channels, hw, hw)),
+        condition=jax.random.normal(ks[1], (b, bb.in_channels, hw, hw)),
+        encoder=jax.random.normal(ks[2], (b, t, bb.caption_channels)),
+        pooled=jax.random.normal(ks[3], (b, bb.pooled_projection_dim)),
+        condition_pooled=jax.random.normal(ks[4],
+                                           (b, bb.pooled_projection_dim)),
+        timestep=jnp.full((b,), 0.4),
+    )
+
+
+def test_sana_replay_same_state_is_exact(tiny_sana):
+    from unigen_tpu.models.sana import sana_unigen_forward
+    cfg, params = tiny_sana
+    batch = _sana_batch(cfg)
+    pred0, _, _ = sana_unigen_forward(params, cfg, **batch)
+    pred1, _, outs = sana_unigen_forward(params, cfg, **batch,
+                                         return_control_residuals=True)
+    np.testing.assert_array_equal(np.asarray(pred0), np.asarray(pred1))
+    res = outs["control_residuals"]
+    bb = cfg.sana
+    s = (batch["hidden"].shape[2] // bb.patch_size) ** 2
+    assert res.shape == (bb.num_layers, 2, s, bb.inner_dim)
+    assert float(jnp.abs(res).max()) > 0
+    pred2, losses, outs2 = sana_unigen_forward(params, cfg, **batch,
+                                               control_residuals=res)
+    np.testing.assert_allclose(np.asarray(pred2), np.asarray(pred0),
+                               rtol=0, atol=0)
+    assert float(losses["moe_loss"]) == 0.0
+    assert outs2["expert_counts"] is None
+
+
+def test_sd3_pipeline_cache_interval_active(tiny_sd3):
+    """Pipeline-level: interval=steps runs compiled, differs from exact (the
+    approximation is live), and stays finite/close."""
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
+    cfg, params = tiny_sd3
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=cfg.sd3.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenSD3Pipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                             vae_params=vae_params, dtype=jnp.float32)
+    b, h, w, steps = 1, 16, 16, 3
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0],
+                                        (b, 6, cfg.sd3.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, cfg.sd3.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2],
+                                      (b, cfg.sd3.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps, guidance_scale=3.0,
+        seed=0)
+    exact = pipe.generate(**kw, control_cache_interval=1)
+    cached = pipe.generate(**kw, control_cache_interval=steps)
+    assert cached.shape == exact.shape and cached.dtype == np.uint8
+    d = np.abs(cached.astype(int) - exact.astype(int))
+    assert d.max() > 0          # approximation actually active
+    assert d.mean() < 30        # but still an approximation of the same image
+
+
+def test_sana_pipeline_cache_interval_active(tiny_sana):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+    cfg, params = tiny_sana
+    bb = cfg.sana
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenSanaPipeline(
+        cfg=cfg, params=params,
+        ae_encode=lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px),
+        ae_decode=lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat),
+        ae_downscale=vae_cfg.downscale)
+    b, steps = 1, 3
+    res = 8 * vae_cfg.downscale
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 5, bb.caption_channels)),
+        prompt_mask=jnp.ones((b, 5), jnp.int32),
+        pooled=jax.random.normal(ks[1], (b, bb.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, bb.pooled_projection_dim)),
+        control_pixels=np.random.default_rng(0).standard_normal(
+            (b, 3, res, res)).astype(np.float32) * 0.1,
+        height=res, width=res, num_inference_steps=steps, seed=0)
+    exact = pipe.generate(**kw, control_cache_interval=1)
+    cached = pipe.generate(**kw, control_cache_interval=steps)
+    assert cached.shape == exact.shape and cached.dtype == np.uint8
+    d = np.abs(cached.astype(int) - exact.astype(int))
+    assert d.max() > 0
+    assert d.mean() < 30

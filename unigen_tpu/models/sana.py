@@ -19,7 +19,7 @@ but is unused — kept for checkpoint parity).
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -157,8 +157,17 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
                         conditioning_scale: float = 1.0,
                         attn_impl: str = "auto",
                         rng: Optional[jax.Array] = None,
-                        training: bool = False
+                        training: bool = False,
+                        control_residuals: Optional[jnp.ndarray] = None,
+                        return_control_residuals: bool = False
                         ) -> Tuple[jnp.ndarray, Dict, Dict]:
+    """Control-residual step caching (serving-only approximation, same scheme
+    as ``unigen_flux_forward``): the cached tensor is the RAW per-base-block
+    control block output stacked [n_base, B, S, D] (pre-add-linear, unscaled).
+    ``control_residuals=...`` skips the MoE preprocess + every control block
+    and replays the cached adds; ``return_control_residuals=True`` captures
+    them. Bit-identical to the plain forward when replayed at the same state
+    (tests/test_control_cache.py)."""
     base, ctrl = params["base"], params["control"]
     bb, cc = cfg.sana, cfg.control
     b, c, height, width = hidden.shape
@@ -173,59 +182,91 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
     n_cn = next(ab[k] for k in ("w", "w_q", "w_q4") if k in ab).shape[0]
     interval = bb.num_layers / n_cn
 
+    reuse = control_residuals is not None
+    assert not (reuse and return_control_residuals), \
+        "pass either control_residuals or return_control_residuals, not both"
+    cn_table = jnp.asarray([int(i / interval) for i in range(bb.num_layers)])
+
     # ---- base block 0 + MoE preprocess (the i==0 special case)
     h = sana_block(index_params(base["blocks"], 0), h, enc, proj_t, hp, wp,
                    heads=heads, cross_heads=xheads, ctx_mask=encoder_mask,
                    attn_impl=attn_impl)
-    cond_tokens = linear(ctrl["pos_embed_input"],
-                         patchify(condition, bb.patch_size))
-    cond_proj_t, _ = adaln_single(ctrl["condition_embed"], timestep,
-                                  dtype=h.dtype)
-    control_enc = linear(ctrl["context_embedder"], enc)
-    streams = {"temb": cond_proj_t, "condition_temb": cond_proj_t,
-               "pooled": pooled, "condition_pooled": condition_pooled}
-    out = moe_lib.moe_apply(ctrl["moe"], cc, num_experts, h,
-                            cond_tokens, streams, rng=rng, training=training)
-    exp_h, exp_c = out.expert_hidden, out.expert_condition
-    if "shared_expert" in ctrl:
-        hc = jnp.concatenate([h, cond_tokens], axis=1)
-        hc = sana_block(ctrl["shared_expert"]["block0"], hc, control_enc,
-                        cond_proj_t, 2 * hp, wp, heads=heads,
-                        cross_heads=xheads, ctx_mask=encoder_mask,
-                        attn_impl=attn_impl)
-        s = h.shape[1]
-        exp_h = hc[:, :s] + exp_h
-        exp_c = hc[:, s:] + exp_c
-    pre = SanaPreprocess(exp_h + exp_c, control_enc, cond_proj_t,
-                         out.aux_loss, out.expert_counts)
+    if reuse:
+        def add_cached(h, cn_out, cn_idx):
+            return h + linear(index_params(ctrl["add_blocks"], cn_idx),
+                              cn_out) * conditioning_scale
 
-    def cn_apply(cn_in, h, cn_idx):
-        cn_out = sana_block(index_params(ctrl["blocks"], cn_idx), cn_in,
-                            pre.control_enc, pre.cond_temb, hp, wp,
-                            heads=heads, cross_heads=xheads,
-                            ctx_mask=encoder_mask, attn_impl=attn_impl)
-        return h + linear(index_params(ctrl["add_blocks"], cn_idx), cn_out) \
-            * conditioning_scale
+        h = add_cached(h, control_residuals[0], 0)
 
-    h = cn_apply(pre.moe_hidden, h, 0)
+        def body_reuse(h, xs):
+            i, cn_out = xs
+            h = sana_block(index_params(base["blocks"], i), h, enc, proj_t,
+                           hp, wp, heads=heads, cross_heads=xheads,
+                           ctx_mask=encoder_mask, attn_impl=attn_impl)
+            return add_cached(h, cn_out, cn_table[i]), None
 
-    # ---- blocks 1..n-1 under lax.scan (blocks gathered by index, like
-    # unigen_flux — the unrolled loop compiled 5x slower and scheduled
-    # poorly at batch >1 on device)
-    cn_table = jnp.asarray([int(i / interval) for i in range(bb.num_layers)])
+        h, _ = jax.lax.scan(body_reuse, h,
+                            (jnp.arange(1, bb.num_layers),
+                             control_residuals[1:]))
+        pre = None
+    else:
+        cond_tokens = linear(ctrl["pos_embed_input"],
+                             patchify(condition, bb.patch_size))
+        cond_proj_t, _ = adaln_single(ctrl["condition_embed"], timestep,
+                                      dtype=h.dtype)
+        control_enc = linear(ctrl["context_embedder"], enc)
+        streams = {"temb": cond_proj_t, "condition_temb": cond_proj_t,
+                   "pooled": pooled, "condition_pooled": condition_pooled}
+        out = moe_lib.moe_apply(ctrl["moe"], cc, num_experts, h,
+                                cond_tokens, streams, rng=rng, training=training)
+        exp_h, exp_c = out.expert_hidden, out.expert_condition
+        if "shared_expert" in ctrl:
+            hc = jnp.concatenate([h, cond_tokens], axis=1)
+            hc = sana_block(ctrl["shared_expert"]["block0"], hc, control_enc,
+                            cond_proj_t, 2 * hp, wp, heads=heads,
+                            cross_heads=xheads, ctx_mask=encoder_mask,
+                            attn_impl=attn_impl)
+            s = h.shape[1]
+            exp_h = hc[:, :s] + exp_h
+            exp_c = hc[:, s:] + exp_c
+        pre = SanaPreprocess(exp_h + exp_c, control_enc, cond_proj_t,
+                             out.aux_loss, out.expert_counts)
 
-    def body(h, i):
-        h = sana_block(index_params(base["blocks"], i), h, enc, proj_t, hp,
-                       wp, heads=heads, cross_heads=xheads,
-                       ctx_mask=encoder_mask, attn_impl=attn_impl)
-        return cn_apply(h, h, cn_table[i]), None
+        def cn_apply(cn_in, h, cn_idx):
+            cn_out = sana_block(index_params(ctrl["blocks"], cn_idx), cn_in,
+                                pre.control_enc, pre.cond_temb, hp, wp,
+                                heads=heads, cross_heads=xheads,
+                                ctx_mask=encoder_mask, attn_impl=attn_impl)
+            h = h + linear(index_params(ctrl["add_blocks"], cn_idx), cn_out) \
+                * conditioning_scale
+            return h, cn_out
 
-    h, _ = jax.lax.scan(body, h, jnp.arange(1, bb.num_layers))
+        h, cn0 = cn_apply(pre.moe_hidden, h, 0)
+
+        # ---- blocks 1..n-1 under lax.scan (blocks gathered by index, like
+        # unigen_flux — the unrolled loop compiled 5x slower and scheduled
+        # poorly at batch >1 on device)
+        def body(h, i):
+            h = sana_block(index_params(base["blocks"], i), h, enc, proj_t, hp,
+                           wp, heads=heads, cross_heads=xheads,
+                           ctx_mask=encoder_mask, attn_impl=attn_impl)
+            h, cn_out = cn_apply(h, h, cn_table[i])
+            return h, (cn_out if return_control_residuals else None)
+
+        h, cn_ys = jax.lax.scan(body, h, jnp.arange(1, bb.num_layers))
 
     mods = base["scale_shift_table"][None] + emb_t[:, None, :]
     shift, scale = mods[:, 0][:, None, :], mods[:, 1][:, None, :]
     h = layer_norm(h) * (1 + scale) + shift
     h = linear(base["proj_out"], h)
     out_img = unpatchify(h, hp, wp, bb.patch_size, bb.out_channels)
-    return out_img, {"moe_loss": pre.aux_loss * cc.moe.aux_loss_weight}, \
-        {"expert_counts": pre.expert_counts}
+    if reuse:
+        add_losses = {"moe_loss": jnp.zeros((), jnp.float32)}
+        add_outputs: Dict[str, Any] = {"expert_counts": None}
+    else:
+        add_losses = {"moe_loss": pre.aux_loss * cc.moe.aux_loss_weight}
+        add_outputs = {"expert_counts": pre.expert_counts}
+    if return_control_residuals:
+        add_outputs["control_residuals"] = jnp.concatenate(
+            [cn0[None], cn_ys], axis=0)
+    return out_img, add_losses, add_outputs

@@ -242,9 +242,20 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
                        timestep: jnp.ndarray,        # [B], 0..1000
                        *, conditioning_scale: float = 1.0,
                        attn_impl: str = "auto",
-                       rng: Optional[jax.Array] = None, training: bool = False
+                       rng: Optional[jax.Array] = None, training: bool = False,
+                       control_residuals: Optional[jnp.ndarray] = None,
+                       return_control_residuals: bool = False
                        ) -> Tuple[jnp.ndarray, Dict, Dict]:
-    """Interleaved UniGenSD3 forward (reference :581-710)."""
+    """Interleaved UniGenSD3 forward (reference :581-710).
+
+    Control-residual step caching (serving-only approximation, same scheme as
+    ``unigen_flux_forward``): the cached tensor is the RAW per-base-block
+    control block output ``cn_out`` stacked as [n_base, B, S_img, D] — raw
+    (pre-add-linear, unscaled) so one cache serves both the ``add`` merge and
+    the ``CrossAttn`` KV-append merge. Replay skips the MoE preprocess and
+    every control joint block, paying only the (cheap) per-block add linear;
+    with residuals captured at the same state it is bit-identical to the
+    plain forward (tests/test_control_cache.py)."""
     base, ctrl = params["base"], params["control"]
     bb, cc = cfg.sd3, cfg.control
     heads = bb.num_attention_heads
@@ -256,8 +267,13 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
     table = control_block_index_table(bb.num_layers, n_cn)
     cross = cc.cn2base_method == "CrossAttn"
 
+    reuse = control_residuals is not None
+    assert not (reuse and return_control_residuals), \
+        "pass either control_residuals or return_control_residuals, not both"
+
     pre = None
     cond_kv = None
+    cn_ys = []
     for i, block in enumerate(blocks):
         bp = block
         if cross and "cross_kv" in ctrl:
@@ -267,16 +283,22 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
                                      condition_kv_states=cond_kv,
                                      attn_impl=attn_impl)
         enc = enc_out if enc_out is not None else enc
-        if pre is None:
-            pre = _preprocess_sd3(ctrl, cfg, h, enc, condition, pooled,
-                                  condition_pooled, timestep, rng=rng,
-                                  training=training, attn_impl=attn_impl)
-            cn_in = pre.moe_hidden
+        if reuse:
+            cn_out = control_residuals[i]
         else:
-            cn_in = h
-        cn_p = index_params(ctrl["joint_blocks"], table[i])
-        _, cn_out = sd3_joint_block(cn_p, cn_in, pre.control_enc, pre.cond_temb,
-                                    heads=heads, attn_impl=attn_impl)
+            if pre is None:
+                pre = _preprocess_sd3(ctrl, cfg, h, enc, condition, pooled,
+                                      condition_pooled, timestep, rng=rng,
+                                      training=training, attn_impl=attn_impl)
+                cn_in = pre.moe_hidden
+            else:
+                cn_in = h
+            cn_p = index_params(ctrl["joint_blocks"], table[i])
+            _, cn_out = sd3_joint_block(cn_p, cn_in, pre.control_enc,
+                                        pre.cond_temb, heads=heads,
+                                        attn_impl=attn_impl)
+            if return_control_residuals:
+                cn_ys.append(cn_out)
         if cross:
             cond_kv = cn_out
         h = h + linear(index_params(ctrl["add_blocks"], table[i]), cn_out) \
@@ -286,8 +308,14 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
     h = linear(base["proj_out"], h)
     hp, wp = height // bb.patch_size, width // bb.patch_size
     out = unpatchify(h, hp, wp, bb.patch_size, bb.out_channels)
-    add_losses = {"moe_loss": pre.aux_loss * cc.moe.aux_loss_weight}
-    add_outputs = {"expert_counts": pre.expert_counts}
+    if reuse:
+        add_losses = {"moe_loss": jnp.zeros((), jnp.float32)}
+        add_outputs: Dict[str, Any] = {"expert_counts": None}
+    else:
+        add_losses = {"moe_loss": pre.aux_loss * cc.moe.aux_loss_weight}
+        add_outputs = {"expert_counts": pre.expert_counts}
+    if return_control_residuals:
+        add_outputs["control_residuals"] = jnp.stack(cn_ys)
     return out, add_losses, add_outputs
 
 
@@ -297,16 +325,32 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
                         condition_pooled: jnp.ndarray, timestep: jnp.ndarray,
                         *, conditioning_scale: float = 1.0,
                         attn_impl: str = "auto",
-                        rng: Optional[jax.Array] = None, training: bool = False
+                        rng: Optional[jax.Array] = None, training: bool = False,
+                        control_residuals: Optional[jnp.ndarray] = None,
+                        return_control_residuals: bool = False
                         ) -> Tuple[jnp.ndarray, Dict, Dict]:
     """UniGenBase variant (reference :298-488): the control branch runs ONCE
     (preprocess weave blocks + MoE + n control blocks) producing per-block
-    residuals consumed by the base pass at int(i/interval)."""
+    residuals consumed by the base pass at int(i/interval).
+
+    Control-residual step caching: here the cached tensor is the POST-add-
+    linear unscaled residual stack [n_cn, B, S, D] (the whole control branch
+    is one skippable unit — nothing downstream needs the raw block outputs);
+    replay runs the base pass only."""
     base, ctrl = params["base"], params["control"]
     bb, cc = cfg.sd3, cfg.control
     heads = bb.num_attention_heads
     b, c, height, width = hidden.shape
     dtype = hidden.dtype
+
+    reuse = control_residuals is not None
+    assert not (reuse and return_control_residuals), \
+        "pass either control_residuals or return_control_residuals, not both"
+    if reuse:
+        return _base_forward_with_residuals(
+            params, cfg, hidden, encoder, pooled, timestep,
+            control_residuals, conditioning_scale=conditioning_scale,
+            attn_impl=attn_impl)
 
     # control branch inputs (reference control_forward :310-344); a trainable
     # control pos_embed embeds the target when use_pos_embed (:311-314)
@@ -344,17 +388,38 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
         cn_p = index_params(ctrl["joint_blocks"], i)
         control_enc2, x = sd3_joint_block(cn_p, x, control_enc2, control_temb,
                                           heads=heads, attn_impl=attn_impl)
-        res = linear(index_params(ctrl["add_blocks"], i), x) * conditioning_scale
+        res = linear(index_params(ctrl["add_blocks"], i), x)
         residuals.append(res)
 
-    # base pass with residual injection
+    out = _base_pass_sd3(params, cfg, hidden, encoder, pooled, timestep,
+                         residuals, conditioning_scale=conditioning_scale,
+                         attn_impl=attn_impl)
+    add_outputs: Dict[str, Any] = {"expert_counts": moe_out.expert_counts}
+    if return_control_residuals:
+        add_outputs["control_residuals"] = jnp.stack(residuals)
+    return out, {"moe_loss": moe_out.aux_loss * cc.moe.aux_loss_weight}, \
+        add_outputs
+
+
+def _base_pass_sd3(params, cfg, hidden, encoder, pooled, timestep, residuals,
+                   *, conditioning_scale, attn_impl):
+    """The frozen-base pass of ``unigen_base_forward``: residual injection at
+    int(i/interval); residuals are UNSCALED (scale applied here, so cached
+    residuals pick up the live conditioning schedule)."""
+    base, ctrl = params["base"], params["control"]
+    bb, cc = cfg.sd3, cfg.control
+    heads = bb.num_attention_heads
+    b, c, height, width = hidden.shape
+    n_cn = _n_control(cfg)
+
     h, enc, temb = sd3_embed_inputs(base, bb, hidden, encoder, pooled, timestep)
     blocks = sd3_block_list(base, bb)
     interval = bb.num_layers / n_cn
     cross = cc.cn2base_method == "CrossAttn"
     for i, block in enumerate(blocks):
         bp = block
-        cond_kv = residuals[int(i / interval)] if cross else None
+        res = residuals[int(i / interval)] * conditioning_scale
+        cond_kv = res if cross else None
         if cross and "cross_kv" in ctrl:
             bp = dict(block)
             bp["attn"] = {**block["attn"], **ctrl["cross_kv"][i]}
@@ -363,11 +428,22 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
                                      attn_impl=attn_impl)
         enc = enc_out if enc_out is not None else enc
         if not cross:
-            h = h + residuals[int(i / interval)]
+            h = h + res
 
     h = adaln_continuous(base["norm_out"], h, temb)
     h = linear(base["proj_out"], h)
     hp, wp = height // bb.patch_size, width // bb.patch_size
-    out = unpatchify(h, hp, wp, bb.patch_size, bb.out_channels)
-    return out, {"moe_loss": moe_out.aux_loss * cc.moe.aux_loss_weight}, \
-        {"expert_counts": moe_out.expert_counts}
+    return unpatchify(h, hp, wp, bb.patch_size, bb.out_channels)
+
+
+def _base_forward_with_residuals(params, cfg, hidden, encoder, pooled,
+                                 timestep, control_residuals, *,
+                                 conditioning_scale, attn_impl):
+    """Replay path of ``unigen_base_forward``: the whole control branch is
+    skipped; cached residuals drive the base pass."""
+    out = _base_pass_sd3(params, cfg, hidden, encoder, pooled, timestep,
+                         list(control_residuals),
+                         conditioning_scale=conditioning_scale,
+                         attn_impl=attn_impl)
+    return out, {"moe_loss": jnp.zeros((), jnp.float32)}, \
+        {"expert_counts": None}

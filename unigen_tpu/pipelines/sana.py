@@ -88,7 +88,7 @@ class UniGenSanaPipeline:
     # ------------------------------------------------------------ program
 
     def _denoise_program(self, num_steps: int, height: int, width: int,
-                         scale_schedule):
+                         scale_schedule, cache_interval: int = 1):
         cfg = self.cfg
         lh, lw = height // self.ae_downscale, width // self.ae_downscale
         sigmas, timesteps = scheduling.inference_sigmas(
@@ -104,18 +104,51 @@ class UniGenSanaPipeline:
             tsteps = jnp.asarray(timesteps)
             sched = jnp.asarray(scale_schedule)
 
-            def step(lat, i):
-                pred, _, _ = sana_unigen_forward(
+            def fwd(lat, i, **kw):
+                pred, _, outs = sana_unigen_forward(
                     params, cfg, hidden=lat, condition=control_lat,
                     encoder=prompt_embeds, pooled=pooled,
                     condition_pooled=cond_pooled,
                     timestep=jnp.full((b,), tsteps[i] / 1000.0, self.dtype),
                     encoder_mask=prompt_mask,
-                    conditioning_scale=sched[i])
-                lat = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
-                return lat, None
+                    conditioning_scale=sched[i], **kw)
+                return pred, outs
 
-            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            if cache_interval <= 1:
+                def step(lat, i):
+                    pred, _ = fwd(lat, i)
+                    lat = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
+                    return lat, None
+
+                latents, _ = jax.lax.scan(step, latents,
+                                          jnp.arange(num_steps))
+            else:
+                # control-residual step caching (see sana_unigen_forward):
+                # cache of raw per-base-block control outputs
+                bb = cfg.sana
+                s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
+                zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
+                                 self.dtype)
+
+                def step(carry, i):
+                    lat, res = carry
+
+                    def full():
+                        pred, outs = fwd(lat, i,
+                                         return_control_residuals=True)
+                        return pred, outs["control_residuals"]
+
+                    def replay():
+                        pred, _ = fwd(lat, i, control_residuals=res)
+                        return pred, res
+
+                    pred, res = jax.lax.cond(i % cache_interval == 0, full,
+                                             replay)
+                    return (scheduling.euler_step(lat, pred, sig[i],
+                                                  sig[i + 1]), res), None
+
+                (latents, _), _ = jax.lax.scan(step, (latents, zero),
+                                               jnp.arange(num_steps))
             return self.ae_decode(latents.astype(jnp.float32))
 
         return program, (lh, lw)
@@ -126,19 +159,24 @@ class UniGenSanaPipeline:
                  conditioning_scale: float = 1.0,
                  control_guidance_start: float = 0.0,
                  control_guidance_end: float = 1.0,
-                 seed: int = 0, latents=None) -> np.ndarray:
+                 seed: int = 0, latents=None,
+                 control_cache_interval: int = 1) -> np.ndarray:
+        """control_cache_interval > 1 enables control-residual step caching
+        (recompute the control branch every k-th denoise step) — a
+        serving-only approximation; measure fidelity before production use."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
                         or ((i + 1) / steps > control_guidance_end))
             for i in range(steps)], np.float32)
         schedule = tuple(conditioning_scale * keep)
-        key = (steps, height, width, schedule)
+        key = (steps, height, width, schedule, control_cache_interval)
         if key in self._program_cache:
             program, (lh, lw) = self._program_cache[key]
         else:
             program, (lh, lw) = self._denoise_program(steps, height, width,
-                                                      np.asarray(schedule))
+                                                      np.asarray(schedule),
+                                                      control_cache_interval)
             program = jax.jit(program)
             self._program_cache[key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]

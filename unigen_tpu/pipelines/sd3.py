@@ -100,7 +100,8 @@ class UniGenSD3Pipeline:
             control_guidance_end=control_guidance_end, seed=seed)
 
     def _program(self, num_steps: int, height: int, width: int,
-                 guidance_scale: float, schedule: jnp.ndarray):
+                 guidance_scale: float, schedule: jnp.ndarray,
+                 cache_interval: int = 1):
         cfg = self.cfg
         vs = self.vae_cfg.downscale
         lh, lw = height // vs, width // vs
@@ -120,19 +121,55 @@ class UniGenSD3Pipeline:
             else:
                 embeds, pool, cpool, ctrl = prompt_embeds, pooled, cond_pooled, control_lat
 
-            def step(lat, i):
+            def fwd(lat, i, **kw):
                 lat_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
                 t = jnp.full((lat_in.shape[0],), timesteps[i], self.dtype)
-                pred, _, _ = unigen_sd3_forward(
+                pred, _, outs = unigen_sd3_forward(
                     params, cfg, hidden=lat_in, condition=ctrl, encoder=embeds,
                     pooled=pool, condition_pooled=cpool, timestep=t,
-                    conditioning_scale=schedule[i])
+                    conditioning_scale=schedule[i], **kw)
                 if do_cfg:
                     neg, pos = jnp.split(pred, 2, axis=0)
                     pred = neg + guidance_scale * (pos - neg)
-                return scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1]), None
+                return pred, outs
 
-            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            if cache_interval <= 1:
+                def step(lat, i):
+                    pred, _ = fwd(lat, i)
+                    return scheduling.euler_step(lat, pred, sigmas[i],
+                                                 sigmas[i + 1]), None
+
+                latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            else:
+                # control-residual step caching (see unigen_sd3_forward): one
+                # cache [n_base, B(*2 if cfg), S, D] of raw control block
+                # outputs; the CFG duplication rides inside the batch axis so
+                # a single cache serves both halves
+                bb = cfg.sd3
+                bc = latents.shape[0] * (2 if do_cfg else 1)
+                s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
+                zero = jnp.zeros((bb.num_layers, bc, s_tok, bb.inner_dim),
+                                 self.dtype)
+
+                def step(carry, i):
+                    lat, res = carry
+
+                    def full():
+                        pred, outs = fwd(lat, i,
+                                         return_control_residuals=True)
+                        return pred, outs["control_residuals"]
+
+                    def replay():
+                        pred, _ = fwd(lat, i, control_residuals=res)
+                        return pred, res
+
+                    pred, res = jax.lax.cond(i % cache_interval == 0, full,
+                                             replay)
+                    return (scheduling.euler_step(lat, pred, sigmas[i],
+                                                  sigmas[i + 1]), res), None
+
+                (latents, _), _ = jax.lax.scan(step, (latents, zero),
+                                               jnp.arange(num_steps))
             return vae_lib.vae_decode(vae_params, self.vae_cfg,
                                       latents.astype(jnp.float32))
 
@@ -144,7 +181,11 @@ class UniGenSD3Pipeline:
                  guidance_scale: float = 7.0, conditioning_scale: float = 1.0,
                  control_guidance_start: float = 0.0,
                  control_guidance_end: float = 1.0, seed: int = 0,
-                 latents: Optional[jnp.ndarray] = None) -> np.ndarray:
+                 latents: Optional[jnp.ndarray] = None,
+                 control_cache_interval: int = 1) -> np.ndarray:
+        """control_cache_interval > 1 enables control-residual step caching
+        (recompute the control branch every k-th denoise step) — a
+        serving-only approximation; measure fidelity before production use."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
@@ -152,12 +193,13 @@ class UniGenSD3Pipeline:
             for i in range(steps)], np.float32)
         schedule = jnp.asarray(conditioning_scale * keep)
         cache_key = (steps, height, width, round(guidance_scale, 4),
-                     tuple(conditioning_scale * keep))
+                     tuple(conditioning_scale * keep), control_cache_interval)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._program(steps, height, width,
-                                              guidance_scale, schedule)
+                                              guidance_scale, schedule,
+                                              control_cache_interval)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
