@@ -18,6 +18,12 @@ Env knobs:
                         1.185/1.371/1.360/1.309 img/s at b=1/2/4/8 after the
                         half-paired int4 layout change — b=2 is the knee,
                         b=1 latency 844 ms/image)
+  UNIGEN_BENCH_CACHE_INTERVAL  >1 runs the headline (and sd3/sana family)
+                        denoise with control-residual step caching at that
+                        interval — opt-in approximate serving mode; the
+                        default headline stays EXACT. Fidelity: CACHE.json
+                        (cached-vs-exact) + measure_fidelity --cache-interval
+                        (absolute vs bf16).
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
   value       — images/sec for the jitted 4-step denoise loop (text encode /
@@ -124,6 +130,7 @@ def bench_sd3():
     batch_sizes = [int(x) for x in
                    os.environ.get("UNIGEN_BENCH_BATCHES", "1,2,4").split(",")]
     quant = os.environ.get("UNIGEN_BENCH_QUANT", "bf16")
+    cache_k = int(os.environ.get("UNIGEN_BENCH_CACHE_INTERVAL", "1"))
 
     cfg = presets.sd35_medium()
     bb = cfg.sd3
@@ -170,19 +177,48 @@ def bench_sd3():
             sig = jnp.asarray(sigmas)
             cond2 = jnp.concatenate([condition, condition], 0)
 
-            def step(lat, i):
+            def fwd(lat, i, **kw):
                 lat2 = jnp.concatenate([lat, lat], 0)
                 t = jnp.full((2 * b,), sig[i] * 1000.0, dtype)
-                pred, _, _ = unigen_sd3_forward(
+                pred, _, outs = unigen_sd3_forward(
                     params, cfg, hidden=lat2, condition=cond2,
                     encoder=prompt, pooled=pooled,
                     condition_pooled=cond_pooled, timestep=t,
-                    attn_impl="auto")
+                    attn_impl="auto", **kw)
                 uncond, text = pred[:b], pred[b:]
-                pred = uncond + guidance * (text - uncond)
-                return scheduling.euler_step(lat, pred, sig[i], sig[i + 1]), None
+                return uncond + guidance * (text - uncond), outs
 
-            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            if cache_k <= 1:
+                def step(lat, i):
+                    pred, _ = fwd(lat, i)
+                    return scheduling.euler_step(lat, pred, sig[i],
+                                                 sig[i + 1]), None
+
+                latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+                return latents
+
+            # opt-in control-residual step caching (one cache; the CFG
+            # duplication rides in the batch axis)
+            zero = jnp.zeros((bb.num_layers, 2 * b, s_img, bb.inner_dim),
+                             dtype)
+
+            def step(carry, i):
+                lat, res = carry
+
+                def full():
+                    pred, outs = fwd(lat, i, return_control_residuals=True)
+                    return pred, outs["control_residuals"]
+
+                def replay():
+                    pred, _ = fwd(lat, i, control_residuals=res)
+                    return pred, res
+
+                pred, res = jax.lax.cond(i % cache_k == 0, full, replay)
+                return (scheduling.euler_step(lat, pred, sig[i], sig[i + 1]),
+                        res), None
+
+            (latents, _), _ = jax.lax.scan(step, (latents, zero),
+                                           jnp.arange(num_steps))
             return latents
 
         jfn = jax.jit(denoise)
@@ -222,7 +258,8 @@ def bench_sd3():
         "metric": f"unigen_sd3_bench_{res}px_28step_cfg_images_per_sec",
         "value": round(results[best_b], 4), "unit": "images/sec/chip",
         "vs_baseline": round(results[best_b] / est_ref, 3),
-        "config": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_{quant}_cfg"}))
+        "config": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_{quant}_cfg"
+                  + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")}))
     print(f"# best_batch={best_b} est_ref_a100={est_ref:.3f}img/s",
           file=sys.stderr)
 
@@ -263,6 +300,7 @@ def bench_sana():
     d = bb.inner_dim
     dtype = jnp.bfloat16
     quant = os.environ.get("UNIGEN_BENCH_QUANT", "bf16")
+    cache_k = int(os.environ.get("UNIGEN_BENCH_CACHE_INTERVAL", "1"))
 
     def _init(k):
         p = init_sana_unigen_params(k, cfg, dtype=dtype)
@@ -301,15 +339,42 @@ def bench_sana():
             sig = jnp.asarray(sigmas)
             tst = jnp.asarray(timesteps)
 
-            def step(lat_x, i):
-                pred, _, _ = sana_unigen_forward(
+            def fwd(lat_x, i, **kw):
+                pred, _, outs = sana_unigen_forward(
                     params, cfg, hidden=lat_x, condition=condition,
                     encoder=prompt, pooled=pooled,
                     condition_pooled=cond_pooled,
-                    timestep=jnp.full((b,), tst[i], dtype))
-                return scheduling.euler_step(lat_x, pred, sig[i], sig[i + 1]), None
+                    timestep=jnp.full((b,), tst[i], dtype), **kw)
+                return pred, outs
 
-            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            if cache_k <= 1:
+                def step(lat_x, i):
+                    pred, _ = fwd(lat_x, i)
+                    return scheduling.euler_step(lat_x, pred, sig[i],
+                                                 sig[i + 1]), None
+
+                latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+                return latents
+
+            zero = jnp.zeros((bb.num_layers, b, s_img, d), dtype)
+
+            def step(carry, i):
+                lat_x, res = carry
+
+                def full():
+                    pred, outs = fwd(lat_x, i, return_control_residuals=True)
+                    return pred, outs["control_residuals"]
+
+                def replay():
+                    pred, _ = fwd(lat_x, i, control_residuals=res)
+                    return pred, res
+
+                pred, res = jax.lax.cond(i % cache_k == 0, full, replay)
+                return (scheduling.euler_step(lat_x, pred, sig[i],
+                                              sig[i + 1]), res), None
+
+            (latents, _), _ = jax.lax.scan(step, (latents, zero),
+                                           jnp.arange(num_steps))
             return latents
 
         jfn = jax.jit(denoise)
@@ -349,7 +414,8 @@ def bench_sana():
         "metric": f"unigen_sana_bench_{res}px_20step_images_per_sec",
         "value": round(results[best_b], 4), "unit": "images/sec/chip",
         "vs_baseline": round(results[best_b] / est_ref, 3),
-        "config": f"sana1.6b_{bb.num_layers}blk_w{d}_{quant}"}))
+        "config": f"sana1.6b_{bb.num_layers}blk_w{d}_{quant}"
+                  + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")}))
 
 
 def bench_train():
