@@ -156,28 +156,64 @@ def main_sd3(args):
                             vae_lib.init_vae_params(jax.random.PRNGKey(2),
                                                     vae_cfg))
 
-    @jax.jit
-    def jdd(p, batch, vae_params):
-        inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
-        sig = jnp.asarray(sig_host)
-        cond2 = jnp.concatenate([inp["condition"]] * 2, 0)
+    def make_jdd(interval: int):
+        """interval>1: control-residual step caching on this path (the bf16
+        reference path always runs exact)."""
+        def jdd(p, batch, vae_params):
+            inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
+            sig = jnp.asarray(sig_host)
+            cond2 = jnp.concatenate([inp["condition"]] * 2, 0)
 
-        def step(lat_x, i):
-            lat2 = jnp.concatenate([lat_x, lat_x], 0)
-            pred, _, _ = unigen_sd3_forward(
-                p, cfg, hidden=lat2, condition=cond2, encoder=inp["encoder"],
-                pooled=inp["pooled"],
-                condition_pooled=inp["condition_pooled"],
-                timestep=jnp.full((2 * b,), sig[i] * 1000.0, dtype),
-                attn_impl="auto")
-            uncond, text = pred[:b], pred[b:]
-            pred = uncond + 7.0 * (text - uncond)
-            return scheduling.euler_step(lat_x, pred, sig[i], sig[i + 1]), None
+            def f(lat_x, i, **kw):
+                lat2 = jnp.concatenate([lat_x, lat_x], 0)
+                pred, _, outs = unigen_sd3_forward(
+                    p, cfg, hidden=lat2, condition=cond2,
+                    encoder=inp["encoder"], pooled=inp["pooled"],
+                    condition_pooled=inp["condition_pooled"],
+                    timestep=jnp.full((2 * b,), sig[i] * 1000.0, dtype),
+                    attn_impl="auto", **kw)
+                uncond, text = pred[:b], pred[b:]
+                return uncond + 7.0 * (text - uncond), outs
 
-        lat_x, _ = jax.lax.scan(step, inp["hidden"], jnp.arange(num_steps))
-        px = vae_lib.vae_decode(vae_params, vae_cfg,
-                                lat_x.astype(jnp.float32))
-        return jnp.clip(px, -1, 1)
+            if interval <= 1:
+                def step(lat_x, i):
+                    pred, _ = f(lat_x, i)
+                    return scheduling.euler_step(lat_x, pred, sig[i],
+                                                 sig[i + 1]), None
+
+                lat_x, _ = jax.lax.scan(step, inp["hidden"],
+                                        jnp.arange(num_steps))
+            else:
+                s_tok = (lat // 2) ** 2
+                zero = jnp.zeros((bb.num_layers, 2 * b, s_tok, bb.inner_dim),
+                                 dtype)
+
+                def step(carry, i):
+                    lat_x, res = carry
+
+                    def full():
+                        pred, outs = f(lat_x, i,
+                                       return_control_residuals=True)
+                        return pred, outs["control_residuals"]
+
+                    def replay():
+                        pred, _ = f(lat_x, i, control_residuals=res)
+                        return pred, res
+
+                    pred, res = jax.lax.cond(i % interval == 0, full, replay)
+                    return (scheduling.euler_step(lat_x, pred, sig[i],
+                                                  sig[i + 1]), res), None
+
+                (lat_x, _), _ = jax.lax.scan(step, (inp["hidden"], zero),
+                                             jnp.arange(num_steps))
+            px = vae_lib.vae_decode(vae_params, vae_cfg,
+                                    lat_x.astype(jnp.float32))
+            return jnp.clip(px, -1, 1)
+        return jax.jit(jdd)
+
+    jdd = make_jdd(1)
+    jdd_cached = (make_jdd(args.cache_interval)
+                  if args.cache_interval > 1 else jdd)
 
     def to_u8(px):
         return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
@@ -189,7 +225,8 @@ def main_sd3(args):
         params = make_params(path)
         rec = {"fwd": np.asarray(fwd(params, batch))}
         if args.ssim:
-            rec["img"] = to_u8(jdd(params, batch, vae_host))
+            run_jdd = jdd if path == "bf16" else jdd_cached
+            rec["img"] = to_u8(run_jdd(params, batch, vae_host))
         _delete_tree(params)
         host[path] = rec
         print(f"# sd3 {path} path done in {time.time()-t0:.0f}s",
@@ -199,6 +236,8 @@ def main_sd3(args):
            "topology": f"sd3_{bb.num_layers}blk_w{bb.inner_dim}",
            "weights": "real-ckpt" if args.ckpt else "random-init",
            "res": res}
+    if args.cache_interval > 1:
+        out["cache_interval"] = args.cache_interval
     for name in ("w8a8", "w4a8"):
         rel, cos = _fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}
@@ -305,22 +344,61 @@ def main_sana(args):
                             vae_lib.init_vae_params(jax.random.PRNGKey(2),
                                                     vae_cfg))
 
-    @jax.jit
-    def jdd(p, batch, vae_params):
-        inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
-        sig = jnp.asarray(sig_host)
+    def make_jdd(interval: int):
+        """interval>1: control-residual step caching on this path (the bf16
+        reference path always runs exact)."""
+        def jdd(p, batch, vae_params):
+            inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
+            sig = jnp.asarray(sig_host)
 
-        def step(lat_x, i):
-            pred, _, _ = sana_unigen_forward(
-                p, cfg, hidden=lat_x, condition=inp["condition"],
-                encoder=inp["encoder"], pooled=inp["pooled"],
-                condition_pooled=inp["condition_pooled"],
-                timestep=jnp.full((b,), sig[i] * 1000.0, dtype))
-            return scheduling.euler_step(lat_x, pred, sig[i], sig[i + 1]), None
+            def f(lat_x, i, **kw):
+                pred, _, outs = sana_unigen_forward(
+                    p, cfg, hidden=lat_x, condition=inp["condition"],
+                    encoder=inp["encoder"], pooled=inp["pooled"],
+                    condition_pooled=inp["condition_pooled"],
+                    timestep=jnp.full((b,), sig[i] * 1000.0, dtype), **kw)
+                return pred, outs
 
-        lat_x, _ = jax.lax.scan(step, inp["hidden"], jnp.arange(num_steps))
-        px = vae_lib.vae_decode(vae_params, vae_cfg, lat_x.astype(jnp.float32))
-        return jnp.clip(px, -1, 1)
+            if interval <= 1:
+                def step(lat_x, i):
+                    pred, _ = f(lat_x, i)
+                    return scheduling.euler_step(lat_x, pred, sig[i],
+                                                 sig[i + 1]), None
+
+                lat_x, _ = jax.lax.scan(step, inp["hidden"],
+                                        jnp.arange(num_steps))
+            else:
+                s_tok = (lat // bb.patch_size) ** 2
+                zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
+                                 dtype)
+
+                def step(carry, i):
+                    lat_x, res_c = carry
+
+                    def full():
+                        pred, outs = f(lat_x, i,
+                                       return_control_residuals=True)
+                        return pred, outs["control_residuals"]
+
+                    def replay():
+                        pred, _ = f(lat_x, i, control_residuals=res_c)
+                        return pred, res_c
+
+                    pred, res_c = jax.lax.cond(i % interval == 0, full,
+                                               replay)
+                    return (scheduling.euler_step(lat_x, pred, sig[i],
+                                                  sig[i + 1]), res_c), None
+
+                (lat_x, _), _ = jax.lax.scan(step, (inp["hidden"], zero),
+                                             jnp.arange(num_steps))
+            px = vae_lib.vae_decode(vae_params, vae_cfg,
+                                    lat_x.astype(jnp.float32))
+            return jnp.clip(px, -1, 1)
+        return jax.jit(jdd)
+
+    jdd = make_jdd(1)
+    jdd_cached = (make_jdd(args.cache_interval)
+                  if args.cache_interval > 1 else jdd)
 
     def to_u8(px):
         return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
@@ -332,7 +410,8 @@ def main_sana(args):
         params = make_params(path)
         rec = {"fwd": np.asarray(fwd(params, batch))}
         if args.ssim:
-            rec["img"] = to_u8(jdd(params, batch, vae_host))
+            run_jdd = jdd if path == "bf16" else jdd_cached
+            rec["img"] = to_u8(run_jdd(params, batch, vae_host))
         _delete_tree(params)
         host[path] = rec
         print(f"# sana {path} path done in {time.time()-t0:.0f}s",
@@ -344,6 +423,8 @@ def main_sana(args):
            "weights": "real-ckpt" if args.ckpt else "random-init",
            "res": res,
            "w8a8": {"rel_err": round(rel, 5), "cosine": round(cos, 6)}}
+    if args.cache_interval > 1:
+        out["cache_interval"] = args.cache_interval
     if args.ssim:
         from unigen_tpu.eval import image_metrics
         m = image_metrics(host["bf16"]["img"], host["w8a8"]["img"])
@@ -386,10 +467,10 @@ def main(argv=None):
                         "runs bracket the full config on both axes.")
     p.add_argument("--cache-interval", type=int, default=1,
                    dest="cache_interval",
-                   help="flux --ssim only: run the QUANTIZED paths with "
-                        "control-residual step caching at this interval "
-                        "(bf16 stays exact) — measures the ABSOLUTE "
-                        "quantization+caching fidelity")
+                   help="with --ssim (all families): run the QUANTIZED "
+                        "paths with control-residual step caching at this "
+                        "interval (bf16 stays exact) — measures the "
+                        "ABSOLUTE quantization+caching fidelity")
     p.add_argument("--routing", default=None,
                    choices=["per_sample", "global"],
                    help="override MoE batch_mode: 'global' measures fidelity "

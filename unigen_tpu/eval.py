@@ -41,13 +41,21 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, *, data_range: float = 255.0,
     """Mean SSIM between image batches [B, C, H, W] (float)."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
+    # clamp the window to the image (odd-sized): a window larger than the
+    # image makes the valid convolution empty and the mean NaN
+    side = min(int(a.shape[-2]), int(a.shape[-1]))
+    if side < win_size:
+        win_size = side if side % 2 == 1 else side - 1
     k = _gaussian_kernel(win_size, sigma)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     mu_a = _filter2d(a, k)
     mu_b = _filter2d(b, k)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    cov_norm = (win_size * win_size) / (win_size * win_size - 1.0)
+    # win_size 1 (degenerate 1-2 px images): variances vanish and SSIM
+    # reduces to the luminance term; avoid the 0/0 in the 1-sample cov norm
+    cov_norm = ((win_size * win_size) / (win_size * win_size - 1.0)
+                if win_size > 1 else 1.0)
     s_aa = cov_norm * (_filter2d(a * a, k) - mu_aa)
     s_bb = cov_norm * (_filter2d(b * b, k) - mu_bb)
     s_ab = cov_norm * (_filter2d(a * b, k) - mu_ab)
