@@ -32,3 +32,18 @@ def test_psnr_and_report():
     b = np.clip(a.astype(int) + 10, 0, 255).astype(np.uint8)
     m2 = image_metrics(a, b)
     assert m2["psnr"] < m["psnr"] and m2["mae"] > 5
+
+
+def test_ssim_small_images_no_nan():
+    """Images smaller than the 11px SSIM window must not NaN (the window
+    clamps to the image side; 1-2 px degenerates to the luminance term)."""
+    import numpy as np
+    from unigen_tpu.eval import image_metrics
+    rng = np.random.default_rng(0)
+    for side in (2, 4, 8):
+        a = rng.integers(0, 256, (1, side, side, 3), dtype=np.uint8)
+        b = np.clip(a.astype(int) + rng.integers(-3, 4, a.shape),
+                    0, 255).astype(np.uint8)
+        m = image_metrics(a, b)
+        assert np.isfinite(m["ssim"]) and 0.9 < m["ssim"] <= 1.0
+        assert image_metrics(a, a.copy())["ssim"] == 1.0
