@@ -824,6 +824,8 @@ def bench_multi():
             ks[3], (k_cond, b, s_img, bb.in_channels), dtype)
         latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
 
+        cache_k = int(os.environ.get("UNIGEN_BENCH_CACHE_INTERVAL", "1"))
+
         def denoise(params, latents, condition, prompt, pooled, cond_pooled):
             sig = jnp.asarray(sigmas)
             ids_i = jnp.asarray(img_ids)
@@ -831,16 +833,49 @@ def bench_multi():
             ids_c = jnp.broadcast_to(ids_i[None],
                                      (k_cond,) + ids_i.shape)
 
-            def step(lat, i):
-                pred, _, _ = unigen_flux_forward(
+            def fwd(lat, i, **kw):
+                pred, _, outs = unigen_flux_forward(
                     params, cfg, hidden=lat, condition=condition,
                     encoder=prompt, pooled=pooled,
                     condition_pooled=cond_pooled,
                     timestep=jnp.full((b,), sig[i], dtype),
                     img_ids=ids_i, txt_ids=ids_t, condition_ids=ids_c,
-                    attn_impl="auto")
-                return scheduling.euler_step(lat, pred, sig[i], sig[i + 1]), None
-            latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+                    attn_impl="auto", **kw)
+                return pred, outs
+
+            if cache_k <= 1:
+                def step(lat, i):
+                    pred, _ = fwd(lat, i)
+                    return scheduling.euler_step(lat, pred, sig[i],
+                                                 sig[i + 1]), None
+                latents, _ = jax.lax.scan(step, latents,
+                                          jnp.arange(num_steps))
+                return latents
+
+            # control-residual caching pays off MOST here: the cached branch
+            # includes the per-condition MoE preprocess (xK conditions)
+            d = bb.inner_dim
+            zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
+                    jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
+                              dtype))
+
+            def step(carry, i):
+                lat, res = carry
+
+                def full():
+                    pred, outs = fwd(lat, i, return_control_residuals=True)
+                    return pred, outs["control_residuals"]
+
+                def replay():
+                    pred, _ = fwd(lat, i, control_residuals=res)
+                    return pred, res
+
+                pred, res = jax.lax.cond(i % cache_k == 0, full, replay)
+                return (scheduling.euler_step(lat, pred, sig[i], sig[i + 1]),
+                        res), None
+
+            (latents, _), _ = jax.lax.scan(step, (latents, zero),
+                                           jnp.arange(num_steps))
             return latents
 
         jfn = jax.jit(denoise)
@@ -876,11 +911,15 @@ def bench_multi():
                           "vs_baseline": 0.0, "error": "all batches failed"}))
         return
     best = max(results, key=lambda b: results[b]["ips"])
+    cache_k = int(os.environ.get("UNIGEN_BENCH_CACHE_INTERVAL", "1"))
+    suffix = f"_ctrlcache{cache_k}" if cache_k > 1 else ""
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
-                     f"w{bb.inner_dim}_w4a8_multi{k_cond}",
+                     f"w{bb.inner_dim}_w4a8_multi{k_cond}{suffix}",
            "res": res, "k_conditions": k_cond, "rows": results}
+    # cached runs get their own artifact so the exact MULTI.json survives
+    fname = "MULTI_CACHE.json" if cache_k > 1 else "MULTI.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "MULTI.json"), "w") as f:
+                           fname), "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({
         "metric": f"unigen_flux_multicond{k_cond}_{res}px_images_per_sec",
