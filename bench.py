@@ -916,11 +916,21 @@ def bench_multi():
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
                      f"w{bb.inner_dim}_w4a8_multi{k_cond}{suffix}",
            "res": res, "k_conditions": k_cond, "rows": results}
-    # cached runs get their own artifact so the exact MULTI.json survives
-    fname = "MULTI_CACHE.json" if cache_k > 1 else "MULTI.json"
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           fname), "w") as f:
-        json.dump(doc, f, indent=1)
+    # cached runs get their own artifact so the exact MULTI.json survives;
+    # MULTI_CACHE.json merges across intervals (one section per k)
+    here = os.path.dirname(os.path.abspath(__file__))
+    if cache_k > 1:
+        path = os.path.join(here, "MULTI_CACHE.json")
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged[f"interval_{cache_k}"] = doc
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+    else:
+        with open(os.path.join(here, "MULTI.json"), "w") as f:
+            json.dump(doc, f, indent=1)
     print(json.dumps({
         "metric": f"unigen_flux_multicond{k_cond}_{res}px_images_per_sec",
         "value": results[best]["ips"], "unit": "images/sec/chip",
@@ -1015,8 +1025,11 @@ def bench_cache():
     condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
     latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
 
-    def make_denoise(interval: int):
+    def make_denoise(interval: int, threshold: float = 0.0):
+        adaptive = threshold > 0.0
+
         def denoise(params, latents, condition, prompt, pooled, cond_pooled):
+            from unigen_tpu.pipelines import caching
             sig = jnp.asarray(sigmas)
             ids_i = jnp.asarray(img_ids)
             ids_t = jnp.asarray(txt_ids)
@@ -1030,14 +1043,14 @@ def bench_cache():
                     attn_impl="auto", **kw)
                 return pred, outs
 
-            if interval <= 1:
+            if interval <= 1 and not adaptive:
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sig[i],
                                                  sig[i + 1]), None
                 latents, _ = jax.lax.scan(step, latents,
                                           jnp.arange(num_steps))
-                return latents
+                return latents, jnp.asarray(num_steps, jnp.int32)
 
             d = bb.inner_dim
             zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
@@ -1045,7 +1058,13 @@ def bench_cache():
                               dtype))
 
             def step(carry, i):
-                lat, res = carry
+                if adaptive:
+                    lat, res, lat_ref, n_ref = carry
+                    refresh = caching.refresh_decision(i, lat, lat_ref,
+                                                       threshold)
+                else:
+                    lat, res = carry
+                    refresh = (i % interval) == 0
 
                 def full():
                     pred, outs = fwd(lat, i, return_control_residuals=True)
@@ -1055,13 +1074,24 @@ def bench_cache():
                     pred, _ = fwd(lat, i, control_residuals=res)
                     return pred, res
 
-                pred, res = jax.lax.cond(i % interval == 0, full, replay)
-                return (scheduling.euler_step(lat, pred, sig[i], sig[i + 1]),
-                        res), None
+                pred, res = jax.lax.cond(refresh, full, replay)
+                lat_next = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
+                if adaptive:
+                    lat_ref = jnp.where(refresh, lat, lat_ref)
+                    n_ref = n_ref + refresh.astype(jnp.int32)
+                    return (lat_next, res, lat_ref, n_ref), None
+                return (lat_next, res), None
 
+            if adaptive:
+                (latents, _, _, n_ref), _ = jax.lax.scan(
+                    step, (latents, zero, latents, jnp.zeros((), jnp.int32)),
+                    jnp.arange(num_steps))
+                return latents, n_ref
             (latents, _), _ = jax.lax.scan(step, (latents, zero),
                                            jnp.arange(num_steps))
-            return latents
+            return latents, jnp.asarray(num_steps // interval
+                                        + (1 if num_steps % interval else 0),
+                                        jnp.int32)
         return denoise
 
     # tiny-VAE decode for image-space relative fidelity (host vae params —
