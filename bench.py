@@ -951,7 +951,14 @@ def bench_cache():
     cached program vs the exact program on the same weights/inputs, plus
     image-space SSIM/PSNR between their outputs through the tiny-VAE decode
     (same relative-fidelity method as measure_fidelity). Writes CACHE.json
-    and prints the best cached rung as the JSON line."""
+    and prints the best cached rung as the JSON line.
+
+    UNIGEN_BENCH_CACHE_ADAPTIVE=<thr[,thr2]> additionally measures the
+    adaptive drift-threshold mode (pipelines/caching.py): the control cache
+    refreshes when the latent drifts more than thr (relative L1) since the
+    last refresh — refreshes concentrate early in the sigma schedule where
+    the trajectory moves fastest; rows record the data-dependent refresh
+    count."""
     import jax
     import jax.numpy as jnp
 
@@ -1112,50 +1119,76 @@ def bench_cache():
         return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
                 * 127.5).round().astype(np.uint8)
 
-    def run(interval: int):
-        jfn = jax.jit(make_denoise(interval))
+    def run(interval: int, threshold: float = 0.0):
+        jfn = jax.jit(make_denoise(interval, threshold))
         fn = lambda: jfn(params, latents0, condition, prompt, pooled,
                          cond_pooled)
         t0 = time.time()
-        out = fn()
+        out, n_ref = fn()
         _ = sync(out)
         compile_s = time.time() - t0
+        n_refresh = int(n_ref)
         img = to_u8(decode(out, vae_host))
         K = max(1, 4 // b)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(K):
-                out = fn()
+                out, _n = fn()
             _ = sync(out)
             times.append((time.perf_counter() - t0) / K)
         dt = min(times)
-        print(f"# cache interval={interval} b={b} compile={compile_s:.1f}s "
-              f"step={dt*1000:.1f}ms ips={b/dt:.3f}", file=sys.stderr)
-        return b / dt, img
+        tag = (f"threshold={threshold}" if threshold > 0
+               else f"interval={interval}")
+        print(f"# cache {tag} b={b} compile={compile_s:.1f}s "
+              f"step={dt*1000:.1f}ms ips={b/dt:.3f} refreshes={n_refresh}",
+              file=sys.stderr)
+        return b / dt, img, n_refresh
 
     from unigen_tpu.eval import image_metrics
-    ips_exact, img_exact = run(1)
+    ips_exact, img_exact, _ = run(1)
+
+    def fidelity_row(ips_k, img_k, extra):
+        m = image_metrics(img_exact, img_k)
+        mae = float(np.mean(np.abs(img_exact.astype(np.float32)
+                                   - img_k.astype(np.float32))))
+        row = dict(extra, ips=round(ips_k, 4),
+                   speedup=round(ips_k / ips_exact, 3),
+                   ssim_vs_exact=round(m["ssim"], 5),
+                   psnr_vs_exact=round(m["psnr"], 2),
+                   mae_u8=round(mae, 3))
+        print(f"# {extra}: {ips_k:.3f} img/s ({ips_k/ips_exact:.2f}x) "
+              f"ssim={m['ssim']:.5f}", file=sys.stderr)
+        return row
+
     rows = []
     for k in intervals:
         if k <= 1:
             continue
         try:
-            ips_k, img_k = run(k)
+            ips_k, img_k, _ = run(k)
         except Exception as e:
             print(f"# cache interval={k} failed: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)
             continue
-        m = image_metrics(img_exact, img_k)
-        mae = float(np.mean(np.abs(img_exact.astype(np.float32)
-                                   - img_k.astype(np.float32))))
-        rows.append({"interval": k, "ips": round(ips_k, 4),
-                     "speedup": round(ips_k / ips_exact, 3),
-                     "ssim_vs_exact": round(m["ssim"], 5),
-                     "psnr_vs_exact": round(m["psnr"], 2),
-                     "mae_u8": round(mae, 3)})
-        print(f"# interval={k}: {ips_k:.3f} img/s ({ips_k/ips_exact:.2f}x) "
-              f"ssim={m['ssim']:.5f}", file=sys.stderr)
+        rows.append(fidelity_row(ips_k, img_k, {"interval": k}))
+
+    # adaptive drift-threshold rows (pipelines/caching.py):
+    # UNIGEN_BENCH_CACHE_ADAPTIVE=<thr[,thr2]> — refresh count is
+    # data-dependent, recorded per row
+    adaptive_rows = []
+    for thr in [float(x) for x in
+                os.environ.get("UNIGEN_BENCH_CACHE_ADAPTIVE", "").split(",")
+                if x]:
+        try:
+            ips_t, img_t, n_ref = run(1, threshold=thr)
+        except Exception as e:
+            print(f"# cache threshold={thr} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            continue
+        adaptive_rows.append(fidelity_row(
+            ips_t, img_t, {"threshold": thr, "refreshes": n_ref,
+                           "num_steps": num_steps}))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "CACHE.json")
     try:
@@ -1170,20 +1203,25 @@ def bench_cache():
     prev = runs.get(f"b{b}", {})
     merged = {r["interval"]: r for r in prev.get("rows", [])}
     merged.update({r["interval"]: r for r in rows})
+    merged_a = {r["threshold"]: r for r in prev.get("adaptive_rows", [])}
+    merged_a.update({r["threshold"]: r for r in adaptive_rows})
     runs[f"b{b}"] = {"ips_exact": round(ips_exact, 4),
                      "rows": [merged[k] for k in sorted(merged)]}
+    if merged_a:
+        runs[f"b{b}"]["adaptive_rows"] = [merged_a[t] for t in sorted(merged_a)]
     doc.pop("batch", None); doc.pop("ips_exact", None); doc.pop("rows", None)
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
-    if not rows:
+    if not rows and not adaptive_rows:
         print(json.dumps({"metric": "unigen_flux_ctrlcache_images_per_sec",
                           "value": 0.0, "unit": "images/sec/chip",
                           "vs_baseline": 0.0, "error": "all intervals failed"}))
         return
-    best = max(rows, key=lambda r: r["ips"])
+    best = max(rows + adaptive_rows, key=lambda r: r["ips"])
+    tag = (f"ctrlcache{best['interval']}" if "interval" in best
+           else f"ctrlcache_thr{best['threshold']}")
     print(json.dumps({
-        "metric": f"unigen_flux_ctrlcache{best['interval']}_{res}px_"
-                  "images_per_sec",
+        "metric": f"unigen_flux_{tag}_{res}px_images_per_sec",
         "value": best["ips"], "unit": "images/sec/chip",
         "vs_baseline": round(best["ips"] / est_ref, 3),
         "config": doc["config"], "ssim_vs_exact": best["ssim_vs_exact"]}))

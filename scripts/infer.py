@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--control_cache_interval", type=int, default=1,
                    help="recompute the control branch every k-th step "
                         "(serving approximation; see CACHE.json fidelity)")
+    p.add_argument("--control_cache_threshold", type=float, default=0.0,
+                   help="adaptive variant: refresh when the latent drifts "
+                        "more than this relative L1 since the last refresh "
+                        "(overrides the fixed interval)")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--max_sequence_length", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=1)
@@ -74,6 +78,7 @@ def main(argv=None):
                     true_cfg_scale=args.true_cfg_scale,
                     conditioning_scale=args.conditioning_scale,
                     control_cache_interval=args.control_cache_interval,
+                    control_cache_threshold=args.control_cache_threshold,
                     seed=args.seed)
         Image.fromarray(imgs[0]).save(os.path.join(args.save_path, "res.png"))
         logger.info("saved %s", os.path.join(args.save_path, "res.png"))
@@ -97,6 +102,7 @@ def main(argv=None):
                     guidance_scale=args.guidance_scale,
                     conditioning_scale=args.conditioning_scale,
                     control_cache_interval=args.control_cache_interval,
+                    control_cache_threshold=args.control_cache_threshold,
                     seed=args.seed + start)
         for j, (i, s) in enumerate(zip(idxs, samples)):
             d = os.path.join(args.save_path, f"{i:05d}")

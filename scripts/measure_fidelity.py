@@ -156,9 +156,12 @@ def main_sd3(args):
                             vae_lib.init_vae_params(jax.random.PRNGKey(2),
                                                     vae_cfg))
 
-    def make_jdd(interval: int):
-        """interval>1: control-residual step caching on this path (the bf16
-        reference path always runs exact)."""
+    def make_jdd(interval: int, threshold: float = 0.0):
+        """interval>1 or threshold>0: control-residual step caching on this
+        path (the bf16 reference path always runs exact)."""
+        from unigen_tpu.pipelines import caching
+        adaptive = threshold > 0.0
+
         def jdd(p, batch, vae_params):
             inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
             sig = jnp.asarray(sig_host)
@@ -175,7 +178,7 @@ def main_sd3(args):
                 uncond, text = pred[:b], pred[b:]
                 return uncond + 7.0 * (text - uncond), outs
 
-            if interval <= 1:
+            if interval <= 1 and not adaptive:
                 def step(lat_x, i):
                     pred, _ = f(lat_x, i)
                     return scheduling.euler_step(lat_x, pred, sig[i],
@@ -189,7 +192,13 @@ def main_sd3(args):
                                  dtype)
 
                 def step(carry, i):
-                    lat_x, res = carry
+                    if adaptive:
+                        lat_x, res, lat_ref, n_ref = carry
+                        refresh = caching.refresh_decision(i, lat_x, lat_ref,
+                                                           threshold)
+                    else:
+                        lat_x, res = carry
+                        refresh = (i % interval) == 0
 
                     def full():
                         pred, outs = f(lat_x, i,
@@ -200,20 +209,31 @@ def main_sd3(args):
                         pred, _ = f(lat_x, i, control_residuals=res)
                         return pred, res
 
-                    pred, res = jax.lax.cond(i % interval == 0, full, replay)
-                    return (scheduling.euler_step(lat_x, pred, sig[i],
-                                                  sig[i + 1]), res), None
+                    pred, res = jax.lax.cond(refresh, full, replay)
+                    nxt = scheduling.euler_step(lat_x, pred, sig[i],
+                                                sig[i + 1])
+                    if adaptive:
+                        return (nxt, res, jnp.where(refresh, lat_x, lat_ref),
+                                n_ref + refresh.astype(jnp.int32)), None
+                    return (nxt, res), None
 
-                (lat_x, _), _ = jax.lax.scan(step, (inp["hidden"], zero),
-                                             jnp.arange(num_steps))
+                if adaptive:
+                    (lat_x, _, _, _), _ = jax.lax.scan(
+                        step, (inp["hidden"], zero, inp["hidden"],
+                               jnp.zeros((), jnp.int32)),
+                        jnp.arange(num_steps))
+                else:
+                    (lat_x, _), _ = jax.lax.scan(step, (inp["hidden"], zero),
+                                                 jnp.arange(num_steps))
             px = vae_lib.vae_decode(vae_params, vae_cfg,
                                     lat_x.astype(jnp.float32))
             return jnp.clip(px, -1, 1)
         return jax.jit(jdd)
 
     jdd = make_jdd(1)
-    jdd_cached = (make_jdd(args.cache_interval)
-                  if args.cache_interval > 1 else jdd)
+    jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold)
+                  if args.cache_interval > 1 or args.cache_threshold > 0
+                  else jdd)
 
     def to_u8(px):
         return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
@@ -238,6 +258,8 @@ def main_sd3(args):
            "res": res}
     if args.cache_interval > 1:
         out["cache_interval"] = args.cache_interval
+    if args.cache_threshold > 0:
+        out["cache_threshold"] = args.cache_threshold
     for name in ("w8a8", "w4a8"):
         rel, cos = _fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}
@@ -344,9 +366,12 @@ def main_sana(args):
                             vae_lib.init_vae_params(jax.random.PRNGKey(2),
                                                     vae_cfg))
 
-    def make_jdd(interval: int):
-        """interval>1: control-residual step caching on this path (the bf16
-        reference path always runs exact)."""
+    def make_jdd(interval: int, threshold: float = 0.0):
+        """interval>1 or threshold>0: control-residual step caching on this
+        path (the bf16 reference path always runs exact)."""
+        from unigen_tpu.pipelines import caching
+        adaptive = threshold > 0.0
+
         def jdd(p, batch, vae_params):
             inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
             sig = jnp.asarray(sig_host)
@@ -359,7 +384,7 @@ def main_sana(args):
                     timestep=jnp.full((b,), sig[i] * 1000.0, dtype), **kw)
                 return pred, outs
 
-            if interval <= 1:
+            if interval <= 1 and not adaptive:
                 def step(lat_x, i):
                     pred, _ = f(lat_x, i)
                     return scheduling.euler_step(lat_x, pred, sig[i],
@@ -373,7 +398,13 @@ def main_sana(args):
                                  dtype)
 
                 def step(carry, i):
-                    lat_x, res_c = carry
+                    if adaptive:
+                        lat_x, res_c, lat_ref, n_ref = carry
+                        refresh = caching.refresh_decision(i, lat_x, lat_ref,
+                                                           threshold)
+                    else:
+                        lat_x, res_c = carry
+                        refresh = (i % interval) == 0
 
                     def full():
                         pred, outs = f(lat_x, i,
@@ -384,21 +415,32 @@ def main_sana(args):
                         pred, _ = f(lat_x, i, control_residuals=res_c)
                         return pred, res_c
 
-                    pred, res_c = jax.lax.cond(i % interval == 0, full,
-                                               replay)
-                    return (scheduling.euler_step(lat_x, pred, sig[i],
-                                                  sig[i + 1]), res_c), None
+                    pred, res_c = jax.lax.cond(refresh, full, replay)
+                    nxt = scheduling.euler_step(lat_x, pred, sig[i],
+                                                sig[i + 1])
+                    if adaptive:
+                        return (nxt, res_c,
+                                jnp.where(refresh, lat_x, lat_ref),
+                                n_ref + refresh.astype(jnp.int32)), None
+                    return (nxt, res_c), None
 
-                (lat_x, _), _ = jax.lax.scan(step, (inp["hidden"], zero),
-                                             jnp.arange(num_steps))
+                if adaptive:
+                    (lat_x, _, _, _), _ = jax.lax.scan(
+                        step, (inp["hidden"], zero, inp["hidden"],
+                               jnp.zeros((), jnp.int32)),
+                        jnp.arange(num_steps))
+                else:
+                    (lat_x, _), _ = jax.lax.scan(step, (inp["hidden"], zero),
+                                                 jnp.arange(num_steps))
             px = vae_lib.vae_decode(vae_params, vae_cfg,
                                     lat_x.astype(jnp.float32))
             return jnp.clip(px, -1, 1)
         return jax.jit(jdd)
 
     jdd = make_jdd(1)
-    jdd_cached = (make_jdd(args.cache_interval)
-                  if args.cache_interval > 1 else jdd)
+    jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold)
+                  if args.cache_interval > 1 or args.cache_threshold > 0
+                  else jdd)
 
     def to_u8(px):
         return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
@@ -425,6 +467,8 @@ def main_sana(args):
            "w8a8": {"rel_err": round(rel, 5), "cosine": round(cos, 6)}}
     if args.cache_interval > 1:
         out["cache_interval"] = args.cache_interval
+    if args.cache_threshold > 0:
+        out["cache_threshold"] = args.cache_threshold
     if args.ssim:
         from unigen_tpu.eval import image_metrics
         m = image_metrics(host["bf16"]["img"], host["w8a8"]["img"])
@@ -471,6 +515,12 @@ def main(argv=None):
                         "paths with control-residual step caching at this "
                         "interval (bf16 stays exact) — measures the "
                         "ABSOLUTE quantization+caching fidelity")
+    p.add_argument("--cache-threshold", type=float, default=0.0,
+                   dest="cache_threshold",
+                   help="with --ssim (all families): adaptive cache variant "
+                        "— refresh when the latent drifts more than this "
+                        "relative L1 since the last refresh "
+                        "(pipelines/caching.py; overrides --cache-interval)")
     p.add_argument("--routing", default=None,
                    choices=["per_sample", "global"],
                    help="override MoE batch_mode: 'global' measures fidelity "
@@ -629,10 +679,14 @@ def main(argv=None):
         sig_host = np.asarray(sig_host)
         lh = lw = (res // 16) * 2
 
-        def make_jdd(interval: int):
-            """interval>1: control-residual step caching on this path (the
-            bf16 reference path always runs exact) — measures the ABSOLUTE
-            quantization+caching fidelity, vs CACHE.json's cached-vs-exact."""
+        def make_jdd(interval: int, threshold: float = 0.0):
+            """interval>1 or threshold>0: control-residual step caching on
+            this path (the bf16 reference path always runs exact) — measures
+            the ABSOLUTE quantization+caching fidelity, vs CACHE.json's
+            cached-vs-exact."""
+            from unigen_tpu.pipelines import caching
+            adaptive = threshold > 0.0
+
             def jdd(p, batch, vae_params):
                 inp = _cast(batch)
                 lat = inp["hidden"]
@@ -645,7 +699,7 @@ def main(argv=None):
                         attn_impl="auto", **kw)
                     return pred, outs
 
-                if interval <= 1:
+                if interval <= 1 and not adaptive:
                     def step(lat, i):
                         pred, _ = fwd(lat, i)
                         return scheduling.euler_step(
@@ -658,7 +712,13 @@ def main(argv=None):
                                        t_len + s_img, d), dtype))
 
                     def step(carry, i):
-                        lat, res = carry
+                        if adaptive:
+                            lat, res, lat_ref, n_ref = carry
+                            refresh = caching.refresh_decision(
+                                i, lat, lat_ref, threshold)
+                        else:
+                            lat, res = carry
+                            refresh = (i % interval) == 0
 
                         def full():
                             pred, outs = fwd(lat, i,
@@ -669,14 +729,22 @@ def main(argv=None):
                             pred, _ = fwd(lat, i, control_residuals=res)
                             return pred, res
 
-                        pred, res = jax.lax.cond(i % interval == 0, full,
-                                                 replay)
-                        return (scheduling.euler_step(lat, pred, sigmas[i],
-                                                      sigmas[i + 1]),
-                                res), None
+                        pred, res = jax.lax.cond(refresh, full, replay)
+                        nxt = scheduling.euler_step(lat, pred, sigmas[i],
+                                                    sigmas[i + 1])
+                        if adaptive:
+                            return (nxt, res,
+                                    jnp.where(refresh, lat, lat_ref),
+                                    n_ref + refresh.astype(jnp.int32)), None
+                        return (nxt, res), None
 
-                    (lat, _), _ = jax.lax.scan(step, (lat, zero),
-                                               jnp.arange(num_steps))
+                    if adaptive:
+                        (lat, _, _, _), _ = jax.lax.scan(
+                            step, (lat, zero, lat, jnp.zeros((), jnp.int32)),
+                            jnp.arange(num_steps))
+                    else:
+                        (lat, _), _ = jax.lax.scan(step, (lat, zero),
+                                                   jnp.arange(num_steps))
                 px = vae_lib.vae_decode(
                     vae_params, vae_cfg,
                     unpack_latents(lat.astype(jnp.float32), lh, lw))
@@ -684,8 +752,9 @@ def main(argv=None):
             return jax.jit(jdd)
 
         jdd = make_jdd(1)
-        jdd_cached = (make_jdd(args.cache_interval)
-                      if args.cache_interval > 1 else jdd)
+        jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold)
+                      if args.cache_interval > 1 or args.cache_threshold > 0
+                      else jdd)
 
         def to_u8(px):
             return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
@@ -713,6 +782,8 @@ def main(argv=None):
            "res": res}
     if args.cache_interval > 1:
         out["cache_interval"] = args.cache_interval
+    if args.cache_threshold > 0:
+        out["cache_threshold"] = args.cache_threshold
     for name in ("w8a8", "w4a8_serving"):
         rel, cos = fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}

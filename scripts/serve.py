@@ -99,6 +99,11 @@ def main(argv=None):
                          "step, replay cached residual adds in between "
                          "(serving approximation; measure fidelity first — "
                          "see bench.py UNIGEN_BENCH_CACHE / CACHE.json)")
+    ap.add_argument("--control-cache-threshold", type=float, default=0.0,
+                    help="adaptive variant: refresh the control cache when "
+                         "the latent drifts more than this relative L1 "
+                         "since the last refresh (overrides the fixed "
+                         "interval; pipelines/caching.py)")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--quant", default="w4a8", choices=["w4a8", "w8a8", "bf16"])
     ap.add_argument("--demo", action="store_true",
@@ -126,7 +131,8 @@ def main(argv=None):
             control_pixels=inputs["control_pixels"],
             height=args.resolution, width=args.resolution,
             num_inference_steps=args.steps,
-            control_cache_interval=args.control_cache_interval)
+            control_cache_interval=args.control_cache_interval,
+            control_cache_threshold=args.control_cache_threshold)
 
     srv = MicroBatchServer(run_batch, batch_size=args.batch_size,
                            batch_sizes=args.batch_sizes)

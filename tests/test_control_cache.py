@@ -444,3 +444,121 @@ def test_sana_pipeline_cache_interval_active(tiny_sana):
     d = np.abs(cached.astype(int) - exact.astype(int))
     assert d.max() > 0
     assert d.mean() < 30
+
+
+# ---------------------------------------------------------------- adaptive
+
+def _gen_adaptive(pipe, flux, steps, threshold, cfg_scale=1.0, interval=1):
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    return pipe.generate(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps,
+        true_cfg_scale=cfg_scale,
+        control_cache_interval=interval,
+        control_cache_threshold=threshold)
+
+
+def test_adaptive_huge_threshold_equals_refresh_once():
+    """threshold so large it never re-fires -> only the forced step-0 refresh,
+    which is exactly the fixed interval=num_steps program."""
+    pipe, flux = _tiny_pipe()
+    steps = 4
+    fixed = _gen(pipe, flux, steps=steps, interval=steps)
+    adaptive = _gen_adaptive(pipe, flux, steps=steps, threshold=1e9)
+    np.testing.assert_array_equal(fixed, adaptive)
+    assert pipe.last_cache_refreshes == 1
+
+
+def test_adaptive_tiny_threshold_equals_exact():
+    """threshold ~0 -> any drift triggers a refresh -> every step refreshes,
+    which is the exact (uncached) trajectory."""
+    pipe, flux = _tiny_pipe()
+    steps = 4
+    exact = _gen(pipe, flux, steps=steps, interval=1)
+    adaptive = _gen_adaptive(pipe, flux, steps=steps, threshold=1e-9)
+    np.testing.assert_array_equal(exact, adaptive)
+    assert pipe.last_cache_refreshes == steps
+
+
+def test_adaptive_intermediate_threshold_partial_refreshes():
+    """A mid threshold lands strictly between: more than 1 refresh, fewer
+    than every step, and the output sits between the two extremes in error."""
+    pipe, flux = _tiny_pipe()
+    steps = 6
+    exact = _gen(pipe, flux, steps=steps, interval=1)
+    _ = _gen_adaptive(pipe, flux, steps=steps, threshold=0.35)
+    n = pipe.last_cache_refreshes
+    assert 1 <= n <= steps
+    # threshold monotonicity: lower threshold -> at least as many refreshes
+    _ = _gen_adaptive(pipe, flux, steps=steps, threshold=0.1)
+    assert pipe.last_cache_refreshes >= n
+    assert exact.shape == (1, 16, 16, 3)
+
+
+def test_adaptive_with_cfg_runs():
+    pipe, flux = _tiny_pipe()
+    img = _gen_adaptive(pipe, flux, steps=4, threshold=0.3, cfg_scale=2.0)
+    assert img.shape == (1, 16, 16, 3)
+    assert 1 <= pipe.last_cache_refreshes <= 4
+
+
+def test_sd3_adaptive_huge_threshold_equals_refresh_once(tiny_sd3):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
+    cfg, params = tiny_sd3
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=cfg.sd3.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenSD3Pipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                             vae_params=vae_params, dtype=jnp.float32)
+    b, h, w, steps = 1, 16, 16, 3
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0],
+                                        (b, 6, cfg.sd3.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, cfg.sd3.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2],
+                                      (b, cfg.sd3.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps, guidance_scale=3.0,
+        seed=0)
+    fixed = pipe.generate(**kw, control_cache_interval=steps)
+    adaptive = pipe.generate(**kw, control_cache_threshold=1e9)
+    np.testing.assert_array_equal(fixed, adaptive)
+    assert pipe.last_cache_refreshes == 1
+    exact = pipe.generate(**kw, control_cache_interval=1)
+    adaptive_all = pipe.generate(**kw, control_cache_threshold=1e-9)
+    np.testing.assert_array_equal(exact, adaptive_all)
+    assert pipe.last_cache_refreshes == steps
+
+
+def test_sana_adaptive_huge_threshold_equals_refresh_once(tiny_sana):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+    cfg, params = tiny_sana
+    bb = cfg.sana
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenSanaPipeline(
+        cfg=cfg, params=params,
+        ae_encode=lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px),
+        ae_decode=lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat),
+        ae_downscale=vae_cfg.downscale)
+    b, steps = 1, 3
+    res = 8 * vae_cfg.downscale
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 5, bb.caption_channels)),
+        prompt_mask=jnp.ones((b, 5), jnp.int32),
+        pooled=jax.random.normal(ks[1], (b, bb.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, bb.pooled_projection_dim)),
+        control_pixels=np.random.default_rng(0).standard_normal(
+            (b, 3, res, res)).astype(np.float32) * 0.1,
+        height=res, width=res, num_inference_steps=steps, seed=0)
+    fixed = pipe.generate(**kw, control_cache_interval=steps)
+    adaptive = pipe.generate(**kw, control_cache_threshold=1e9)
+    np.testing.assert_array_equal(fixed, adaptive)
+    assert pipe.last_cache_refreshes == 1

@@ -1,0 +1,41 @@
+"""Adaptive refresh policy for control-residual step caching.
+
+The fixed-interval cache (``control_cache_interval=k``) recomputes the
+control branch every k-th denoise step regardless of how fast the sampled
+trajectory is actually moving. Flow-matching trajectories move fastest at
+the start of the schedule (large sigma gaps) and settle near the end, so a
+fixed interval wastes refreshes late and under-refreshes early.
+
+``control_cache_threshold`` replaces the interval with a data-driven rule
+(TeaCache-style, arXiv:2411.19108 — applied here to the CONTROL branch
+residuals rather than the whole transformer output, so the base trajectory
+always gets fresh compute): refresh when the mean relative drift of the
+latent since the *input of the last refreshed step* exceeds the threshold.
+The decision is a scalar ``lax.cond`` predicate inside the scan — one
+compiled program, data-dependent refresh pattern at runtime; the number of
+refreshes taken is carried out of the scan for observability
+(``pipeline.last_cache_refreshes``).
+
+Beyond reference parity (the reference recomputes control every step);
+no counterpart file.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rel_change(lat: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Mean |lat - ref| / mean |ref| as a float32 scalar (the L1 relative
+    drift TeaCache thresholds on, without the model-specific polynomial
+    rescaling — the raw latent drift is model-agnostic)."""
+    a = lat.astype(jnp.float32)
+    b = ref.astype(jnp.float32)
+    return jnp.mean(jnp.abs(a - b)) / (jnp.mean(jnp.abs(b)) + 1e-8)
+
+
+def refresh_decision(i: jnp.ndarray, lat: jnp.ndarray, lat_ref: jnp.ndarray,
+                     threshold: float) -> jnp.ndarray:
+    """Scalar bool: refresh at step 0 unconditionally, afterwards whenever
+    the latent has drifted more than ``threshold`` since the last refresh."""
+    return jnp.logical_or(i == 0, rel_change(lat, lat_ref) > threshold)

@@ -34,7 +34,7 @@ from unigen_tpu.models.t5_text import T5Config, t5_encode
 from unigen_tpu.models.unigen_flux import unigen_flux_forward
 from unigen_tpu.ops.packing import (pack_latents, prepare_latent_image_ids,
                                     unpack_latents)
-from unigen_tpu.pipelines import scheduling
+from unigen_tpu.pipelines import caching, scheduling
 
 
 @dataclass
@@ -136,7 +136,8 @@ class UniGenFluxPipeline:
     def _denoise_program(self, num_steps: int, height: int, width: int,
                          true_cfg_scale: float, guidance_scale: float,
                          scale_schedule: jnp.ndarray, multi: bool,
-                         cache_interval: int = 1):
+                         cache_interval: int = 1,
+                         cache_threshold: float = 0.0):
         cfg = self.cfg
         bb = cfg.flux
         vs = self.vae_cfg.downscale
@@ -175,7 +176,8 @@ class UniGenFluxPipeline:
                     conditioning_scale=scale_schedule[i], **kw)
                 return pred, outs
 
-            if cache_interval <= 1:
+            adaptive = cache_threshold > 0.0
+            if cache_interval <= 1 and not adaptive:
                 def step(lat, i):
                     pred, _ = fwd(lat, i, prompt_embeds, pooled)
                     if do_cfg:
@@ -207,7 +209,13 @@ class UniGenFluxPipeline:
                     streams.append((neg_embeds, neg_pooled))
 
                 def step(carry, i):
-                    lat, caches = carry
+                    if adaptive:
+                        lat, caches, lat_ref, n_ref = carry
+                        refresh = caching.refresh_decision(i, lat, lat_ref,
+                                                           cache_threshold)
+                    else:
+                        lat, caches = carry
+                        refresh = (i % cache_interval) == 0
                     preds, new_caches = [], []
                     for (emb, pool), res in zip(streams, caches):
                         def full(lat=lat, emb=emb, pool=pool):
@@ -220,23 +228,36 @@ class UniGenFluxPipeline:
                                           control_residuals=res)
                             return pred, res
 
-                        pred, res = jax.lax.cond(i % cache_interval == 0,
-                                                 full, replay)
+                        pred, res = jax.lax.cond(refresh, full, replay)
                         preds.append(pred)
                         new_caches.append(res)
                     pred = preds[0]
                     if do_cfg:
                         pred = preds[1] + true_cfg_scale * (preds[0] - preds[1])
-                    lat = scheduling.euler_step(lat, pred, sigmas[i],
-                                                sigmas[i + 1])
-                    return (lat, tuple(new_caches)), None
+                    lat_next = scheduling.euler_step(lat, pred, sigmas[i],
+                                                     sigmas[i + 1])
+                    if adaptive:
+                        # the drift reference is the INPUT latent of the last
+                        # refreshed step (the state the cache was computed at)
+                        lat_ref = jnp.where(refresh, lat, lat_ref)
+                        n_ref = n_ref + refresh.astype(jnp.int32)
+                        return (lat_next, tuple(new_caches), lat_ref, n_ref), None
+                    return (lat_next, tuple(new_caches)), None
 
-                (latents, _), _ = jax.lax.scan(
-                    step, (latents, tuple(zero_res() for _ in streams)),
-                    jnp.arange(num_steps))
+                caches0 = tuple(zero_res() for _ in streams)
+                if adaptive:
+                    carry0 = (latents, caches0, latents,
+                              jnp.zeros((), jnp.int32))
+                    (latents, _, _, n_refresh), _ = jax.lax.scan(
+                        step, carry0, jnp.arange(num_steps))
+                else:
+                    (latents, _), _ = jax.lax.scan(
+                        step, (latents, caches0), jnp.arange(num_steps))
             pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
                                         unpack_latents(latents.astype(jnp.float32),
                                                        lh, lw))
+            if cache_threshold > 0.0:
+                return pixels, n_refresh
             return pixels
 
         return program, (lh, lw)
@@ -250,7 +271,8 @@ class UniGenFluxPipeline:
                  control_guidance_end: float = 1.0,
                  subject_offset: Union[bool, Sequence[bool]] = False,
                  seed: int = 0, latents: Optional[jnp.ndarray] = None,
-                 control_cache_interval: int = 1
+                 control_cache_interval: int = 1,
+                 control_cache_threshold: float = 0.0
                  ) -> np.ndarray:
         """Single-condition generation from precomputed embeddings.
         Returns uint8 images [B, H, W, 3].
@@ -258,7 +280,10 @@ class UniGenFluxPipeline:
         control_cache_interval > 1 enables the control-residual step cache
         (recompute the control branch + MoE preprocess every k-th denoise
         step, replay the cached per-block adds in between) — a serving-only
-        approximation; measure fidelity before enabling in production."""
+        approximation; measure fidelity before enabling in production.
+        control_cache_threshold > 0 replaces the fixed interval with the
+        adaptive drift rule (pipelines/caching.py); the refresh count taken
+        lands in ``self.last_cache_refreshes``."""
         multi = control_pixels.ndim == 5
         steps = num_inference_steps
         keep = np.array([
@@ -271,13 +296,15 @@ class UniGenFluxPipeline:
         # the closure must be cached too or every call would recompile)
         cache_key = (steps, height, width, true_cfg_scale > 1.0,
                      round(guidance_scale, 4), tuple(np.asarray(schedule)),
-                     multi, control_cache_interval)
+                     multi, control_cache_interval,
+                     float(control_cache_threshold))
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._denoise_program(
                 steps, height, width, true_cfg_scale, guidance_scale, schedule,
-                multi, cache_interval=control_cache_interval)
+                multi, cache_interval=control_cache_interval,
+                cache_threshold=control_cache_threshold)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
 
@@ -305,9 +332,14 @@ class UniGenFluxPipeline:
                     else subject_offset)
             offsets = jnp.asarray(lw / 2.0 if flag else 0.0)
 
-        pixels = program(self.params, self.vae_params, latents,
-                         control_pixels, prompt_embeds, pooled,
-                         cond_pooled, neg_embeds, neg_pooled, offsets)
+        out = program(self.params, self.vae_params, latents,
+                      control_pixels, prompt_embeds, pooled,
+                      cond_pooled, neg_embeds, neg_pooled, offsets)
+        if control_cache_threshold > 0.0:
+            pixels, n_refresh = out
+            self.last_cache_refreshes = int(n_refresh)
+        else:
+            pixels = out
         imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
 
@@ -323,7 +355,8 @@ class UniGenFluxPipeline:
                  control_guidance_start: float = 0.0,
                  control_guidance_end: float = 1.0,
                  max_sequence_length: int = 512, seed: int = 0,
-                 control_cache_interval: int = 1) -> np.ndarray:
+                 control_cache_interval: int = 1,
+                 control_cache_threshold: float = 0.0) -> np.ndarray:
         """Single-condition call (reference UniGenPipeline.py:486-807).
         control_image: float array [B,3,H,W] in [-1,1]."""
         self._auto_switch(condition_prompt)
@@ -348,7 +381,8 @@ class UniGenFluxPipeline:
             control_guidance_start=control_guidance_start,
             control_guidance_end=control_guidance_end,
             subject_offset=subject, seed=seed,
-            control_cache_interval=control_cache_interval)
+            control_cache_interval=control_cache_interval,
+            control_cache_threshold=control_cache_threshold)
 
     def multi_condition_call(self, prompt: Union[str, Sequence[str]],
                              condition_prompts: Sequence[str],

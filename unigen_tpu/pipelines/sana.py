@@ -33,7 +33,7 @@ from unigen_tpu.config import UniGenConfig
 from unigen_tpu.models.clip_text import CLIPTextConfig, clip_encode
 from unigen_tpu.models.gemma_text import GemmaConfig, gemma_encode
 from unigen_tpu.models.sana import sana_unigen_forward
-from unigen_tpu.pipelines import scheduling
+from unigen_tpu.pipelines import caching, scheduling
 
 
 @dataclass
@@ -88,7 +88,8 @@ class UniGenSanaPipeline:
     # ------------------------------------------------------------ program
 
     def _denoise_program(self, num_steps: int, height: int, width: int,
-                         scale_schedule, cache_interval: int = 1):
+                         scale_schedule, cache_interval: int = 1,
+                         cache_threshold: float = 0.0):
         cfg = self.cfg
         lh, lw = height // self.ae_downscale, width // self.ae_downscale
         sigmas, timesteps = scheduling.inference_sigmas(
@@ -114,7 +115,8 @@ class UniGenSanaPipeline:
                     conditioning_scale=sched[i], **kw)
                 return pred, outs
 
-            if cache_interval <= 1:
+            adaptive = cache_threshold > 0.0
+            if cache_interval <= 1 and not adaptive:
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
                     lat = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
@@ -131,7 +133,13 @@ class UniGenSanaPipeline:
                                  self.dtype)
 
                 def step(carry, i):
-                    lat, res = carry
+                    if adaptive:
+                        lat, res, lat_ref, n_ref = carry
+                        refresh = caching.refresh_decision(i, lat, lat_ref,
+                                                           cache_threshold)
+                    else:
+                        lat, res = carry
+                        refresh = (i % cache_interval) == 0
 
                     def full():
                         pred, outs = fwd(lat, i,
@@ -142,14 +150,27 @@ class UniGenSanaPipeline:
                         pred, _ = fwd(lat, i, control_residuals=res)
                         return pred, res
 
-                    pred, res = jax.lax.cond(i % cache_interval == 0, full,
-                                             replay)
-                    return (scheduling.euler_step(lat, pred, sig[i],
-                                                  sig[i + 1]), res), None
+                    pred, res = jax.lax.cond(refresh, full, replay)
+                    lat_next = scheduling.euler_step(lat, pred, sig[i],
+                                                     sig[i + 1])
+                    if adaptive:
+                        lat_ref = jnp.where(refresh, lat, lat_ref)
+                        n_ref = n_ref + refresh.astype(jnp.int32)
+                        return (lat_next, res, lat_ref, n_ref), None
+                    return (lat_next, res), None
 
-                (latents, _), _ = jax.lax.scan(step, (latents, zero),
-                                               jnp.arange(num_steps))
-            return self.ae_decode(latents.astype(jnp.float32))
+                if adaptive:
+                    (latents, _, _, n_refresh), _ = jax.lax.scan(
+                        step, (latents, zero, latents,
+                               jnp.zeros((), jnp.int32)),
+                        jnp.arange(num_steps))
+                else:
+                    (latents, _), _ = jax.lax.scan(step, (latents, zero),
+                                                   jnp.arange(num_steps))
+            pixels = self.ae_decode(latents.astype(jnp.float32))
+            if cache_threshold > 0.0:
+                return pixels, n_refresh
+            return pixels
 
         return program, (lh, lw)
 
@@ -160,23 +181,28 @@ class UniGenSanaPipeline:
                  control_guidance_start: float = 0.0,
                  control_guidance_end: float = 1.0,
                  seed: int = 0, latents=None,
-                 control_cache_interval: int = 1) -> np.ndarray:
+                 control_cache_interval: int = 1,
+                 control_cache_threshold: float = 0.0) -> np.ndarray:
         """control_cache_interval > 1 enables control-residual step caching
         (recompute the control branch every k-th denoise step) — a
-        serving-only approximation; measure fidelity before production use."""
+        serving-only approximation; measure fidelity before production use.
+        control_cache_threshold > 0 switches to the adaptive drift rule
+        (pipelines/caching.py); refresh count → self.last_cache_refreshes."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
                         or ((i + 1) / steps > control_guidance_end))
             for i in range(steps)], np.float32)
         schedule = tuple(conditioning_scale * keep)
-        key = (steps, height, width, schedule, control_cache_interval)
+        key = (steps, height, width, schedule, control_cache_interval,
+               float(control_cache_threshold))
         if key in self._program_cache:
             program, (lh, lw) = self._program_cache[key]
         else:
             program, (lh, lw) = self._denoise_program(steps, height, width,
                                                       np.asarray(schedule),
-                                                      control_cache_interval)
+                                                      control_cache_interval,
+                                                      control_cache_threshold)
             program = jax.jit(program)
             self._program_cache[key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
@@ -184,9 +210,14 @@ class UniGenSanaPipeline:
             latents = jax.random.normal(
                 jax.random.PRNGKey(seed),
                 (b, self.cfg.sana.in_channels, lh, lw), self.dtype)
-        pixels = program(self.params, latents,
-                         jnp.asarray(control_pixels, self.dtype),
-                         prompt_embeds, prompt_mask, pooled, cond_pooled)
+        out = program(self.params, latents,
+                      jnp.asarray(control_pixels, self.dtype),
+                      prompt_embeds, prompt_mask, pooled, cond_pooled)
+        if control_cache_threshold > 0.0:
+            pixels, n_refresh = out
+            self.last_cache_refreshes = int(n_refresh)
+        else:
+            pixels = out
         imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
 

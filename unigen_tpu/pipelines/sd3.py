@@ -20,7 +20,7 @@ import numpy as np
 from unigen_tpu.config import UniGenConfig
 from unigen_tpu.models import vae as vae_lib
 from unigen_tpu.models.unigen_sd3 import unigen_sd3_forward
-from unigen_tpu.pipelines import scheduling
+from unigen_tpu.pipelines import caching, scheduling
 
 
 @dataclass
@@ -78,10 +78,11 @@ class UniGenSD3Pipeline:
                  conditioning_scale: float = 1.0,
                  control_guidance_start: float = 0.0,
                  control_guidance_end: float = 1.0,
-                 max_sequence_length: int = 256, seed: int = 0):
+                 max_sequence_length: int = 256, seed: int = 0, **kw):
         """Single-condition SD3 call (reference UniGenPipeline.py:29-450):
         CFG via negative/positive duplication; control_image [B,3,H,W] in
-        [-1,1]."""
+        [-1,1]. Extra kwargs (control_cache_interval/-threshold, latents)
+        forward to generate()."""
         embeds, pooled = self.encode_prompt(prompt, max_sequence_length)
         cond_pooled = self.encode_condition_prompt(condition_prompt)
         neg_embeds = neg_pooled = None
@@ -97,11 +98,11 @@ class UniGenSD3Pipeline:
             guidance_scale=guidance_scale,
             conditioning_scale=conditioning_scale,
             control_guidance_start=control_guidance_start,
-            control_guidance_end=control_guidance_end, seed=seed)
+            control_guidance_end=control_guidance_end, seed=seed, **kw)
 
     def _program(self, num_steps: int, height: int, width: int,
                  guidance_scale: float, schedule: jnp.ndarray,
-                 cache_interval: int = 1):
+                 cache_interval: int = 1, cache_threshold: float = 0.0):
         cfg = self.cfg
         vs = self.vae_cfg.downscale
         lh, lw = height // vs, width // vs
@@ -133,7 +134,8 @@ class UniGenSD3Pipeline:
                     pred = neg + guidance_scale * (pos - neg)
                 return pred, outs
 
-            if cache_interval <= 1:
+            adaptive = cache_threshold > 0.0
+            if cache_interval <= 1 and not adaptive:
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sigmas[i],
@@ -152,7 +154,13 @@ class UniGenSD3Pipeline:
                                  self.dtype)
 
                 def step(carry, i):
-                    lat, res = carry
+                    if adaptive:
+                        lat, res, lat_ref, n_ref = carry
+                        refresh = caching.refresh_decision(i, lat, lat_ref,
+                                                           cache_threshold)
+                    else:
+                        lat, res = carry
+                        refresh = (i % cache_interval) == 0
 
                     def full():
                         pred, outs = fwd(lat, i,
@@ -163,15 +171,28 @@ class UniGenSD3Pipeline:
                         pred, _ = fwd(lat, i, control_residuals=res)
                         return pred, res
 
-                    pred, res = jax.lax.cond(i % cache_interval == 0, full,
-                                             replay)
-                    return (scheduling.euler_step(lat, pred, sigmas[i],
-                                                  sigmas[i + 1]), res), None
+                    pred, res = jax.lax.cond(refresh, full, replay)
+                    lat_next = scheduling.euler_step(lat, pred, sigmas[i],
+                                                     sigmas[i + 1])
+                    if adaptive:
+                        lat_ref = jnp.where(refresh, lat, lat_ref)
+                        n_ref = n_ref + refresh.astype(jnp.int32)
+                        return (lat_next, res, lat_ref, n_ref), None
+                    return (lat_next, res), None
 
-                (latents, _), _ = jax.lax.scan(step, (latents, zero),
-                                               jnp.arange(num_steps))
-            return vae_lib.vae_decode(vae_params, self.vae_cfg,
-                                      latents.astype(jnp.float32))
+                if adaptive:
+                    (latents, _, _, n_refresh), _ = jax.lax.scan(
+                        step, (latents, zero, latents,
+                               jnp.zeros((), jnp.int32)),
+                        jnp.arange(num_steps))
+                else:
+                    (latents, _), _ = jax.lax.scan(step, (latents, zero),
+                                                   jnp.arange(num_steps))
+            pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
+                                        latents.astype(jnp.float32))
+            if cache_threshold > 0.0:
+                return pixels, n_refresh
+            return pixels
 
         return program, (lh, lw)
 
@@ -182,10 +203,13 @@ class UniGenSD3Pipeline:
                  control_guidance_start: float = 0.0,
                  control_guidance_end: float = 1.0, seed: int = 0,
                  latents: Optional[jnp.ndarray] = None,
-                 control_cache_interval: int = 1) -> np.ndarray:
+                 control_cache_interval: int = 1,
+                 control_cache_threshold: float = 0.0) -> np.ndarray:
         """control_cache_interval > 1 enables control-residual step caching
         (recompute the control branch every k-th denoise step) — a
-        serving-only approximation; measure fidelity before production use."""
+        serving-only approximation; measure fidelity before production use.
+        control_cache_threshold > 0 switches to the adaptive drift rule
+        (pipelines/caching.py); refresh count → self.last_cache_refreshes."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
@@ -193,13 +217,15 @@ class UniGenSD3Pipeline:
             for i in range(steps)], np.float32)
         schedule = jnp.asarray(conditioning_scale * keep)
         cache_key = (steps, height, width, round(guidance_scale, 4),
-                     tuple(conditioning_scale * keep), control_cache_interval)
+                     tuple(conditioning_scale * keep), control_cache_interval,
+                     float(control_cache_threshold))
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._program(steps, height, width,
                                               guidance_scale, schedule,
-                                              control_cache_interval)
+                                              control_cache_interval,
+                                              control_cache_threshold)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
@@ -210,8 +236,13 @@ class UniGenSD3Pipeline:
         if neg_embeds is None:
             neg_embeds = jnp.zeros_like(prompt_embeds)
             neg_pooled = jnp.zeros_like(pooled)
-        pixels = program(self.params, self.vae_params, latents,
-                         control_pixels, prompt_embeds, pooled,
-                         cond_pooled, neg_embeds, neg_pooled)
+        out = program(self.params, self.vae_params, latents,
+                      control_pixels, prompt_embeds, pooled,
+                      cond_pooled, neg_embeds, neg_pooled)
+        if control_cache_threshold > 0.0:
+            pixels, n_refresh = out
+            self.last_cache_refreshes = int(n_refresh)
+        else:
+            pixels = out
         imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
