@@ -1032,10 +1032,13 @@ def bench_cache():
     condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
     latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
 
-    def make_denoise(interval: int, threshold: float = 0.0):
-        adaptive = threshold > 0.0
+    def make_denoise(interval: int, adaptive: bool = False):
+        # adaptive: the threshold rides as a traced scalar argument — ONE
+        # compiled program serves the whole threshold sweep (each baked-in
+        # threshold would otherwise be a fresh 5-8 min remote compile)
 
-        def denoise(params, latents, condition, prompt, pooled, cond_pooled):
+        def denoise(params, latents, condition, prompt, pooled, cond_pooled,
+                    threshold=None):
             from unigen_tpu.pipelines import caching
             sig = jnp.asarray(sigmas)
             ids_i = jnp.asarray(img_ids)
@@ -1119,10 +1122,19 @@ def bench_cache():
         return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
                 * 127.5).round().astype(np.uint8)
 
+    _adaptive_jfn = []  # one compiled program reused across the sweep
+
     def run(interval: int, threshold: float = 0.0):
-        jfn = jax.jit(make_denoise(interval, threshold))
-        fn = lambda: jfn(params, latents0, condition, prompt, pooled,
-                         cond_pooled)
+        if threshold > 0:
+            if not _adaptive_jfn:
+                _adaptive_jfn.append(jax.jit(make_denoise(1, adaptive=True)))
+            jfn = _adaptive_jfn[0]
+            fn = lambda: jfn(params, latents0, condition, prompt, pooled,
+                             cond_pooled, jnp.float32(threshold))
+        else:
+            jfn = jax.jit(make_denoise(interval))
+            fn = lambda: jfn(params, latents0, condition, prompt, pooled,
+                             cond_pooled)
         t0 = time.time()
         out, n_ref = fn()
         _ = sync(out)

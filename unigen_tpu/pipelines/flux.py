@@ -137,7 +137,10 @@ class UniGenFluxPipeline:
                          true_cfg_scale: float, guidance_scale: float,
                          scale_schedule: jnp.ndarray, multi: bool,
                          cache_interval: int = 1,
-                         cache_threshold: float = 0.0):
+                         adaptive: bool = False):
+        # adaptive=True: the program takes a trailing cache_threshold scalar
+        # (traced, NOT baked in) — one compiled program serves every
+        # threshold, so the knob is tunable at serving time for free.
         cfg = self.cfg
         bb = cfg.flux
         vs = self.vae_cfg.downscale
@@ -148,7 +151,8 @@ class UniGenFluxPipeline:
         do_cfg = true_cfg_scale > 1.0
 
         def program(params, vae_params, latents, control_pixels, prompt_embeds,
-                    pooled, cond_pooled, neg_embeds, neg_pooled, cond_id_offsets):
+                    pooled, cond_pooled, neg_embeds, neg_pooled,
+                    cond_id_offsets, cache_threshold=None):
             # VAE-encode control image(s): [B,3,H,W] or [K,B,3,H,W]
             enc = partial(vae_lib.vae_encode, vae_params, self.vae_cfg)
             if multi:
@@ -176,7 +180,6 @@ class UniGenFluxPipeline:
                     conditioning_scale=scale_schedule[i], **kw)
                 return pred, outs
 
-            adaptive = cache_threshold > 0.0
             if cache_interval <= 1 and not adaptive:
                 def step(lat, i):
                     pred, _ = fwd(lat, i, prompt_embeds, pooled)
@@ -256,7 +259,7 @@ class UniGenFluxPipeline:
             pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
                                         unpack_latents(latents.astype(jnp.float32),
                                                        lh, lw))
-            if cache_threshold > 0.0:
+            if adaptive:
                 return pixels, n_refresh
             return pixels
 
@@ -294,17 +297,17 @@ class UniGenFluxPipeline:
 
         # one compiled program per call shape (jit caches by fn identity, so
         # the closure must be cached too or every call would recompile)
+        adaptive = control_cache_threshold > 0.0
         cache_key = (steps, height, width, true_cfg_scale > 1.0,
                      round(guidance_scale, 4), tuple(np.asarray(schedule)),
-                     multi, control_cache_interval,
-                     float(control_cache_threshold))
+                     multi, control_cache_interval, adaptive)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._denoise_program(
                 steps, height, width, true_cfg_scale, guidance_scale, schedule,
                 multi, cache_interval=control_cache_interval,
-                cache_threshold=control_cache_threshold)
+                adaptive=adaptive)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
 
@@ -332,14 +335,18 @@ class UniGenFluxPipeline:
                     else subject_offset)
             offsets = jnp.asarray(lw / 2.0 if flag else 0.0)
 
-        out = program(self.params, self.vae_params, latents,
-                      control_pixels, prompt_embeds, pooled,
-                      cond_pooled, neg_embeds, neg_pooled, offsets)
-        if control_cache_threshold > 0.0:
-            pixels, n_refresh = out
+        if adaptive:
+            # threshold rides as a traced scalar: ONE compiled program serves
+            # every threshold value (tunable at serving time, no recompile)
+            pixels, n_refresh = program(
+                self.params, self.vae_params, latents, control_pixels,
+                prompt_embeds, pooled, cond_pooled, neg_embeds, neg_pooled,
+                offsets, jnp.float32(control_cache_threshold))
             self.last_cache_refreshes = int(n_refresh)
         else:
-            pixels = out
+            pixels = program(self.params, self.vae_params, latents,
+                             control_pixels, prompt_embeds, pooled,
+                             cond_pooled, neg_embeds, neg_pooled, offsets)
         imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
 

@@ -89,7 +89,9 @@ class UniGenSanaPipeline:
 
     def _denoise_program(self, num_steps: int, height: int, width: int,
                          scale_schedule, cache_interval: int = 1,
-                         cache_threshold: float = 0.0):
+                         adaptive: bool = False):
+        # adaptive=True: the program takes a trailing cache_threshold scalar
+        # (traced, not baked in) — one compiled program serves any threshold
         cfg = self.cfg
         lh, lw = height // self.ae_downscale, width // self.ae_downscale
         sigmas, timesteps = scheduling.inference_sigmas(
@@ -98,7 +100,7 @@ class UniGenSanaPipeline:
         timesteps = np.asarray(timesteps)
 
         def program(params, latents, control_pixels, prompt_embeds,
-                    prompt_mask, pooled, cond_pooled):
+                    prompt_mask, pooled, cond_pooled, cache_threshold=None):
             control_lat = self.ae_encode(control_pixels).astype(self.dtype)
             b = latents.shape[0]
             sig = jnp.asarray(sigmas)
@@ -115,7 +117,6 @@ class UniGenSanaPipeline:
                     conditioning_scale=sched[i], **kw)
                 return pred, outs
 
-            adaptive = cache_threshold > 0.0
             if cache_interval <= 1 and not adaptive:
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
@@ -168,7 +169,7 @@ class UniGenSanaPipeline:
                     (latents, _), _ = jax.lax.scan(step, (latents, zero),
                                                    jnp.arange(num_steps))
             pixels = self.ae_decode(latents.astype(jnp.float32))
-            if cache_threshold > 0.0:
+            if adaptive:
                 return pixels, n_refresh
             return pixels
 
@@ -194,15 +195,16 @@ class UniGenSanaPipeline:
                         or ((i + 1) / steps > control_guidance_end))
             for i in range(steps)], np.float32)
         schedule = tuple(conditioning_scale * keep)
+        adaptive = control_cache_threshold > 0.0
         key = (steps, height, width, schedule, control_cache_interval,
-               float(control_cache_threshold))
+               adaptive)
         if key in self._program_cache:
             program, (lh, lw) = self._program_cache[key]
         else:
             program, (lh, lw) = self._denoise_program(steps, height, width,
                                                       np.asarray(schedule),
                                                       control_cache_interval,
-                                                      control_cache_threshold)
+                                                      adaptive)
             program = jax.jit(program)
             self._program_cache[key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
@@ -210,14 +212,16 @@ class UniGenSanaPipeline:
             latents = jax.random.normal(
                 jax.random.PRNGKey(seed),
                 (b, self.cfg.sana.in_channels, lh, lw), self.dtype)
-        out = program(self.params, latents,
-                      jnp.asarray(control_pixels, self.dtype),
-                      prompt_embeds, prompt_mask, pooled, cond_pooled)
-        if control_cache_threshold > 0.0:
-            pixels, n_refresh = out
+        if adaptive:
+            pixels, n_refresh = program(
+                self.params, latents, jnp.asarray(control_pixels, self.dtype),
+                prompt_embeds, prompt_mask, pooled, cond_pooled,
+                jnp.float32(control_cache_threshold))
             self.last_cache_refreshes = int(n_refresh)
         else:
-            pixels = out
+            pixels = program(self.params, latents,
+                             jnp.asarray(control_pixels, self.dtype),
+                             prompt_embeds, prompt_mask, pooled, cond_pooled)
         imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
 

@@ -102,7 +102,9 @@ class UniGenSD3Pipeline:
 
     def _program(self, num_steps: int, height: int, width: int,
                  guidance_scale: float, schedule: jnp.ndarray,
-                 cache_interval: int = 1, cache_threshold: float = 0.0):
+                 cache_interval: int = 1, adaptive: bool = False):
+        # adaptive=True: the program takes a trailing cache_threshold scalar
+        # (traced, not baked in) — one compiled program serves any threshold
         cfg = self.cfg
         vs = self.vae_cfg.downscale
         lh, lw = height // vs, width // vs
@@ -110,7 +112,8 @@ class UniGenSD3Pipeline:
         do_cfg = guidance_scale > 1.0
 
         def program(params, vae_params, latents, control_pixels, prompt_embeds,
-                    pooled, cond_pooled, neg_embeds, neg_pooled):
+                    pooled, cond_pooled, neg_embeds, neg_pooled,
+                    cache_threshold=None):
             control_lat = vae_lib.vae_encode(vae_params, self.vae_cfg,
                                              control_pixels).astype(self.dtype)
             if do_cfg:
@@ -134,7 +137,6 @@ class UniGenSD3Pipeline:
                     pred = neg + guidance_scale * (pos - neg)
                 return pred, outs
 
-            adaptive = cache_threshold > 0.0
             if cache_interval <= 1 and not adaptive:
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
@@ -190,7 +192,7 @@ class UniGenSD3Pipeline:
                                                    jnp.arange(num_steps))
             pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
                                         latents.astype(jnp.float32))
-            if cache_threshold > 0.0:
+            if adaptive:
                 return pixels, n_refresh
             return pixels
 
@@ -216,16 +218,17 @@ class UniGenSD3Pipeline:
                         or ((i + 1) / steps > control_guidance_end))
             for i in range(steps)], np.float32)
         schedule = jnp.asarray(conditioning_scale * keep)
+        adaptive = control_cache_threshold > 0.0
         cache_key = (steps, height, width, round(guidance_scale, 4),
                      tuple(conditioning_scale * keep), control_cache_interval,
-                     float(control_cache_threshold))
+                     adaptive)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._program(steps, height, width,
                                               guidance_scale, schedule,
                                               control_cache_interval,
-                                              control_cache_threshold)
+                                              adaptive)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
@@ -236,13 +239,15 @@ class UniGenSD3Pipeline:
         if neg_embeds is None:
             neg_embeds = jnp.zeros_like(prompt_embeds)
             neg_pooled = jnp.zeros_like(pooled)
-        out = program(self.params, self.vae_params, latents,
-                      control_pixels, prompt_embeds, pooled,
-                      cond_pooled, neg_embeds, neg_pooled)
-        if control_cache_threshold > 0.0:
-            pixels, n_refresh = out
+        if adaptive:
+            pixels, n_refresh = program(
+                self.params, self.vae_params, latents, control_pixels,
+                prompt_embeds, pooled, cond_pooled, neg_embeds, neg_pooled,
+                jnp.float32(control_cache_threshold))
             self.last_cache_refreshes = int(n_refresh)
         else:
-            pixels = out
+            pixels = program(self.params, self.vae_params, latents,
+                             control_pixels, prompt_embeds, pooled,
+                             cond_pooled, neg_embeds, neg_pooled)
         imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
