@@ -131,6 +131,12 @@ def bench_sd3():
                    os.environ.get("UNIGEN_BENCH_BATCHES", "1,2,4").split(",")]
     quant = os.environ.get("UNIGEN_BENCH_QUANT", "bf16")
     cache_k = int(os.environ.get("UNIGEN_BENCH_CACHE_INTERVAL", "1"))
+    # UNIGEN_BENCH_CFG_CACHE=1 (+ cache interval >1): replay steps run only
+    # the positive stream at half batch and reuse the cached guidance delta
+    # (pipelines/sd3.py cfg_cache) — the uncond stream refreshes on the same
+    # schedule as the control cache
+    cfg_cache = (os.environ.get("UNIGEN_BENCH_CFG_CACHE", "0") == "1"
+                 and cache_k > 1)
 
     cfg = presets.sd35_medium()
     bb = cfg.sd3
@@ -186,11 +192,20 @@ def bench_sd3():
                     condition_pooled=cond_pooled, timestep=t,
                     attn_impl="auto", **kw)
                 uncond, text = pred[:b], pred[b:]
-                return uncond + guidance * (text - uncond), outs
+                return uncond + guidance * (text - uncond), outs, text - uncond
+
+            def fwd_pos(lat, i, res_pos):
+                t = jnp.full((b,), sig[i] * 1000.0, dtype)
+                pred, _, _ = unigen_sd3_forward(
+                    params, cfg, hidden=lat, condition=condition,
+                    encoder=prompt[b:], pooled=pooled[b:],
+                    condition_pooled=cond_pooled[b:], timestep=t,
+                    attn_impl="auto", control_residuals=res_pos)
+                return pred
 
             if cache_k <= 1:
                 def step(lat, i):
-                    pred, _ = fwd(lat, i)
+                    pred, _, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sig[i],
                                                  sig[i + 1]), None
 
@@ -198,27 +213,35 @@ def bench_sd3():
                 return latents
 
             # opt-in control-residual step caching (one cache; the CFG
-            # duplication rides in the batch axis)
+            # duplication rides in the batch axis); with cfg_cache the
+            # replay step also skips the uncond stream
             zero = jnp.zeros((bb.num_layers, 2 * b, s_img, bb.inner_dim),
                              dtype)
 
             def step(carry, i):
-                lat, res = carry
+                lat, res, delta = carry
 
                 def full():
-                    pred, outs = fwd(lat, i, return_control_residuals=True)
-                    return pred, outs["control_residuals"]
+                    pred, outs, d = fwd(lat, i, return_control_residuals=True)
+                    return pred, outs["control_residuals"], d
 
-                def replay():
-                    pred, _ = fwd(lat, i, control_residuals=res)
-                    return pred, res
+                if cfg_cache:
+                    def replay():
+                        pos = fwd_pos(lat, i, res[:, b:])
+                        return pos + (guidance - 1.0) * delta, res, delta
+                else:
+                    def replay():
+                        pred, _, d = fwd(lat, i, control_residuals=res)
+                        return pred, res, delta
 
-                pred, res = jax.lax.cond(i % cache_k == 0, full, replay)
+                pred, res_n, delta_n = jax.lax.cond(i % cache_k == 0, full,
+                                                    replay)
                 return (scheduling.euler_step(lat, pred, sig[i], sig[i + 1]),
-                        res), None
+                        res_n, delta_n), None
 
-            (latents, _), _ = jax.lax.scan(step, (latents, zero),
-                                           jnp.arange(num_steps))
+            delta0 = jnp.zeros_like(latents)
+            (latents, _, _), _ = jax.lax.scan(step, (latents, zero, delta0),
+                                              jnp.arange(num_steps))
             return latents
 
         jfn = jax.jit(denoise)
@@ -259,7 +282,8 @@ def bench_sd3():
         "value": round(results[best_b], 4), "unit": "images/sec/chip",
         "vs_baseline": round(results[best_b] / est_ref, 3),
         "config": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_{quant}_cfg"
-                  + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")}))
+                  + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")
+                  + ("_cfgcache" if cfg_cache else "")}))
     print(f"# best_batch={best_b} est_ref_a100={est_ref:.3f}img/s",
           file=sys.stderr)
 

@@ -156,9 +156,12 @@ def main_sd3(args):
                             vae_lib.init_vae_params(jax.random.PRNGKey(2),
                                                     vae_cfg))
 
-    def make_jdd(interval: int, threshold: float = 0.0):
+    def make_jdd(interval: int, threshold: float = 0.0,
+                 cfg_cache: bool = False):
         """interval>1 or threshold>0: control-residual step caching on this
-        path (the bf16 reference path always runs exact)."""
+        path (the bf16 reference path always runs exact). cfg_cache: replay
+        steps also skip the uncond stream (half-batch pos forward + cached
+        guidance delta, pipelines/sd3.py cfg_cache)."""
         from unigen_tpu.pipelines import caching
         adaptive = threshold > 0.0
 
@@ -176,11 +179,21 @@ def main_sd3(args):
                     timestep=jnp.full((2 * b,), sig[i] * 1000.0, dtype),
                     attn_impl="auto", **kw)
                 uncond, text = pred[:b], pred[b:]
-                return uncond + 7.0 * (text - uncond), outs
+                return (uncond + 7.0 * (text - uncond), outs,
+                        text - uncond)
+
+            def f_pos(lat_x, i, res_pos):
+                pred, _, _ = unigen_sd3_forward(
+                    p, cfg, hidden=lat_x, condition=inp["condition"],
+                    encoder=inp["encoder"][b:], pooled=inp["pooled"][b:],
+                    condition_pooled=inp["condition_pooled"][b:],
+                    timestep=jnp.full((b,), sig[i] * 1000.0, dtype),
+                    attn_impl="auto", control_residuals=res_pos)
+                return pred
 
             if interval <= 1 and not adaptive:
                 def step(lat_x, i):
-                    pred, _ = f(lat_x, i)
+                    pred, _, _ = f(lat_x, i)
                     return scheduling.euler_step(lat_x, pred, sig[i],
                                                  sig[i + 1]), None
 
@@ -193,45 +206,54 @@ def main_sd3(args):
 
                 def step(carry, i):
                     if adaptive:
-                        lat_x, res, lat_ref, n_ref = carry
+                        lat_x, res, delta, lat_ref, n_ref = carry
                         refresh = caching.refresh_decision(i, lat_x, lat_ref,
                                                            threshold)
                     else:
-                        lat_x, res = carry
+                        lat_x, res, delta = carry
                         refresh = (i % interval) == 0
 
                     def full():
-                        pred, outs = f(lat_x, i,
-                                       return_control_residuals=True)
-                        return pred, outs["control_residuals"]
+                        pred, outs, d = f(lat_x, i,
+                                          return_control_residuals=True)
+                        return pred, outs["control_residuals"], d
 
-                    def replay():
-                        pred, _ = f(lat_x, i, control_residuals=res)
-                        return pred, res
+                    if cfg_cache:
+                        def replay():
+                            pos = f_pos(lat_x, i, res[:, b:])
+                            return pos + 6.0 * delta, res, delta
+                    else:
+                        def replay():
+                            pred, _, _ = f(lat_x, i, control_residuals=res)
+                            return pred, res, delta
 
-                    pred, res = jax.lax.cond(refresh, full, replay)
+                    pred, res, delta = jax.lax.cond(refresh, full, replay)
                     nxt = scheduling.euler_step(lat_x, pred, sig[i],
                                                 sig[i + 1])
                     if adaptive:
-                        return (nxt, res, jnp.where(refresh, lat_x, lat_ref),
+                        return (nxt, res, delta,
+                                jnp.where(refresh, lat_x, lat_ref),
                                 n_ref + refresh.astype(jnp.int32)), None
-                    return (nxt, res), None
+                    return (nxt, res, delta), None
 
+                delta0 = jnp.zeros_like(inp["hidden"])
                 if adaptive:
-                    (lat_x, _, _, _), _ = jax.lax.scan(
-                        step, (inp["hidden"], zero, inp["hidden"],
+                    (lat_x, _, _, _, _), _ = jax.lax.scan(
+                        step, (inp["hidden"], zero, delta0, inp["hidden"],
                                jnp.zeros((), jnp.int32)),
                         jnp.arange(num_steps))
                 else:
-                    (lat_x, _), _ = jax.lax.scan(step, (inp["hidden"], zero),
-                                                 jnp.arange(num_steps))
+                    (lat_x, _, _), _ = jax.lax.scan(
+                        step, (inp["hidden"], zero, delta0),
+                        jnp.arange(num_steps))
             px = vae_lib.vae_decode(vae_params, vae_cfg,
                                     lat_x.astype(jnp.float32))
             return jnp.clip(px, -1, 1)
         return jax.jit(jdd)
 
     jdd = make_jdd(1)
-    jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold)
+    jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold,
+                           getattr(args, "cfg_cache", False))
                   if args.cache_interval > 1 or args.cache_threshold > 0
                   else jdd)
 
@@ -260,6 +282,8 @@ def main_sd3(args):
         out["cache_interval"] = args.cache_interval
     if args.cache_threshold > 0:
         out["cache_threshold"] = args.cache_threshold
+    if getattr(args, "cfg_cache", False):
+        out["cfg_cache"] = True
     for name in ("w8a8", "w4a8"):
         rel, cos = _fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}
@@ -521,6 +545,10 @@ def main(argv=None):
                         "— refresh when the latent drifts more than this "
                         "relative L1 since the last refresh "
                         "(pipelines/caching.py; overrides --cache-interval)")
+    p.add_argument("--cfg-cache", action="store_true", dest="cfg_cache",
+                   help="sd3 family: replay steps also skip the uncond "
+                        "stream (half-batch pos forward + cached guidance "
+                        "delta); requires --cache-interval/-threshold")
     p.add_argument("--routing", default=None,
                    choices=["per_sample", "global"],
                    help="override MoE batch_mode: 'global' measures fidelity "

@@ -562,3 +562,157 @@ def test_sana_adaptive_huge_threshold_equals_refresh_once(tiny_sana):
     adaptive = pipe.generate(**kw, control_cache_threshold=1e9)
     np.testing.assert_array_equal(fixed, adaptive)
     assert pipe.last_cache_refreshes == 1
+
+
+# ---------------------------------------------------------------- cfg cache
+
+
+def _sd3_pipe_kw(tiny_sd3, guidance=3.0, steps=3):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
+    cfg, params = tiny_sd3
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=cfg.sd3.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenSD3Pipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                             vae_params=vae_params, dtype=jnp.float32)
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    lh, lw = h // vae_cfg.downscale, w // vae_cfg.downscale
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0],
+                                        (b, 6, cfg.sd3.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, cfg.sd3.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2],
+                                      (b, cfg.sd3.pooled_projection_dim)),
+        neg_embeds=jax.random.normal(ks[3],
+                                     (b, 6, cfg.sd3.joint_attention_dim)),
+        neg_pooled=jax.random.normal(ks[4],
+                                     (b, cfg.sd3.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[5], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps,
+        guidance_scale=guidance, seed=0,
+        latents=jax.random.normal(jax.random.PRNGKey(9),
+                                  (b, cfg.sd3.in_channels, lh, lw),
+                                  jnp.float32))
+    return pipe, kw
+
+
+def test_sd3_cfg_cache_requires_caching_mode(tiny_sd3):
+    pipe, kw = _sd3_pipe_kw(tiny_sd3)
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, cfg_cache=True)
+
+
+def test_sd3_cfg_cache_refresh_every_step_equals_exact(tiny_sd3):
+    """threshold ~0 -> every step refreshes -> the cfg_cache replay branch
+    never fires and the full branch must reproduce the exact program."""
+    pipe, kw = _sd3_pipe_kw(tiny_sd3)
+    exact = pipe.generate(**kw, control_cache_interval=1)
+    cached = pipe.generate(**kw, control_cache_threshold=1e-9,
+                           cfg_cache=True)
+    np.testing.assert_array_equal(exact, cached)
+    assert pipe.last_cache_refreshes == kw["num_inference_steps"]
+
+
+def test_sd3_cfg_cache_active_and_close(tiny_sd3):
+    """cfg_cache replay (half-batch pos stream + cached guidance delta) must
+    actually change the output vs the control-cache-only run, while staying
+    an approximation of the same image."""
+    pipe, kw = _sd3_pipe_kw(tiny_sd3)
+    steps = kw["num_inference_steps"]
+    ctrl_only = pipe.generate(**kw, control_cache_interval=steps)
+    both = pipe.generate(**kw, control_cache_interval=steps, cfg_cache=True)
+    exact = pipe.generate(**kw, control_cache_interval=1)
+    d_active = np.abs(both.astype(int) - ctrl_only.astype(int))
+    assert d_active.max() > 0           # the uncond skip is live
+    d_exact = np.abs(both.astype(int) - exact.astype(int))
+    assert d_exact.mean() < 30          # still the same image
+
+
+def test_sd3_cfg_cache_matches_manual_composition(tiny_sd3):
+    """interval=steps + cfg_cache: hand-rolled euler loop — step 0 full 2B
+    CFG forward (caches control residuals + guidance delta), later steps
+    pos-only half-batch forward with the pos rows of the control cache and
+    the cached delta."""
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_sd3 import unigen_sd3_forward
+    from unigen_tpu.pipelines import scheduling
+    pipe, kw = _sd3_pipe_kw(tiny_sd3)
+    cfg = pipe.cfg
+    steps = kw["num_inference_steps"]
+    g = kw["guidance_scale"]
+    b = 1
+
+    got = pipe.generate(**kw, control_cache_interval=steps, cfg_cache=True)
+
+    sigmas, timesteps = scheduling.inference_sigmas(pipe.scheduler, steps)
+    control_lat = vae_lib.vae_encode(pipe.vae_params, pipe.vae_cfg,
+                                     kw["control_pixels"])
+    embeds2 = jnp.concatenate([kw["neg_embeds"], kw["prompt_embeds"]], 0)
+    pool2 = jnp.concatenate([kw["neg_pooled"], kw["pooled"]], 0)
+    cpool2 = jnp.concatenate([kw["cond_pooled"], kw["cond_pooled"]], 0)
+    ctrl2 = jnp.concatenate([control_lat, control_lat], 0)
+    lat = kw["latents"]
+    res = delta = None
+    for i in range(steps):
+        if i == 0:
+            lat_in = jnp.concatenate([lat, lat], 0)
+            pred2, _, outs = unigen_sd3_forward(
+                pipe.params, cfg, hidden=lat_in, condition=ctrl2,
+                encoder=embeds2, pooled=pool2, condition_pooled=cpool2,
+                timestep=jnp.full((2 * b,), timesteps[i], jnp.float32),
+                conditioning_scale=1.0, return_control_residuals=True)
+            res = outs["control_residuals"]
+            neg, pos = jnp.split(pred2, 2, axis=0)
+            delta = pos - neg
+            pred = neg + g * delta
+        else:
+            pos, _, _ = unigen_sd3_forward(
+                pipe.params, cfg, hidden=lat, condition=control_lat,
+                encoder=kw["prompt_embeds"], pooled=kw["pooled"],
+                condition_pooled=kw["cond_pooled"],
+                timestep=jnp.full((b,), timesteps[i], jnp.float32),
+                conditioning_scale=1.0, control_residuals=res[:, b:])
+            pred = pos + (g - 1.0) * delta
+        lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+    px = vae_lib.vae_decode(pipe.vae_params, pipe.vae_cfg,
+                            lat.astype(jnp.float32))
+    want = ((np.asarray(jnp.clip(px, -1, 1)).transpose(0, 2, 3, 1) + 1)
+            * 127.5).round().astype(np.uint8)
+    # eager oracle vs one-jit scan: fusion-order f32 noise is amplified by
+    # the guidance combine (pred = pos + (g-1)·delta), so a few u8 counts of
+    # slack are expected; a WRONG delta / cache slice diverges by 30+
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 8 and d.mean() < 0.5, (d.max(), d.mean())
+
+
+def test_flux_cfg_cache_refresh_every_step_equals_exact():
+    """Tight threshold -> every step refreshes -> the true-CFG cfg_cache
+    program must reproduce the exact program."""
+    pipe, flux = _tiny_pipe()
+    steps = 3
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0],
+                                        (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps, true_cfg_scale=2.0,
+        seed=0)
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, cfg_cache=True)
+    exact = pipe.generate(**kw)
+    cached = pipe.generate(**kw, control_cache_threshold=1e-9,
+                           cfg_cache=True)
+    np.testing.assert_array_equal(exact, cached)
+    assert pipe.last_cache_refreshes == steps
+    # loose threshold: the negative-stream skip must actually fire and
+    # change the output while approximating the same image
+    both = pipe.generate(**kw, control_cache_threshold=1e9, cfg_cache=True)
+    assert pipe.last_cache_refreshes == 1
+    ctrl_only = pipe.generate(**kw, control_cache_threshold=1e9)
+    d = np.abs(both.astype(int) - ctrl_only.astype(int))
+    assert d.max() > 0
+    assert np.abs(both.astype(int) - exact.astype(int)).mean() < 30

@@ -137,10 +137,13 @@ class UniGenFluxPipeline:
                          true_cfg_scale: float, guidance_scale: float,
                          scale_schedule: jnp.ndarray, multi: bool,
                          cache_interval: int = 1,
-                         adaptive: bool = False):
+                         adaptive: bool = False,
+                         cfg_cache: bool = False):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, NOT baked in) — one compiled program serves every
         # threshold, so the knob is tunable at serving time for free.
+        # cfg_cache=True (true-CFG only): replay steps skip the negative
+        # stream and reuse the cached guidance delta (see pipelines/sd3.py).
         cfg = self.cfg
         bb = cfg.flux
         vs = self.vae_cfg.downscale
@@ -211,32 +214,61 @@ class UniGenFluxPipeline:
                 if do_cfg:
                     streams.append((neg_embeds, neg_pooled))
 
+                use_cfg_cache = cfg_cache and do_cfg
+
                 def step(carry, i):
                     if adaptive:
-                        lat, caches, lat_ref, n_ref = carry
+                        lat, caches, delta, lat_ref, n_ref = carry
                         refresh = caching.refresh_decision(i, lat, lat_ref,
                                                            cache_threshold)
                     else:
-                        lat, caches = carry
+                        lat, caches, delta = carry
                         refresh = (i % cache_interval) == 0
-                    preds, new_caches = [], []
-                    for (emb, pool), res in zip(streams, caches):
-                        def full(lat=lat, emb=emb, pool=pool):
-                            pred, outs = fwd(lat, i, emb, pool,
-                                             return_control_residuals=True)
-                            return pred, outs["control_residuals"]
 
-                        def replay(lat=lat, emb=emb, pool=pool, res=res):
-                            pred, _ = fwd(lat, i, emb, pool,
-                                          control_residuals=res)
-                            return pred, res
+                    if use_cfg_cache:
+                        # one shared cond: refresh computes BOTH streams and
+                        # the guidance delta; replay runs only the positive
+                        # stream (half the compute) and reuses the delta
+                        def full():
+                            outs2 = [fwd(lat, i, emb, pool,
+                                         return_control_residuals=True)
+                                     for emb, pool in streams]
+                            preds = [p for p, _ in outs2]
+                            d_ = preds[0] - preds[1]
+                            return (preds[1] + true_cfg_scale * d_,
+                                    tuple(o["control_residuals"]
+                                          for _, o in outs2), d_)
 
-                        pred, res = jax.lax.cond(refresh, full, replay)
-                        preds.append(pred)
-                        new_caches.append(res)
-                    pred = preds[0]
-                    if do_cfg:
-                        pred = preds[1] + true_cfg_scale * (preds[0] - preds[1])
+                        def replay():
+                            # pred = neg + s·d = pos + (s-1)·d
+                            pos, _ = fwd(lat, i, *streams[0],
+                                         control_residuals=caches[0])
+                            return (pos + (true_cfg_scale - 1.0) * delta,
+                                    caches, delta)
+
+                        pred, new_caches, delta = jax.lax.cond(refresh, full,
+                                                               replay)
+                    else:
+                        preds, new_caches = [], []
+                        for (emb, pool), res in zip(streams, caches):
+                            def full(lat=lat, emb=emb, pool=pool):
+                                pred, outs = fwd(lat, i, emb, pool,
+                                                 return_control_residuals=True)
+                                return pred, outs["control_residuals"]
+
+                            def replay(lat=lat, emb=emb, pool=pool, res=res):
+                                pred, _ = fwd(lat, i, emb, pool,
+                                              control_residuals=res)
+                                return pred, res
+
+                            pred, res = jax.lax.cond(refresh, full, replay)
+                            preds.append(pred)
+                            new_caches.append(res)
+                        new_caches = tuple(new_caches)
+                        pred = preds[0]
+                        if do_cfg:
+                            pred = preds[1] + true_cfg_scale * (preds[0]
+                                                                - preds[1])
                     lat_next = scheduling.euler_step(lat, pred, sigmas[i],
                                                      sigmas[i + 1])
                     if adaptive:
@@ -244,18 +276,21 @@ class UniGenFluxPipeline:
                         # refreshed step (the state the cache was computed at)
                         lat_ref = jnp.where(refresh, lat, lat_ref)
                         n_ref = n_ref + refresh.astype(jnp.int32)
-                        return (lat_next, tuple(new_caches), lat_ref, n_ref), None
-                    return (lat_next, tuple(new_caches)), None
+                        return (lat_next, new_caches, delta, lat_ref,
+                                n_ref), None
+                    return (lat_next, new_caches, delta), None
 
                 caches0 = tuple(zero_res() for _ in streams)
+                delta0 = jnp.zeros_like(latents)
                 if adaptive:
-                    carry0 = (latents, caches0, latents,
+                    carry0 = (latents, caches0, delta0, latents,
                               jnp.zeros((), jnp.int32))
-                    (latents, _, _, n_refresh), _ = jax.lax.scan(
+                    (latents, _, _, _, n_refresh), _ = jax.lax.scan(
                         step, carry0, jnp.arange(num_steps))
                 else:
-                    (latents, _), _ = jax.lax.scan(
-                        step, (latents, caches0), jnp.arange(num_steps))
+                    (latents, _, _), _ = jax.lax.scan(
+                        step, (latents, caches0, delta0),
+                        jnp.arange(num_steps))
             pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
                                         unpack_latents(latents.astype(jnp.float32),
                                                        lh, lw))
@@ -275,7 +310,8 @@ class UniGenFluxPipeline:
                  subject_offset: Union[bool, Sequence[bool]] = False,
                  seed: int = 0, latents: Optional[jnp.ndarray] = None,
                  control_cache_interval: int = 1,
-                 control_cache_threshold: float = 0.0
+                 control_cache_threshold: float = 0.0,
+                 cfg_cache: bool = False
                  ) -> np.ndarray:
         """Single-condition generation from precomputed embeddings.
         Returns uint8 images [B, H, W, 3].
@@ -286,7 +322,10 @@ class UniGenFluxPipeline:
         approximation; measure fidelity before enabling in production.
         control_cache_threshold > 0 replaces the fixed interval with the
         adaptive drift rule (pipelines/caching.py); the refresh count taken
-        lands in ``self.last_cache_refreshes``."""
+        lands in ``self.last_cache_refreshes``.
+        cfg_cache=True (requires a caching mode + true_cfg_scale > 1):
+        replay steps also skip the negative stream, reusing the cached
+        guidance delta."""
         multi = control_pixels.ndim == 5
         steps = num_inference_steps
         keep = np.array([
@@ -298,16 +337,20 @@ class UniGenFluxPipeline:
         # one compiled program per call shape (jit caches by fn identity, so
         # the closure must be cached too or every call would recompile)
         adaptive = control_cache_threshold > 0.0
+        if cfg_cache and control_cache_interval <= 1 and not adaptive:
+            raise ValueError("cfg_cache requires control_cache_interval > 1 "
+                             "or control_cache_threshold > 0 (it rides the "
+                             "same refresh schedule)")
         cache_key = (steps, height, width, true_cfg_scale > 1.0,
                      round(guidance_scale, 4), tuple(np.asarray(schedule)),
-                     multi, control_cache_interval, adaptive)
+                     multi, control_cache_interval, adaptive, cfg_cache)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._denoise_program(
                 steps, height, width, true_cfg_scale, guidance_scale, schedule,
                 multi, cache_interval=control_cache_interval,
-                adaptive=adaptive)
+                adaptive=adaptive, cfg_cache=cfg_cache)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
 

@@ -102,9 +102,14 @@ class UniGenSD3Pipeline:
 
     def _program(self, num_steps: int, height: int, width: int,
                  guidance_scale: float, schedule: jnp.ndarray,
-                 cache_interval: int = 1, adaptive: bool = False):
+                 cache_interval: int = 1, adaptive: bool = False,
+                 cfg_cache: bool = False):
         # adaptive=True: the program takes a trailing cache_threshold scalar
-        # (traced, not baked in) — one compiled program serves any threshold
+        # (traced, not baked in) — one compiled program serves any threshold.
+        # cfg_cache=True (requires a caching mode + CFG): replay steps run
+        # ONLY the positive stream (half the batch) and reuse the cached
+        # pos-neg guidance delta — the uncond stream is recomputed on the
+        # same refresh schedule as the control cache.
         cfg = self.cfg
         vs = self.vae_cfg.downscale
         lh, lw = height // vs, width // vs
@@ -155,41 +160,87 @@ class UniGenSD3Pipeline:
                 zero = jnp.zeros((bb.num_layers, bc, s_tok, bb.inner_dim),
                                  self.dtype)
 
+                use_cfg_cache = cfg_cache and do_cfg
+                bsz = None  # bound below once latents' batch is known
+
+                def fwd_pos(lat, i, res_pos):
+                    """Positive-stream-only forward (no CFG duplication) with
+                    the pos half of the control cache replayed — the
+                    cfg_cache replay step. In global MoE routing mode the
+                    half batch may route differently from the pos half of
+                    the duplicated batch; per-sample routing (the serving
+                    default) is identical by construction."""
+                    t = jnp.full((lat.shape[0],), timesteps[i], self.dtype)
+                    pred, _, _ = unigen_sd3_forward(
+                        params, cfg, hidden=lat, condition=control_lat,
+                        encoder=prompt_embeds, pooled=pooled,
+                        condition_pooled=cond_pooled, timestep=t,
+                        conditioning_scale=schedule[i],
+                        control_residuals=res_pos)
+                    return pred
+
                 def step(carry, i):
                     if adaptive:
-                        lat, res, lat_ref, n_ref = carry
+                        lat, res, delta, lat_ref, n_ref = carry
                         refresh = caching.refresh_decision(i, lat, lat_ref,
                                                            cache_threshold)
                     else:
-                        lat, res = carry
+                        lat, res, delta = carry
                         refresh = (i % cache_interval) == 0
 
-                    def full():
-                        pred, outs = fwd(lat, i,
-                                         return_control_residuals=True)
-                        return pred, outs["control_residuals"]
+                    if use_cfg_cache:
+                        def full():
+                            lat_in = jnp.concatenate([lat, lat], axis=0)
+                            t = jnp.full((lat_in.shape[0],), timesteps[i],
+                                         self.dtype)
+                            pred2, _, outs = unigen_sd3_forward(
+                                params, cfg, hidden=lat_in, condition=ctrl,
+                                encoder=embeds, pooled=pool,
+                                condition_pooled=cpool, timestep=t,
+                                conditioning_scale=schedule[i],
+                                return_control_residuals=True)
+                            neg, pos = jnp.split(pred2, 2, axis=0)
+                            d = pos - neg
+                            return (neg + guidance_scale * d,
+                                    outs["control_residuals"], d)
 
-                    def replay():
-                        pred, _ = fwd(lat, i, control_residuals=res)
-                        return pred, res
+                        def replay():
+                            pos = fwd_pos(lat, i, res[:, bsz:])
+                            # pred = neg + g(pos-neg) = pos + (g-1)(pos-neg)
+                            return (pos + (guidance_scale - 1.0) * delta,
+                                    res, delta)
+                    else:
+                        def full():
+                            pred, outs = fwd(lat, i,
+                                             return_control_residuals=True)
+                            return pred, outs["control_residuals"], delta
 
-                    pred, res = jax.lax.cond(refresh, full, replay)
+                        def replay():
+                            pred, _ = fwd(lat, i, control_residuals=res)
+                            return pred, res, delta
+
+                    pred, res, delta = jax.lax.cond(refresh, full, replay)
                     lat_next = scheduling.euler_step(lat, pred, sigmas[i],
                                                      sigmas[i + 1])
                     if adaptive:
                         lat_ref = jnp.where(refresh, lat, lat_ref)
                         n_ref = n_ref + refresh.astype(jnp.int32)
-                        return (lat_next, res, lat_ref, n_ref), None
-                    return (lat_next, res), None
+                        return (lat_next, res, delta, lat_ref, n_ref), None
+                    return (lat_next, res, delta), None
 
+                bsz = latents.shape[0]
+                # guidance delta cache [B,...] — only updated/read when
+                # use_cfg_cache (refresh always precedes first read)
+                delta0 = jnp.zeros_like(latents)
                 if adaptive:
-                    (latents, _, _, n_refresh), _ = jax.lax.scan(
-                        step, (latents, zero, latents,
+                    (latents, _, _, _, n_refresh), _ = jax.lax.scan(
+                        step, (latents, zero, delta0, latents,
                                jnp.zeros((), jnp.int32)),
                         jnp.arange(num_steps))
                 else:
-                    (latents, _), _ = jax.lax.scan(step, (latents, zero),
-                                                   jnp.arange(num_steps))
+                    (latents, _, _), _ = jax.lax.scan(
+                        step, (latents, zero, delta0),
+                        jnp.arange(num_steps))
             pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
                                         latents.astype(jnp.float32))
             if adaptive:
@@ -206,12 +257,16 @@ class UniGenSD3Pipeline:
                  control_guidance_end: float = 1.0, seed: int = 0,
                  latents: Optional[jnp.ndarray] = None,
                  control_cache_interval: int = 1,
-                 control_cache_threshold: float = 0.0) -> np.ndarray:
+                 control_cache_threshold: float = 0.0,
+                 cfg_cache: bool = False) -> np.ndarray:
         """control_cache_interval > 1 enables control-residual step caching
         (recompute the control branch every k-th denoise step) — a
         serving-only approximation; measure fidelity before production use.
         control_cache_threshold > 0 switches to the adaptive drift rule
-        (pipelines/caching.py); refresh count → self.last_cache_refreshes."""
+        (pipelines/caching.py); refresh count → self.last_cache_refreshes.
+        cfg_cache=True (requires a caching mode + guidance_scale > 1):
+        replay steps also skip the uncond stream — the positive stream runs
+        at half batch and the cached pos-neg guidance delta is reused."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
@@ -219,16 +274,20 @@ class UniGenSD3Pipeline:
             for i in range(steps)], np.float32)
         schedule = jnp.asarray(conditioning_scale * keep)
         adaptive = control_cache_threshold > 0.0
+        if cfg_cache and control_cache_interval <= 1 and not adaptive:
+            raise ValueError("cfg_cache requires control_cache_interval > 1 "
+                             "or control_cache_threshold > 0 (it rides the "
+                             "same refresh schedule)")
         cache_key = (steps, height, width, round(guidance_scale, 4),
                      tuple(conditioning_scale * keep), control_cache_interval,
-                     adaptive)
+                     adaptive, cfg_cache)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._program(steps, height, width,
                                               guidance_scale, schedule,
                                               control_cache_interval,
-                                              adaptive)
+                                              adaptive, cfg_cache)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
