@@ -34,6 +34,10 @@ def parse_args(argv=None):
                    help="adaptive variant: refresh when the latent drifts "
                         "more than this relative L1 since the last refresh "
                         "(overrides the fixed interval)")
+    p.add_argument("--cfg_cache", action="store_true",
+                   help="with a caching mode + true_cfg_scale>1: replay "
+                        "steps skip the negative stream and reuse the "
+                        "cached guidance delta")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--max_sequence_length", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=1)
@@ -79,7 +83,7 @@ def main(argv=None):
                     conditioning_scale=args.conditioning_scale,
                     control_cache_interval=args.control_cache_interval,
                     control_cache_threshold=args.control_cache_threshold,
-                    seed=args.seed)
+                    cfg_cache=args.cfg_cache, seed=args.seed)
         Image.fromarray(imgs[0]).save(os.path.join(args.save_path, "res.png"))
         logger.info("saved %s", os.path.join(args.save_path, "res.png"))
         return

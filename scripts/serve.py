@@ -104,6 +104,11 @@ def main(argv=None):
                          "the latent drifts more than this relative L1 "
                          "since the last refresh (overrides the fixed "
                          "interval; pipelines/caching.py)")
+    ap.add_argument("--prompt-cache", type=int, default=32,
+                    help="LRU size for prompt/condition embeddings (0 "
+                         "disables; serving repeats the negative prompt and "
+                         "condition task name every request — each flux "
+                         "repeat otherwise costs a full T5-XXL forward)")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--quant", default="w4a8", choices=["w4a8", "w8a8", "bf16"])
     ap.add_argument("--demo", action="store_true",
@@ -121,6 +126,10 @@ def main(argv=None):
     pipe = load_flux_pipeline(args.ckpt, condition_types=args.condition_types,
                               adapter_dir=args.adapter, quantize=args.quant,
                               lora_dir=args.lora_dir)
+    if args.prompt_cache > 0:
+        from unigen_tpu.pipelines.caching import PromptLRU
+        pipe.prompt_cache_size = args.prompt_cache
+        pipe._prompt_cache = PromptLRU(args.prompt_cache)
     if args.lora_dir and args.condition_types:
         pipe._auto_switch(args.condition_types[0])
 

@@ -22,6 +22,9 @@ no counterpart file.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+from typing import Any, Callable, Hashable
+
 import jax.numpy as jnp
 
 
@@ -39,3 +42,38 @@ def refresh_decision(i: jnp.ndarray, lat: jnp.ndarray, lat_ref: jnp.ndarray,
     """Scalar bool: refresh at step 0 unconditionally, afterwards whenever
     the latent has drifted more than ``threshold`` since the last refresh."""
     return jnp.logical_or(i == 0, rel_change(lat, lat_ref) > threshold)
+
+
+class PromptLRU:
+    """Opt-in LRU over prompt-encoding results (``prompt_cache_size`` on the
+    pipelines). Serving workloads repeat the negative prompt and the
+    condition task name on EVERY request; the reference re-runs the full
+    text-encoder stack each time (UniGenPipeline encode_prompt — a 4.7B
+    T5-XXL forward per repeat on Flux). Values keep whatever the encoder
+    returned — device arrays stay HBM-resident, ~4 MB per 512-token T5-XXL
+    context at bf16, so capacity bounds the HBM spend.
+
+    Keys must capture everything the result depends on (prompt tuple +
+    length); encoder params are fixed for a pipeline's lifetime (LoRA
+    switching touches only the transformer), so they are not keyed.
+    """
+
+    def __init__(self, capacity: int = 0):
+        self.capacity = capacity
+        self.hits = 0
+        self.misses = 0
+        self._d: OrderedDict = OrderedDict()
+
+    def get_or(self, key: Hashable, compute: Callable[[], Any]) -> Any:
+        if self.capacity <= 0:
+            return compute()
+        if key in self._d:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return self._d[key]
+        val = compute()
+        self.misses += 1
+        self._d[key] = val
+        while len(self._d) > self.capacity:
+            self._d.popitem(last=False)
+        return val

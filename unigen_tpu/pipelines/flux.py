@@ -54,10 +54,14 @@ class UniGenFluxPipeline:
     tokenizer: Any = None                      # CLIP tokenizer (transformers)
     tokenizer_2: Any = None                    # T5 tokenizer
     dtype: Any = jnp.bfloat16
+    prompt_cache_size: int = 0      # >0: LRU prompt-embedding cache (serving
+                                    # repeats negative/condition prompts every
+                                    # request; see caching.PromptLRU)
 
     def __post_init__(self):
         self._program_cache: Dict[Any, Any] = {}
         self._lora = None               # models/lora.LoraSwitcher when loaded
+        self._prompt_cache = caching.PromptLRU(self.prompt_cache_size)
 
     # ------------------------------------------------------------ LoRA experts
 
@@ -105,18 +109,24 @@ class UniGenFluxPipeline:
         assert self.tokenizer is not None and self.clip_params is not None, \
             "text encoders not loaded; pass prompt_embeds directly"
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        clip_len = min(77, self.clip_cfg.max_position_embeddings)
-        clip_ids = self.tokenizer(prompts, padding="max_length",
-                                  max_length=clip_len,
-                                  truncation=True, return_tensors="np").input_ids
-        t5_ids = self.tokenizer_2(prompts, padding="max_length",
-                                  max_length=max_sequence_length,
-                                  truncation=True, return_tensors="np").input_ids
-        _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
-            self.clip_params, input_ids=jnp.asarray(clip_ids))
-        embeds = jax.jit(partial(t5_encode, cfg=self.t5_cfg))(
-            self.t5_params, input_ids=jnp.asarray(t5_ids))
-        return embeds.astype(self.dtype), pooled.astype(self.dtype)
+
+        def compute():
+            clip_len = min(77, self.clip_cfg.max_position_embeddings)
+            clip_ids = self.tokenizer(prompts, padding="max_length",
+                                      max_length=clip_len, truncation=True,
+                                      return_tensors="np").input_ids
+            t5_ids = self.tokenizer_2(prompts, padding="max_length",
+                                      max_length=max_sequence_length,
+                                      truncation=True,
+                                      return_tensors="np").input_ids
+            _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
+                self.clip_params, input_ids=jnp.asarray(clip_ids))
+            embeds = jax.jit(partial(t5_encode, cfg=self.t5_cfg))(
+                self.t5_params, input_ids=jnp.asarray(t5_ids))
+            return embeds.astype(self.dtype), pooled.astype(self.dtype)
+
+        return self._prompt_cache.get_or(
+            ("prompt", tuple(prompts), max_sequence_length), compute)
 
     def encode_condition_prompt(self, condition_prompt: Union[str, Sequence[str]]
                                 ) -> jnp.ndarray:
@@ -124,12 +134,18 @@ class UniGenFluxPipeline:
         reference encode_prompt, text_encoder.py:98-106)."""
         prompts = ([condition_prompt] if isinstance(condition_prompt, str)
                    else list(condition_prompt))
-        clip_len = min(77, self.clip_cfg.max_position_embeddings)
-        ids = self.tokenizer(prompts, padding="max_length", max_length=clip_len,
-                             truncation=True, return_tensors="np").input_ids
-        _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
-            self.clip_params, input_ids=jnp.asarray(ids))
-        return pooled.astype(self.dtype)
+
+        def compute():
+            clip_len = min(77, self.clip_cfg.max_position_embeddings)
+            ids = self.tokenizer(prompts, padding="max_length",
+                                 max_length=clip_len, truncation=True,
+                                 return_tensors="np").input_ids
+            _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
+                self.clip_params, input_ids=jnp.asarray(ids))
+            return pooled.astype(self.dtype)
+
+        return self._prompt_cache.get_or(
+            ("cond", tuple(prompts)), compute)
 
     # ------------------------------------------------------------ core program
 
@@ -406,7 +422,8 @@ class UniGenFluxPipeline:
                  control_guidance_end: float = 1.0,
                  max_sequence_length: int = 512, seed: int = 0,
                  control_cache_interval: int = 1,
-                 control_cache_threshold: float = 0.0) -> np.ndarray:
+                 control_cache_threshold: float = 0.0,
+                 cfg_cache: bool = False) -> np.ndarray:
         """Single-condition call (reference UniGenPipeline.py:486-807).
         control_image: float array [B,3,H,W] in [-1,1]."""
         self._auto_switch(condition_prompt)
@@ -432,7 +449,8 @@ class UniGenFluxPipeline:
             control_guidance_end=control_guidance_end,
             subject_offset=subject, seed=seed,
             control_cache_interval=control_cache_interval,
-            control_cache_threshold=control_cache_threshold)
+            control_cache_threshold=control_cache_threshold,
+            cfg_cache=cfg_cache)
 
     def multi_condition_call(self, prompt: Union[str, Sequence[str]],
                              condition_prompts: Sequence[str],

@@ -53,9 +53,12 @@ class UniGenSanaPipeline:
         default_factory=lambda: scheduling.FlowMatchConfig(
             shift=3.0, use_dynamic_shifting=False))   # SANA flow shift
     dtype: Any = jnp.float32
+    prompt_cache_size: int = 0      # >0: LRU prompt-embedding cache
+                                    # (caching.PromptLRU)
 
     def __post_init__(self):
         self._program_cache: Dict[Any, Any] = {}
+        self._prompt_cache = caching.PromptLRU(self.prompt_cache_size)
 
     # ------------------------------------------------------------ text
 
@@ -64,26 +67,35 @@ class UniGenSanaPipeline:
         """Gemma-2 last hidden states [B, S, caption_channels]."""
         assert self.tokenizer is not None and self.gemma_params is not None
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        ids = self.tokenizer(prompts, padding="max_length",
-                             max_length=max_sequence_length, truncation=True,
-                             return_tensors="np")
-        embeds = jax.jit(partial(gemma_encode, cfg=self.gemma_cfg))(
-            self.gemma_params, input_ids=jnp.asarray(ids.input_ids),
-            attention_mask=jnp.asarray(ids.attention_mask))
-        return (embeds.astype(self.dtype),
-                jnp.asarray(ids.attention_mask))
+
+        def compute():
+            ids = self.tokenizer(prompts, padding="max_length",
+                                 max_length=max_sequence_length,
+                                 truncation=True, return_tensors="np")
+            embeds = jax.jit(partial(gemma_encode, cfg=self.gemma_cfg))(
+                self.gemma_params, input_ids=jnp.asarray(ids.input_ids),
+                attention_mask=jnp.asarray(ids.attention_mask))
+            return (embeds.astype(self.dtype),
+                    jnp.asarray(ids.attention_mask))
+
+        return self._prompt_cache.get_or(
+            ("prompt", tuple(prompts), max_sequence_length), compute)
 
     def encode_pooled(self, text: Union[str, Sequence[str]]) -> jnp.ndarray:
         """CLIP-L pooled embedding (prompt or condition task name)."""
         assert self.tokenizer_clip is not None and self.clip_params is not None
         prompts = [text] if isinstance(text, str) else list(text)
-        clip_len = min(77, self.clip_cfg.max_position_embeddings)
-        ids = self.tokenizer_clip(prompts, padding="max_length",
-                                  max_length=clip_len, truncation=True,
-                                  return_tensors="np").input_ids
-        _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
-            self.clip_params, input_ids=jnp.asarray(ids))
-        return pooled.astype(self.dtype)
+
+        def compute():
+            clip_len = min(77, self.clip_cfg.max_position_embeddings)
+            ids = self.tokenizer_clip(prompts, padding="max_length",
+                                      max_length=clip_len, truncation=True,
+                                      return_tensors="np").input_ids
+            _, _, pooled = jax.jit(partial(clip_encode, cfg=self.clip_cfg))(
+                self.clip_params, input_ids=jnp.asarray(ids))
+            return pooled.astype(self.dtype)
+
+        return self._prompt_cache.get_or(("pooled", tuple(prompts)), compute)
 
     # ------------------------------------------------------------ program
 

@@ -34,9 +34,12 @@ class UniGenSD3Pipeline:
         default_factory=lambda: scheduling.FlowMatchConfig(shift=3.0))
     text_encoders: Any = None          # optional dict, see encode_prompt
     dtype: Any = jnp.float32
+    prompt_cache_size: int = 0         # >0: LRU prompt-embedding cache
+                                       # (caching.PromptLRU)
 
     def __post_init__(self):
         self._program_cache: Dict[Any, Any] = {}
+        self._prompt_cache = caching.PromptLRU(self.prompt_cache_size)
 
     # ------------------------------------------------------------ text
     # text_encoders bundle layout:
@@ -54,10 +57,16 @@ class UniGenSD3Pipeline:
         t5 = te.get("t5")
         t5_params, t5_cfg, tok_t5 = t5 if t5 else (None, None, None)
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        ctx, pooled = sd3_encode_prompt(clip_l, clip_l_cfg, clip_g, clip_g_cfg,
-                                        t5_params, t5_cfg, tok_l, tok_g,
-                                        tok_t5, prompts, max_sequence_length)
-        return ctx.astype(self.dtype), pooled.astype(self.dtype)
+
+        def compute():
+            ctx, pooled = sd3_encode_prompt(clip_l, clip_l_cfg, clip_g,
+                                            clip_g_cfg, t5_params, t5_cfg,
+                                            tok_l, tok_g, tok_t5, prompts,
+                                            max_sequence_length)
+            return ctx.astype(self.dtype), pooled.astype(self.dtype)
+
+        return self._prompt_cache.get_or(
+            ("prompt", tuple(prompts), max_sequence_length), compute)
 
     def encode_condition_prompt(self, condition_prompt):
         """Pooled embedding of the condition task name (reference
@@ -68,9 +77,13 @@ class UniGenSD3Pipeline:
         clip_g, clip_g_cfg, tok_g = self.text_encoders["clip_g"]
         prompts = ([condition_prompt] if isinstance(condition_prompt, str)
                    else list(condition_prompt))
-        pl_ = encode_pooled_only(clip_l, clip_l_cfg, tok_l, prompts)
-        pg_ = encode_pooled_only(clip_g, clip_g_cfg, tok_g, prompts)
-        return jnp.concatenate([pl_, pg_], axis=-1).astype(self.dtype)
+
+        def compute():
+            pl_ = encode_pooled_only(clip_l, clip_l_cfg, tok_l, prompts)
+            pg_ = encode_pooled_only(clip_g, clip_g_cfg, tok_g, prompts)
+            return jnp.concatenate([pl_, pg_], axis=-1).astype(self.dtype)
+
+        return self._prompt_cache.get_or(("cond", tuple(prompts)), compute)
 
     def __call__(self, prompt, condition_prompt, control_image,
                  negative_prompt=None, height: int = 512, width: int = 512,
