@@ -849,8 +849,14 @@ def bench_multi():
         latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
 
         cache_k = int(os.environ.get("UNIGEN_BENCH_CACHE_INTERVAL", "1"))
+        # UNIGEN_BENCH_CACHE_THRESHOLD: adaptive drift-refresh variant
+        # (pipelines/caching.py) — the threshold rides as a traced scalar
+        cache_thr = float(os.environ.get("UNIGEN_BENCH_CACHE_THRESHOLD", "0"))
+        adaptive = cache_thr > 0.0
 
-        def denoise(params, latents, condition, prompt, pooled, cond_pooled):
+        def denoise(params, latents, condition, prompt, pooled, cond_pooled,
+                    threshold=None):
+            from unigen_tpu.pipelines import caching
             sig = jnp.asarray(sigmas)
             ids_i = jnp.asarray(img_ids)
             ids_t = jnp.asarray(txt_ids)
@@ -867,7 +873,7 @@ def bench_multi():
                     attn_impl="auto", **kw)
                 return pred, outs
 
-            if cache_k <= 1:
+            if cache_k <= 1 and not adaptive:
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sig[i],
@@ -884,7 +890,13 @@ def bench_multi():
                               dtype))
 
             def step(carry, i):
-                lat, res = carry
+                if adaptive:
+                    lat, res, lat_ref = carry
+                    refresh = caching.refresh_decision(i, lat, lat_ref,
+                                                       threshold)
+                else:
+                    lat, res = carry
+                    refresh = (i % cache_k) == 0
 
                 def full():
                     pred, outs = fwd(lat, i, return_control_residuals=True)
@@ -894,16 +906,27 @@ def bench_multi():
                     pred, _ = fwd(lat, i, control_residuals=res)
                     return pred, res
 
-                pred, res = jax.lax.cond(i % cache_k == 0, full, replay)
-                return (scheduling.euler_step(lat, pred, sig[i], sig[i + 1]),
-                        res), None
+                pred, res = jax.lax.cond(refresh, full, replay)
+                nxt = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
+                if adaptive:
+                    return (nxt, res, jnp.where(refresh, lat, lat_ref)), None
+                return (nxt, res), None
 
-            (latents, _), _ = jax.lax.scan(step, (latents, zero),
-                                           jnp.arange(num_steps))
+            if adaptive:
+                (latents, _, _), _ = jax.lax.scan(
+                    step, (latents, zero, latents), jnp.arange(num_steps))
+            else:
+                (latents, _), _ = jax.lax.scan(step, (latents, zero),
+                                               jnp.arange(num_steps))
             return latents
 
         jfn = jax.jit(denoise)
-        fn = lambda: jfn(params, latents0, condition, prompt, pooled, cond_pooled)
+        if adaptive:
+            fn = lambda: jfn(params, latents0, condition, prompt, pooled,
+                             cond_pooled, jnp.float32(cache_thr))
+        else:
+            fn = lambda: jfn(params, latents0, condition, prompt, pooled,
+                             cond_pooled)
         t0 = time.time()
         _ = sync(fn())
         compile_s = time.time() - t0
@@ -936,20 +959,24 @@ def bench_multi():
         return
     best = max(results, key=lambda b: results[b]["ips"])
     cache_k = int(os.environ.get("UNIGEN_BENCH_CACHE_INTERVAL", "1"))
-    suffix = f"_ctrlcache{cache_k}" if cache_k > 1 else ""
+    cache_thr = float(os.environ.get("UNIGEN_BENCH_CACHE_THRESHOLD", "0"))
+    suffix = (f"_ctrlcache_thr{cache_thr}" if cache_thr > 0
+              else f"_ctrlcache{cache_k}" if cache_k > 1 else "")
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
                      f"w{bb.inner_dim}_w4a8_multi{k_cond}{suffix}",
            "res": res, "k_conditions": k_cond, "rows": results}
     # cached runs get their own artifact so the exact MULTI.json survives;
-    # MULTI_CACHE.json merges across intervals (one section per k)
+    # MULTI_CACHE.json merges across intervals/thresholds (one section each)
     here = os.path.dirname(os.path.abspath(__file__))
-    if cache_k > 1:
+    if cache_k > 1 or cache_thr > 0:
         path = os.path.join(here, "MULTI_CACHE.json")
         merged = {}
         if os.path.exists(path):
             with open(path) as f:
                 merged = json.load(f)
-        merged[f"interval_{cache_k}"] = doc
+        key = (f"threshold_{cache_thr}" if cache_thr > 0
+               else f"interval_{cache_k}")
+        merged[key] = doc
         with open(path, "w") as f:
             json.dump(merged, f, indent=1)
     else:
