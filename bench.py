@@ -137,6 +137,14 @@ def bench_sd3():
     # schedule as the control cache
     cfg_cache = (os.environ.get("UNIGEN_BENCH_CFG_CACHE", "0") == "1"
                  and cache_k > 1)
+    # UNIGEN_BENCH_MODEL_CACHE_INTERVAL>1: FULL-MODEL output caching —
+    # replay steps skip the entire transformer and reuse the cached guided
+    # prediction (pipelines model_cache_*); the biggest lever on the 28-step
+    # CFG denoise. Mutually exclusive with the control-cache knobs.
+    model_k = int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_INTERVAL", "1"))
+    if model_k > 1:
+        assert cache_k <= 1 and not cfg_cache, \
+            "model cache and control cache are mutually exclusive"
 
     cfg = presets.sd35_medium()
     bb = cfg.sd3
@@ -203,13 +211,29 @@ def bench_sd3():
                     attn_impl="auto", control_residuals=res_pos)
                 return pred
 
-            if cache_k <= 1:
+            if cache_k <= 1 and model_k <= 1:
                 def step(lat, i):
                     pred, _, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sig[i],
                                                  sig[i + 1]), None
 
                 latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+                return latents
+
+            if model_k > 1:
+                # full-model output caching: replay steps cost zero
+                # transformer compute
+                def step(carry, i):
+                    lat, pred_c = carry
+                    pred = jax.lax.cond(i % model_k == 0,
+                                        lambda: fwd(lat, i)[0],
+                                        lambda: pred_c)
+                    return (scheduling.euler_step(lat, pred, sig[i],
+                                                  sig[i + 1]), pred), None
+
+                (latents, _), _ = jax.lax.scan(
+                    step, (latents, jnp.zeros_like(latents)),
+                    jnp.arange(num_steps))
                 return latents
 
             # opt-in control-residual step caching (one cache; the CFG
@@ -283,7 +307,8 @@ def bench_sd3():
         "vs_baseline": round(results[best_b] / est_ref, 3),
         "config": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_{quant}_cfg"
                   + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")
-                  + ("_cfgcache" if cfg_cache else "")}))
+                  + ("_cfgcache" if cfg_cache else "")
+                  + (f"_modelcache{model_k}" if model_k > 1 else "")}))
     print(f"# best_batch={best_b} est_ref_a100={est_ref:.3f}img/s",
           file=sys.stderr)
 
@@ -325,6 +350,10 @@ def bench_sana():
     dtype = jnp.bfloat16
     quant = os.environ.get("UNIGEN_BENCH_QUANT", "bf16")
     cache_k = int(os.environ.get("UNIGEN_BENCH_CACHE_INTERVAL", "1"))
+    model_k = int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_INTERVAL", "1"))
+    if model_k > 1:
+        assert cache_k <= 1, \
+            "model cache and control cache are mutually exclusive"
 
     def _init(k):
         p = init_sana_unigen_params(k, cfg, dtype=dtype)
@@ -371,13 +400,29 @@ def bench_sana():
                     timestep=jnp.full((b,), tst[i], dtype), **kw)
                 return pred, outs
 
-            if cache_k <= 1:
+            if cache_k <= 1 and model_k <= 1:
                 def step(lat_x, i):
                     pred, _ = fwd(lat_x, i)
                     return scheduling.euler_step(lat_x, pred, sig[i],
                                                  sig[i + 1]), None
 
                 latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+                return latents
+
+            if model_k > 1:
+                # full-model output caching: replay steps cost zero
+                # transformer compute
+                def step(carry, i):
+                    lat_x, pred_c = carry
+                    pred = jax.lax.cond(i % model_k == 0,
+                                        lambda: fwd(lat_x, i)[0],
+                                        lambda: pred_c)
+                    return (scheduling.euler_step(lat_x, pred, sig[i],
+                                                  sig[i + 1]), pred), None
+
+                (latents, _), _ = jax.lax.scan(
+                    step, (latents, jnp.zeros_like(latents)),
+                    jnp.arange(num_steps))
                 return latents
 
             zero = jnp.zeros((bb.num_layers, b, s_img, d), dtype)
@@ -439,7 +484,8 @@ def bench_sana():
         "value": round(results[best_b], 4), "unit": "images/sec/chip",
         "vs_baseline": round(results[best_b] / est_ref, 3),
         "config": f"sana1.6b_{bb.num_layers}blk_w{d}_{quant}"
-                  + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")}))
+                  + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")
+                  + (f"_modelcache{model_k}" if model_k > 1 else "")}))
 
 
 def bench_train():
@@ -1009,7 +1055,14 @@ def bench_cache():
     refreshes when the latent drifts more than thr (relative L1) since the
     last refresh — refreshes concentrate early in the sigma schedule where
     the trajectory moves fastest; rows record the data-dependent refresh
-    count."""
+    count.
+
+    UNIGEN_BENCH_MODEL_CACHE=<k[,k2]> / UNIGEN_BENCH_MODEL_CACHE_ADAPTIVE=
+    <thr[,thr2]> measure FULL-MODEL output caching (replay steps skip the
+    entire transformer and reuse the cached prediction — the most
+    aggressive cache rung; pipelines model_cache_*). Rows land in
+    CACHE.json model_rows / model_adaptive_rows with the same
+    SSIM-vs-exact gate."""
     import jax
     import jax.numpy as jnp
 
@@ -1021,7 +1074,8 @@ def bench_cache():
     from unigen_tpu.ops.quant import quantize_unigen_serving, quantized_bytes
     from unigen_tpu.pipelines import scheduling
 
-    intervals = [int(x) for x in os.environ["UNIGEN_BENCH_CACHE"].split(",")]
+    intervals = [int(x) for x in
+                 os.environ.get("UNIGEN_BENCH_CACHE", "").split(",") if x]
     res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
     b = int(os.environ.get("UNIGEN_BENCH_CACHE_BATCH", "2"))
     preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
@@ -1083,10 +1137,13 @@ def bench_cache():
     condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
     latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
 
-    def make_denoise(interval: int, adaptive: bool = False):
+    def make_denoise(interval: int, adaptive: bool = False,
+                     model_cache: bool = False):
         # adaptive: the threshold rides as a traced scalar argument — ONE
         # compiled program serves the whole threshold sweep (each baked-in
-        # threshold would otherwise be a fresh 5-8 min remote compile)
+        # threshold would otherwise be a fresh 5-8 min remote compile).
+        # model_cache: replay steps skip the ENTIRE transformer and reuse
+        # the cached prediction (pipelines model_cache_*)
 
         def denoise(params, latents, condition, prompt, pooled, cond_pooled,
                     threshold=None):
@@ -1114,9 +1171,12 @@ def bench_cache():
                 return latents, jnp.asarray(num_steps, jnp.int32)
 
             d = bb.inner_dim
-            zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
-                    jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
-                              dtype))
+            if model_cache:
+                zero = jnp.zeros_like(latents)
+            else:
+                zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
+                        jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
+                                  dtype))
 
             def step(carry, i):
                 if adaptive:
@@ -1127,13 +1187,23 @@ def bench_cache():
                     lat, res = carry
                     refresh = (i % interval) == 0
 
-                def full():
-                    pred, outs = fwd(lat, i, return_control_residuals=True)
-                    return pred, outs["control_residuals"]
+                if model_cache:
+                    # the cache slot IS the prediction
+                    def full():
+                        pred, _ = fwd(lat, i)
+                        return pred, pred
 
-                def replay():
-                    pred, _ = fwd(lat, i, control_residuals=res)
-                    return pred, res
+                    def replay():
+                        return res, res
+                else:
+                    def full():
+                        pred, outs = fwd(lat, i,
+                                         return_control_residuals=True)
+                        return pred, outs["control_residuals"]
+
+                    def replay():
+                        pred, _ = fwd(lat, i, control_residuals=res)
+                        return pred, res
 
                 pred, res = jax.lax.cond(refresh, full, replay)
                 lat_next = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
@@ -1173,17 +1243,18 @@ def bench_cache():
         return ((np.asarray(px, np.float32).transpose(0, 2, 3, 1) + 1)
                 * 127.5).round().astype(np.uint8)
 
-    _adaptive_jfn = []  # one compiled program reused across the sweep
+    _adaptive_jfn = {}  # one compiled program per mode, reused across sweeps
 
-    def run(interval: int, threshold: float = 0.0):
+    def run(interval: int, threshold: float = 0.0, model_cache: bool = False):
         if threshold > 0:
-            if not _adaptive_jfn:
-                _adaptive_jfn.append(jax.jit(make_denoise(1, adaptive=True)))
-            jfn = _adaptive_jfn[0]
+            if model_cache not in _adaptive_jfn:
+                _adaptive_jfn[model_cache] = jax.jit(
+                    make_denoise(1, adaptive=True, model_cache=model_cache))
+            jfn = _adaptive_jfn[model_cache]
             fn = lambda: jfn(params, latents0, condition, prompt, pooled,
                              cond_pooled, jnp.float32(threshold))
         else:
-            jfn = jax.jit(make_denoise(interval))
+            jfn = jax.jit(make_denoise(interval, model_cache=model_cache))
             fn = lambda: jfn(params, latents0, condition, prompt, pooled,
                              cond_pooled)
         t0 = time.time()
@@ -1203,6 +1274,8 @@ def bench_cache():
         dt = min(times)
         tag = (f"threshold={threshold}" if threshold > 0
                else f"interval={interval}")
+        if model_cache:
+            tag = "model_" + tag
         print(f"# cache {tag} b={b} compile={compile_s:.1f}s "
               f"step={dt*1000:.1f}ms ips={b/dt:.3f} refreshes={n_refresh}",
               file=sys.stderr)
@@ -1252,6 +1325,35 @@ def bench_cache():
         adaptive_rows.append(fidelity_row(
             ips_t, img_t, {"threshold": thr, "refreshes": n_ref,
                            "num_steps": num_steps}))
+
+    # FULL-MODEL output caching rows (replay steps skip the entire
+    # transformer): UNIGEN_BENCH_MODEL_CACHE=<k[,k2]> and
+    # UNIGEN_BENCH_MODEL_CACHE_ADAPTIVE=<thr[,thr2]>
+    model_rows, model_adaptive_rows = [], []
+    for k in [int(x) for x in
+              os.environ.get("UNIGEN_BENCH_MODEL_CACHE", "").split(",") if x]:
+        if k <= 1:
+            continue
+        try:
+            ips_k, img_k, n_ref = run(k, model_cache=True)
+        except Exception as e:
+            print(f"# model cache interval={k} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            continue
+        model_rows.append(fidelity_row(
+            ips_k, img_k, {"interval": k, "refreshes": n_ref}))
+    for thr in [float(x) for x in
+                os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ADAPTIVE",
+                               "").split(",") if x]:
+        try:
+            ips_t, img_t, n_ref = run(1, threshold=thr, model_cache=True)
+        except Exception as e:
+            print(f"# model cache threshold={thr} failed: "
+                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+            continue
+        model_adaptive_rows.append(fidelity_row(
+            ips_t, img_t, {"threshold": thr, "refreshes": n_ref,
+                           "num_steps": num_steps}))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "CACHE.json")
     try:
@@ -1268,21 +1370,36 @@ def bench_cache():
     merged.update({r["interval"]: r for r in rows})
     merged_a = {r["threshold"]: r for r in prev.get("adaptive_rows", [])}
     merged_a.update({r["threshold"]: r for r in adaptive_rows})
+    merged_m = {r["interval"]: r for r in prev.get("model_rows", [])}
+    merged_m.update({r["interval"]: r for r in model_rows})
+    merged_ma = {r["threshold"]: r for r in prev.get("model_adaptive_rows", [])}
+    merged_ma.update({r["threshold"]: r for r in model_adaptive_rows})
     runs[f"b{b}"] = {"ips_exact": round(ips_exact, 4),
                      "rows": [merged[k] for k in sorted(merged)]}
     if merged_a:
         runs[f"b{b}"]["adaptive_rows"] = [merged_a[t] for t in sorted(merged_a)]
+    if merged_m:
+        runs[f"b{b}"]["model_rows"] = [merged_m[k] for k in sorted(merged_m)]
+    if merged_ma:
+        runs[f"b{b}"]["model_adaptive_rows"] = [merged_ma[t]
+                                                for t in sorted(merged_ma)]
     doc.pop("batch", None); doc.pop("ips_exact", None); doc.pop("rows", None)
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
-    if not rows and not adaptive_rows:
+    all_rows = rows + adaptive_rows
+    if not all_rows and not model_rows and not model_adaptive_rows:
         print(json.dumps({"metric": "unigen_flux_ctrlcache_images_per_sec",
                           "value": 0.0, "unit": "images/sec/chip",
                           "vs_baseline": 0.0, "error": "all intervals failed"}))
         return
-    best = max(rows + adaptive_rows, key=lambda r: r["ips"])
-    tag = (f"ctrlcache{best['interval']}" if "interval" in best
-           else f"ctrlcache_thr{best['threshold']}")
+    # the headline cached rung stays the control cache (base trajectory
+    # always fresh); model-cache rows are reported in CACHE.json only,
+    # unless they are the only rows measured this run
+    pool = all_rows or (model_rows + model_adaptive_rows)
+    best = max(pool, key=lambda r: r["ips"])
+    prefix = "ctrlcache" if all_rows else "modelcache"
+    tag = (f"{prefix}{best['interval']}" if "interval" in best
+           else f"{prefix}_thr{best['threshold']}")
     print(json.dumps({
         "metric": f"unigen_flux_{tag}_{res}px_images_per_sec",
         "value": best["ips"], "unit": "images/sec/chip",
@@ -1448,7 +1565,9 @@ def main():
         return bench_multi()
     if os.environ.get("UNIGEN_BENCH_STEPSERVER") == "1":
         return bench_stepserver()
-    if os.environ.get("UNIGEN_BENCH_CACHE"):
+    if (os.environ.get("UNIGEN_BENCH_CACHE")
+            or os.environ.get("UNIGEN_BENCH_MODEL_CACHE")
+            or os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ADAPTIVE")):
         return bench_cache()
     family = os.environ.get("UNIGEN_BENCH_FAMILY", "flux")
     if family == "sd3":

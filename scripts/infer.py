@@ -38,6 +38,13 @@ def parse_args(argv=None):
                    help="with a caching mode + true_cfg_scale>1: replay "
                         "steps skip the negative stream and reuse the "
                         "cached guidance delta")
+    p.add_argument("--model_cache_interval", type=int, default=1,
+                   help="FULL-MODEL output caching: replay steps skip the "
+                        "entire transformer and reuse the cached prediction "
+                        "(most aggressive cache rung; mutually exclusive "
+                        "with the control cache flags)")
+    p.add_argument("--model_cache_threshold", type=float, default=0.0,
+                   help="adaptive variant of --model_cache_interval")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--max_sequence_length", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=1)
@@ -83,7 +90,10 @@ def main(argv=None):
                     conditioning_scale=args.conditioning_scale,
                     control_cache_interval=args.control_cache_interval,
                     control_cache_threshold=args.control_cache_threshold,
-                    cfg_cache=args.cfg_cache, seed=args.seed)
+                    cfg_cache=args.cfg_cache,
+                    model_cache_interval=args.model_cache_interval,
+                    model_cache_threshold=args.model_cache_threshold,
+                    seed=args.seed)
         Image.fromarray(imgs[0]).save(os.path.join(args.save_path, "res.png"))
         logger.info("saved %s", os.path.join(args.save_path, "res.png"))
         return
@@ -107,6 +117,8 @@ def main(argv=None):
                     conditioning_scale=args.conditioning_scale,
                     control_cache_interval=args.control_cache_interval,
                     control_cache_threshold=args.control_cache_threshold,
+                    model_cache_interval=args.model_cache_interval,
+                    model_cache_threshold=args.model_cache_threshold,
                     seed=args.seed + start)
         for j, (i, s) in enumerate(zip(idxs, samples)):
             d = os.path.join(args.save_path, f"{i:05d}")

@@ -157,13 +157,15 @@ def main_sd3(args):
                                                     vae_cfg))
 
     def make_jdd(interval: int, threshold: float = 0.0,
-                 cfg_cache: bool = False):
+                 cfg_cache: bool = False, model_cache: bool = False):
         """interval>1 or threshold>0: control-residual step caching on this
         path (the bf16 reference path always runs exact). cfg_cache: replay
         steps also skip the uncond stream (half-batch pos forward + cached
-        guidance delta, pipelines/sd3.py cfg_cache)."""
+        guidance delta, pipelines/sd3.py cfg_cache). model_cache: replay
+        steps reuse the whole cached guided prediction instead."""
         from unigen_tpu.pipelines import caching
         adaptive = threshold > 0.0
+        assert not (model_cache and cfg_cache)
 
         def jdd(p, batch, vae_params):
             inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
@@ -201,8 +203,11 @@ def main_sd3(args):
                                         jnp.arange(num_steps))
             else:
                 s_tok = (lat // 2) ** 2
-                zero = jnp.zeros((bb.num_layers, 2 * b, s_tok, bb.inner_dim),
-                                 dtype)
+                if model_cache:
+                    zero = jnp.zeros_like(inp["hidden"])
+                else:
+                    zero = jnp.zeros((bb.num_layers, 2 * b, s_tok,
+                                      bb.inner_dim), dtype)
 
                 def step(carry, i):
                     if adaptive:
@@ -213,19 +218,29 @@ def main_sd3(args):
                         lat_x, res, delta = carry
                         refresh = (i % interval) == 0
 
-                    def full():
-                        pred, outs, d = f(lat_x, i,
-                                          return_control_residuals=True)
-                        return pred, outs["control_residuals"], d
+                    if model_cache:
+                        # the cache slot IS the guided prediction
+                        def full():
+                            pred, _, d = f(lat_x, i)
+                            return pred, pred, d
 
-                    if cfg_cache:
                         def replay():
-                            pos = f_pos(lat_x, i, res[:, b:])
-                            return pos + 6.0 * delta, res, delta
+                            return res, res, delta
                     else:
-                        def replay():
-                            pred, _, _ = f(lat_x, i, control_residuals=res)
-                            return pred, res, delta
+                        def full():
+                            pred, outs, d = f(lat_x, i,
+                                              return_control_residuals=True)
+                            return pred, outs["control_residuals"], d
+
+                        if cfg_cache:
+                            def replay():
+                                pos = f_pos(lat_x, i, res[:, b:])
+                                return pos + 6.0 * delta, res, delta
+                        else:
+                            def replay():
+                                pred, _, _ = f(lat_x, i,
+                                               control_residuals=res)
+                                return pred, res, delta
 
                     pred, res, delta = jax.lax.cond(refresh, full, replay)
                     nxt = scheduling.euler_step(lat_x, pred, sig[i],
@@ -253,7 +268,8 @@ def main_sd3(args):
 
     jdd = make_jdd(1)
     jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold,
-                           getattr(args, "cfg_cache", False))
+                           getattr(args, "cfg_cache", False),
+                           getattr(args, "model_cache", False))
                   if args.cache_interval > 1 or args.cache_threshold > 0
                   else jdd)
 
@@ -284,6 +300,8 @@ def main_sd3(args):
         out["cache_threshold"] = args.cache_threshold
     if getattr(args, "cfg_cache", False):
         out["cfg_cache"] = True
+    if getattr(args, "model_cache", False):
+        out["model_cache"] = True
     for name in ("w8a8", "w4a8"):
         rel, cos = _fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}
@@ -390,9 +408,11 @@ def main_sana(args):
                             vae_lib.init_vae_params(jax.random.PRNGKey(2),
                                                     vae_cfg))
 
-    def make_jdd(interval: int, threshold: float = 0.0):
+    def make_jdd(interval: int, threshold: float = 0.0,
+                 model_cache: bool = False):
         """interval>1 or threshold>0: control-residual step caching on this
-        path (the bf16 reference path always runs exact)."""
+        path (the bf16 reference path always runs exact). model_cache:
+        replay steps reuse the whole cached prediction instead."""
         from unigen_tpu.pipelines import caching
         adaptive = threshold > 0.0
 
@@ -418,8 +438,11 @@ def main_sana(args):
                                         jnp.arange(num_steps))
             else:
                 s_tok = (lat // bb.patch_size) ** 2
-                zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
-                                 dtype)
+                if model_cache:
+                    zero = jnp.zeros_like(inp["hidden"])
+                else:
+                    zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
+                                     dtype)
 
                 def step(carry, i):
                     if adaptive:
@@ -430,14 +453,22 @@ def main_sana(args):
                         lat_x, res_c = carry
                         refresh = (i % interval) == 0
 
-                    def full():
-                        pred, outs = f(lat_x, i,
-                                       return_control_residuals=True)
-                        return pred, outs["control_residuals"]
+                    if model_cache:
+                        def full():
+                            pred, _ = f(lat_x, i)
+                            return pred, pred
 
-                    def replay():
-                        pred, _ = f(lat_x, i, control_residuals=res_c)
-                        return pred, res_c
+                        def replay():
+                            return res_c, res_c
+                    else:
+                        def full():
+                            pred, outs = f(lat_x, i,
+                                           return_control_residuals=True)
+                            return pred, outs["control_residuals"]
+
+                        def replay():
+                            pred, _ = f(lat_x, i, control_residuals=res_c)
+                            return pred, res_c
 
                     pred, res_c = jax.lax.cond(refresh, full, replay)
                     nxt = scheduling.euler_step(lat_x, pred, sig[i],
@@ -462,7 +493,8 @@ def main_sana(args):
         return jax.jit(jdd)
 
     jdd = make_jdd(1)
-    jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold)
+    jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold,
+                           getattr(args, "model_cache", False))
                   if args.cache_interval > 1 or args.cache_threshold > 0
                   else jdd)
 
@@ -493,6 +525,8 @@ def main_sana(args):
         out["cache_interval"] = args.cache_interval
     if args.cache_threshold > 0:
         out["cache_threshold"] = args.cache_threshold
+    if getattr(args, "model_cache", False):
+        out["model_cache"] = True
     if args.ssim:
         from unigen_tpu.eval import image_metrics
         m = image_metrics(host["bf16"]["img"], host["w8a8"]["img"])
@@ -549,6 +583,12 @@ def main(argv=None):
                    help="sd3 family: replay steps also skip the uncond "
                         "stream (half-batch pos forward + cached guidance "
                         "delta); requires --cache-interval/-threshold")
+    p.add_argument("--model-cache", action="store_true", dest="model_cache",
+                   help="all families: reinterpret --cache-interval/"
+                        "-threshold as FULL-MODEL output caching (replay "
+                        "steps skip the entire transformer and reuse the "
+                        "cached guided prediction — pipelines "
+                        "model_cache_*); incompatible with --cfg-cache")
     p.add_argument("--routing", default=None,
                    choices=["per_sample", "global"],
                    help="override MoE batch_mode: 'global' measures fidelity "
@@ -707,11 +747,13 @@ def main(argv=None):
         sig_host = np.asarray(sig_host)
         lh = lw = (res // 16) * 2
 
-        def make_jdd(interval: int, threshold: float = 0.0):
+        def make_jdd(interval: int, threshold: float = 0.0,
+                     model_cache: bool = False):
             """interval>1 or threshold>0: control-residual step caching on
             this path (the bf16 reference path always runs exact) — measures
             the ABSOLUTE quantization+caching fidelity, vs CACHE.json's
-            cached-vs-exact."""
+            cached-vs-exact. model_cache=True: replay steps reuse the whole
+            cached prediction instead (pipelines model_cache_*)."""
             from unigen_tpu.pipelines import caching
             adaptive = threshold > 0.0
 
@@ -735,9 +777,12 @@ def main(argv=None):
                     lat, _ = jax.lax.scan(step, lat, jnp.arange(num_steps))
                 else:
                     d = bb.inner_dim
-                    zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
-                            jnp.zeros((bb.num_single_layers, b,
-                                       t_len + s_img, d), dtype))
+                    if model_cache:
+                        zero = jnp.zeros_like(lat)
+                    else:
+                        zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
+                                jnp.zeros((bb.num_single_layers, b,
+                                           t_len + s_img, d), dtype))
 
                     def step(carry, i):
                         if adaptive:
@@ -748,14 +793,23 @@ def main(argv=None):
                             lat, res = carry
                             refresh = (i % interval) == 0
 
-                        def full():
-                            pred, outs = fwd(lat, i,
-                                             return_control_residuals=True)
-                            return pred, outs["control_residuals"]
+                        if model_cache:
+                            # the cache slot IS the prediction
+                            def full():
+                                pred, _ = fwd(lat, i)
+                                return pred, pred
 
-                        def replay():
-                            pred, _ = fwd(lat, i, control_residuals=res)
-                            return pred, res
+                            def replay():
+                                return res, res
+                        else:
+                            def full():
+                                pred, outs = fwd(
+                                    lat, i, return_control_residuals=True)
+                                return pred, outs["control_residuals"]
+
+                            def replay():
+                                pred, _ = fwd(lat, i, control_residuals=res)
+                                return pred, res
 
                         pred, res = jax.lax.cond(refresh, full, replay)
                         nxt = scheduling.euler_step(lat, pred, sigmas[i],
@@ -780,7 +834,8 @@ def main(argv=None):
             return jax.jit(jdd)
 
         jdd = make_jdd(1)
-        jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold)
+        jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold,
+                               getattr(args, "model_cache", False))
                       if args.cache_interval > 1 or args.cache_threshold > 0
                       else jdd)
 
@@ -812,6 +867,8 @@ def main(argv=None):
         out["cache_interval"] = args.cache_interval
     if args.cache_threshold > 0:
         out["cache_threshold"] = args.cache_threshold
+    if getattr(args, "model_cache", False):
+        out["model_cache"] = True
     for name in ("w8a8", "w4a8_serving"):
         rel, cos = fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}

@@ -104,6 +104,13 @@ def main(argv=None):
                          "the latent drifts more than this relative L1 "
                          "since the last refresh (overrides the fixed "
                          "interval; pipelines/caching.py)")
+    ap.add_argument("--model-cache-interval", type=int, default=1,
+                    help="FULL-MODEL output caching: replay steps skip the "
+                         "entire transformer and reuse the cached "
+                         "prediction (most aggressive cache rung; mutually "
+                         "exclusive with the control cache flags)")
+    ap.add_argument("--model-cache-threshold", type=float, default=0.0,
+                    help="adaptive variant of --model-cache-interval")
     ap.add_argument("--prompt-cache", type=int, default=32,
                     help="LRU size for prompt/condition embeddings (0 "
                          "disables; serving repeats the negative prompt and "
@@ -141,7 +148,9 @@ def main(argv=None):
             height=args.resolution, width=args.resolution,
             num_inference_steps=args.steps,
             control_cache_interval=args.control_cache_interval,
-            control_cache_threshold=args.control_cache_threshold)
+            control_cache_threshold=args.control_cache_threshold,
+            model_cache_interval=args.model_cache_interval,
+            model_cache_threshold=args.model_cache_threshold)
 
     srv = MicroBatchServer(run_batch, batch_size=args.batch_size,
                            batch_sizes=args.batch_sizes)

@@ -716,3 +716,169 @@ def test_flux_cfg_cache_refresh_every_step_equals_exact():
     d = np.abs(both.astype(int) - ctrl_only.astype(int))
     assert d.max() > 0
     assert np.abs(both.astype(int) - exact.astype(int)).mean() < 30
+
+
+# ------------------------------------------------------------- model cache
+
+
+def _gen_model_cache(pipe, flux, steps, interval=1, threshold=0.0,
+                     cfg_scale=1.0, latents=None):
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    return pipe.generate(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps, true_cfg_scale=cfg_scale,
+        model_cache_interval=interval, model_cache_threshold=threshold,
+        latents=latents)
+
+
+def test_model_cache_mutually_exclusive_with_control_cache():
+    pipe, flux = _tiny_pipe()
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=3)
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, model_cache_interval=2, control_cache_interval=2)
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, model_cache_threshold=0.1, cfg_cache=True)
+
+
+def test_model_cache_tight_threshold_equals_exact():
+    """threshold ~0 -> every step refreshes -> the model-cache program is the
+    exact trajectory (validates the cond/carry plumbing end to end)."""
+    pipe, flux = _tiny_pipe()
+    steps = 4
+    exact = _gen(pipe, flux, steps=steps, interval=1)
+    cached = _gen_model_cache(pipe, flux, steps=steps, threshold=1e-9)
+    np.testing.assert_array_equal(exact, cached)
+    assert pipe.last_cache_refreshes == steps
+
+
+def test_model_cache_matches_manual_composition():
+    """interval=2 over 4 steps: steps 0,2 run the full forward, steps 1,3
+    replay the carried prediction — compare to a hand-rolled euler loop."""
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.ops.packing import (pack_latents, prepare_latent_image_ids,
+                                        unpack_latents)
+    from unigen_tpu.pipelines import scheduling
+    pipe, flux = _tiny_pipe()
+    cfg = pipe.cfg
+    b, h, w, steps, t = 1, 16, 16, 4, 8
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    prompt_embeds = jax.random.normal(ks[0], (b, t, flux.joint_attention_dim))
+    pooled = jax.random.normal(ks[1], (b, flux.pooled_projection_dim))
+    cond_pooled = jax.random.normal(ks[2], (b, flux.pooled_projection_dim))
+    control_pixels = jax.random.normal(ks[3], (b, 3, h, w))
+    vs = pipe.vae_cfg.downscale
+    lh, lw = 2 * (h // (vs * 2)), 2 * (w // (vs * 2))
+    latents0 = jax.random.normal(
+        jax.random.PRNGKey(0), (b, (lh // 2) * (lw // 2), flux.in_channels),
+        jnp.float32)
+
+    got = pipe.generate(prompt_embeds=prompt_embeds, pooled=pooled,
+                        cond_pooled=cond_pooled, control_pixels=control_pixels,
+                        height=h, width=w, num_inference_steps=steps,
+                        model_cache_interval=2, seed=0, latents=latents0)
+    exact = pipe.generate(prompt_embeds=prompt_embeds, pooled=pooled,
+                          cond_pooled=cond_pooled,
+                          control_pixels=control_pixels,
+                          height=h, width=w, num_inference_steps=steps,
+                          seed=0, latents=latents0)
+    assert np.abs(got.astype(int) - exact.astype(int)).max() > 0  # active
+
+    sigmas, timesteps = scheduling.inference_sigmas(
+        pipe.scheduler, steps, image_seq_len=(lh // 2) * (lw // 2))
+    img_ids = prepare_latent_image_ids(lh // 2, lw // 2)
+    txt_ids = jnp.zeros((t, 3))
+    control_lat = pack_latents(
+        vae_lib.vae_encode(pipe.vae_params, pipe.vae_cfg, control_pixels))
+    lat = latents0
+    pred = None
+    for i in range(steps):
+        if i % 2 == 0:
+            pred, _, _ = unigen_flux_forward(
+                pipe.params, cfg, hidden=lat, condition=control_lat,
+                encoder=prompt_embeds, pooled=pooled,
+                condition_pooled=cond_pooled,
+                timestep=jnp.full((b,), timesteps[i] / 1000.0, jnp.float32),
+                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+                guidance=None, conditioning_scale=1.0)
+        lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+    px = vae_lib.vae_decode(pipe.vae_params, pipe.vae_cfg,
+                            unpack_latents(lat.astype(jnp.float32), lh, lw))
+    want = ((np.asarray(jnp.clip(px, -1, 1)).transpose(0, 2, 3, 1) + 1)
+            * 127.5).round().astype(np.uint8)
+    np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)
+
+
+def test_model_cache_with_true_cfg_runs():
+    pipe, flux = _tiny_pipe()
+    img = _gen_model_cache(pipe, flux, steps=4, interval=2, cfg_scale=2.0)
+    assert img.shape == (1, 16, 16, 3)
+    img2 = _gen_model_cache(pipe, flux, steps=4, threshold=0.3, cfg_scale=2.0)
+    assert img2.shape == (1, 16, 16, 3)
+    assert 1 <= pipe.last_cache_refreshes <= 4
+
+
+def test_sd3_model_cache(tiny_sd3):
+    """Tight threshold == exact; huge threshold == 1 refresh; interval mode
+    active and close; mutual-exclusion errors."""
+    pipe, kw = _sd3_pipe_kw(tiny_sd3)
+    steps = kw["num_inference_steps"]
+    exact = pipe.generate(**kw)
+    tight = pipe.generate(**kw, model_cache_threshold=1e-9)
+    np.testing.assert_array_equal(exact, tight)
+    assert pipe.last_cache_refreshes == steps
+    loose = pipe.generate(**kw, model_cache_threshold=1e9)
+    assert pipe.last_cache_refreshes == 1
+    d = np.abs(loose.astype(int) - exact.astype(int))
+    assert d.max() > 0 and d.mean() < 40
+    cached = pipe.generate(**kw, model_cache_interval=steps)
+    np.testing.assert_array_equal(cached, loose)  # same refresh pattern
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, model_cache_interval=2, cfg_cache=True)
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, model_cache_interval=2,
+                      control_cache_threshold=0.1)
+
+
+def test_sana_model_cache(tiny_sana):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+    cfg, params = tiny_sana
+    bb = cfg.sana
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenSanaPipeline(
+        cfg=cfg, params=params,
+        ae_encode=lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px),
+        ae_decode=lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat),
+        ae_downscale=vae_cfg.downscale)
+    b, steps = 1, 4
+    res = 8 * vae_cfg.downscale
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 5, bb.caption_channels)),
+        prompt_mask=jnp.ones((b, 5), jnp.int32),
+        pooled=jax.random.normal(ks[1], (b, bb.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, bb.pooled_projection_dim)),
+        control_pixels=np.random.default_rng(0).standard_normal(
+            (b, 3, res, res)).astype(np.float32) * 0.1,
+        height=res, width=res, num_inference_steps=steps, seed=0)
+    exact = pipe.generate(**kw)
+    tight = pipe.generate(**kw, model_cache_threshold=1e-9)
+    np.testing.assert_array_equal(exact, tight)
+    assert pipe.last_cache_refreshes == steps
+    cached = pipe.generate(**kw, model_cache_interval=2)
+    d = np.abs(cached.astype(int) - exact.astype(int))
+    assert d.max() > 0 and d.mean() < 40
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, model_cache_interval=2, control_cache_interval=2)

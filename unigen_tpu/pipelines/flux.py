@@ -154,12 +154,18 @@ class UniGenFluxPipeline:
                          scale_schedule: jnp.ndarray, multi: bool,
                          cache_interval: int = 1,
                          adaptive: bool = False,
-                         cfg_cache: bool = False):
+                         cfg_cache: bool = False,
+                         model_cache: bool = False):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, NOT baked in) — one compiled program serves every
         # threshold, so the knob is tunable at serving time for free.
         # cfg_cache=True (true-CFG only): replay steps skip the negative
         # stream and reuse the cached guidance delta (see pipelines/sd3.py).
+        # model_cache=True: replay steps skip the ENTIRE transformer and
+        # reuse the cached guided velocity prediction (zero-order hold —
+        # TeaCache arXiv:2411.19108 applied to the whole model output, vs the
+        # control-branch-only cache above); shares the same refresh schedule
+        # machinery (fixed interval or adaptive drift threshold).
         cfg = self.cfg
         bb = cfg.flux
         vs = self.vae_cfg.downscale
@@ -210,6 +216,46 @@ class UniGenFluxPipeline:
                     return lat, None
 
                 latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            elif model_cache:
+                # full-model output caching: a replay step costs ZERO
+                # transformer compute — the carried velocity prediction is
+                # applied at the step's own sigma gap (zero-order hold on the
+                # flow); refresh steps run the exact full forward (incl. CFG)
+                def full_pred(lat, i):
+                    pred, _ = fwd(lat, i, prompt_embeds, pooled)
+                    if do_cfg:
+                        neg, _ = fwd(lat, i, neg_embeds, neg_pooled)
+                        pred = neg + true_cfg_scale * (pred - neg)
+                    return pred
+
+                def step(carry, i):
+                    if adaptive:
+                        lat, pred_c, lat_ref, n_ref = carry
+                        refresh = caching.refresh_decision(i, lat, lat_ref,
+                                                           cache_threshold)
+                    else:
+                        lat, pred_c = carry
+                        refresh = (i % cache_interval) == 0
+                    pred = jax.lax.cond(refresh,
+                                        lambda: full_pred(lat, i),
+                                        lambda: pred_c)
+                    lat_next = scheduling.euler_step(lat, pred, sigmas[i],
+                                                     sigmas[i + 1])
+                    if adaptive:
+                        lat_ref = jnp.where(refresh, lat, lat_ref)
+                        n_ref = n_ref + refresh.astype(jnp.int32)
+                        return (lat_next, pred, lat_ref, n_ref), None
+                    return (lat_next, pred), None
+
+                pred0 = jnp.zeros_like(latents)  # never read: step 0 refreshes
+                if adaptive:
+                    (latents, _, _, n_refresh), _ = jax.lax.scan(
+                        step, (latents, pred0, latents,
+                               jnp.zeros((), jnp.int32)),
+                        jnp.arange(num_steps))
+                else:
+                    (latents, _), _ = jax.lax.scan(
+                        step, (latents, pred0), jnp.arange(num_steps))
             else:
                 # control-residual step caching (see unigen_flux_forward
                 # docstring): recompute the control branch every
@@ -327,7 +373,9 @@ class UniGenFluxPipeline:
                  seed: int = 0, latents: Optional[jnp.ndarray] = None,
                  control_cache_interval: int = 1,
                  control_cache_threshold: float = 0.0,
-                 cfg_cache: bool = False
+                 cfg_cache: bool = False,
+                 model_cache_interval: int = 1,
+                 model_cache_threshold: float = 0.0
                  ) -> np.ndarray:
         """Single-condition generation from precomputed embeddings.
         Returns uint8 images [B, H, W, 3].
@@ -341,7 +389,12 @@ class UniGenFluxPipeline:
         lands in ``self.last_cache_refreshes``.
         cfg_cache=True (requires a caching mode + true_cfg_scale > 1):
         replay steps also skip the negative stream, reusing the cached
-        guidance delta."""
+        guidance delta.
+        model_cache_interval > 1 / model_cache_threshold > 0 enable
+        FULL-MODEL output caching (replay steps skip the entire transformer
+        and reuse the cached guided prediction — the most aggressive rung
+        of the cache ladder, docs/SERVING.md); mutually exclusive with the
+        control cache and cfg_cache knobs."""
         multi = control_pixels.ndim == 5
         steps = num_inference_steps
         keep = np.array([
@@ -352,21 +405,37 @@ class UniGenFluxPipeline:
 
         # one compiled program per call shape (jit caches by fn identity, so
         # the closure must be cached too or every call would recompile)
-        adaptive = control_cache_threshold > 0.0
+        model_cache = model_cache_interval > 1 or model_cache_threshold > 0.0
+        if model_cache:
+            if control_cache_interval > 1 or control_cache_threshold > 0.0:
+                raise ValueError("model_cache_* and control_cache_* are "
+                                 "mutually exclusive (the model cache "
+                                 "subsumes the control cache on replay steps)")
+            if cfg_cache:
+                raise ValueError("cfg_cache composes with the control cache "
+                                 "only; the model cache already skips the "
+                                 "negative stream on replay steps")
+            cache_interval = model_cache_interval
+            cache_threshold = model_cache_threshold
+        else:
+            cache_interval = control_cache_interval
+            cache_threshold = control_cache_threshold
+        adaptive = cache_threshold > 0.0
         if cfg_cache and control_cache_interval <= 1 and not adaptive:
             raise ValueError("cfg_cache requires control_cache_interval > 1 "
                              "or control_cache_threshold > 0 (it rides the "
                              "same refresh schedule)")
         cache_key = (steps, height, width, true_cfg_scale > 1.0,
                      round(guidance_scale, 4), tuple(np.asarray(schedule)),
-                     multi, control_cache_interval, adaptive, cfg_cache)
+                     multi, cache_interval, adaptive, cfg_cache, model_cache)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._denoise_program(
                 steps, height, width, true_cfg_scale, guidance_scale, schedule,
-                multi, cache_interval=control_cache_interval,
-                adaptive=adaptive, cfg_cache=cfg_cache)
+                multi, cache_interval=cache_interval,
+                adaptive=adaptive, cfg_cache=cfg_cache,
+                model_cache=model_cache)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
 
@@ -400,7 +469,7 @@ class UniGenFluxPipeline:
             pixels, n_refresh = program(
                 self.params, self.vae_params, latents, control_pixels,
                 prompt_embeds, pooled, cond_pooled, neg_embeds, neg_pooled,
-                offsets, jnp.float32(control_cache_threshold))
+                offsets, jnp.float32(cache_threshold))
             self.last_cache_refreshes = int(n_refresh)
         else:
             pixels = program(self.params, self.vae_params, latents,
@@ -423,7 +492,9 @@ class UniGenFluxPipeline:
                  max_sequence_length: int = 512, seed: int = 0,
                  control_cache_interval: int = 1,
                  control_cache_threshold: float = 0.0,
-                 cfg_cache: bool = False) -> np.ndarray:
+                 cfg_cache: bool = False,
+                 model_cache_interval: int = 1,
+                 model_cache_threshold: float = 0.0) -> np.ndarray:
         """Single-condition call (reference UniGenPipeline.py:486-807).
         control_image: float array [B,3,H,W] in [-1,1]."""
         self._auto_switch(condition_prompt)
@@ -450,7 +521,9 @@ class UniGenFluxPipeline:
             subject_offset=subject, seed=seed,
             control_cache_interval=control_cache_interval,
             control_cache_threshold=control_cache_threshold,
-            cfg_cache=cfg_cache)
+            cfg_cache=cfg_cache,
+            model_cache_interval=model_cache_interval,
+            model_cache_threshold=model_cache_threshold)
 
     def multi_condition_call(self, prompt: Union[str, Sequence[str]],
                              condition_prompts: Sequence[str],

@@ -101,9 +101,11 @@ class UniGenSanaPipeline:
 
     def _denoise_program(self, num_steps: int, height: int, width: int,
                          scale_schedule, cache_interval: int = 1,
-                         adaptive: bool = False):
+                         adaptive: bool = False, model_cache: bool = False):
         # adaptive=True: the program takes a trailing cache_threshold scalar
-        # (traced, not baked in) — one compiled program serves any threshold
+        # (traced, not baked in) — one compiled program serves any threshold.
+        # model_cache=True: replay steps skip the ENTIRE transformer and
+        # reuse the cached prediction (TeaCache-style zero-order hold)
         cfg = self.cfg
         lh, lw = height // self.ae_downscale, width // self.ae_downscale
         sigmas, timesteps = scheduling.inference_sigmas(
@@ -137,6 +139,38 @@ class UniGenSanaPipeline:
 
                 latents, _ = jax.lax.scan(step, latents,
                                           jnp.arange(num_steps))
+            elif model_cache:
+                # full-model output caching: replay steps cost zero
+                # transformer compute (carried velocity prediction applied at
+                # the step's own sigma gap)
+                def step(carry, i):
+                    if adaptive:
+                        lat, pred_c, lat_ref, n_ref = carry
+                        refresh = caching.refresh_decision(i, lat, lat_ref,
+                                                           cache_threshold)
+                    else:
+                        lat, pred_c = carry
+                        refresh = (i % cache_interval) == 0
+                    pred = jax.lax.cond(refresh,
+                                        lambda: fwd(lat, i)[0],
+                                        lambda: pred_c)
+                    lat_next = scheduling.euler_step(lat, pred, sig[i],
+                                                     sig[i + 1])
+                    if adaptive:
+                        lat_ref = jnp.where(refresh, lat, lat_ref)
+                        n_ref = n_ref + refresh.astype(jnp.int32)
+                        return (lat_next, pred, lat_ref, n_ref), None
+                    return (lat_next, pred), None
+
+                pred0 = jnp.zeros_like(latents)  # never read: step 0 refreshes
+                if adaptive:
+                    (latents, _, _, n_refresh), _ = jax.lax.scan(
+                        step, (latents, pred0, latents,
+                               jnp.zeros((), jnp.int32)),
+                        jnp.arange(num_steps))
+                else:
+                    (latents, _), _ = jax.lax.scan(
+                        step, (latents, pred0), jnp.arange(num_steps))
             else:
                 # control-residual step caching (see sana_unigen_forward):
                 # cache of raw per-base-block control outputs
@@ -195,28 +229,42 @@ class UniGenSanaPipeline:
                  control_guidance_end: float = 1.0,
                  seed: int = 0, latents=None,
                  control_cache_interval: int = 1,
-                 control_cache_threshold: float = 0.0) -> np.ndarray:
+                 control_cache_threshold: float = 0.0,
+                 model_cache_interval: int = 1,
+                 model_cache_threshold: float = 0.0) -> np.ndarray:
         """control_cache_interval > 1 enables control-residual step caching
         (recompute the control branch every k-th denoise step) — a
         serving-only approximation; measure fidelity before production use.
         control_cache_threshold > 0 switches to the adaptive drift rule
-        (pipelines/caching.py); refresh count → self.last_cache_refreshes."""
+        (pipelines/caching.py); refresh count → self.last_cache_refreshes.
+        model_cache_interval > 1 / model_cache_threshold > 0 enable
+        FULL-MODEL output caching (replay steps skip the entire transformer);
+        mutually exclusive with control_cache_*."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
                         or ((i + 1) / steps > control_guidance_end))
             for i in range(steps)], np.float32)
         schedule = tuple(conditioning_scale * keep)
-        adaptive = control_cache_threshold > 0.0
-        key = (steps, height, width, schedule, control_cache_interval,
-               adaptive)
+        model_cache = model_cache_interval > 1 or model_cache_threshold > 0.0
+        if model_cache and (control_cache_interval > 1
+                            or control_cache_threshold > 0.0):
+            raise ValueError("model_cache_* and control_cache_* are "
+                             "mutually exclusive")
+        cache_interval = (model_cache_interval if model_cache
+                          else control_cache_interval)
+        cache_threshold = (model_cache_threshold if model_cache
+                           else control_cache_threshold)
+        adaptive = cache_threshold > 0.0
+        key = (steps, height, width, schedule, cache_interval,
+               adaptive, model_cache)
         if key in self._program_cache:
             program, (lh, lw) = self._program_cache[key]
         else:
             program, (lh, lw) = self._denoise_program(steps, height, width,
                                                       np.asarray(schedule),
-                                                      control_cache_interval,
-                                                      adaptive)
+                                                      cache_interval,
+                                                      adaptive, model_cache)
             program = jax.jit(program)
             self._program_cache[key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
@@ -228,7 +276,7 @@ class UniGenSanaPipeline:
             pixels, n_refresh = program(
                 self.params, latents, jnp.asarray(control_pixels, self.dtype),
                 prompt_embeds, prompt_mask, pooled, cond_pooled,
-                jnp.float32(control_cache_threshold))
+                jnp.float32(cache_threshold))
             self.last_cache_refreshes = int(n_refresh)
         else:
             pixels = program(self.params, latents,

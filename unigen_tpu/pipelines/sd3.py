@@ -116,13 +116,17 @@ class UniGenSD3Pipeline:
     def _program(self, num_steps: int, height: int, width: int,
                  guidance_scale: float, schedule: jnp.ndarray,
                  cache_interval: int = 1, adaptive: bool = False,
-                 cfg_cache: bool = False):
+                 cfg_cache: bool = False, model_cache: bool = False):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, not baked in) — one compiled program serves any threshold.
         # cfg_cache=True (requires a caching mode + CFG): replay steps run
         # ONLY the positive stream (half the batch) and reuse the cached
         # pos-neg guidance delta — the uncond stream is recomputed on the
         # same refresh schedule as the control cache.
+        # model_cache=True: replay steps skip the ENTIRE transformer and
+        # reuse the cached guided prediction (TeaCache-style zero-order hold
+        # on the flow; the biggest lever on the 28-step CFG denoise where a
+        # replay step costs zero transformer compute).
         cfg = self.cfg
         vs = self.vae_cfg.downscale
         lh, lw = height // vs, width // vs
@@ -162,6 +166,37 @@ class UniGenSD3Pipeline:
                                                  sigmas[i + 1]), None
 
                 latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+            elif model_cache:
+                # full-model output caching: fwd() already applies the CFG
+                # combine, so the carried prediction is the guided velocity
+                def step(carry, i):
+                    if adaptive:
+                        lat, pred_c, lat_ref, n_ref = carry
+                        refresh = caching.refresh_decision(i, lat, lat_ref,
+                                                           cache_threshold)
+                    else:
+                        lat, pred_c = carry
+                        refresh = (i % cache_interval) == 0
+                    pred = jax.lax.cond(refresh,
+                                        lambda: fwd(lat, i)[0],
+                                        lambda: pred_c)
+                    lat_next = scheduling.euler_step(lat, pred, sigmas[i],
+                                                     sigmas[i + 1])
+                    if adaptive:
+                        lat_ref = jnp.where(refresh, lat, lat_ref)
+                        n_ref = n_ref + refresh.astype(jnp.int32)
+                        return (lat_next, pred, lat_ref, n_ref), None
+                    return (lat_next, pred), None
+
+                pred0 = jnp.zeros_like(latents)  # never read: step 0 refreshes
+                if adaptive:
+                    (latents, _, _, n_refresh), _ = jax.lax.scan(
+                        step, (latents, pred0, latents,
+                               jnp.zeros((), jnp.int32)),
+                        jnp.arange(num_steps))
+                else:
+                    (latents, _), _ = jax.lax.scan(
+                        step, (latents, pred0), jnp.arange(num_steps))
             else:
                 # control-residual step caching (see unigen_sd3_forward): one
                 # cache [n_base, B(*2 if cfg), S, D] of raw control block
@@ -271,7 +306,9 @@ class UniGenSD3Pipeline:
                  latents: Optional[jnp.ndarray] = None,
                  control_cache_interval: int = 1,
                  control_cache_threshold: float = 0.0,
-                 cfg_cache: bool = False) -> np.ndarray:
+                 cfg_cache: bool = False,
+                 model_cache_interval: int = 1,
+                 model_cache_threshold: float = 0.0) -> np.ndarray:
         """control_cache_interval > 1 enables control-residual step caching
         (recompute the control branch every k-th denoise step) — a
         serving-only approximation; measure fidelity before production use.
@@ -279,28 +316,45 @@ class UniGenSD3Pipeline:
         (pipelines/caching.py); refresh count → self.last_cache_refreshes.
         cfg_cache=True (requires a caching mode + guidance_scale > 1):
         replay steps also skip the uncond stream — the positive stream runs
-        at half batch and the cached pos-neg guidance delta is reused."""
+        at half batch and the cached pos-neg guidance delta is reused.
+        model_cache_interval > 1 / model_cache_threshold > 0 enable
+        FULL-MODEL output caching (replay steps skip the entire transformer);
+        mutually exclusive with control_cache_* and cfg_cache."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
                         or ((i + 1) / steps > control_guidance_end))
             for i in range(steps)], np.float32)
         schedule = jnp.asarray(conditioning_scale * keep)
-        adaptive = control_cache_threshold > 0.0
+        model_cache = model_cache_interval > 1 or model_cache_threshold > 0.0
+        if model_cache:
+            if control_cache_interval > 1 or control_cache_threshold > 0.0:
+                raise ValueError("model_cache_* and control_cache_* are "
+                                 "mutually exclusive")
+            if cfg_cache:
+                raise ValueError("cfg_cache composes with the control cache "
+                                 "only; the model cache already skips the "
+                                 "uncond stream on replay steps")
+            cache_interval = model_cache_interval
+            cache_threshold = model_cache_threshold
+        else:
+            cache_interval = control_cache_interval
+            cache_threshold = control_cache_threshold
+        adaptive = cache_threshold > 0.0
         if cfg_cache and control_cache_interval <= 1 and not adaptive:
             raise ValueError("cfg_cache requires control_cache_interval > 1 "
                              "or control_cache_threshold > 0 (it rides the "
                              "same refresh schedule)")
         cache_key = (steps, height, width, round(guidance_scale, 4),
-                     tuple(conditioning_scale * keep), control_cache_interval,
-                     adaptive, cfg_cache)
+                     tuple(conditioning_scale * keep), cache_interval,
+                     adaptive, cfg_cache, model_cache)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._program(steps, height, width,
                                               guidance_scale, schedule,
-                                              control_cache_interval,
-                                              adaptive, cfg_cache)
+                                              cache_interval,
+                                              adaptive, cfg_cache, model_cache)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
@@ -315,7 +369,7 @@ class UniGenSD3Pipeline:
             pixels, n_refresh = program(
                 self.params, self.vae_params, latents, control_pixels,
                 prompt_embeds, pooled, cond_pooled, neg_embeds, neg_pooled,
-                jnp.float32(control_cache_threshold))
+                jnp.float32(cache_threshold))
             self.last_cache_refreshes = int(n_refresh)
         else:
             pixels = program(self.params, self.vae_params, latents,
