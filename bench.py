@@ -1794,13 +1794,39 @@ def main():
         return
     best_b = max(results, key=results.get)
     images_per_sec = results[best_b]
-    print(json.dumps({
+    line = {
         "metric": f"unigen_flux_bench_{res}px_4step_denoise_images_per_sec",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / est_ref, 3),
         "config": config_desc,
-    }))
+    }
+    # the headline stays the EXACT denoise (same math as the reference);
+    # surface the best recorded approximate serving rung (control cache,
+    # CACHE.json — measured on this chip with its SSIM-vs-exact gate) as an
+    # informational field so one JSON line carries the whole serving story
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "CACHE.json")) as f:
+            cache_doc = json.load(f)
+        rows = []
+        for rk, rv in cache_doc.get("runs", {}).items():
+            for kind in ("rows", "adaptive_rows", "model_rows",
+                         "model_adaptive_rows"):
+                for r in rv.get(kind, []):
+                    if r.get("ssim_vs_exact", 0) >= 0.99:
+                        rows.append((r["ips"], kind, rk, r))
+        if rows:
+            ips, kind, rk, r = max(rows, key=lambda t: t[0])
+            line["serving_optimized"] = {
+                "ips": ips, "mode": kind[:-1] if kind.endswith("s") else kind,
+                "batch": rk, "ssim_vs_exact": r["ssim_vs_exact"],
+                "vs_baseline": round(ips / est_ref, 3),
+                "knob": ({"interval": r["interval"]} if "interval" in r
+                         else {"threshold": r["threshold"]})}
+    except Exception:
+        pass
+    print(json.dumps(line))
     print(f"# best_batch={best_b} est_ref_a100={est_ref:.3f}img/s",
           file=sys.stderr)
 
