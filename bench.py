@@ -222,18 +222,14 @@ def bench_sd3():
 
             if model_k > 1:
                 # full-model output caching: replay steps cost zero
-                # transformer compute
-                def step(carry, i):
-                    lat, pred_c = carry
-                    pred = jax.lax.cond(i % model_k == 0,
-                                        lambda: fwd(lat, i)[0],
-                                        lambda: pred_c)
-                    return (scheduling.euler_step(lat, pred, sig[i],
-                                                  sig[i + 1]), pred), None
-
-                (latents, _), _ = jax.lax.scan(
-                    step, (latents, jnp.zeros_like(latents)),
-                    jnp.arange(num_steps))
+                # transformer compute (UNIGEN_BENCH_MODEL_CACHE_ORDER=1 ->
+                # first-order Taylor replay)
+                from unigen_tpu.pipelines import caching
+                latents, _ = caching.model_cache_scan(
+                    lambda l, i: fwd(l, i)[0], latents, sig, num_steps,
+                    cache_interval=model_k,
+                    order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
+                                             "0")))
                 return latents
 
             # opt-in control-residual step caching (one cache; the CFG
@@ -308,7 +304,7 @@ def bench_sd3():
         "config": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_{quant}_cfg"
                   + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")
                   + ("_cfgcache" if cfg_cache else "")
-                  + (f"_modelcache{model_k}" if model_k > 1 else "")}))
+                  + (f"_modelcache{model_k}" + ("_o1" if os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1" else "") if model_k > 1 else "")}))
     print(f"# best_batch={best_b} est_ref_a100={est_ref:.3f}img/s",
           file=sys.stderr)
 
@@ -411,18 +407,14 @@ def bench_sana():
 
             if model_k > 1:
                 # full-model output caching: replay steps cost zero
-                # transformer compute
-                def step(carry, i):
-                    lat_x, pred_c = carry
-                    pred = jax.lax.cond(i % model_k == 0,
-                                        lambda: fwd(lat_x, i)[0],
-                                        lambda: pred_c)
-                    return (scheduling.euler_step(lat_x, pred, sig[i],
-                                                  sig[i + 1]), pred), None
-
-                (latents, _), _ = jax.lax.scan(
-                    step, (latents, jnp.zeros_like(latents)),
-                    jnp.arange(num_steps))
+                # transformer compute (UNIGEN_BENCH_MODEL_CACHE_ORDER=1 ->
+                # first-order Taylor replay)
+                from unigen_tpu.pipelines import caching
+                latents, _ = caching.model_cache_scan(
+                    lambda l, i: fwd(l, i)[0], latents, sig, num_steps,
+                    cache_interval=model_k,
+                    order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
+                                             "0")))
                 return latents
 
             zero = jnp.zeros((bb.num_layers, b, s_img, d), dtype)
@@ -485,7 +477,7 @@ def bench_sana():
         "vs_baseline": round(results[best_b] / est_ref, 3),
         "config": f"sana1.6b_{bb.num_layers}blk_w{d}_{quant}"
                   + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")
-                  + (f"_modelcache{model_k}" if model_k > 1 else "")}))
+                  + (f"_modelcache{model_k}" + ("_o1" if os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1" else "") if model_k > 1 else "")}))
 
 
 def bench_train():
@@ -1137,13 +1129,16 @@ def bench_cache():
     condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
     latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
 
+    model_order = int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER", "0"))
+
     def make_denoise(interval: int, adaptive: bool = False,
                      model_cache: bool = False):
         # adaptive: the threshold rides as a traced scalar argument — ONE
         # compiled program serves the whole threshold sweep (each baked-in
         # threshold would otherwise be a fresh 5-8 min remote compile).
         # model_cache: replay steps skip the ENTIRE transformer and reuse
-        # the cached prediction (pipelines model_cache_*)
+        # the cached prediction (pipelines model_cache_*;
+        # UNIGEN_BENCH_MODEL_CACHE_ORDER=1 -> first-order Taylor replay)
 
         def denoise(params, latents, condition, prompt, pooled, cond_pooled,
                     threshold=None):
@@ -1170,13 +1165,17 @@ def bench_cache():
                                           jnp.arange(num_steps))
                 return latents, jnp.asarray(num_steps, jnp.int32)
 
-            d = bb.inner_dim
             if model_cache:
-                zero = jnp.zeros_like(latents)
-            else:
-                zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
-                        jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
-                                  dtype))
+                return caching.model_cache_scan(
+                    lambda l, i: fwd(l, i)[0], latents, sig, num_steps,
+                    cache_interval=interval, adaptive=adaptive,
+                    threshold=threshold if adaptive else None,
+                    order=model_order)
+
+            d = bb.inner_dim
+            zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
+                    jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
+                              dtype))
 
             def step(carry, i):
                 if adaptive:
@@ -1187,23 +1186,14 @@ def bench_cache():
                     lat, res = carry
                     refresh = (i % interval) == 0
 
-                if model_cache:
-                    # the cache slot IS the prediction
-                    def full():
-                        pred, _ = fwd(lat, i)
-                        return pred, pred
+                def full():
+                    pred, outs = fwd(lat, i,
+                                     return_control_residuals=True)
+                    return pred, outs["control_residuals"]
 
-                    def replay():
-                        return res, res
-                else:
-                    def full():
-                        pred, outs = fwd(lat, i,
-                                         return_control_residuals=True)
-                        return pred, outs["control_residuals"]
-
-                    def replay():
-                        pred, _ = fwd(lat, i, control_residuals=res)
-                        return pred, res
+                def replay():
+                    pred, _ = fwd(lat, i, control_residuals=res)
+                    return pred, res
 
                 pred, res = jax.lax.cond(refresh, full, replay)
                 lat_next = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
@@ -1340,8 +1330,10 @@ def bench_cache():
             print(f"# model cache interval={k} failed: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)
             continue
-        model_rows.append(fidelity_row(
-            ips_k, img_k, {"interval": k, "refreshes": n_ref}))
+        extra = {"interval": k, "refreshes": n_ref}
+        if model_order:
+            extra["order"] = model_order
+        model_rows.append(fidelity_row(ips_k, img_k, extra))
     for thr in [float(x) for x in
                 os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ADAPTIVE",
                                "").split(",") if x]:
@@ -1351,9 +1343,10 @@ def bench_cache():
             print(f"# model cache threshold={thr} failed: "
                   f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
             continue
-        model_adaptive_rows.append(fidelity_row(
-            ips_t, img_t, {"threshold": thr, "refreshes": n_ref,
-                           "num_steps": num_steps}))
+        extra = {"threshold": thr, "refreshes": n_ref, "num_steps": num_steps}
+        if model_order:
+            extra["order"] = model_order
+        model_adaptive_rows.append(fidelity_row(ips_t, img_t, extra))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "CACHE.json")
     try:

@@ -45,6 +45,9 @@ def parse_args(argv=None):
                         "with the control cache flags)")
     p.add_argument("--model_cache_threshold", type=float, default=0.0,
                    help="adaptive variant of --model_cache_interval")
+    p.add_argument("--model_cache_order", type=int, default=0, choices=[0, 1],
+                   help="0 = zero-order hold, 1 = first-order Taylor "
+                        "extrapolation from the two most recent refreshes")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--max_sequence_length", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=1)
@@ -93,6 +96,7 @@ def main(argv=None):
                     cfg_cache=args.cfg_cache,
                     model_cache_interval=args.model_cache_interval,
                     model_cache_threshold=args.model_cache_threshold,
+                    model_cache_order=args.model_cache_order,
                     seed=args.seed)
         Image.fromarray(imgs[0]).save(os.path.join(args.save_path, "res.png"))
         logger.info("saved %s", os.path.join(args.save_path, "res.png"))
@@ -119,6 +123,7 @@ def main(argv=None):
                     control_cache_threshold=args.control_cache_threshold,
                     model_cache_interval=args.model_cache_interval,
                     model_cache_threshold=args.model_cache_threshold,
+                    model_cache_order=args.model_cache_order,
                     seed=args.seed + start)
         for j, (i, s) in enumerate(zip(idxs, samples)):
             d = os.path.join(args.save_path, f"{i:05d}")

@@ -201,13 +201,16 @@ def main_sd3(args):
 
                 lat_x, _ = jax.lax.scan(step, inp["hidden"],
                                         jnp.arange(num_steps))
+            elif model_cache:
+                lat_x, _ = caching.model_cache_scan(
+                    lambda l, i: f(l, i)[0], inp["hidden"], sig, num_steps,
+                    cache_interval=interval, adaptive=adaptive,
+                    threshold=threshold if adaptive else None,
+                    order=getattr(args, "model_cache_order", 0))
             else:
                 s_tok = (lat // 2) ** 2
-                if model_cache:
-                    zero = jnp.zeros_like(inp["hidden"])
-                else:
-                    zero = jnp.zeros((bb.num_layers, 2 * b, s_tok,
-                                      bb.inner_dim), dtype)
+                zero = jnp.zeros((bb.num_layers, 2 * b, s_tok,
+                                  bb.inner_dim), dtype)
 
                 def step(carry, i):
                     if adaptive:
@@ -218,29 +221,20 @@ def main_sd3(args):
                         lat_x, res, delta = carry
                         refresh = (i % interval) == 0
 
-                    if model_cache:
-                        # the cache slot IS the guided prediction
-                        def full():
-                            pred, _, d = f(lat_x, i)
-                            return pred, pred, d
+                    def full():
+                        pred, outs, d = f(lat_x, i,
+                                          return_control_residuals=True)
+                        return pred, outs["control_residuals"], d
 
+                    if cfg_cache:
                         def replay():
-                            return res, res, delta
+                            pos = f_pos(lat_x, i, res[:, b:])
+                            return pos + 6.0 * delta, res, delta
                     else:
-                        def full():
-                            pred, outs, d = f(lat_x, i,
-                                              return_control_residuals=True)
-                            return pred, outs["control_residuals"], d
-
-                        if cfg_cache:
-                            def replay():
-                                pos = f_pos(lat_x, i, res[:, b:])
-                                return pos + 6.0 * delta, res, delta
-                        else:
-                            def replay():
-                                pred, _, _ = f(lat_x, i,
-                                               control_residuals=res)
-                                return pred, res, delta
+                        def replay():
+                            pred, _, _ = f(lat_x, i,
+                                           control_residuals=res)
+                            return pred, res, delta
 
                     pred, res, delta = jax.lax.cond(refresh, full, replay)
                     nxt = scheduling.euler_step(lat_x, pred, sig[i],
@@ -436,13 +430,16 @@ def main_sana(args):
 
                 lat_x, _ = jax.lax.scan(step, inp["hidden"],
                                         jnp.arange(num_steps))
+            elif model_cache:
+                lat_x, _ = caching.model_cache_scan(
+                    lambda l, i: f(l, i)[0], inp["hidden"], sig, num_steps,
+                    cache_interval=interval, adaptive=adaptive,
+                    threshold=threshold if adaptive else None,
+                    order=getattr(args, "model_cache_order", 0))
             else:
                 s_tok = (lat // bb.patch_size) ** 2
-                if model_cache:
-                    zero = jnp.zeros_like(inp["hidden"])
-                else:
-                    zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
-                                     dtype)
+                zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
+                                 dtype)
 
                 def step(carry, i):
                     if adaptive:
@@ -453,22 +450,14 @@ def main_sana(args):
                         lat_x, res_c = carry
                         refresh = (i % interval) == 0
 
-                    if model_cache:
-                        def full():
-                            pred, _ = f(lat_x, i)
-                            return pred, pred
+                    def full():
+                        pred, outs = f(lat_x, i,
+                                       return_control_residuals=True)
+                        return pred, outs["control_residuals"]
 
-                        def replay():
-                            return res_c, res_c
-                    else:
-                        def full():
-                            pred, outs = f(lat_x, i,
-                                           return_control_residuals=True)
-                            return pred, outs["control_residuals"]
-
-                        def replay():
-                            pred, _ = f(lat_x, i, control_residuals=res_c)
-                            return pred, res_c
+                    def replay():
+                        pred, _ = f(lat_x, i, control_residuals=res_c)
+                        return pred, res_c
 
                     pred, res_c = jax.lax.cond(refresh, full, replay)
                     nxt = scheduling.euler_step(lat_x, pred, sig[i],
@@ -589,6 +578,12 @@ def main(argv=None):
                         "steps skip the entire transformer and reuse the "
                         "cached guided prediction — pipelines "
                         "model_cache_*); incompatible with --cfg-cache")
+    p.add_argument("--model-cache-order", type=int, default=0,
+                   dest="model_cache_order", choices=[0, 1],
+                   help="with --model-cache: 0 = zero-order hold (reuse the "
+                        "last prediction), 1 = first-order Taylor "
+                        "extrapolation from the two most recent refreshes "
+                        "(caching.model_cache_scan)")
     p.add_argument("--routing", default=None,
                    choices=["per_sample", "global"],
                    help="override MoE batch_mode: 'global' measures fidelity "
@@ -775,14 +770,17 @@ def main(argv=None):
                         return scheduling.euler_step(
                             lat, pred, sigmas[i], sigmas[i + 1]), None
                     lat, _ = jax.lax.scan(step, lat, jnp.arange(num_steps))
+                elif model_cache:
+                    lat, _ = caching.model_cache_scan(
+                        lambda l, i: fwd(l, i)[0], lat, sigmas, num_steps,
+                        cache_interval=interval, adaptive=adaptive,
+                        threshold=threshold if adaptive else None,
+                        order=getattr(args, "model_cache_order", 0))
                 else:
                     d = bb.inner_dim
-                    if model_cache:
-                        zero = jnp.zeros_like(lat)
-                    else:
-                        zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
-                                jnp.zeros((bb.num_single_layers, b,
-                                           t_len + s_img, d), dtype))
+                    zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
+                            jnp.zeros((bb.num_single_layers, b,
+                                       t_len + s_img, d), dtype))
 
                     def step(carry, i):
                         if adaptive:
@@ -793,23 +791,14 @@ def main(argv=None):
                             lat, res = carry
                             refresh = (i % interval) == 0
 
-                        if model_cache:
-                            # the cache slot IS the prediction
-                            def full():
-                                pred, _ = fwd(lat, i)
-                                return pred, pred
+                        def full():
+                            pred, outs = fwd(
+                                lat, i, return_control_residuals=True)
+                            return pred, outs["control_residuals"]
 
-                            def replay():
-                                return res, res
-                        else:
-                            def full():
-                                pred, outs = fwd(
-                                    lat, i, return_control_residuals=True)
-                                return pred, outs["control_residuals"]
-
-                            def replay():
-                                pred, _ = fwd(lat, i, control_residuals=res)
-                                return pred, res
+                        def replay():
+                            pred, _ = fwd(lat, i, control_residuals=res)
+                            return pred, res
 
                         pred, res = jax.lax.cond(refresh, full, replay)
                         nxt = scheduling.euler_step(lat, pred, sigmas[i],

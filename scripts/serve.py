@@ -111,6 +111,10 @@ def main(argv=None):
                          "exclusive with the control cache flags)")
     ap.add_argument("--model-cache-threshold", type=float, default=0.0,
                     help="adaptive variant of --model-cache-interval")
+    ap.add_argument("--model-cache-order", type=int, default=0,
+                    choices=[0, 1],
+                    help="0 = zero-order hold, 1 = first-order Taylor "
+                         "extrapolation from the two most recent refreshes")
     ap.add_argument("--prompt-cache", type=int, default=32,
                     help="LRU size for prompt/condition embeddings (0 "
                          "disables; serving repeats the negative prompt and "
@@ -150,7 +154,8 @@ def main(argv=None):
             control_cache_interval=args.control_cache_interval,
             control_cache_threshold=args.control_cache_threshold,
             model_cache_interval=args.model_cache_interval,
-            model_cache_threshold=args.model_cache_threshold)
+            model_cache_threshold=args.model_cache_threshold,
+            model_cache_order=args.model_cache_order)
 
     srv = MicroBatchServer(run_batch, batch_size=args.batch_size,
                            batch_sizes=args.batch_sizes)

@@ -882,3 +882,124 @@ def test_sana_model_cache(tiny_sana):
     assert d.max() > 0 and d.mean() < 40
     with pytest.raises(ValueError):
         pipe.generate(**kw, model_cache_interval=2, control_cache_interval=2)
+
+
+def test_model_cache_order1_tight_threshold_equals_exact():
+    """order=1 with refresh-every-step never replays -> exact trajectory."""
+    pipe, flux = _tiny_pipe()
+    steps = 4
+    exact = _gen(pipe, flux, steps=steps, interval=1)
+    cached = _gen_model_cache(pipe, flux, steps=steps, threshold=1e-9)
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    o1 = pipe.generate(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps,
+        model_cache_threshold=1e-9, model_cache_order=1)
+    np.testing.assert_array_equal(exact, cached)
+    np.testing.assert_array_equal(exact, o1)
+    assert pipe.last_cache_refreshes == steps
+
+
+def test_model_cache_order1_matches_manual_composition():
+    """interval=2 over 5 steps, order=1: step 1 replays zero-order (one
+    refresh so far), step 3 extrapolates P2 + (3-2)/(2-0)*(P2-P0)."""
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.ops.packing import (pack_latents, prepare_latent_image_ids,
+                                        unpack_latents)
+    from unigen_tpu.pipelines import scheduling
+    pipe, flux = _tiny_pipe()
+    cfg = pipe.cfg
+    b, h, w, steps, t = 1, 16, 16, 5, 8
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    prompt_embeds = jax.random.normal(ks[0], (b, t, flux.joint_attention_dim))
+    pooled = jax.random.normal(ks[1], (b, flux.pooled_projection_dim))
+    cond_pooled = jax.random.normal(ks[2], (b, flux.pooled_projection_dim))
+    control_pixels = jax.random.normal(ks[3], (b, 3, h, w))
+    vs = pipe.vae_cfg.downscale
+    lh, lw = 2 * (h // (vs * 2)), 2 * (w // (vs * 2))
+    latents0 = jax.random.normal(
+        jax.random.PRNGKey(0), (b, (lh // 2) * (lw // 2), flux.in_channels),
+        jnp.float32)
+    kw = dict(prompt_embeds=prompt_embeds, pooled=pooled,
+              cond_pooled=cond_pooled, control_pixels=control_pixels,
+              height=h, width=w, num_inference_steps=steps, seed=0,
+              latents=latents0)
+
+    got = pipe.generate(**kw, model_cache_interval=2, model_cache_order=1)
+    got0 = pipe.generate(**kw, model_cache_interval=2, model_cache_order=0)
+    assert np.abs(got.astype(int) - got0.astype(int)).max() > 0  # order live
+
+    sigmas, timesteps = scheduling.inference_sigmas(
+        pipe.scheduler, steps, image_seq_len=(lh // 2) * (lw // 2))
+    img_ids = prepare_latent_image_ids(lh // 2, lw // 2)
+    txt_ids = jnp.zeros((t, 3))
+    control_lat = pack_latents(
+        vae_lib.vae_encode(pipe.vae_params, pipe.vae_cfg, control_pixels))
+
+    def fwd(lat, i):
+        pred, _, _ = unigen_flux_forward(
+            pipe.params, cfg, hidden=lat, condition=control_lat,
+            encoder=prompt_embeds, pooled=pooled, condition_pooled=cond_pooled,
+            timestep=jnp.full((b,), timesteps[i] / 1000.0, jnp.float32),
+            img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+            guidance=None, conditioning_scale=1.0)
+        return pred
+
+    lat = latents0
+    preds = {}          # step -> refreshed pred
+    hist = []           # refresh step indices
+    for i in range(steps):
+        if i % 2 == 0:
+            preds[i] = fwd(lat, i)
+            hist.append(i)
+            pred = preds[i]
+        elif len(hist) < 2:
+            pred = preds[hist[-1]]                       # zero-order fallback
+        else:
+            i1, i0 = hist[-1], hist[-2]
+            slope = (preds[i1] - preds[i0]) / (i1 - i0)
+            pred = preds[i1] + (i - i1) * slope
+        lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+    px = vae_lib.vae_decode(pipe.vae_params, pipe.vae_cfg,
+                            unpack_latents(lat.astype(jnp.float32), lh, lw))
+    want = ((np.asarray(jnp.clip(px, -1, 1)).transpose(0, 2, 3, 1) + 1)
+            * 127.5).round().astype(np.uint8)
+    np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)
+
+
+def test_sd3_sana_model_cache_order1_runs(tiny_sd3, tiny_sana):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+    pipe, kw = _sd3_pipe_kw(tiny_sd3, steps=5)
+    o0 = pipe.generate(**kw, model_cache_interval=2)
+    o1 = pipe.generate(**kw, model_cache_interval=2, model_cache_order=1)
+    assert np.abs(o1.astype(int) - o0.astype(int)).max() > 0
+    exact = pipe.generate(**kw)
+    assert np.abs(o1.astype(int) - exact.astype(int)).mean() < 40
+
+    cfg, params = tiny_sana
+    bb = cfg.sana
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    spipe = UniGenSanaPipeline(
+        cfg=cfg, params=params,
+        ae_encode=lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px),
+        ae_decode=lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat),
+        ae_downscale=vae_cfg.downscale)
+    res = 8 * vae_cfg.downscale
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    skw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (1, 5, bb.caption_channels)),
+        prompt_mask=jnp.ones((1, 5), jnp.int32),
+        pooled=jax.random.normal(ks[1], (1, bb.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (1, bb.pooled_projection_dim)),
+        control_pixels=np.random.default_rng(0).standard_normal(
+            (1, 3, res, res)).astype(np.float32) * 0.1,
+        height=res, width=res, num_inference_steps=5, seed=0)
+    s0 = spipe.generate(**skw, model_cache_interval=2)
+    s1 = spipe.generate(**skw, model_cache_interval=2, model_cache_order=1)
+    assert np.abs(s1.astype(int) - s0.astype(int)).max() > 0

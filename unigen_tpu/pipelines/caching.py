@@ -23,8 +23,9 @@ no counterpart file.
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Any, Callable, Hashable
+from typing import Any, Callable, Hashable, Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -42,6 +43,72 @@ def refresh_decision(i: jnp.ndarray, lat: jnp.ndarray, lat_ref: jnp.ndarray,
     """Scalar bool: refresh at step 0 unconditionally, afterwards whenever
     the latent has drifted more than ``threshold`` since the last refresh."""
     return jnp.logical_or(i == 0, rel_change(lat, lat_ref) > threshold)
+
+
+def model_cache_scan(full_pred: Callable, latents: jnp.ndarray, sigmas,
+                     num_steps: int, *, cache_interval: int = 1,
+                     adaptive: bool = False,
+                     threshold: Optional[jnp.ndarray] = None,
+                     order: int = 0):
+    """FULL-MODEL output caching denoise loop, shared by the three
+    pipelines: refresh steps call ``full_pred(lat, i)`` (the exact guided
+    forward); replay steps skip the transformer entirely and reuse the
+    cached prediction. ``order=0`` is a zero-order hold (TeaCache,
+    arXiv:2411.19108 applied to the whole output); ``order=1`` extrapolates
+    linearly from the TWO most recent refreshed predictions
+    (TaylorSeer-style first-order Taylor expansion in the step index,
+    arXiv:2503.06923) — same replay cost, better fidelity at aggressive
+    intervals; falls back to zero-order until two refreshes exist.
+
+    Returns ``(latents, n_refresh)`` where n_refresh is the (possibly
+    data-dependent) number of full forwards taken.
+    """
+    from unigen_tpu.pipelines import scheduling
+    sig = jnp.asarray(sigmas)
+
+    def step(carry, i):
+        if adaptive:
+            lat, p1, p0, i1, i0, lat_ref, n_ref = carry
+            refresh = refresh_decision(i, lat, lat_ref, threshold)
+        else:
+            lat, p1, p0, i1, i0 = carry
+            refresh = (i % cache_interval) == 0
+
+        def full():
+            pred = full_pred(lat, i)
+            return pred, pred, p1, i.astype(jnp.int32), i1
+
+        def replay():
+            if order >= 1:
+                have2 = i0 >= 0
+                dt = jnp.maximum(i1 - i0, 1).astype(p1.dtype)
+                slope = (p1 - p0) / dt
+                gap = (i.astype(jnp.int32) - i1).astype(p1.dtype)
+                pred = jnp.where(have2, p1 + gap * slope, p1)
+            else:
+                pred = p1
+            return pred, p1, p0, i1, i0
+
+        pred, p1, p0, i1, i0 = jax.lax.cond(refresh, full, replay)
+        lat_next = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
+        if adaptive:
+            lat_ref = jnp.where(refresh, lat, lat_ref)
+            n_ref = n_ref + refresh.astype(jnp.int32)
+            return (lat_next, p1, p0, i1, i0, lat_ref, n_ref), None
+        return (lat_next, p1, p0, i1, i0), None
+
+    z = jnp.zeros_like(latents)      # never read: step 0 always refreshes
+    neg1 = jnp.asarray(-1, jnp.int32)
+    if adaptive:
+        (latents, _, _, _, _, _, n_ref), _ = jax.lax.scan(
+            step, (latents, z, z, neg1, neg1, latents,
+                   jnp.zeros((), jnp.int32)),
+            jnp.arange(num_steps))
+        return latents, n_ref
+    (latents, _, _, _, _), _ = jax.lax.scan(
+        step, (latents, z, z, neg1, neg1), jnp.arange(num_steps))
+    n = num_steps // cache_interval + (1 if num_steps % cache_interval else 0)
+    return latents, jnp.asarray(n, jnp.int32)
 
 
 class PromptLRU:

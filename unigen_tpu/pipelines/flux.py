@@ -155,7 +155,8 @@ class UniGenFluxPipeline:
                          cache_interval: int = 1,
                          adaptive: bool = False,
                          cfg_cache: bool = False,
-                         model_cache: bool = False):
+                         model_cache: bool = False,
+                         model_cache_order: int = 0):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, NOT baked in) — one compiled program serves every
         # threshold, so the knob is tunable at serving time for free.
@@ -220,7 +221,12 @@ class UniGenFluxPipeline:
                 # full-model output caching: a replay step costs ZERO
                 # transformer compute — the carried velocity prediction is
                 # applied at the step's own sigma gap (zero-order hold on the
-                # flow); refresh steps run the exact full forward (incl. CFG)
+                # flow); refresh steps run the exact full forward (incl. CFG).
+                # model_cache_order=1: replay extrapolates linearly from the
+                # two most recent refreshed predictions (TaylorSeer-style,
+                # arXiv:2503.06923) — same cost, better fidelity at
+                # aggressive intervals; falls back to zero-order until two
+                # refreshes exist
                 def full_pred(lat, i):
                     pred, _ = fwd(lat, i, prompt_embeds, pooled)
                     if do_cfg:
@@ -228,34 +234,11 @@ class UniGenFluxPipeline:
                         pred = neg + true_cfg_scale * (pred - neg)
                     return pred
 
-                def step(carry, i):
-                    if adaptive:
-                        lat, pred_c, lat_ref, n_ref = carry
-                        refresh = caching.refresh_decision(i, lat, lat_ref,
-                                                           cache_threshold)
-                    else:
-                        lat, pred_c = carry
-                        refresh = (i % cache_interval) == 0
-                    pred = jax.lax.cond(refresh,
-                                        lambda: full_pred(lat, i),
-                                        lambda: pred_c)
-                    lat_next = scheduling.euler_step(lat, pred, sigmas[i],
-                                                     sigmas[i + 1])
-                    if adaptive:
-                        lat_ref = jnp.where(refresh, lat, lat_ref)
-                        n_ref = n_ref + refresh.astype(jnp.int32)
-                        return (lat_next, pred, lat_ref, n_ref), None
-                    return (lat_next, pred), None
-
-                pred0 = jnp.zeros_like(latents)  # never read: step 0 refreshes
-                if adaptive:
-                    (latents, _, _, n_refresh), _ = jax.lax.scan(
-                        step, (latents, pred0, latents,
-                               jnp.zeros((), jnp.int32)),
-                        jnp.arange(num_steps))
-                else:
-                    (latents, _), _ = jax.lax.scan(
-                        step, (latents, pred0), jnp.arange(num_steps))
+                latents, n_refresh = caching.model_cache_scan(
+                    full_pred, latents, sigmas, num_steps,
+                    cache_interval=cache_interval, adaptive=adaptive,
+                    threshold=cache_threshold if adaptive else None,
+                    order=model_cache_order)
             else:
                 # control-residual step caching (see unigen_flux_forward
                 # docstring): recompute the control branch every
@@ -375,7 +358,8 @@ class UniGenFluxPipeline:
                  control_cache_threshold: float = 0.0,
                  cfg_cache: bool = False,
                  model_cache_interval: int = 1,
-                 model_cache_threshold: float = 0.0
+                 model_cache_threshold: float = 0.0,
+                 model_cache_order: int = 0
                  ) -> np.ndarray:
         """Single-condition generation from precomputed embeddings.
         Returns uint8 images [B, H, W, 3].
@@ -427,7 +411,8 @@ class UniGenFluxPipeline:
                              "same refresh schedule)")
         cache_key = (steps, height, width, true_cfg_scale > 1.0,
                      round(guidance_scale, 4), tuple(np.asarray(schedule)),
-                     multi, cache_interval, adaptive, cfg_cache, model_cache)
+                     multi, cache_interval, adaptive, cfg_cache, model_cache,
+                     model_cache_order)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
@@ -435,7 +420,7 @@ class UniGenFluxPipeline:
                 steps, height, width, true_cfg_scale, guidance_scale, schedule,
                 multi, cache_interval=cache_interval,
                 adaptive=adaptive, cfg_cache=cfg_cache,
-                model_cache=model_cache)
+                model_cache=model_cache, model_cache_order=model_cache_order)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
 
@@ -494,7 +479,8 @@ class UniGenFluxPipeline:
                  control_cache_threshold: float = 0.0,
                  cfg_cache: bool = False,
                  model_cache_interval: int = 1,
-                 model_cache_threshold: float = 0.0) -> np.ndarray:
+                 model_cache_threshold: float = 0.0,
+                 model_cache_order: int = 0) -> np.ndarray:
         """Single-condition call (reference UniGenPipeline.py:486-807).
         control_image: float array [B,3,H,W] in [-1,1]."""
         self._auto_switch(condition_prompt)
@@ -523,7 +509,8 @@ class UniGenFluxPipeline:
             control_cache_threshold=control_cache_threshold,
             cfg_cache=cfg_cache,
             model_cache_interval=model_cache_interval,
-            model_cache_threshold=model_cache_threshold)
+            model_cache_threshold=model_cache_threshold,
+            model_cache_order=model_cache_order)
 
     def multi_condition_call(self, prompt: Union[str, Sequence[str]],
                              condition_prompts: Sequence[str],

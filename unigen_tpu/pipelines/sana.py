@@ -101,7 +101,8 @@ class UniGenSanaPipeline:
 
     def _denoise_program(self, num_steps: int, height: int, width: int,
                          scale_schedule, cache_interval: int = 1,
-                         adaptive: bool = False, model_cache: bool = False):
+                         adaptive: bool = False, model_cache: bool = False,
+                         model_cache_order: int = 0):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, not baked in) — one compiled program serves any threshold.
         # model_cache=True: replay steps skip the ENTIRE transformer and
@@ -141,36 +142,14 @@ class UniGenSanaPipeline:
                                           jnp.arange(num_steps))
             elif model_cache:
                 # full-model output caching: replay steps cost zero
-                # transformer compute (carried velocity prediction applied at
-                # the step's own sigma gap)
-                def step(carry, i):
-                    if adaptive:
-                        lat, pred_c, lat_ref, n_ref = carry
-                        refresh = caching.refresh_decision(i, lat, lat_ref,
-                                                           cache_threshold)
-                    else:
-                        lat, pred_c = carry
-                        refresh = (i % cache_interval) == 0
-                    pred = jax.lax.cond(refresh,
-                                        lambda: fwd(lat, i)[0],
-                                        lambda: pred_c)
-                    lat_next = scheduling.euler_step(lat, pred, sig[i],
-                                                     sig[i + 1])
-                    if adaptive:
-                        lat_ref = jnp.where(refresh, lat, lat_ref)
-                        n_ref = n_ref + refresh.astype(jnp.int32)
-                        return (lat_next, pred, lat_ref, n_ref), None
-                    return (lat_next, pred), None
-
-                pred0 = jnp.zeros_like(latents)  # never read: step 0 refreshes
-                if adaptive:
-                    (latents, _, _, n_refresh), _ = jax.lax.scan(
-                        step, (latents, pred0, latents,
-                               jnp.zeros((), jnp.int32)),
-                        jnp.arange(num_steps))
-                else:
-                    (latents, _), _ = jax.lax.scan(
-                        step, (latents, pred0), jnp.arange(num_steps))
+                # transformer compute (shared scan incl. the order-1 Taylor
+                # replay: caching.model_cache_scan)
+                latents, n_refresh = caching.model_cache_scan(
+                    lambda lat_x, i: fwd(lat_x, i)[0], latents, sig,
+                    num_steps, cache_interval=cache_interval,
+                    adaptive=adaptive,
+                    threshold=cache_threshold if adaptive else None,
+                    order=model_cache_order)
             else:
                 # control-residual step caching (see sana_unigen_forward):
                 # cache of raw per-base-block control outputs
@@ -231,7 +210,8 @@ class UniGenSanaPipeline:
                  control_cache_interval: int = 1,
                  control_cache_threshold: float = 0.0,
                  model_cache_interval: int = 1,
-                 model_cache_threshold: float = 0.0) -> np.ndarray:
+                 model_cache_threshold: float = 0.0,
+                 model_cache_order: int = 0) -> np.ndarray:
         """control_cache_interval > 1 enables control-residual step caching
         (recompute the control branch every k-th denoise step) — a
         serving-only approximation; measure fidelity before production use.
@@ -257,14 +237,15 @@ class UniGenSanaPipeline:
                            else control_cache_threshold)
         adaptive = cache_threshold > 0.0
         key = (steps, height, width, schedule, cache_interval,
-               adaptive, model_cache)
+               adaptive, model_cache, model_cache_order)
         if key in self._program_cache:
             program, (lh, lw) = self._program_cache[key]
         else:
             program, (lh, lw) = self._denoise_program(steps, height, width,
                                                       np.asarray(schedule),
                                                       cache_interval,
-                                                      adaptive, model_cache)
+                                                      adaptive, model_cache,
+                                                      model_cache_order)
             program = jax.jit(program)
             self._program_cache[key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]

@@ -116,7 +116,8 @@ class UniGenSD3Pipeline:
     def _program(self, num_steps: int, height: int, width: int,
                  guidance_scale: float, schedule: jnp.ndarray,
                  cache_interval: int = 1, adaptive: bool = False,
-                 cfg_cache: bool = False, model_cache: bool = False):
+                 cfg_cache: bool = False, model_cache: bool = False,
+                 model_cache_order: int = 0):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, not baked in) — one compiled program serves any threshold.
         # cfg_cache=True (requires a caching mode + CFG): replay steps run
@@ -168,35 +169,15 @@ class UniGenSD3Pipeline:
                 latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
             elif model_cache:
                 # full-model output caching: fwd() already applies the CFG
-                # combine, so the carried prediction is the guided velocity
-                def step(carry, i):
-                    if adaptive:
-                        lat, pred_c, lat_ref, n_ref = carry
-                        refresh = caching.refresh_decision(i, lat, lat_ref,
-                                                           cache_threshold)
-                    else:
-                        lat, pred_c = carry
-                        refresh = (i % cache_interval) == 0
-                    pred = jax.lax.cond(refresh,
-                                        lambda: fwd(lat, i)[0],
-                                        lambda: pred_c)
-                    lat_next = scheduling.euler_step(lat, pred, sigmas[i],
-                                                     sigmas[i + 1])
-                    if adaptive:
-                        lat_ref = jnp.where(refresh, lat, lat_ref)
-                        n_ref = n_ref + refresh.astype(jnp.int32)
-                        return (lat_next, pred, lat_ref, n_ref), None
-                    return (lat_next, pred), None
-
-                pred0 = jnp.zeros_like(latents)  # never read: step 0 refreshes
-                if adaptive:
-                    (latents, _, _, n_refresh), _ = jax.lax.scan(
-                        step, (latents, pred0, latents,
-                               jnp.zeros((), jnp.int32)),
-                        jnp.arange(num_steps))
-                else:
-                    (latents, _), _ = jax.lax.scan(
-                        step, (latents, pred0), jnp.arange(num_steps))
+                # combine, so the cached prediction is the guided velocity
+                # (shared scan incl. the order-1 Taylor replay:
+                # caching.model_cache_scan)
+                latents, n_refresh = caching.model_cache_scan(
+                    lambda lat, i: fwd(lat, i)[0], latents, sigmas,
+                    num_steps, cache_interval=cache_interval,
+                    adaptive=adaptive,
+                    threshold=cache_threshold if adaptive else None,
+                    order=model_cache_order)
             else:
                 # control-residual step caching (see unigen_sd3_forward): one
                 # cache [n_base, B(*2 if cfg), S, D] of raw control block
@@ -308,7 +289,8 @@ class UniGenSD3Pipeline:
                  control_cache_threshold: float = 0.0,
                  cfg_cache: bool = False,
                  model_cache_interval: int = 1,
-                 model_cache_threshold: float = 0.0) -> np.ndarray:
+                 model_cache_threshold: float = 0.0,
+                 model_cache_order: int = 0) -> np.ndarray:
         """control_cache_interval > 1 enables control-residual step caching
         (recompute the control branch every k-th denoise step) — a
         serving-only approximation; measure fidelity before production use.
@@ -347,14 +329,15 @@ class UniGenSD3Pipeline:
                              "same refresh schedule)")
         cache_key = (steps, height, width, round(guidance_scale, 4),
                      tuple(conditioning_scale * keep), cache_interval,
-                     adaptive, cfg_cache, model_cache)
+                     adaptive, cfg_cache, model_cache, model_cache_order)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
             program, (lh, lw) = self._program(steps, height, width,
                                               guidance_scale, schedule,
                                               cache_interval,
-                                              adaptive, cfg_cache, model_cache)
+                                              adaptive, cfg_cache, model_cache,
+                                              model_cache_order)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
