@@ -891,6 +891,11 @@ def bench_multi():
         # (pipelines/caching.py) — the threshold rides as a traced scalar
         cache_thr = float(os.environ.get("UNIGEN_BENCH_CACHE_THRESHOLD", "0"))
         adaptive = cache_thr > 0.0
+        # UNIGEN_BENCH_MODEL_CACHE_INTERVAL>1: full-model output caching
+        model_k = int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_INTERVAL", "1"))
+        if model_k > 1:
+            assert cache_k <= 1 and not adaptive, \
+                "model cache and control cache are mutually exclusive"
 
         def denoise(params, latents, condition, prompt, pooled, cond_pooled,
                     threshold=None):
@@ -911,13 +916,23 @@ def bench_multi():
                     attn_impl="auto", **kw)
                 return pred, outs
 
-            if cache_k <= 1 and not adaptive:
+            if cache_k <= 1 and not adaptive and model_k <= 1:
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sig[i],
                                                  sig[i + 1]), None
                 latents, _ = jax.lax.scan(step, latents,
                                           jnp.arange(num_steps))
+                return latents
+
+            if model_k > 1:
+                # FULL-MODEL output caching (UNIGEN_BENCH_MODEL_CACHE_ORDER=1
+                # -> first-order Taylor replay)
+                latents, _ = caching.model_cache_scan(
+                    lambda l, i: fwd(l, i)[0], latents, sig, num_steps,
+                    cache_interval=model_k,
+                    order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
+                                             "0")))
                 return latents
 
             # control-residual caching pays off MOST here: the cached branch
@@ -998,7 +1013,10 @@ def bench_multi():
     best = max(results, key=lambda b: results[b]["ips"])
     cache_k = int(os.environ.get("UNIGEN_BENCH_CACHE_INTERVAL", "1"))
     cache_thr = float(os.environ.get("UNIGEN_BENCH_CACHE_THRESHOLD", "0"))
-    suffix = (f"_ctrlcache_thr{cache_thr}" if cache_thr > 0
+    model_k = int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_INTERVAL", "1"))
+    model_o = os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1"
+    suffix = (f"_modelcache{model_k}{'_o1' if model_o else ''}" if model_k > 1
+              else f"_ctrlcache_thr{cache_thr}" if cache_thr > 0
               else f"_ctrlcache{cache_k}" if cache_k > 1 else "")
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
                      f"w{bb.inner_dim}_w4a8_multi{k_cond}{suffix}",
@@ -1006,13 +1024,14 @@ def bench_multi():
     # cached runs get their own artifact so the exact MULTI.json survives;
     # MULTI_CACHE.json merges across intervals/thresholds (one section each)
     here = os.path.dirname(os.path.abspath(__file__))
-    if cache_k > 1 or cache_thr > 0:
+    if cache_k > 1 or cache_thr > 0 or model_k > 1:
         path = os.path.join(here, "MULTI_CACHE.json")
         merged = {}
         if os.path.exists(path):
             with open(path) as f:
                 merged = json.load(f)
-        key = (f"threshold_{cache_thr}" if cache_thr > 0
+        key = (f"model_{model_k}{'_o1' if model_o else ''}" if model_k > 1
+               else f"threshold_{cache_thr}" if cache_thr > 0
                else f"interval_{cache_k}")
         merged[key] = doc
         with open(path, "w") as f:
