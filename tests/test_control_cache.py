@@ -1003,3 +1003,23 @@ def test_sd3_sana_model_cache_order1_runs(tiny_sd3, tiny_sana):
     s0 = spipe.generate(**skw, model_cache_interval=2)
     s1 = spipe.generate(**skw, model_cache_interval=2, model_cache_order=1)
     assert np.abs(s1.astype(int) - s0.astype(int)).max() > 0
+
+
+def test_multi_condition_model_cache_runs():
+    """Model cache through the multi-condition path (K-stacked control
+    pixels): tight threshold == exact, interval mode active."""
+    pipe, flux = _tiny_pipe()
+    b, h, w, steps, k = 1, 16, 16, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (k, b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (k, b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps, seed=0)
+    exact = pipe.generate(**kw)
+    tight = pipe.generate(**kw, model_cache_threshold=1e-9)
+    np.testing.assert_array_equal(exact, tight)
+    assert pipe.last_cache_refreshes == steps
+    cached = pipe.generate(**kw, model_cache_interval=2, model_cache_order=1)
+    assert np.abs(cached.astype(int) - exact.astype(int)).max() > 0
