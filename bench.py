@@ -103,6 +103,61 @@ def sd3_flops_per_forward(cfg, s_img: int, s_txt: int) -> float:
     return float(base + control + moe + shared)
 
 
+def record_family_cache_rows(family, results, *, res, num_steps, config,
+                             cache_k=1, model_k=1, cfg_cache=False,
+                             model_order=0):
+    """Merge measured family rungs (sd3/sana) into CACHE.json ``families``.
+
+    Exact runs (no cache knob active) refresh ``ips_exact`` (canonical
+    batch) / ``ips_exact_b{b}`` so later cached sweeps can compute
+    speedups; cached runs land in typed row lists (control cache ->
+    ``rows``, CFG delta cache -> ``cfg_rows``, full-model cache ->
+    ``model_rows``) keyed by (interval, order, batch) so repeated sweeps
+    merge instead of duplicating. ``results`` maps batch -> img/s."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "CACHE.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except Exception:
+        doc = {}
+    fam = doc.setdefault("families", {}).setdefault(family, {})
+    fam.setdefault("config", config)
+    fam["res"], fam["num_steps"] = res, num_steps
+    for r in fam.get("rows", []):          # older rows predate the batch tag
+        r.setdefault("batch", fam.get("batch"))
+
+    def exact_ips(b):
+        if fam.get("batch") == b:
+            return fam.get("ips_exact")
+        return fam.get(f"ips_exact_b{b}")
+
+    if cache_k <= 1 and model_k <= 1 and not cfg_cache:
+        for b, ips in results.items():
+            if fam.get("batch") in (None, b):
+                fam["batch"], fam["ips_exact"] = b, round(ips, 4)
+            else:
+                fam[f"ips_exact_b{b}"] = round(ips, 4)
+    else:
+        kind = ("model_rows" if model_k > 1
+                else "cfg_rows" if cfg_cache else "rows")
+        interval = model_k if model_k > 1 else cache_k
+        keyed = {(r.get("interval"), r.get("order", 0), r.get("batch")): r
+                 for r in fam.get(kind, [])}
+        for b, ips in results.items():
+            row = {"interval": interval, "batch": b, "ips": round(ips, 4)}
+            if model_k > 1 and model_order:
+                row["order"] = model_order
+            base = exact_ips(b)
+            if base:
+                row["speedup"] = round(ips / base, 3)
+            keyed[(interval, row.get("order", 0), b)] = row
+        fam[kind] = [keyed[k] for k in
+                     sorted(keyed, key=lambda t: (t[0] or 0, t[1], t[2] or 0))]
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
 def bench_sd3():
     """UNIGEN_BENCH_FAMILY=sd3: BASELINE config #2 — UniGenSD3 depth control
     on SD3.5-medium (24 joint blocks, dual-attn 0..12, width 1536), 512^2,
@@ -307,6 +362,13 @@ def bench_sd3():
                   + (f"_modelcache{model_k}" + ("_o1" if os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1" else "") if model_k > 1 else "")}))
     print(f"# best_batch={best_b} est_ref_a100={est_ref:.3f}img/s",
           file=sys.stderr)
+    if quant != "bf16":                 # cached/exact quantized serving rungs
+        record_family_cache_rows(
+            "sd3", results, res=res, num_steps=num_steps,
+            config=f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_{quant}_cfg",
+            cache_k=cache_k, model_k=model_k, cfg_cache=cfg_cache,
+            model_order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
+                                           "0")))
 
 
 def bench_sana():
@@ -478,6 +540,13 @@ def bench_sana():
         "config": f"sana1.6b_{bb.num_layers}blk_w{d}_{quant}"
                   + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")
                   + (f"_modelcache{model_k}" + ("_o1" if os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1" else "") if model_k > 1 else "")}))
+    if quant != "bf16":                 # cached/exact quantized serving rungs
+        record_family_cache_rows(
+            "sana", results, res=res, num_steps=num_steps,
+            config=f"sana1.6b_{bb.num_layers}blk_w{d}_{quant}",
+            cache_k=cache_k, model_k=model_k,
+            model_order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
+                                           "0")))
 
 
 def bench_train():
@@ -1382,10 +1451,14 @@ def bench_cache():
     merged.update({r["interval"]: r for r in rows})
     merged_a = {r["threshold"]: r for r in prev.get("adaptive_rows", [])}
     merged_a.update({r["threshold"]: r for r in adaptive_rows})
-    merged_m = {r["interval"]: r for r in prev.get("model_rows", [])}
-    merged_m.update({r["interval"]: r for r in model_rows})
-    merged_ma = {r["threshold"]: r for r in prev.get("model_adaptive_rows", [])}
-    merged_ma.update({r["threshold"]: r for r in model_adaptive_rows})
+    # model rows key on (interval|threshold, order) so zero-order and
+    # first-order Taylor replay rungs coexist in the artifact
+    _mk = lambda r, f: (r[f], r.get("order", 0))
+    merged_m = {_mk(r, "interval"): r for r in prev.get("model_rows", [])}
+    merged_m.update({_mk(r, "interval"): r for r in model_rows})
+    merged_ma = {_mk(r, "threshold"): r
+                 for r in prev.get("model_adaptive_rows", [])}
+    merged_ma.update({_mk(r, "threshold"): r for r in model_adaptive_rows})
     runs[f"b{b}"] = {"ips_exact": round(ips_exact, 4),
                      "rows": [merged[k] for k in sorted(merged)]}
     if merged_a:
@@ -1830,12 +1903,18 @@ def main():
                         rows.append((r["ips"], kind, rk, r))
         if rows:
             ips, kind, rk, r = max(rows, key=lambda t: t[0])
+            mode = {"rows": "control_cache",
+                    "adaptive_rows": "control_cache_adaptive",
+                    "model_rows": "model_cache",
+                    "model_adaptive_rows": "model_cache_adaptive"}[kind]
             line["serving_optimized"] = {
-                "ips": ips, "mode": kind[:-1] if kind.endswith("s") else kind,
+                "ips": ips, "mode": mode,
                 "batch": rk, "ssim_vs_exact": r["ssim_vs_exact"],
                 "vs_baseline": round(ips / est_ref, 3),
-                "knob": ({"interval": r["interval"]} if "interval" in r
-                         else {"threshold": r["threshold"]})}
+                "knob": dict(({"interval": r["interval"]} if "interval" in r
+                              else {"threshold": r["threshold"]}),
+                             **({"order": r["order"]} if "order" in r
+                                else {}))}
     except Exception:
         pass
     print(json.dumps(line))
