@@ -24,6 +24,11 @@ Env knobs:
                         default headline stays EXACT. Fidelity: CACHE.json
                         (cached-vs-exact) + measure_fidelity --cache-interval
                         (absolute vs bf16).
+  UNIGEN_BENCH_HYBRID_CACHE=<c:m[,c2:m2]>  hybrid three-level cache rungs
+                        (full / base-with-control-replay / prediction
+                        replay — SERVING.md rung 3c): the flux sweep runs
+                        bench_cache (CACHE.json hybrid_rows); the sd3/sana
+                        family rungs take ONE pair.
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
   value       — images/sec for the jitted 4-step denoise loop (text encode /
@@ -103,17 +108,30 @@ def sd3_flops_per_forward(cfg, s_img: int, s_txt: int) -> float:
     return float(base + control + moe + shared)
 
 
+def _parse_hybrid_env():
+    """UNIGEN_BENCH_HYBRID_CACHE=<c:m> -> (c, m); (1, 1) when unset.
+    Validates m > 1, c > m, m | c (the hybrid_cache_scan contract)."""
+    spec = os.environ.get("UNIGEN_BENCH_HYBRID_CACHE", "")
+    if not spec or "," in spec:            # families take ONE pair
+        return 1, 1
+    c, m = (int(x) for x in spec.split(":"))
+    assert m > 1 and c > m and c % m == 0, \
+        f"UNIGEN_BENCH_HYBRID_CACHE={spec}: need m>1, c>m, m|c"
+    return c, m
+
+
 def record_family_cache_rows(family, results, *, res, num_steps, config,
                              cache_k=1, model_k=1, cfg_cache=False,
-                             model_order=0):
+                             model_order=0, hybrid=(1, 1)):
     """Merge measured family rungs (sd3/sana) into CACHE.json ``families``.
 
     Exact runs (no cache knob active) refresh ``ips_exact`` (canonical
     batch) / ``ips_exact_b{b}`` so later cached sweeps can compute
     speedups; cached runs land in typed row lists (control cache ->
     ``rows``, CFG delta cache -> ``cfg_rows``, full-model cache ->
-    ``model_rows``) keyed by (interval, order, batch) so repeated sweeps
-    merge instead of duplicating. ``results`` maps batch -> img/s."""
+    ``model_rows``, three-level hybrid -> ``hybrid_rows``) keyed by
+    (interval, order, batch) so repeated sweeps merge instead of
+    duplicating. ``results`` maps batch -> img/s."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "CACHE.json")
     try:
@@ -132,12 +150,29 @@ def record_family_cache_rows(family, results, *, res, num_steps, config,
             return fam.get("ips_exact")
         return fam.get(f"ips_exact_b{b}")
 
-    if cache_k <= 1 and model_k <= 1 and not cfg_cache:
+    if cache_k <= 1 and model_k <= 1 and not cfg_cache and hybrid[1] <= 1:
         for b, ips in results.items():
             if fam.get("batch") in (None, b):
                 fam["batch"], fam["ips_exact"] = b, round(ips, 4)
             else:
                 fam[f"ips_exact_b{b}"] = round(ips, 4)
+    elif hybrid[1] > 1:
+        c, m = hybrid
+        keyed = {(r.get("control_interval"), r.get("model_interval"),
+                  r.get("order", 0), r.get("batch")): r
+                 for r in fam.get("hybrid_rows", [])}
+        for b, ips in results.items():
+            row = {"control_interval": c, "model_interval": m,
+                   "batch": b, "ips": round(ips, 4)}
+            if model_order:
+                row["order"] = model_order
+            base = exact_ips(b)
+            if base:
+                row["speedup"] = round(ips / base, 3)
+            keyed[(c, m, row.get("order", 0), b)] = row
+        fam["hybrid_rows"] = [keyed[k] for k in
+                              sorted(keyed, key=lambda t: (t[0] or 0, t[1],
+                                                           t[2], t[3] or 0))]
     else:
         kind = ("model_rows" if model_k > 1
                 else "cfg_rows" if cfg_cache else "rows")
@@ -200,6 +235,12 @@ def bench_sd3():
     if model_k > 1:
         assert cache_k <= 1 and not cfg_cache, \
             "model cache and control cache are mutually exclusive"
+    # UNIGEN_BENCH_HYBRID_CACHE=<c:m>: three-level hybrid cache (full /
+    # base-with-control-replay / prediction replay; SERVING.md rung 3c)
+    hyb_c, hyb_m = _parse_hybrid_env()
+    if hyb_m > 1:
+        assert cache_k <= 1 and model_k <= 1 and not cfg_cache, \
+            "hybrid cache excludes the other cache knobs"
 
     cfg = presets.sd35_medium()
     bb = cfg.sd3
@@ -266,7 +307,7 @@ def bench_sd3():
                     attn_impl="auto", control_residuals=res_pos)
                 return pred
 
-            if cache_k <= 1 and model_k <= 1:
+            if cache_k <= 1 and model_k <= 1 and hyb_m <= 1:
                 def step(lat, i):
                     pred, _, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sig[i],
@@ -283,6 +324,25 @@ def bench_sd3():
                 latents, _ = caching.model_cache_scan(
                     lambda l, i: fwd(l, i)[0], latents, sig, num_steps,
                     cache_interval=model_k,
+                    order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
+                                             "0")))
+                return latents
+
+            if hyb_m > 1:
+                # HYBRID three-level cache (SERVING.md rung 3c): full
+                # refresh every hyb_c steps, base-with-control-replay every
+                # hyb_m between, prediction replay otherwise — the big
+                # composition on the 28-step CFG denoise
+                from unigen_tpu.pipelines import caching
+                zero = jnp.zeros((bb.num_layers, 2 * b, s_img, bb.inner_dim),
+                                 dtype)
+                latents, _, _ = caching.hybrid_cache_scan(
+                    lambda l, i: (lambda pr, o, _d:
+                                  (pr, o["control_residuals"]))(
+                        *fwd(l, i, return_control_residuals=True)),
+                    lambda l, i, r: fwd(l, i, control_residuals=r)[0],
+                    latents, sig, num_steps, control_interval=hyb_c,
+                    model_interval=hyb_m, residuals_init=zero,
                     order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
                                              "0")))
                 return latents
@@ -359,7 +419,8 @@ def bench_sd3():
         "config": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_{quant}_cfg"
                   + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")
                   + ("_cfgcache" if cfg_cache else "")
-                  + (f"_modelcache{model_k}" + ("_o1" if os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1" else "") if model_k > 1 else "")}))
+                  + (f"_modelcache{model_k}" + ("_o1" if os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1" else "") if model_k > 1 else "")
+                  + (f"_hybc{hyb_c}m{hyb_m}" if hyb_m > 1 else "")}))
     print(f"# best_batch={best_b} est_ref_a100={est_ref:.3f}img/s",
           file=sys.stderr)
     if quant != "bf16":                 # cached/exact quantized serving rungs
@@ -368,7 +429,8 @@ def bench_sd3():
             config=f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_{quant}_cfg",
             cache_k=cache_k, model_k=model_k, cfg_cache=cfg_cache,
             model_order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
-                                           "0")))
+                                           "0")),
+            hybrid=(hyb_c, hyb_m))
 
 
 def bench_sana():
@@ -412,6 +474,10 @@ def bench_sana():
     if model_k > 1:
         assert cache_k <= 1, \
             "model cache and control cache are mutually exclusive"
+    hyb_c, hyb_m = _parse_hybrid_env()
+    if hyb_m > 1:
+        assert cache_k <= 1 and model_k <= 1, \
+            "hybrid cache excludes the other cache knobs"
 
     def _init(k):
         p = init_sana_unigen_params(k, cfg, dtype=dtype)
@@ -458,7 +524,7 @@ def bench_sana():
                     timestep=jnp.full((b,), tst[i], dtype), **kw)
                 return pred, outs
 
-            if cache_k <= 1 and model_k <= 1:
+            if cache_k <= 1 and model_k <= 1 and hyb_m <= 1:
                 def step(lat_x, i):
                     pred, _ = fwd(lat_x, i)
                     return scheduling.euler_step(lat_x, pred, sig[i],
@@ -480,6 +546,20 @@ def bench_sana():
                 return latents
 
             zero = jnp.zeros((bb.num_layers, b, s_img, d), dtype)
+
+            if hyb_m > 1:
+                # HYBRID three-level cache (SERVING.md rung 3c)
+                from unigen_tpu.pipelines import caching
+                latents, _, _ = caching.hybrid_cache_scan(
+                    lambda l, i: (lambda pr, o:
+                                  (pr, o["control_residuals"]))(
+                        *fwd(l, i, return_control_residuals=True)),
+                    lambda l, i, r: fwd(l, i, control_residuals=r)[0],
+                    latents, sig, num_steps, control_interval=hyb_c,
+                    model_interval=hyb_m, residuals_init=zero,
+                    order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
+                                             "0")))
+                return latents
 
             def step(carry, i):
                 lat_x, res = carry
@@ -539,14 +619,16 @@ def bench_sana():
         "vs_baseline": round(results[best_b] / est_ref, 3),
         "config": f"sana1.6b_{bb.num_layers}blk_w{d}_{quant}"
                   + (f"_ctrlcache{cache_k}" if cache_k > 1 else "")
-                  + (f"_modelcache{model_k}" + ("_o1" if os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1" else "") if model_k > 1 else "")}))
+                  + (f"_modelcache{model_k}" + ("_o1" if os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1" else "") if model_k > 1 else "")
+                  + (f"_hybc{hyb_c}m{hyb_m}" if hyb_m > 1 else "")}))
     if quant != "bf16":                 # cached/exact quantized serving rungs
         record_family_cache_rows(
             "sana", results, res=res, num_steps=num_steps,
             config=f"sana1.6b_{bb.num_layers}blk_w{d}_{quant}",
             cache_k=cache_k, model_k=model_k,
             model_order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
-                                           "0")))
+                                           "0")),
+            hybrid=(hyb_c, hyb_m))
 
 
 def bench_train():
@@ -965,6 +1047,11 @@ def bench_multi():
         if model_k > 1:
             assert cache_k <= 1 and not adaptive, \
                 "model cache and control cache are mutually exclusive"
+        # UNIGEN_BENCH_HYBRID_CACHE=<c:m>: three-level hybrid cache
+        hyb_c, hyb_m = _parse_hybrid_env()
+        if hyb_m > 1:
+            assert cache_k <= 1 and model_k <= 1 and not adaptive, \
+                "hybrid cache excludes the other cache knobs"
 
         def denoise(params, latents, condition, prompt, pooled, cond_pooled,
                     threshold=None):
@@ -985,7 +1072,8 @@ def bench_multi():
                     attn_impl="auto", **kw)
                 return pred, outs
 
-            if cache_k <= 1 and not adaptive and model_k <= 1:
+            if (cache_k <= 1 and not adaptive and model_k <= 1
+                    and hyb_m <= 1):
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sig[i],
@@ -1010,6 +1098,19 @@ def bench_multi():
             zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
                     jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
                               dtype))
+
+            if hyb_m > 1:
+                # HYBRID three-level cache (SERVING.md rung 3c)
+                latents, _, _ = caching.hybrid_cache_scan(
+                    lambda l, i: (lambda pr, o:
+                                  (pr, o["control_residuals"]))(
+                        *fwd(l, i, return_control_residuals=True)),
+                    lambda l, i, r: fwd(l, i, control_residuals=r)[0],
+                    latents, sig, num_steps, control_interval=hyb_c,
+                    model_interval=hyb_m, residuals_init=zero,
+                    order=int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER",
+                                             "0")))
+                return latents
 
             def step(carry, i):
                 if adaptive:
@@ -1084,7 +1185,9 @@ def bench_multi():
     cache_thr = float(os.environ.get("UNIGEN_BENCH_CACHE_THRESHOLD", "0"))
     model_k = int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_INTERVAL", "1"))
     model_o = os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER") == "1"
-    suffix = (f"_modelcache{model_k}{'_o1' if model_o else ''}" if model_k > 1
+    hyb_c, hyb_m = _parse_hybrid_env()
+    suffix = (f"_hybc{hyb_c}m{hyb_m}{'_o1' if model_o else ''}" if hyb_m > 1
+              else f"_modelcache{model_k}{'_o1' if model_o else ''}" if model_k > 1
               else f"_ctrlcache_thr{cache_thr}" if cache_thr > 0
               else f"_ctrlcache{cache_k}" if cache_k > 1 else "")
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
@@ -1093,13 +1196,15 @@ def bench_multi():
     # cached runs get their own artifact so the exact MULTI.json survives;
     # MULTI_CACHE.json merges across intervals/thresholds (one section each)
     here = os.path.dirname(os.path.abspath(__file__))
-    if cache_k > 1 or cache_thr > 0 or model_k > 1:
+    if cache_k > 1 or cache_thr > 0 or model_k > 1 or hyb_m > 1:
         path = os.path.join(here, "MULTI_CACHE.json")
         merged = {}
         if os.path.exists(path):
             with open(path) as f:
                 merged = json.load(f)
-        key = (f"model_{model_k}{'_o1' if model_o else ''}" if model_k > 1
+        key = (f"hybrid_{hyb_c}_{hyb_m}{'_o1' if model_o else ''}"
+               if hyb_m > 1
+               else f"model_{model_k}{'_o1' if model_o else ''}" if model_k > 1
                else f"threshold_{cache_thr}" if cache_thr > 0
                else f"interval_{cache_k}")
         merged[key] = doc
@@ -1142,7 +1247,13 @@ def bench_cache():
     entire transformer and reuse the cached prediction — the most
     aggressive cache rung; pipelines model_cache_*). Rows land in
     CACHE.json model_rows / model_adaptive_rows with the same
-    SSIM-vs-exact gate."""
+    SSIM-vs-exact gate.
+
+    UNIGEN_BENCH_HYBRID_CACHE=<c:m[,c2:m2]> measures the HYBRID three-level
+    cache (docs/SERVING.md rung 3c): full refresh every c steps, base
+    transformer with control-residual replay every m steps between,
+    prediction replay otherwise (caching.hybrid_cache_scan; m must divide
+    c). Rows land in CACHE.json hybrid_rows."""
     import jax
     import jax.numpy as jnp
 
@@ -1220,13 +1331,16 @@ def bench_cache():
     model_order = int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER", "0"))
 
     def make_denoise(interval: int, adaptive: bool = False,
-                     model_cache: bool = False):
+                     model_cache: bool = False, hybrid: int = 1):
         # adaptive: the threshold rides as a traced scalar argument — ONE
         # compiled program serves the whole threshold sweep (each baked-in
         # threshold would otherwise be a fresh 5-8 min remote compile).
         # model_cache: replay steps skip the ENTIRE transformer and reuse
         # the cached prediction (pipelines model_cache_*;
-        # UNIGEN_BENCH_MODEL_CACHE_ORDER=1 -> first-order Taylor replay)
+        # UNIGEN_BENCH_MODEL_CACHE_ORDER=1 -> first-order Taylor replay).
+        # hybrid>1: three-level cache — full refresh every `interval`
+        # steps, base-with-control-replay every `hybrid` steps between,
+        # prediction replay otherwise (caching.hybrid_cache_scan)
 
         def denoise(params, latents, condition, prompt, pooled, cond_pooled,
                     threshold=None):
@@ -1264,6 +1378,17 @@ def bench_cache():
             zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
                     jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
                               dtype))
+
+            if hybrid > 1:
+                latents, n_full, n_base = caching.hybrid_cache_scan(
+                    lambda l, i: (lambda pr, o:
+                                  (pr, o["control_residuals"]))(
+                        *fwd(l, i, return_control_residuals=True)),
+                    lambda l, i, r: fwd(l, i, control_residuals=r)[0],
+                    latents, sig, num_steps, control_interval=interval,
+                    model_interval=hybrid, residuals_init=zero,
+                    order=model_order)
+                return latents, jnp.asarray(n_full + n_base, jnp.int32)
 
             def step(carry, i):
                 if adaptive:
@@ -1323,7 +1448,8 @@ def bench_cache():
 
     _adaptive_jfn = {}  # one compiled program per mode, reused across sweeps
 
-    def run(interval: int, threshold: float = 0.0, model_cache: bool = False):
+    def run(interval: int, threshold: float = 0.0, model_cache: bool = False,
+            hybrid: int = 1):
         if threshold > 0:
             if model_cache not in _adaptive_jfn:
                 _adaptive_jfn[model_cache] = jax.jit(
@@ -1332,7 +1458,8 @@ def bench_cache():
             fn = lambda: jfn(params, latents0, condition, prompt, pooled,
                              cond_pooled, jnp.float32(threshold))
         else:
-            jfn = jax.jit(make_denoise(interval, model_cache=model_cache))
+            jfn = jax.jit(make_denoise(interval, model_cache=model_cache,
+                                       hybrid=hybrid))
             fn = lambda: jfn(params, latents0, condition, prompt, pooled,
                              cond_pooled)
         t0 = time.time()
@@ -1351,9 +1478,12 @@ def bench_cache():
             times.append((time.perf_counter() - t0) / K)
         dt = min(times)
         tag = (f"threshold={threshold}" if threshold > 0
+               else f"c={interval} m={hybrid}" if hybrid > 1
                else f"interval={interval}")
         if model_cache:
             tag = "model_" + tag
+        elif hybrid > 1:
+            tag = "hybrid " + tag
         print(f"# cache {tag} b={b} compile={compile_s:.1f}s "
               f"step={dt*1000:.1f}ms ips={b/dt:.3f} refreshes={n_refresh}",
               file=sys.stderr)
@@ -1435,6 +1565,29 @@ def bench_cache():
         if model_order:
             extra["order"] = model_order
         model_adaptive_rows.append(fidelity_row(ips_t, img_t, extra))
+
+    # HYBRID three-level cache rows: UNIGEN_BENCH_HYBRID_CACHE=<c:m[,c2:m2]>
+    # — full refresh every c steps, base-with-control-replay every m steps
+    # between, prediction replay otherwise (caching.hybrid_cache_scan)
+    hybrid_rows = []
+    for spec in os.environ.get("UNIGEN_BENCH_HYBRID_CACHE", "").split(","):
+        if not spec:
+            continue
+        c, m = (int(x) for x in spec.split(":"))
+        if m <= 1 or c <= m or c % m:
+            print(f"# hybrid cache {spec} skipped: need m>1, c>m, m|c",
+                  file=sys.stderr)
+            continue
+        try:
+            ips_k, img_k, _ = run(c, hybrid=m)
+        except Exception as e:
+            print(f"# hybrid cache {spec} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            continue
+        extra = {"control_interval": c, "model_interval": m}
+        if model_order:
+            extra["order"] = model_order
+        hybrid_rows.append(fidelity_row(ips_k, img_k, extra))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "CACHE.json")
     try:
@@ -1459,6 +1612,10 @@ def bench_cache():
     merged_ma = {_mk(r, "threshold"): r
                  for r in prev.get("model_adaptive_rows", [])}
     merged_ma.update({_mk(r, "threshold"): r for r in model_adaptive_rows})
+    _hk = lambda r: (r["control_interval"], r["model_interval"],
+                     r.get("order", 0))
+    merged_h = {_hk(r): r for r in prev.get("hybrid_rows", [])}
+    merged_h.update({_hk(r): r for r in hybrid_rows})
     runs[f"b{b}"] = {"ips_exact": round(ips_exact, 4),
                      "rows": [merged[k] for k in sorted(merged)]}
     if merged_a:
@@ -1468,23 +1625,30 @@ def bench_cache():
     if merged_ma:
         runs[f"b{b}"]["model_adaptive_rows"] = [merged_ma[t]
                                                 for t in sorted(merged_ma)]
+    if merged_h:
+        runs[f"b{b}"]["hybrid_rows"] = [merged_h[k] for k in sorted(merged_h)]
     doc.pop("batch", None); doc.pop("ips_exact", None); doc.pop("rows", None)
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     all_rows = rows + adaptive_rows
-    if not all_rows and not model_rows and not model_adaptive_rows:
+    if not (all_rows or model_rows or model_adaptive_rows or hybrid_rows):
         print(json.dumps({"metric": "unigen_flux_ctrlcache_images_per_sec",
                           "value": 0.0, "unit": "images/sec/chip",
                           "vs_baseline": 0.0, "error": "all intervals failed"}))
         return
     # the headline cached rung stays the control cache (base trajectory
-    # always fresh); model-cache rows are reported in CACHE.json only,
-    # unless they are the only rows measured this run
-    pool = all_rows or (model_rows + model_adaptive_rows)
+    # always fresh); model-cache/hybrid rows are reported in CACHE.json
+    # only, unless they are the only rows measured this run
+    pool = (all_rows or (model_rows + model_adaptive_rows)
+            or hybrid_rows)
     best = max(pool, key=lambda r: r["ips"])
-    prefix = "ctrlcache" if all_rows else "modelcache"
+    prefix = ("ctrlcache" if all_rows
+              else "modelcache" if (model_rows or model_adaptive_rows)
+              else "hybridcache")
     tag = (f"{prefix}{best['interval']}" if "interval" in best
-           else f"{prefix}_thr{best['threshold']}")
+           else f"{prefix}_thr{best['threshold']}" if "threshold" in best
+           else f"{prefix}_c{best['control_interval']}"
+                f"m{best['model_interval']}")
     print(json.dumps({
         "metric": f"unigen_flux_{tag}_{res}px_images_per_sec",
         "value": best["ips"], "unit": "images/sec/chip",
@@ -1650,11 +1814,13 @@ def main():
         return bench_multi()
     if os.environ.get("UNIGEN_BENCH_STEPSERVER") == "1":
         return bench_stepserver()
-    if (os.environ.get("UNIGEN_BENCH_CACHE")
-            or os.environ.get("UNIGEN_BENCH_MODEL_CACHE")
-            or os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ADAPTIVE")):
-        return bench_cache()
     family = os.environ.get("UNIGEN_BENCH_FAMILY", "flux")
+    if family == "flux" and (
+            os.environ.get("UNIGEN_BENCH_CACHE")
+            or os.environ.get("UNIGEN_BENCH_MODEL_CACHE")
+            or os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ADAPTIVE")
+            or os.environ.get("UNIGEN_BENCH_HYBRID_CACHE")):
+        return bench_cache()
     if family == "sd3":
         return bench_sd3()
     if family == "sana":
@@ -1897,7 +2063,7 @@ def main():
         rows = []
         for rk, rv in cache_doc.get("runs", {}).items():
             for kind in ("rows", "adaptive_rows", "model_rows",
-                         "model_adaptive_rows"):
+                         "model_adaptive_rows", "hybrid_rows"):
                 for r in rv.get(kind, []):
                     if r.get("ssim_vs_exact", 0) >= 0.99:
                         rows.append((r["ips"], kind, rk, r))
@@ -1906,13 +2072,17 @@ def main():
             mode = {"rows": "control_cache",
                     "adaptive_rows": "control_cache_adaptive",
                     "model_rows": "model_cache",
-                    "model_adaptive_rows": "model_cache_adaptive"}[kind]
+                    "model_adaptive_rows": "model_cache_adaptive",
+                    "hybrid_rows": "hybrid_cache"}[kind]
             line["serving_optimized"] = {
                 "ips": ips, "mode": mode,
                 "batch": rk, "ssim_vs_exact": r["ssim_vs_exact"],
                 "vs_baseline": round(ips / est_ref, 3),
                 "knob": dict(({"interval": r["interval"]} if "interval" in r
-                              else {"threshold": r["threshold"]}),
+                              else {"threshold": r["threshold"]}
+                              if "threshold" in r
+                              else {"control_interval": r["control_interval"],
+                                    "model_interval": r["model_interval"]}),
                              **({"order": r["order"]} if "order" in r
                                 else {}))}
     except Exception:

@@ -41,8 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--model_cache_interval", type=int, default=1,
                    help="FULL-MODEL output caching: replay steps skip the "
                         "entire transformer and reuse the cached prediction "
-                        "(most aggressive cache rung; mutually exclusive "
-                        "with the control cache flags)")
+                        "(most aggressive cache rung). Combined with a "
+                        "LARGER --control_cache_interval it divides, selects "
+                        "the HYBRID three-level cache (SERVING.md rung 3c)")
     p.add_argument("--model_cache_threshold", type=float, default=0.0,
                    help="adaptive variant of --model_cache_interval")
     p.add_argument("--model_cache_order", type=int, default=0, choices=[0, 1],

@@ -157,15 +157,19 @@ def main_sd3(args):
                                                     vae_cfg))
 
     def make_jdd(interval: int, threshold: float = 0.0,
-                 cfg_cache: bool = False, model_cache: bool = False):
+                 cfg_cache: bool = False, model_cache: bool = False,
+                 hybrid: int = 1):
         """interval>1 or threshold>0: control-residual step caching on this
         path (the bf16 reference path always runs exact). cfg_cache: replay
         steps also skip the uncond stream (half-batch pos forward + cached
         guidance delta, pipelines/sd3.py cfg_cache). model_cache: replay
-        steps reuse the whole cached guided prediction instead."""
+        steps reuse the whole cached guided prediction instead. hybrid>1:
+        three-level cache (full / base-with-control-replay / prediction
+        replay, caching.hybrid_cache_scan)."""
         from unigen_tpu.pipelines import caching
         adaptive = threshold > 0.0
         assert not (model_cache and cfg_cache)
+        assert not (hybrid > 1 and (model_cache or cfg_cache or adaptive))
 
         def jdd(p, batch, vae_params):
             inp = {k: jnp.asarray(v, dtype) for k, v in batch.items()}
@@ -206,6 +210,18 @@ def main_sd3(args):
                     lambda l, i: f(l, i)[0], inp["hidden"], sig, num_steps,
                     cache_interval=interval, adaptive=adaptive,
                     threshold=threshold if adaptive else None,
+                    order=getattr(args, "model_cache_order", 0))
+            elif hybrid > 1:
+                s_tok = (lat // 2) ** 2
+                zero = jnp.zeros((bb.num_layers, 2 * b, s_tok,
+                                  bb.inner_dim), dtype)
+                lat_x, _, _ = caching.hybrid_cache_scan(
+                    lambda l, i: (lambda pr, o, _d:
+                                  (pr, o["control_residuals"]))(
+                        *f(l, i, return_control_residuals=True)),
+                    lambda l, i, r: f(l, i, control_residuals=r)[0],
+                    inp["hidden"], sig, num_steps, control_interval=interval,
+                    model_interval=hybrid, residuals_init=zero,
                     order=getattr(args, "model_cache_order", 0))
             else:
                 s_tok = (lat // 2) ** 2
@@ -263,7 +279,8 @@ def main_sd3(args):
     jdd = make_jdd(1)
     jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold,
                            getattr(args, "cfg_cache", False),
-                           getattr(args, "model_cache", False))
+                           getattr(args, "model_cache", False),
+                           getattr(args, "hybrid_model_interval", 1))
                   if args.cache_interval > 1 or args.cache_threshold > 0
                   else jdd)
 
@@ -296,6 +313,8 @@ def main_sd3(args):
         out["cfg_cache"] = True
     if getattr(args, "model_cache", False):
         out["model_cache"] = True
+    if getattr(args, "hybrid_model_interval", 1) > 1:
+        out["hybrid_model_interval"] = args.hybrid_model_interval
     for name in ("w8a8", "w4a8"):
         rel, cos = _fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}
@@ -403,10 +422,11 @@ def main_sana(args):
                                                     vae_cfg))
 
     def make_jdd(interval: int, threshold: float = 0.0,
-                 model_cache: bool = False):
+                 model_cache: bool = False, hybrid: int = 1):
         """interval>1 or threshold>0: control-residual step caching on this
         path (the bf16 reference path always runs exact). model_cache:
-        replay steps reuse the whole cached prediction instead."""
+        replay steps reuse the whole cached prediction instead. hybrid>1:
+        three-level cache (caching.hybrid_cache_scan)."""
         from unigen_tpu.pipelines import caching
         adaptive = threshold > 0.0
 
@@ -435,6 +455,18 @@ def main_sana(args):
                     lambda l, i: f(l, i)[0], inp["hidden"], sig, num_steps,
                     cache_interval=interval, adaptive=adaptive,
                     threshold=threshold if adaptive else None,
+                    order=getattr(args, "model_cache_order", 0))
+            elif hybrid > 1:
+                s_tok = (lat // bb.patch_size) ** 2
+                zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
+                                 dtype)
+                lat_x, _, _ = caching.hybrid_cache_scan(
+                    lambda l, i: (lambda pr, o:
+                                  (pr, o["control_residuals"]))(
+                        *f(l, i, return_control_residuals=True)),
+                    lambda l, i, r: f(l, i, control_residuals=r)[0],
+                    inp["hidden"], sig, num_steps, control_interval=interval,
+                    model_interval=hybrid, residuals_init=zero,
                     order=getattr(args, "model_cache_order", 0))
             else:
                 s_tok = (lat // bb.patch_size) ** 2
@@ -483,7 +515,8 @@ def main_sana(args):
 
     jdd = make_jdd(1)
     jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold,
-                           getattr(args, "model_cache", False))
+                           getattr(args, "model_cache", False),
+                           getattr(args, "hybrid_model_interval", 1))
                   if args.cache_interval > 1 or args.cache_threshold > 0
                   else jdd)
 
@@ -516,6 +549,8 @@ def main_sana(args):
         out["cache_threshold"] = args.cache_threshold
     if getattr(args, "model_cache", False):
         out["model_cache"] = True
+    if getattr(args, "hybrid_model_interval", 1) > 1:
+        out["hybrid_model_interval"] = args.hybrid_model_interval
     if args.ssim:
         from unigen_tpu.eval import image_metrics
         m = image_metrics(host["bf16"]["img"], host["w8a8"]["img"])
@@ -584,12 +619,27 @@ def main(argv=None):
                         "last prediction), 1 = first-order Taylor "
                         "extrapolation from the two most recent refreshes "
                         "(caching.model_cache_scan)")
+    p.add_argument("--hybrid-model-interval", type=int, default=1,
+                   dest="hybrid_model_interval",
+                   help="all families: three-level HYBRID cache — full "
+                        "refresh every --cache-interval steps, base "
+                        "transformer with control replay every this-many "
+                        "steps between, prediction replay otherwise "
+                        "(caching.hybrid_cache_scan; must divide "
+                        "--cache-interval; fixed intervals only)")
     p.add_argument("--routing", default=None,
                    choices=["per_sample", "global"],
                    help="override MoE batch_mode: 'global' measures fidelity "
                         "in the reference-parity routing the serving presets "
                         "don't use (VERDICT r2 weak #7)")
     args = p.parse_args(argv)
+    if args.hybrid_model_interval > 1:
+        h, c = args.hybrid_model_interval, args.cache_interval
+        if (c <= h or c % h or args.cache_threshold > 0
+                or args.model_cache or args.cfg_cache):
+            p.error("--hybrid-model-interval requires a larger "
+                    "--cache-interval it divides, and no "
+                    "--cache-threshold/--model-cache/--cfg-cache")
     if args.family in ("sd3", "sana"):
         return main_sd3(args) if args.family == "sd3" else main_sana(args)
 
@@ -743,12 +793,15 @@ def main(argv=None):
         lh = lw = (res // 16) * 2
 
         def make_jdd(interval: int, threshold: float = 0.0,
-                     model_cache: bool = False):
+                     model_cache: bool = False, hybrid: int = 1):
             """interval>1 or threshold>0: control-residual step caching on
             this path (the bf16 reference path always runs exact) — measures
             the ABSOLUTE quantization+caching fidelity, vs CACHE.json's
             cached-vs-exact. model_cache=True: replay steps reuse the whole
-            cached prediction instead (pipelines model_cache_*)."""
+            cached prediction instead (pipelines model_cache_*). hybrid>1:
+            three-level cache — full refresh every `interval` steps, base
+            transformer with control replay every `hybrid` steps between,
+            prediction replay otherwise (caching.hybrid_cache_scan)."""
             from unigen_tpu.pipelines import caching
             adaptive = threshold > 0.0
 
@@ -775,6 +828,19 @@ def main(argv=None):
                         lambda l, i: fwd(l, i)[0], lat, sigmas, num_steps,
                         cache_interval=interval, adaptive=adaptive,
                         threshold=threshold if adaptive else None,
+                        order=getattr(args, "model_cache_order", 0))
+                elif hybrid > 1:
+                    d = bb.inner_dim
+                    zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
+                            jnp.zeros((bb.num_single_layers, b,
+                                       t_len + s_img, d), dtype))
+                    lat, _, _ = caching.hybrid_cache_scan(
+                        lambda l, i: (lambda pr, o:
+                                      (pr, o["control_residuals"]))(
+                            *fwd(l, i, return_control_residuals=True)),
+                        lambda l, i, r: fwd(l, i, control_residuals=r)[0],
+                        lat, sigmas, num_steps, control_interval=interval,
+                        model_interval=hybrid, residuals_init=zero,
                         order=getattr(args, "model_cache_order", 0))
                 else:
                     d = bb.inner_dim
@@ -824,7 +890,8 @@ def main(argv=None):
 
         jdd = make_jdd(1)
         jdd_cached = (make_jdd(args.cache_interval, args.cache_threshold,
-                               getattr(args, "model_cache", False))
+                               getattr(args, "model_cache", False),
+                               getattr(args, "hybrid_model_interval", 1))
                       if args.cache_interval > 1 or args.cache_threshold > 0
                       else jdd)
 
@@ -858,6 +925,8 @@ def main(argv=None):
         out["cache_threshold"] = args.cache_threshold
     if getattr(args, "model_cache", False):
         out["model_cache"] = True
+    if getattr(args, "hybrid_model_interval", 1) > 1:
+        out["hybrid_model_interval"] = args.hybrid_model_interval
     for name in ("w8a8", "w4a8_serving"):
         rel, cos = fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}

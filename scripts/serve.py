@@ -107,8 +107,10 @@ def main(argv=None):
     ap.add_argument("--model-cache-interval", type=int, default=1,
                     help="FULL-MODEL output caching: replay steps skip the "
                          "entire transformer and reuse the cached "
-                         "prediction (most aggressive cache rung; mutually "
-                         "exclusive with the control cache flags)")
+                         "prediction (most aggressive cache rung). Combined "
+                         "with a LARGER --control-cache-interval it divides, "
+                         "selects the HYBRID three-level cache (SERVING.md "
+                         "rung 3c)")
     ap.add_argument("--model-cache-threshold", type=float, default=0.0,
                     help="adaptive variant of --model-cache-interval")
     ap.add_argument("--model-cache-order", type=int, default=0,

@@ -142,3 +142,32 @@ def test_measure_fidelity_sana_model_cache(tmp_path):
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["model_cache"] is True and rep["cache_interval"] == 4
     assert np.isfinite(rep["w8a8"]["e2e_ssim"])
+
+
+def test_measure_fidelity_sana_hybrid_cache(tmp_path):
+    """--hybrid-model-interval: three-level cache on the quantized e2e path
+    (full / base-with-control-replay / prediction replay,
+    caching.hybrid_cache_scan)."""
+    from unigen_tpu import config as cfg_lib
+    from tests.test_sd3_bridge_pipeline import _sana_state_dict
+    cfg = cfg_lib.tiny_sana_config()
+    _write_transformer_dir(str(tmp_path), _sana_state_dict(cfg), {
+        "in_channels": cfg.in_channels, "out_channels": cfg.out_channels,
+        "num_layers": cfg.num_layers,
+        "attention_head_dim": cfg.attention_head_dim,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_cross_attention_heads": cfg.num_cross_attention_heads,
+        "cross_attention_head_dim": cfg.cross_attention_head_dim,
+        "cross_attention_dim": cfg.cross_attention_dim,
+        "caption_channels": cfg.caption_channels,
+        "mlp_ratio": cfg.mlp_ratio, "patch_size": cfg.patch_size,
+        "sample_size": cfg.sample_size})
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "measure_fidelity.py"),
+         "--family", "sana", "--ckpt", str(tmp_path), "--res", "64",
+         "--ssim", "--cache-interval", "4", "--hybrid-model-interval", "2"],
+        capture_output=True, text=True, env=ENV, timeout=900)
+    assert out.returncode == 0, out.stdout[-800:] + out.stderr[-800:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["hybrid_model_interval"] == 2 and rep["cache_interval"] == 4
+    assert np.isfinite(rep["w8a8"]["e2e_ssim"])

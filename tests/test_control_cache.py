@@ -1023,3 +1023,245 @@ def test_multi_condition_model_cache_runs():
     assert pipe.last_cache_refreshes == steps
     cached = pipe.generate(**kw, model_cache_interval=2, model_cache_order=1)
     assert np.abs(cached.astype(int) - exact.astype(int)).max() > 0
+
+
+# ---------------------------------------------------------------- hybrid cache
+
+
+def test_hybrid_cache_validation():
+    """Both intervals > 1 selects hybrid mode, which demands
+    model_interval < control_interval, divisibility, fixed intervals, and
+    no cfg_cache."""
+    pipe, flux = _tiny_pipe()
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=4)
+    for bad in (dict(control_cache_interval=2, model_cache_interval=2),
+                dict(control_cache_interval=3, model_cache_interval=2),
+                dict(control_cache_interval=4, model_cache_interval=2,
+                     model_cache_threshold=0.1),
+                dict(control_cache_interval=4, model_cache_interval=2,
+                     cfg_cache=True)):
+        with pytest.raises(ValueError):
+            pipe.generate(**kw, **bad)
+
+
+def test_hybrid_equals_model_cache_when_control_off():
+    """With the control branch disabled (conditioning_scale=0) a base step
+    equals a full step, so hybrid(c=4, m=2) must reproduce the pure model
+    cache at interval 2 bit-for-bit — validates the three-way switch
+    plumbing independent of the approximation."""
+    pipe, flux = _tiny_pipe()
+    b, h, w, steps = 1, 16, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    lat0 = jax.random.normal(jax.random.PRNGKey(0),
+                             (b, 16, flux.in_channels), jnp.float32)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps,
+        conditioning_scale=0.0, latents=lat0)
+    model = pipe.generate(**kw, model_cache_interval=2)
+    hybrid = pipe.generate(**kw, control_cache_interval=4,
+                           model_cache_interval=2)
+    np.testing.assert_array_equal(model, hybrid)
+
+
+def test_hybrid_cache_scan_synthetic_oracle():
+    """Pin hybrid_cache_scan's three-level schedule EXACTLY with synthetic
+    well-conditioned step functions (the neural pipeline can't discriminate
+    base-from-full at uint8 in the tiny config: the base-vs-full pred diff
+    is ~2e-3, sub-LSB, and amplifying the control adds makes the random net
+    chaotic — eager-vs-jit op reassociation alone then shifts the image by
+    150+ LSB, swamping any oracle).
+
+    full(lat, i) refreshes a residual (= the live latent); base replays the
+    CACHED residual; skip replays the cached prediction. 6 steps, (c=4, m=2)
+    → levels [F, S, B, S, F, S]. Hand-roll the euler loop in eager jnp and
+    require near-ulp agreement; a wrong switch order, a base step that
+    recomputes residuals, or a skip that re-runs the model all produce O(1)
+    mismatches here."""
+    from unigen_tpu.pipelines import caching, scheduling
+    steps = 6
+    lat0 = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8)),
+                       jnp.float32)
+    sigmas = jnp.linspace(1.0, 0.0, steps + 1)
+    coef = jnp.asarray(np.random.default_rng(1).standard_normal((8, 8)) * 0.2,
+                       jnp.float32)
+
+    def full_fwd(lat, i):
+        pred = jnp.tanh(lat @ coef) + 0.01 * i + 0.3 * lat
+        return pred, lat          # the residual cache = the input latent
+
+    def base_fwd(lat, i, res):
+        # uses the CACHED latent as residual — distinct from a full step
+        return jnp.tanh(lat @ coef) + 0.01 * i + 0.3 * res
+
+    for order in (0, 1):
+        got, n_full, n_base = caching.hybrid_cache_scan(
+            full_fwd, base_fwd, lat0, sigmas, steps,
+            control_interval=4, model_interval=2,
+            residuals_init=jnp.zeros_like(lat0), order=order)
+        assert (n_full, n_base) == (2, 1)
+
+        lat, res = lat0, None
+        hist = []                 # (step_index, refreshed prediction)
+        for i in range(steps):
+            if i % 4 == 0:
+                pred, res = full_fwd(lat, i)
+                hist.append((i, pred))
+            elif i % 2 == 0:
+                pred = base_fwd(lat, i, res)
+                hist.append((i, pred))
+            elif order == 1 and len(hist) >= 2:
+                (i0, p0), (i1, p1) = hist[-2], hist[-1]
+                pred = p1 + (i - i1) * (p1 - p0) / (i1 - i0)
+            else:
+                pred = hist[-1][1]
+            lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(lat),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_matches_manual_composition():
+    """steps=4 with (c=4, m=2): levels are [full, skip, base, skip] — compare
+    against a hand-rolled euler loop over the forward. atol=1 like the other
+    pipeline oracles: eager-vs-jit reassociation costs up to one uint8 LSB
+    (the exact branch semantics are pinned ulp-tight by the synthetic scan
+    oracle above)."""
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.ops.packing import (pack_latents, prepare_latent_image_ids,
+                                        unpack_latents)
+    from unigen_tpu.pipelines import scheduling
+    pipe, flux = _tiny_pipe()
+    cfg = pipe.cfg
+    b, h, w, steps, t = 1, 16, 16, 4, 8
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    prompt_embeds = jax.random.normal(ks[0], (b, t, flux.joint_attention_dim))
+    pooled = jax.random.normal(ks[1], (b, flux.pooled_projection_dim))
+    cond_pooled = jax.random.normal(ks[2], (b, flux.pooled_projection_dim))
+    control_pixels = jax.random.normal(ks[3], (b, 3, h, w))
+    vs = pipe.vae_cfg.downscale
+    lh, lw = 2 * (h // (vs * 2)), 2 * (w // (vs * 2))
+    latents0 = jax.random.normal(
+        jax.random.PRNGKey(0), (b, (lh // 2) * (lw // 2), flux.in_channels),
+        jnp.float32)
+    kw = dict(prompt_embeds=prompt_embeds, pooled=pooled,
+              cond_pooled=cond_pooled, control_pixels=control_pixels,
+              height=h, width=w, num_inference_steps=steps, seed=0,
+              latents=latents0)
+
+    got = pipe.generate(**kw, control_cache_interval=4, model_cache_interval=2)
+    exact = pipe.generate(**kw)
+    # the skip steps make the hybrid visibly approximate vs exact (the
+    # base-vs-full distinction is sub-LSB in the tiny config — covered by
+    # the synthetic scan oracle, not asserted at uint8 here)
+    assert np.abs(got.astype(int) - exact.astype(int)).max() > 0
+
+    sigmas, timesteps = scheduling.inference_sigmas(
+        pipe.scheduler, steps, image_seq_len=(lh // 2) * (lw // 2))
+    img_ids = prepare_latent_image_ids(lh // 2, lw // 2)
+    txt_ids = jnp.zeros((t, 3))
+    control_lat = pack_latents(
+        vae_lib.vae_encode(pipe.vae_params, pipe.vae_cfg, control_pixels))
+    lat = latents0
+    pred, res = None, None
+    for i in range(steps):
+        if i % 4 == 0:                       # full
+            pred, _, outs = unigen_flux_forward(
+                pipe.params, cfg, hidden=lat, condition=control_lat,
+                encoder=prompt_embeds, pooled=pooled,
+                condition_pooled=cond_pooled,
+                timestep=jnp.full((b,), timesteps[i] / 1000.0, jnp.float32),
+                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+                guidance=None, conditioning_scale=1.0,
+                return_control_residuals=True)
+            res = outs["control_residuals"]
+        elif i % 2 == 0:                     # base with control replay
+            pred, _, _ = unigen_flux_forward(
+                pipe.params, cfg, hidden=lat, condition=control_lat,
+                encoder=prompt_embeds, pooled=pooled,
+                condition_pooled=cond_pooled,
+                timestep=jnp.full((b,), timesteps[i] / 1000.0, jnp.float32),
+                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+                guidance=None, conditioning_scale=1.0,
+                control_residuals=res)
+        lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+    px = vae_lib.vae_decode(pipe.vae_params, pipe.vae_cfg,
+                            unpack_latents(lat.astype(jnp.float32), lh, lw))
+    want = ((np.asarray(jnp.clip(px, -1, 1)).transpose(0, 2, 3, 1) + 1)
+            * 127.5).round().astype(np.uint8)
+    np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1)
+
+
+def test_hybrid_with_true_cfg_and_order1_runs():
+    pipe, flux = _tiny_pipe()
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=4, seed=0)
+    img = pipe.generate(**kw, control_cache_interval=4, model_cache_interval=2,
+                        true_cfg_scale=2.0)
+    assert img.shape == (1, 16, 16, 3)
+    img0 = pipe.generate(**kw, control_cache_interval=4,
+                         model_cache_interval=2)
+    img1 = pipe.generate(**kw, control_cache_interval=4,
+                         model_cache_interval=2, model_cache_order=1)
+    # steps=4 has a second prediction refresh at the base step, so the
+    # order-1 replay at step 3 extrapolates and must differ from order 0
+    assert np.abs(img1.astype(int) - img0.astype(int)).max() > 0
+
+
+def test_sd3_hybrid_cache_runs(tiny_sd3):
+    pipe, kw = _sd3_pipe_kw(tiny_sd3, steps=4)
+    exact = pipe.generate(**kw)
+    hyb = pipe.generate(**kw, control_cache_interval=4, model_cache_interval=2)
+    assert hyb.shape == exact.shape
+    assert np.abs(hyb.astype(int) - exact.astype(int)).max() > 0
+    # conditioning off -> hybrid == pure model cache (plumbing identity,
+    # CFG duplication riding inside the batch axis of the residual cache)
+    kw0 = dict(kw, conditioning_scale=0.0)
+    np.testing.assert_array_equal(
+        pipe.generate(**kw0, model_cache_interval=2),
+        pipe.generate(**kw0, control_cache_interval=4,
+                      model_cache_interval=2))
+
+
+def test_sana_hybrid_cache_runs(tiny_sana):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+    cfg, params = tiny_sana
+    bb = cfg.sana
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenSanaPipeline(
+        cfg=cfg, params=params,
+        ae_encode=lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px),
+        ae_decode=lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat),
+        ae_downscale=vae_cfg.downscale)
+    res = 8 * vae_cfg.downscale
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (1, 5, bb.caption_channels)),
+        prompt_mask=jnp.ones((1, 5), jnp.int32),
+        pooled=jax.random.normal(ks[1], (1, bb.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (1, bb.pooled_projection_dim)),
+        control_pixels=np.random.default_rng(0).standard_normal(
+            (1, 3, res, res)).astype(np.float32) * 0.1,
+        height=res, width=res, num_inference_steps=4, seed=0)
+    exact = pipe.generate(**kw)
+    hyb = pipe.generate(**kw, control_cache_interval=4, model_cache_interval=2)
+    assert np.abs(hyb.astype(int) - exact.astype(int)).max() > 0
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, control_cache_interval=3, model_cache_interval=2)

@@ -111,6 +111,76 @@ def model_cache_scan(full_pred: Callable, latents: jnp.ndarray, sigmas,
     return latents, jnp.asarray(n, jnp.int32)
 
 
+def hybrid_cache_scan(full_fwd: Callable, base_fwd: Callable,
+                      latents: jnp.ndarray, sigmas, num_steps: int, *,
+                      control_interval: int, model_interval: int,
+                      residuals_init, order: int = 0):
+    """Three-level hybrid cache denoise loop — the composition of the
+    control cache and the full-model cache on one schedule. Per step i:
+
+    - ``i % control_interval == 0`` → **full**: exact forward
+      (``full_fwd(lat, i) -> (pred, residuals)``) refreshing BOTH the
+      control-residual cache and the prediction cache;
+    - else ``i % model_interval == 0`` → **base**: the base transformer
+      runs with the cached control residuals replayed
+      (``base_fwd(lat, i, residuals) -> pred``, ~54% of a full step at
+      flux full topology, PROFILE_FULL.json) and refreshes the prediction
+      cache;
+    - else → **skip**: the whole transformer is skipped and the cached
+      prediction is replayed (zero-order hold, or first-order Taylor when
+      ``order=1`` — see model_cache_scan).
+
+    Requires ``model_interval < control_interval`` and
+    ``control_interval % model_interval == 0`` so every full step falls on
+    a base boundary (callers validate). On a 28-step schedule with
+    (c=4, m=2): 7 full + 7 base + 14 skip ≈ 2.6× fewer full-step
+    equivalents with the base trajectory refreshed twice as often as the
+    pure model cache at the same transformer budget.
+
+    Returns ``(latents, n_full, n_base)`` (static Python ints).
+    """
+    from unigen_tpu.pipelines import scheduling
+    sig = jnp.asarray(sigmas)
+
+    def step(carry, i):
+        lat, res, p1, p0, i1, i0 = carry
+        level = jnp.where(i % control_interval == 0, 2,
+                          jnp.where(i % model_interval == 0, 1, 0))
+
+        def full(_):
+            pred, new_res = full_fwd(lat, i)
+            return pred, new_res, pred, p1, i.astype(jnp.int32), i1
+
+        def base(_):
+            pred = base_fwd(lat, i, res)
+            return pred, res, pred, p1, i.astype(jnp.int32), i1
+
+        def skip(_):
+            if order >= 1:
+                have2 = i0 >= 0
+                dt = jnp.maximum(i1 - i0, 1).astype(p1.dtype)
+                gap = (i.astype(jnp.int32) - i1).astype(p1.dtype)
+                pred = jnp.where(have2, p1 + gap * (p1 - p0) / dt, p1)
+            else:
+                pred = p1
+            return pred, res, p1, p0, i1, i0
+
+        pred, res_n, p1_n, p0_n, i1_n, i0_n = jax.lax.switch(
+            level, [skip, base, full], None)
+        lat_next = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
+        return (lat_next, res_n, p1_n, p0_n, i1_n, i0_n), None
+
+    z = jnp.zeros_like(latents)      # never read: step 0 is always full
+    neg1 = jnp.asarray(-1, jnp.int32)
+    (latents, _, _, _, _, _), _ = jax.lax.scan(
+        step, (latents, residuals_init, z, z, neg1, neg1),
+        jnp.arange(num_steps))
+    n_full = len([i for i in range(num_steps) if i % control_interval == 0])
+    n_base = len([i for i in range(num_steps)
+                  if i % control_interval and i % model_interval == 0])
+    return latents, n_full, n_base
+
+
 class PromptLRU:
     """Opt-in LRU over prompt-encoding results (``prompt_cache_size`` on the
     pipelines). Serving workloads repeat the negative prompt and the

@@ -156,7 +156,8 @@ class UniGenFluxPipeline:
                          adaptive: bool = False,
                          cfg_cache: bool = False,
                          model_cache: bool = False,
-                         model_cache_order: int = 0):
+                         model_cache_order: int = 0,
+                         hybrid_model_interval: int = 1):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, NOT baked in) — one compiled program serves every
         # threshold, so the knob is tunable at serving time for free.
@@ -238,6 +239,49 @@ class UniGenFluxPipeline:
                     full_pred, latents, sigmas, num_steps,
                     cache_interval=cache_interval, adaptive=adaptive,
                     threshold=cache_threshold if adaptive else None,
+                    order=model_cache_order)
+            elif hybrid_model_interval > 1:
+                # hybrid three-level cache (docs/SERVING.md rung 3c): full
+                # refresh every cache_interval steps, base-with-control-replay
+                # every hybrid_model_interval steps in between, prediction
+                # replay otherwise (caching.hybrid_cache_scan)
+                bb_ = cfg.flux
+                s_img = (lh // 2) * (lw // 2)
+                s_stream = prompt_embeds.shape[1] + s_img
+                d = bb_.inner_dim
+                streams = [(prompt_embeds, pooled)]
+                if do_cfg:
+                    streams.append((neg_embeds, neg_pooled))
+
+                def zero_res():
+                    return (jnp.zeros((bb_.num_layers, b, s_img, d),
+                                      self.dtype),
+                            jnp.zeros((bb_.num_single_layers, b, s_stream, d),
+                                      self.dtype))
+
+                def combine(preds):
+                    if do_cfg:
+                        return preds[1] + true_cfg_scale * (preds[0]
+                                                            - preds[1])
+                    return preds[0]
+
+                def full_fwd_h(lat, i):
+                    outs2 = [fwd(lat, i, emb, pool,
+                                 return_control_residuals=True)
+                             for emb, pool in streams]
+                    return (combine([p for p, _ in outs2]),
+                            tuple(o["control_residuals"] for _, o in outs2))
+
+                def base_fwd_h(lat, i, res):
+                    return combine([
+                        fwd(lat, i, emb, pool, control_residuals=r)[0]
+                        for (emb, pool), r in zip(streams, res)])
+
+                latents, _, _ = caching.hybrid_cache_scan(
+                    full_fwd_h, base_fwd_h, latents, sigmas, num_steps,
+                    control_interval=cache_interval,
+                    model_interval=hybrid_model_interval,
+                    residuals_init=tuple(zero_res() for _ in streams),
                     order=model_cache_order)
             else:
                 # control-residual step caching (see unigen_flux_forward
@@ -377,8 +421,13 @@ class UniGenFluxPipeline:
         model_cache_interval > 1 / model_cache_threshold > 0 enable
         FULL-MODEL output caching (replay steps skip the entire transformer
         and reuse the cached guided prediction — the most aggressive rung
-        of the cache ladder, docs/SERVING.md); mutually exclusive with the
-        control cache and cfg_cache knobs."""
+        of the cache ladder, docs/SERVING.md); mutually exclusive with
+        cfg_cache and the control-cache threshold.
+        Setting BOTH intervals (> 1) enables the HYBRID three-level cache
+        (rung 3c): full refresh every control_cache_interval steps,
+        base-with-control-replay every model_cache_interval steps between,
+        prediction replay otherwise — requires model_cache_interval <
+        control_cache_interval with the latter a multiple of the former."""
         multi = control_pixels.ndim == 5
         steps = num_inference_steps
         keep = np.array([
@@ -390,11 +439,37 @@ class UniGenFluxPipeline:
         # one compiled program per call shape (jit caches by fn identity, so
         # the closure must be cached too or every call would recompile)
         model_cache = model_cache_interval > 1 or model_cache_threshold > 0.0
-        if model_cache:
+        hybrid_model_interval = 1
+        if model_cache_interval > 1 and control_cache_interval > 1:
+            # HYBRID three-level cache (docs/SERVING.md rung 3c): full refresh
+            # every control_cache_interval steps, base-with-control-replay
+            # every model_cache_interval steps between, prediction replay
+            # otherwise — fixed intervals only
+            if control_cache_threshold > 0.0 or model_cache_threshold > 0.0:
+                raise ValueError("hybrid caching (both intervals > 1) takes "
+                                 "fixed intervals only")
+            if cfg_cache:
+                raise ValueError("cfg_cache does not compose with hybrid "
+                                 "caching (skip steps already bypass the "
+                                 "negative stream)")
+            if (control_cache_interval <= model_cache_interval
+                    or control_cache_interval % model_cache_interval):
+                raise ValueError(
+                    "hybrid caching requires model_cache_interval < "
+                    "control_cache_interval and control_cache_interval a "
+                    "multiple of model_cache_interval (every full step must "
+                    "fall on a base boundary), got "
+                    f"c={control_cache_interval} m={model_cache_interval}")
+            model_cache = False
+            hybrid_model_interval = model_cache_interval
+            cache_interval = control_cache_interval
+            cache_threshold = 0.0
+        elif model_cache:
             if control_cache_interval > 1 or control_cache_threshold > 0.0:
-                raise ValueError("model_cache_* and control_cache_* are "
-                                 "mutually exclusive (the model cache "
-                                 "subsumes the control cache on replay steps)")
+                raise ValueError("the model cache composes with the control "
+                                 "cache only via fixed intervals on both "
+                                 "(hybrid mode); thresholds are mutually "
+                                 "exclusive with it")
             if cfg_cache:
                 raise ValueError("cfg_cache composes with the control cache "
                                  "only; the model cache already skips the "
@@ -412,7 +487,7 @@ class UniGenFluxPipeline:
         cache_key = (steps, height, width, true_cfg_scale > 1.0,
                      round(guidance_scale, 4), tuple(np.asarray(schedule)),
                      multi, cache_interval, adaptive, cfg_cache, model_cache,
-                     model_cache_order)
+                     model_cache_order, hybrid_model_interval)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
@@ -420,7 +495,8 @@ class UniGenFluxPipeline:
                 steps, height, width, true_cfg_scale, guidance_scale, schedule,
                 multi, cache_interval=cache_interval,
                 adaptive=adaptive, cfg_cache=cfg_cache,
-                model_cache=model_cache, model_cache_order=model_cache_order)
+                model_cache=model_cache, model_cache_order=model_cache_order,
+                hybrid_model_interval=hybrid_model_interval)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
 

@@ -102,7 +102,8 @@ class UniGenSanaPipeline:
     def _denoise_program(self, num_steps: int, height: int, width: int,
                          scale_schedule, cache_interval: int = 1,
                          adaptive: bool = False, model_cache: bool = False,
-                         model_cache_order: int = 0):
+                         model_cache_order: int = 0,
+                         hybrid_model_interval: int = 1):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, not baked in) — one compiled program serves any threshold.
         # model_cache=True: replay steps skip the ENTIRE transformer and
@@ -150,6 +151,25 @@ class UniGenSanaPipeline:
                     adaptive=adaptive,
                     threshold=cache_threshold if adaptive else None,
                     order=model_cache_order)
+            elif hybrid_model_interval > 1:
+                # hybrid three-level cache (docs/SERVING.md rung 3c)
+                bb = cfg.sana
+                s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
+                zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
+                                 self.dtype)
+
+                def full_fwd_h(lat, i):
+                    pred, outs = fwd(lat, i, return_control_residuals=True)
+                    return pred, outs["control_residuals"]
+
+                def base_fwd_h(lat, i, res):
+                    return fwd(lat, i, control_residuals=res)[0]
+
+                latents, _, _ = caching.hybrid_cache_scan(
+                    full_fwd_h, base_fwd_h, latents, sig, num_steps,
+                    control_interval=cache_interval,
+                    model_interval=hybrid_model_interval,
+                    residuals_init=zero, order=model_cache_order)
             else:
                 # control-residual step caching (see sana_unigen_forward):
                 # cache of raw per-base-block control outputs
@@ -219,7 +239,11 @@ class UniGenSanaPipeline:
         (pipelines/caching.py); refresh count → self.last_cache_refreshes.
         model_cache_interval > 1 / model_cache_threshold > 0 enable
         FULL-MODEL output caching (replay steps skip the entire transformer);
-        mutually exclusive with control_cache_*."""
+        mutually exclusive with thresholds.
+        Setting BOTH intervals (> 1) enables the HYBRID three-level cache
+        (rung 3c): full refresh every control_cache_interval steps,
+        base-with-control-replay every model_cache_interval steps between,
+        prediction replay otherwise."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
@@ -227,17 +251,37 @@ class UniGenSanaPipeline:
             for i in range(steps)], np.float32)
         schedule = tuple(conditioning_scale * keep)
         model_cache = model_cache_interval > 1 or model_cache_threshold > 0.0
-        if model_cache and (control_cache_interval > 1
-                            or control_cache_threshold > 0.0):
-            raise ValueError("model_cache_* and control_cache_* are "
-                             "mutually exclusive")
-        cache_interval = (model_cache_interval if model_cache
-                          else control_cache_interval)
-        cache_threshold = (model_cache_threshold if model_cache
-                           else control_cache_threshold)
+        hybrid_model_interval = 1
+        if model_cache_interval > 1 and control_cache_interval > 1:
+            if control_cache_threshold > 0.0 or model_cache_threshold > 0.0:
+                raise ValueError("hybrid caching (both intervals > 1) takes "
+                                 "fixed intervals only")
+            if (control_cache_interval <= model_cache_interval
+                    or control_cache_interval % model_cache_interval):
+                raise ValueError(
+                    "hybrid caching requires model_cache_interval < "
+                    "control_cache_interval and control_cache_interval a "
+                    "multiple of model_cache_interval, got "
+                    f"c={control_cache_interval} m={model_cache_interval}")
+            model_cache = False
+            hybrid_model_interval = model_cache_interval
+            cache_interval = control_cache_interval
+            cache_threshold = 0.0
+        else:
+            if model_cache and (control_cache_interval > 1
+                                or control_cache_threshold > 0.0):
+                raise ValueError("the model cache composes with the control "
+                                 "cache only via fixed intervals on both "
+                                 "(hybrid mode); thresholds are mutually "
+                                 "exclusive with it")
+            cache_interval = (model_cache_interval if model_cache
+                              else control_cache_interval)
+            cache_threshold = (model_cache_threshold if model_cache
+                               else control_cache_threshold)
         adaptive = cache_threshold > 0.0
         key = (steps, height, width, schedule, cache_interval,
-               adaptive, model_cache, model_cache_order)
+               adaptive, model_cache, model_cache_order,
+               hybrid_model_interval)
         if key in self._program_cache:
             program, (lh, lw) = self._program_cache[key]
         else:
@@ -245,7 +289,8 @@ class UniGenSanaPipeline:
                                                       np.asarray(schedule),
                                                       cache_interval,
                                                       adaptive, model_cache,
-                                                      model_cache_order)
+                                                      model_cache_order,
+                                                      hybrid_model_interval)
             program = jax.jit(program)
             self._program_cache[key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]

@@ -117,7 +117,8 @@ class UniGenSD3Pipeline:
                  guidance_scale: float, schedule: jnp.ndarray,
                  cache_interval: int = 1, adaptive: bool = False,
                  cfg_cache: bool = False, model_cache: bool = False,
-                 model_cache_order: int = 0):
+                 model_cache_order: int = 0,
+                 hybrid_model_interval: int = 1):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, not baked in) — one compiled program serves any threshold.
         # cfg_cache=True (requires a caching mode + CFG): replay steps run
@@ -178,6 +179,30 @@ class UniGenSD3Pipeline:
                     adaptive=adaptive,
                     threshold=cache_threshold if adaptive else None,
                     order=model_cache_order)
+            elif hybrid_model_interval > 1:
+                # hybrid three-level cache (docs/SERVING.md rung 3c): full
+                # refresh every cache_interval steps, base-with-control-replay
+                # every hybrid_model_interval steps between, prediction replay
+                # otherwise; the CFG duplication rides inside the batch axis
+                # of both the forward and the residual cache
+                bb = cfg.sd3
+                bc = latents.shape[0] * (2 if do_cfg else 1)
+                s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
+                zero = jnp.zeros((bb.num_layers, bc, s_tok, bb.inner_dim),
+                                 self.dtype)
+
+                def full_fwd_h(lat, i):
+                    pred, outs = fwd(lat, i, return_control_residuals=True)
+                    return pred, outs["control_residuals"]
+
+                def base_fwd_h(lat, i, res):
+                    return fwd(lat, i, control_residuals=res)[0]
+
+                latents, _, _ = caching.hybrid_cache_scan(
+                    full_fwd_h, base_fwd_h, latents, sigmas, num_steps,
+                    control_interval=cache_interval,
+                    model_interval=hybrid_model_interval,
+                    residuals_init=zero, order=model_cache_order)
             else:
                 # control-residual step caching (see unigen_sd3_forward): one
                 # cache [n_base, B(*2 if cfg), S, D] of raw control block
@@ -301,7 +326,11 @@ class UniGenSD3Pipeline:
         at half batch and the cached pos-neg guidance delta is reused.
         model_cache_interval > 1 / model_cache_threshold > 0 enable
         FULL-MODEL output caching (replay steps skip the entire transformer);
-        mutually exclusive with control_cache_* and cfg_cache."""
+        mutually exclusive with cfg_cache and thresholds.
+        Setting BOTH intervals (> 1) enables the HYBRID three-level cache
+        (rung 3c): full refresh every control_cache_interval steps,
+        base-with-control-replay every model_cache_interval steps between,
+        prediction replay otherwise."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
@@ -309,10 +338,33 @@ class UniGenSD3Pipeline:
             for i in range(steps)], np.float32)
         schedule = jnp.asarray(conditioning_scale * keep)
         model_cache = model_cache_interval > 1 or model_cache_threshold > 0.0
-        if model_cache:
+        hybrid_model_interval = 1
+        if model_cache_interval > 1 and control_cache_interval > 1:
+            # hybrid three-level cache (rung 3c) — fixed intervals only
+            if control_cache_threshold > 0.0 or model_cache_threshold > 0.0:
+                raise ValueError("hybrid caching (both intervals > 1) takes "
+                                 "fixed intervals only")
+            if cfg_cache:
+                raise ValueError("cfg_cache does not compose with hybrid "
+                                 "caching (skip steps already bypass the "
+                                 "uncond stream)")
+            if (control_cache_interval <= model_cache_interval
+                    or control_cache_interval % model_cache_interval):
+                raise ValueError(
+                    "hybrid caching requires model_cache_interval < "
+                    "control_cache_interval and control_cache_interval a "
+                    "multiple of model_cache_interval, got "
+                    f"c={control_cache_interval} m={model_cache_interval}")
+            model_cache = False
+            hybrid_model_interval = model_cache_interval
+            cache_interval = control_cache_interval
+            cache_threshold = 0.0
+        elif model_cache:
             if control_cache_interval > 1 or control_cache_threshold > 0.0:
-                raise ValueError("model_cache_* and control_cache_* are "
-                                 "mutually exclusive")
+                raise ValueError("the model cache composes with the control "
+                                 "cache only via fixed intervals on both "
+                                 "(hybrid mode); thresholds are mutually "
+                                 "exclusive with it")
             if cfg_cache:
                 raise ValueError("cfg_cache composes with the control cache "
                                  "only; the model cache already skips the "
@@ -329,7 +381,8 @@ class UniGenSD3Pipeline:
                              "same refresh schedule)")
         cache_key = (steps, height, width, round(guidance_scale, 4),
                      tuple(conditioning_scale * keep), cache_interval,
-                     adaptive, cfg_cache, model_cache, model_cache_order)
+                     adaptive, cfg_cache, model_cache, model_cache_order,
+                     hybrid_model_interval)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
@@ -337,7 +390,8 @@ class UniGenSD3Pipeline:
                                               guidance_scale, schedule,
                                               cache_interval,
                                               adaptive, cfg_cache, model_cache,
-                                              model_cache_order)
+                                              model_cache_order,
+                                              hybrid_model_interval)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
