@@ -1253,7 +1253,12 @@ def bench_cache():
     cache (docs/SERVING.md rung 3c): full refresh every c steps, base
     transformer with control-residual replay every m steps between,
     prediction replay otherwise (caching.hybrid_cache_scan; m must divide
-    c). Rows land in CACHE.json hybrid_rows."""
+    c). Rows land in CACHE.json hybrid_rows.
+
+    UNIGEN_BENCH_HYBRID_ADAPTIVE=<cthr:mthr[,...]> measures the
+    fully-ADAPTIVE hybrid: both refresh decisions are drift thresholds
+    riding as traced scalars, so ONE compiled program serves the whole
+    sweep (cthr > mthr; rows → CACHE.json hybrid_adaptive_rows)."""
     import jax
     import jax.numpy as jnp
 
@@ -1331,7 +1336,8 @@ def bench_cache():
     model_order = int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER", "0"))
 
     def make_denoise(interval: int, adaptive: bool = False,
-                     model_cache: bool = False, hybrid: int = 1):
+                     model_cache: bool = False, hybrid: int = 1,
+                     hybrid_adaptive: bool = False):
         # adaptive: the threshold rides as a traced scalar argument — ONE
         # compiled program serves the whole threshold sweep (each baked-in
         # threshold would otherwise be a fresh 5-8 min remote compile).
@@ -1343,7 +1349,7 @@ def bench_cache():
         # prediction replay otherwise (caching.hybrid_cache_scan)
 
         def denoise(params, latents, condition, prompt, pooled, cond_pooled,
-                    threshold=None):
+                    threshold=None, threshold2=None):
             from unigen_tpu.pipelines import caching
             sig = jnp.asarray(sigmas)
             ids_i = jnp.asarray(img_ids)
@@ -1358,7 +1364,8 @@ def bench_cache():
                     attn_impl="auto", **kw)
                 return pred, outs
 
-            if interval <= 1 and not adaptive:
+            if (interval <= 1 and not adaptive and hybrid <= 1
+                    and not hybrid_adaptive):
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sig[i],
@@ -1379,7 +1386,7 @@ def bench_cache():
                     jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
                               dtype))
 
-            if hybrid > 1:
+            if hybrid > 1 or hybrid_adaptive:
                 latents, n_full, n_base = caching.hybrid_cache_scan(
                     lambda l, i: (lambda pr, o:
                                   (pr, o["control_residuals"]))(
@@ -1387,7 +1394,8 @@ def bench_cache():
                     lambda l, i, r: fwd(l, i, control_residuals=r)[0],
                     latents, sig, num_steps, control_interval=interval,
                     model_interval=hybrid, residuals_init=zero,
-                    order=model_order)
+                    order=model_order, adaptive=hybrid_adaptive,
+                    control_threshold=threshold, model_threshold=threshold2)
                 return latents, jnp.asarray(n_full + n_base, jnp.int32)
 
             def step(carry, i):
@@ -1449,8 +1457,17 @@ def bench_cache():
     _adaptive_jfn = {}  # one compiled program per mode, reused across sweeps
 
     def run(interval: int, threshold: float = 0.0, model_cache: bool = False,
-            hybrid: int = 1):
-        if threshold > 0:
+            hybrid: int = 1, hybrid_thr=None):
+        if hybrid_thr is not None:
+            # BOTH thresholds traced: one compiled program serves the sweep
+            if "hybrid" not in _adaptive_jfn:
+                _adaptive_jfn["hybrid"] = jax.jit(
+                    make_denoise(1, hybrid_adaptive=True))
+            jfn = _adaptive_jfn["hybrid"]
+            fn = lambda: jfn(params, latents0, condition, prompt, pooled,
+                             cond_pooled, jnp.float32(hybrid_thr[0]),
+                             jnp.float32(hybrid_thr[1]))
+        elif threshold > 0:
             if model_cache not in _adaptive_jfn:
                 _adaptive_jfn[model_cache] = jax.jit(
                     make_denoise(1, adaptive=True, model_cache=model_cache))
@@ -1477,12 +1494,14 @@ def bench_cache():
             _ = sync(out)
             times.append((time.perf_counter() - t0) / K)
         dt = min(times)
-        tag = (f"threshold={threshold}" if threshold > 0
+        tag = (f"thr_c={hybrid_thr[0]} thr_m={hybrid_thr[1]}"
+               if hybrid_thr is not None
+               else f"threshold={threshold}" if threshold > 0
                else f"c={interval} m={hybrid}" if hybrid > 1
                else f"interval={interval}")
         if model_cache:
             tag = "model_" + tag
-        elif hybrid > 1:
+        elif hybrid > 1 or hybrid_thr is not None:
             tag = "hybrid " + tag
         print(f"# cache {tag} b={b} compile={compile_s:.1f}s "
               f"step={dt*1000:.1f}ms ips={b/dt:.3f} refreshes={n_refresh}",
@@ -1588,6 +1607,31 @@ def bench_cache():
         if model_order:
             extra["order"] = model_order
         hybrid_rows.append(fidelity_row(ips_k, img_k, extra))
+
+    # fully-ADAPTIVE hybrid rows: UNIGEN_BENCH_HYBRID_ADAPTIVE=
+    # <cthr:mthr[,cthr2:mthr2]> — both thresholds ride traced, so ONE
+    # compiled program serves the whole sweep
+    hybrid_adaptive_rows = []
+    for spec in os.environ.get("UNIGEN_BENCH_HYBRID_ADAPTIVE",
+                               "").split(","):
+        if not spec:
+            continue
+        tc, tm = (float(x) for x in spec.split(":"))
+        if tc <= tm:
+            print(f"# adaptive hybrid {spec} skipped: need cthr > mthr",
+                  file=sys.stderr)
+            continue
+        try:
+            ips_k, img_k, n_ref = run(1, hybrid_thr=(tc, tm))
+        except Exception as e:
+            print(f"# adaptive hybrid {spec} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            continue
+        extra = {"control_threshold": tc, "model_threshold": tm,
+                 "refreshes": n_ref, "num_steps": num_steps}
+        if model_order:
+            extra["order"] = model_order
+        hybrid_adaptive_rows.append(fidelity_row(ips_k, img_k, extra))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "CACHE.json")
     try:
@@ -1595,11 +1639,16 @@ def bench_cache():
             doc = json.load(f)
     except Exception:
         doc = {}
-    doc.update({"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}"
-                          f"sgl_w{bb.inner_dim}_w4a8_ctrlcache",
-                "res": res, "num_steps": num_steps})
-    runs = doc.setdefault("runs", {})
-    prev = runs.get(f"b{b}", {})
+    if preset != "tiny":                   # tiny smokes must not clobber
+        doc["config"] = (f"flux_{bb.num_layers}dbl_{bb.num_single_layers}"
+                         f"sgl_w{bb.inner_dim}_w4a8_ctrlcache")
+    doc["num_steps"] = num_steps
+    doc.setdefault("res", 512)             # runs.b{N} rows are 512² ones;
+    runs = doc.setdefault("runs", {})      # other resolutions get their own
+    rk = f"b{b}" if res == doc["res"] else f"b{b}_r{res}"   # res-tagged key
+    if preset == "tiny":
+        rk += "_tiny"                      # keep smoke runs out of real rows
+    prev = runs.get(rk, {})
     merged = {r["interval"]: r for r in prev.get("rows", [])}
     merged.update({r["interval"]: r for r in rows})
     merged_a = {r["threshold"]: r for r in prev.get("adaptive_rows", [])}
@@ -1616,21 +1665,31 @@ def bench_cache():
                      r.get("order", 0))
     merged_h = {_hk(r): r for r in prev.get("hybrid_rows", [])}
     merged_h.update({_hk(r): r for r in hybrid_rows})
-    runs[f"b{b}"] = {"ips_exact": round(ips_exact, 4),
-                     "rows": [merged[k] for k in sorted(merged)]}
+    _hak = lambda r: (r["control_threshold"], r["model_threshold"],
+                      r.get("order", 0))
+    merged_ha = {_hak(r): r for r in prev.get("hybrid_adaptive_rows", [])}
+    merged_ha.update({_hak(r): r for r in hybrid_adaptive_rows})
+    runs[rk] = {"ips_exact": round(ips_exact, 4),
+                "rows": [merged[k] for k in sorted(merged)]}
+    if res != doc["res"]:
+        runs[rk]["res"] = res
     if merged_a:
-        runs[f"b{b}"]["adaptive_rows"] = [merged_a[t] for t in sorted(merged_a)]
+        runs[rk]["adaptive_rows"] = [merged_a[t] for t in sorted(merged_a)]
     if merged_m:
-        runs[f"b{b}"]["model_rows"] = [merged_m[k] for k in sorted(merged_m)]
+        runs[rk]["model_rows"] = [merged_m[k] for k in sorted(merged_m)]
     if merged_ma:
-        runs[f"b{b}"]["model_adaptive_rows"] = [merged_ma[t]
-                                                for t in sorted(merged_ma)]
+        runs[rk]["model_adaptive_rows"] = [merged_ma[t]
+                                           for t in sorted(merged_ma)]
     if merged_h:
-        runs[f"b{b}"]["hybrid_rows"] = [merged_h[k] for k in sorted(merged_h)]
+        runs[rk]["hybrid_rows"] = [merged_h[k] for k in sorted(merged_h)]
+    if merged_ha:
+        runs[rk]["hybrid_adaptive_rows"] = [merged_ha[k]
+                                            for k in sorted(merged_ha)]
     doc.pop("batch", None); doc.pop("ips_exact", None); doc.pop("rows", None)
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     all_rows = rows + adaptive_rows
+    hybrid_rows = hybrid_rows + hybrid_adaptive_rows
     if not (all_rows or model_rows or model_adaptive_rows or hybrid_rows):
         print(json.dumps({"metric": "unigen_flux_ctrlcache_images_per_sec",
                           "value": 0.0, "unit": "images/sec/chip",
@@ -1648,7 +1707,9 @@ def bench_cache():
     tag = (f"{prefix}{best['interval']}" if "interval" in best
            else f"{prefix}_thr{best['threshold']}" if "threshold" in best
            else f"{prefix}_c{best['control_interval']}"
-                f"m{best['model_interval']}")
+                f"m{best['model_interval']}" if "control_interval" in best
+           else f"{prefix}_adaptive_c{best['control_threshold']}"
+                f"m{best['model_threshold']}")
     print(json.dumps({
         "metric": f"unigen_flux_{tag}_{res}px_images_per_sec",
         "value": best["ips"], "unit": "images/sec/chip",
@@ -1819,7 +1880,8 @@ def main():
             os.environ.get("UNIGEN_BENCH_CACHE")
             or os.environ.get("UNIGEN_BENCH_MODEL_CACHE")
             or os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ADAPTIVE")
-            or os.environ.get("UNIGEN_BENCH_HYBRID_CACHE")):
+            or os.environ.get("UNIGEN_BENCH_HYBRID_CACHE")
+            or os.environ.get("UNIGEN_BENCH_HYBRID_ADAPTIVE")):
         return bench_cache()
     if family == "sd3":
         return bench_sd3()
@@ -2062,8 +2124,11 @@ def main():
             cache_doc = json.load(f)
         rows = []
         for rk, rv in cache_doc.get("runs", {}).items():
+            if "_" in rk:        # other-resolution / tiny-smoke rungs
+                continue         # (b1_r1024, b2_tiny): not headline-res
             for kind in ("rows", "adaptive_rows", "model_rows",
-                         "model_adaptive_rows", "hybrid_rows"):
+                         "model_adaptive_rows", "hybrid_rows",
+                         "hybrid_adaptive_rows"):
                 for r in rv.get(kind, []):
                     if r.get("ssim_vs_exact", 0) >= 0.99:
                         rows.append((r["ips"], kind, rk, r))
@@ -2073,7 +2138,8 @@ def main():
                     "adaptive_rows": "control_cache_adaptive",
                     "model_rows": "model_cache",
                     "model_adaptive_rows": "model_cache_adaptive",
-                    "hybrid_rows": "hybrid_cache"}[kind]
+                    "hybrid_rows": "hybrid_cache",
+                    "hybrid_adaptive_rows": "hybrid_cache_adaptive"}[kind]
             line["serving_optimized"] = {
                 "ips": ips, "mode": mode,
                 "batch": rk, "ssim_vs_exact": r["ssim_vs_exact"],
@@ -2082,7 +2148,11 @@ def main():
                               else {"threshold": r["threshold"]}
                               if "threshold" in r
                               else {"control_interval": r["control_interval"],
-                                    "model_interval": r["model_interval"]}),
+                                    "model_interval": r["model_interval"]}
+                              if "control_interval" in r
+                              else {"control_threshold":
+                                    r["control_threshold"],
+                                    "model_threshold": r["model_threshold"]}),
                              **({"order": r["order"]} if "order" in r
                                 else {}))}
     except Exception:

@@ -1130,6 +1130,104 @@ def test_hybrid_cache_scan_synthetic_oracle():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_hybrid_cache_scan_adaptive_oracle():
+    """Fully-adaptive hybrid: both refresh decisions are traced drift
+    thresholds. Hand-roll the same drift rule (rel_change vs the input
+    latent of the last full / last prediction refresh) and require the
+    same level sequence, counts, and near-ulp latents."""
+    from unigen_tpu.pipelines import caching, scheduling
+    steps = 8
+    lat0 = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8)),
+                       jnp.float32)
+    sigmas = jnp.linspace(1.0, 0.0, steps + 1)
+    coef = jnp.asarray(np.random.default_rng(1).standard_normal((8, 8)) * 0.2,
+                       jnp.float32)
+
+    def full_fwd(lat, i):
+        pred = jnp.tanh(lat @ coef) + 0.01 * i + 0.3 * lat
+        return pred, lat
+
+    def base_fwd(lat, i, res):
+        return jnp.tanh(lat @ coef) + 0.01 * i + 0.3 * res
+
+    def rel(lat, ref):
+        return float(jnp.mean(jnp.abs(lat - ref))
+                     / (jnp.mean(jnp.abs(ref)) + 1e-8))
+
+    for thr_c, thr_m in ((0.5, 0.2), (1e9, 1e-9), (1e9, 1e8), (1e-9, 1e-10)):
+        got, n_full, n_base = caching.hybrid_cache_scan(
+            full_fwd, base_fwd, lat0, sigmas, steps,
+            residuals_init=jnp.zeros_like(lat0), adaptive=True,
+            control_threshold=jnp.float32(thr_c),
+            model_threshold=jnp.float32(thr_m))
+
+        lat, res, pred = lat0, None, None
+        ref_full = ref_pred = lat0
+        want_full = want_base = 0
+        for i in range(steps):
+            if i == 0 or rel(lat, ref_full) > thr_c:
+                pred, res = full_fwd(lat, i)
+                ref_full = ref_pred = lat
+                want_full += 1
+            elif rel(lat, ref_pred) > thr_m:
+                pred = base_fwd(lat, i, res)
+                ref_pred = lat
+                want_base += 1
+            lat = scheduling.euler_step(lat, pred, sigmas[i], sigmas[i + 1])
+        assert (int(n_full), int(n_base)) == (want_full, want_base), \
+            (thr_c, thr_m, int(n_full), int(n_base), want_full, want_base)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(lat),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_adaptive_hybrid_pipeline_modes():
+    """Pipeline-level adaptive hybrid (both thresholds > 0): tight == exact
+    (every step full), loose == 1 full + skips == loose model cache,
+    huge-control/tiny-model == base every step after 0; validation errors."""
+    pipe, flux = _tiny_pipe()
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=4, seed=0)
+    exact = pipe.generate(**kw)
+    tight = pipe.generate(**kw, control_cache_threshold=1e-9,
+                          model_cache_threshold=1e-10)
+    np.testing.assert_array_equal(exact, tight)
+    assert pipe.last_cache_refreshes == (4, 0)
+    loose = pipe.generate(**kw, control_cache_threshold=1e9,
+                          model_cache_threshold=1e8)
+    assert pipe.last_cache_refreshes == (1, 0)
+    np.testing.assert_array_equal(
+        loose, pipe.generate(**kw, model_cache_threshold=1e9))
+    pipe.generate(**kw, control_cache_threshold=1e9,
+                  model_cache_threshold=1e-9)
+    assert pipe.last_cache_refreshes == (1, 3)
+    for bad in (dict(control_cache_threshold=0.1, model_cache_threshold=0.2),
+                dict(control_cache_threshold=0.1, model_cache_threshold=0.05,
+                     cfg_cache=True),
+                dict(control_cache_threshold=0.1, model_cache_threshold=0.05,
+                     model_cache_interval=2)):
+        with pytest.raises(ValueError):
+            pipe.generate(**kw, **bad)
+
+
+def test_sd3_sana_adaptive_hybrid_runs(tiny_sd3):
+    pipe, kw = _sd3_pipe_kw(tiny_sd3, steps=4)
+    exact = pipe.generate(**kw)
+    tight = pipe.generate(**kw, control_cache_threshold=1e-9,
+                          model_cache_threshold=1e-10)
+    np.testing.assert_array_equal(exact, tight)
+    assert pipe.last_cache_refreshes == (4, 0)
+    loose = pipe.generate(**kw, control_cache_threshold=1e9,
+                          model_cache_threshold=1e8)
+    assert pipe.last_cache_refreshes == (1, 0)
+    assert np.abs(loose.astype(int) - exact.astype(int)).max() > 0
+
+
 def test_hybrid_matches_manual_composition():
     """steps=4 with (c=4, m=2): levels are [full, skip, base, skip] — compare
     against a hand-rolled euler loop over the forward. atol=1 like the other

@@ -113,39 +113,63 @@ def model_cache_scan(full_pred: Callable, latents: jnp.ndarray, sigmas,
 
 def hybrid_cache_scan(full_fwd: Callable, base_fwd: Callable,
                       latents: jnp.ndarray, sigmas, num_steps: int, *,
-                      control_interval: int, model_interval: int,
-                      residuals_init, order: int = 0):
+                      control_interval: int = 1, model_interval: int = 1,
+                      residuals_init, order: int = 0,
+                      adaptive: bool = False,
+                      control_threshold: Optional[jnp.ndarray] = None,
+                      model_threshold: Optional[jnp.ndarray] = None):
     """Three-level hybrid cache denoise loop — the composition of the
     control cache and the full-model cache on one schedule. Per step i:
 
-    - ``i % control_interval == 0`` → **full**: exact forward
+    - **full** (``i % control_interval == 0``): exact forward
       (``full_fwd(lat, i) -> (pred, residuals)``) refreshing BOTH the
       control-residual cache and the prediction cache;
-    - else ``i % model_interval == 0`` → **base**: the base transformer
+    - **base** (else ``i % model_interval == 0``): the base transformer
       runs with the cached control residuals replayed
       (``base_fwd(lat, i, residuals) -> pred``, ~54% of a full step at
       flux full topology, PROFILE_FULL.json) and refreshes the prediction
       cache;
-    - else → **skip**: the whole transformer is skipped and the cached
+    - **skip** (otherwise): the whole transformer is skipped and the cached
       prediction is replayed (zero-order hold, or first-order Taylor when
       ``order=1`` — see model_cache_scan).
 
-    Requires ``model_interval < control_interval`` and
+    Fixed mode requires ``model_interval < control_interval`` and
     ``control_interval % model_interval == 0`` so every full step falls on
     a base boundary (callers validate). On a 28-step schedule with
     (c=4, m=2): 7 full + 7 base + 14 skip ≈ 2.6× fewer full-step
     equivalents with the base trajectory refreshed twice as often as the
     pure model cache at the same transformer budget.
 
-    Returns ``(latents, n_full, n_base)`` (static Python ints).
+    ``adaptive=True`` replaces both intervals with TRACED drift thresholds
+    (the fully-adaptive three-level cache; both scalars ride as arguments,
+    so ONE compiled program serves any operating point, live-tunable in
+    serving): a step runs **full** when the latent has drifted more than
+    ``control_threshold`` (relative L1, ``rel_change``) since the input of
+    the last full step, else **base** when it drifted more than
+    ``model_threshold`` since the last prediction refresh (full or base),
+    else **skip**. Step 0 is always full. ``control_threshold`` should
+    exceed ``model_threshold`` — below it, full fires before base ever
+    would and the schedule degenerates to the adaptive model cache.
+
+    Returns ``(latents, n_full, n_base)`` — static Python ints in fixed
+    mode, traced int32 scalars in adaptive mode.
     """
     from unigen_tpu.pipelines import scheduling
     sig = jnp.asarray(sigmas)
 
     def step(carry, i):
-        lat, res, p1, p0, i1, i0 = carry
-        level = jnp.where(i % control_interval == 0, 2,
-                          jnp.where(i % model_interval == 0, 1, 0))
+        if adaptive:
+            (lat, res, p1, p0, i1, i0, lat_full_ref, lat_pred_ref,
+             n_full, n_base) = carry
+            want_full = jnp.logical_or(
+                i == 0, rel_change(lat, lat_full_ref) > control_threshold)
+            want_base = rel_change(lat, lat_pred_ref) > model_threshold
+            level = jnp.where(want_full, 2,
+                              jnp.where(want_base, 1, 0)).astype(jnp.int32)
+        else:
+            lat, res, p1, p0, i1, i0 = carry
+            level = jnp.where(i % control_interval == 0, 2,
+                              jnp.where(i % model_interval == 0, 1, 0))
 
         def full(_):
             pred, new_res = full_fwd(lat, i)
@@ -168,10 +192,26 @@ def hybrid_cache_scan(full_fwd: Callable, base_fwd: Callable,
         pred, res_n, p1_n, p0_n, i1_n, i0_n = jax.lax.switch(
             level, [skip, base, full], None)
         lat_next = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
+        if adaptive:
+            is_full, is_base = level == 2, level == 1
+            # drift references track the INPUT latent of the refreshing step
+            # (the state the cache was computed at), like refresh_decision
+            lat_full_ref = jnp.where(is_full, lat, lat_full_ref)
+            lat_pred_ref = jnp.where(is_full | is_base, lat, lat_pred_ref)
+            return (lat_next, res_n, p1_n, p0_n, i1_n, i0_n, lat_full_ref,
+                    lat_pred_ref, n_full + is_full.astype(jnp.int32),
+                    n_base + is_base.astype(jnp.int32)), None
         return (lat_next, res_n, p1_n, p0_n, i1_n, i0_n), None
 
     z = jnp.zeros_like(latents)      # never read: step 0 is always full
     neg1 = jnp.asarray(-1, jnp.int32)
+    if adaptive:
+        zero_i = jnp.zeros((), jnp.int32)
+        carry0 = (latents, residuals_init, z, z, neg1, neg1, latents,
+                  latents, zero_i, zero_i)
+        (latents, _, _, _, _, _, _, _, n_full, n_base), _ = jax.lax.scan(
+            step, carry0, jnp.arange(num_steps))
+        return latents, n_full, n_base
     (latents, _, _, _, _, _), _ = jax.lax.scan(
         step, (latents, residuals_init, z, z, neg1, neg1),
         jnp.arange(num_steps))

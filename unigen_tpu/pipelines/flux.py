@@ -157,7 +157,8 @@ class UniGenFluxPipeline:
                          cfg_cache: bool = False,
                          model_cache: bool = False,
                          model_cache_order: int = 0,
-                         hybrid_model_interval: int = 1):
+                         hybrid_model_interval: int = 1,
+                         hybrid_adaptive: bool = False):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, NOT baked in) — one compiled program serves every
         # threshold, so the knob is tunable at serving time for free.
@@ -179,7 +180,8 @@ class UniGenFluxPipeline:
 
         def program(params, vae_params, latents, control_pixels, prompt_embeds,
                     pooled, cond_pooled, neg_embeds, neg_pooled,
-                    cond_id_offsets, cache_threshold=None):
+                    cond_id_offsets, cache_threshold=None,
+                    model_threshold=None):
             # VAE-encode control image(s): [B,3,H,W] or [K,B,3,H,W]
             enc = partial(vae_lib.vae_encode, vae_params, self.vae_cfg)
             if multi:
@@ -207,7 +209,8 @@ class UniGenFluxPipeline:
                     conditioning_scale=scale_schedule[i], **kw)
                 return pred, outs
 
-            if cache_interval <= 1 and not adaptive:
+            if (cache_interval <= 1 and not adaptive
+                    and hybrid_model_interval <= 1 and not hybrid_adaptive):
                 def step(lat, i):
                     pred, _ = fwd(lat, i, prompt_embeds, pooled)
                     if do_cfg:
@@ -240,7 +243,7 @@ class UniGenFluxPipeline:
                     cache_interval=cache_interval, adaptive=adaptive,
                     threshold=cache_threshold if adaptive else None,
                     order=model_cache_order)
-            elif hybrid_model_interval > 1:
+            elif hybrid_model_interval > 1 or hybrid_adaptive:
                 # hybrid three-level cache (docs/SERVING.md rung 3c): full
                 # refresh every cache_interval steps, base-with-control-replay
                 # every hybrid_model_interval steps in between, prediction
@@ -277,12 +280,14 @@ class UniGenFluxPipeline:
                         fwd(lat, i, emb, pool, control_residuals=r)[0]
                         for (emb, pool), r in zip(streams, res)])
 
-                latents, _, _ = caching.hybrid_cache_scan(
+                latents, n_full, n_base = caching.hybrid_cache_scan(
                     full_fwd_h, base_fwd_h, latents, sigmas, num_steps,
                     control_interval=cache_interval,
                     model_interval=hybrid_model_interval,
                     residuals_init=tuple(zero_res() for _ in streams),
-                    order=model_cache_order)
+                    order=model_cache_order, adaptive=hybrid_adaptive,
+                    control_threshold=cache_threshold,
+                    model_threshold=model_threshold)
             else:
                 # control-residual step caching (see unigen_flux_forward
                 # docstring): recompute the control branch every
@@ -383,6 +388,8 @@ class UniGenFluxPipeline:
             pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
                                         unpack_latents(latents.astype(jnp.float32),
                                                        lh, lw))
+            if hybrid_adaptive:
+                return pixels, n_full, n_base
             if adaptive:
                 return pixels, n_refresh
             return pixels
@@ -427,7 +434,14 @@ class UniGenFluxPipeline:
         (rung 3c): full refresh every control_cache_interval steps,
         base-with-control-replay every model_cache_interval steps between,
         prediction replay otherwise — requires model_cache_interval <
-        control_cache_interval with the latter a multiple of the former."""
+        control_cache_interval with the latter a multiple of the former.
+        Setting BOTH thresholds (> 0, control > model) enables the
+        fully-ADAPTIVE hybrid: a step runs full when the latent drifted
+        more than control_cache_threshold since the last full step, base
+        when it drifted more than model_cache_threshold since the last
+        prediction refresh, skip otherwise; both thresholds ride as traced
+        scalars (one compiled program, live-tunable);
+        last_cache_refreshes = (n_full, n_base)."""
         multi = control_pixels.ndim == 5
         steps = num_inference_steps
         keep = np.array([
@@ -440,14 +454,38 @@ class UniGenFluxPipeline:
         # the closure must be cached too or every call would recompile)
         model_cache = model_cache_interval > 1 or model_cache_threshold > 0.0
         hybrid_model_interval = 1
-        if model_cache_interval > 1 and control_cache_interval > 1:
+        hybrid_adaptive = (model_cache_threshold > 0.0
+                           and control_cache_threshold > 0.0)
+        if hybrid_adaptive:
+            # fully-ADAPTIVE three-level cache (docs/SERVING.md rung 3c):
+            # both refresh decisions are drift thresholds riding as TRACED
+            # scalars — one compiled program serves any operating point
+            if model_cache_interval > 1 or control_cache_interval > 1:
+                raise ValueError("adaptive hybrid caching (both thresholds "
+                                 "> 0) takes thresholds only; leave the "
+                                 "intervals at 1")
+            if cfg_cache:
+                raise ValueError("cfg_cache does not compose with hybrid "
+                                 "caching (skip steps already bypass the "
+                                 "negative stream)")
+            if control_cache_threshold <= model_cache_threshold:
+                raise ValueError(
+                    "adaptive hybrid caching requires control_cache_threshold"
+                    " > model_cache_threshold (below it, full refreshes fire "
+                    "before base ever would and the schedule degenerates to "
+                    "the adaptive model cache), got "
+                    f"c={control_cache_threshold} m={model_cache_threshold}")
+            model_cache = False
+            cache_interval = 1
+            cache_threshold = 0.0
+        elif model_cache_interval > 1 and control_cache_interval > 1:
             # HYBRID three-level cache (docs/SERVING.md rung 3c): full refresh
             # every control_cache_interval steps, base-with-control-replay
             # every model_cache_interval steps between, prediction replay
             # otherwise — fixed intervals only
             if control_cache_threshold > 0.0 or model_cache_threshold > 0.0:
-                raise ValueError("hybrid caching (both intervals > 1) takes "
-                                 "fixed intervals only")
+                raise ValueError("hybrid caching takes both intervals OR "
+                                 "both thresholds, not a mix")
             if cfg_cache:
                 raise ValueError("cfg_cache does not compose with hybrid "
                                  "caching (skip steps already bypass the "
@@ -479,7 +517,7 @@ class UniGenFluxPipeline:
         else:
             cache_interval = control_cache_interval
             cache_threshold = control_cache_threshold
-        adaptive = cache_threshold > 0.0
+        adaptive = cache_threshold > 0.0 and not hybrid_adaptive
         if cfg_cache and control_cache_interval <= 1 and not adaptive:
             raise ValueError("cfg_cache requires control_cache_interval > 1 "
                              "or control_cache_threshold > 0 (it rides the "
@@ -487,7 +525,7 @@ class UniGenFluxPipeline:
         cache_key = (steps, height, width, true_cfg_scale > 1.0,
                      round(guidance_scale, 4), tuple(np.asarray(schedule)),
                      multi, cache_interval, adaptive, cfg_cache, model_cache,
-                     model_cache_order, hybrid_model_interval)
+                     model_cache_order, hybrid_model_interval, hybrid_adaptive)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
@@ -496,7 +534,8 @@ class UniGenFluxPipeline:
                 multi, cache_interval=cache_interval,
                 adaptive=adaptive, cfg_cache=cfg_cache,
                 model_cache=model_cache, model_cache_order=model_cache_order,
-                hybrid_model_interval=hybrid_model_interval)
+                hybrid_model_interval=hybrid_model_interval,
+                hybrid_adaptive=hybrid_adaptive)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
 
@@ -524,7 +563,16 @@ class UniGenFluxPipeline:
                     else subject_offset)
             offsets = jnp.asarray(lw / 2.0 if flag else 0.0)
 
-        if adaptive:
+        if hybrid_adaptive:
+            # BOTH thresholds ride as traced scalars: one compiled program
+            # serves any (control, model) operating point, live-tunable
+            pixels, n_full, n_base = program(
+                self.params, self.vae_params, latents, control_pixels,
+                prompt_embeds, pooled, cond_pooled, neg_embeds, neg_pooled,
+                offsets, jnp.float32(control_cache_threshold),
+                jnp.float32(model_cache_threshold))
+            self.last_cache_refreshes = (int(n_full), int(n_base))
+        elif adaptive:
             # threshold rides as a traced scalar: ONE compiled program serves
             # every threshold value (tunable at serving time, no recompile)
             pixels, n_refresh = program(

@@ -103,7 +103,8 @@ class UniGenSanaPipeline:
                          scale_schedule, cache_interval: int = 1,
                          adaptive: bool = False, model_cache: bool = False,
                          model_cache_order: int = 0,
-                         hybrid_model_interval: int = 1):
+                         hybrid_model_interval: int = 1,
+                         hybrid_adaptive: bool = False):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, not baked in) — one compiled program serves any threshold.
         # model_cache=True: replay steps skip the ENTIRE transformer and
@@ -116,7 +117,8 @@ class UniGenSanaPipeline:
         timesteps = np.asarray(timesteps)
 
         def program(params, latents, control_pixels, prompt_embeds,
-                    prompt_mask, pooled, cond_pooled, cache_threshold=None):
+                    prompt_mask, pooled, cond_pooled, cache_threshold=None,
+                    model_threshold=None):
             control_lat = self.ae_encode(control_pixels).astype(self.dtype)
             b = latents.shape[0]
             sig = jnp.asarray(sigmas)
@@ -133,7 +135,8 @@ class UniGenSanaPipeline:
                     conditioning_scale=sched[i], **kw)
                 return pred, outs
 
-            if cache_interval <= 1 and not adaptive:
+            if (cache_interval <= 1 and not adaptive
+                    and hybrid_model_interval <= 1 and not hybrid_adaptive):
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
                     lat = scheduling.euler_step(lat, pred, sig[i], sig[i + 1])
@@ -151,7 +154,7 @@ class UniGenSanaPipeline:
                     adaptive=adaptive,
                     threshold=cache_threshold if adaptive else None,
                     order=model_cache_order)
-            elif hybrid_model_interval > 1:
+            elif hybrid_model_interval > 1 or hybrid_adaptive:
                 # hybrid three-level cache (docs/SERVING.md rung 3c)
                 bb = cfg.sana
                 s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
@@ -165,11 +168,14 @@ class UniGenSanaPipeline:
                 def base_fwd_h(lat, i, res):
                     return fwd(lat, i, control_residuals=res)[0]
 
-                latents, _, _ = caching.hybrid_cache_scan(
+                latents, n_full, n_base = caching.hybrid_cache_scan(
                     full_fwd_h, base_fwd_h, latents, sig, num_steps,
                     control_interval=cache_interval,
                     model_interval=hybrid_model_interval,
-                    residuals_init=zero, order=model_cache_order)
+                    residuals_init=zero, order=model_cache_order,
+                    adaptive=hybrid_adaptive,
+                    control_threshold=cache_threshold,
+                    model_threshold=model_threshold)
             else:
                 # control-residual step caching (see sana_unigen_forward):
                 # cache of raw per-base-block control outputs
@@ -214,6 +220,8 @@ class UniGenSanaPipeline:
                     (latents, _), _ = jax.lax.scan(step, (latents, zero),
                                                    jnp.arange(num_steps))
             pixels = self.ae_decode(latents.astype(jnp.float32))
+            if hybrid_adaptive:
+                return pixels, n_full, n_base
             if adaptive:
                 return pixels, n_refresh
             return pixels
@@ -243,7 +251,9 @@ class UniGenSanaPipeline:
         Setting BOTH intervals (> 1) enables the HYBRID three-level cache
         (rung 3c): full refresh every control_cache_interval steps,
         base-with-control-replay every model_cache_interval steps between,
-        prediction replay otherwise."""
+        prediction replay otherwise. Setting BOTH thresholds (> 0,
+        control > model) enables the fully-ADAPTIVE hybrid (both traced,
+        one compiled program); last_cache_refreshes = (n_full, n_base)."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
@@ -252,10 +262,26 @@ class UniGenSanaPipeline:
         schedule = tuple(conditioning_scale * keep)
         model_cache = model_cache_interval > 1 or model_cache_threshold > 0.0
         hybrid_model_interval = 1
-        if model_cache_interval > 1 and control_cache_interval > 1:
+        hybrid_adaptive = (model_cache_threshold > 0.0
+                           and control_cache_threshold > 0.0)
+        if hybrid_adaptive:
+            # fully-ADAPTIVE three-level cache (rung 3c)
+            if model_cache_interval > 1 or control_cache_interval > 1:
+                raise ValueError("adaptive hybrid caching (both thresholds "
+                                 "> 0) takes thresholds only; leave the "
+                                 "intervals at 1")
+            if control_cache_threshold <= model_cache_threshold:
+                raise ValueError(
+                    "adaptive hybrid caching requires control_cache_threshold"
+                    " > model_cache_threshold, got "
+                    f"c={control_cache_threshold} m={model_cache_threshold}")
+            model_cache = False
+            cache_interval = 1
+            cache_threshold = 0.0
+        elif model_cache_interval > 1 and control_cache_interval > 1:
             if control_cache_threshold > 0.0 or model_cache_threshold > 0.0:
-                raise ValueError("hybrid caching (both intervals > 1) takes "
-                                 "fixed intervals only")
+                raise ValueError("hybrid caching takes both intervals OR "
+                                 "both thresholds, not a mix")
             if (control_cache_interval <= model_cache_interval
                     or control_cache_interval % model_cache_interval):
                 raise ValueError(
@@ -278,10 +304,10 @@ class UniGenSanaPipeline:
                               else control_cache_interval)
             cache_threshold = (model_cache_threshold if model_cache
                                else control_cache_threshold)
-        adaptive = cache_threshold > 0.0
+        adaptive = cache_threshold > 0.0 and not hybrid_adaptive
         key = (steps, height, width, schedule, cache_interval,
                adaptive, model_cache, model_cache_order,
-               hybrid_model_interval)
+               hybrid_model_interval, hybrid_adaptive)
         if key in self._program_cache:
             program, (lh, lw) = self._program_cache[key]
         else:
@@ -290,7 +316,8 @@ class UniGenSanaPipeline:
                                                       cache_interval,
                                                       adaptive, model_cache,
                                                       model_cache_order,
-                                                      hybrid_model_interval)
+                                                      hybrid_model_interval,
+                                                      hybrid_adaptive)
             program = jax.jit(program)
             self._program_cache[key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
@@ -298,7 +325,14 @@ class UniGenSanaPipeline:
             latents = jax.random.normal(
                 jax.random.PRNGKey(seed),
                 (b, self.cfg.sana.in_channels, lh, lw), self.dtype)
-        if adaptive:
+        if hybrid_adaptive:
+            pixels, n_full, n_base = program(
+                self.params, latents, jnp.asarray(control_pixels, self.dtype),
+                prompt_embeds, prompt_mask, pooled, cond_pooled,
+                jnp.float32(control_cache_threshold),
+                jnp.float32(model_cache_threshold))
+            self.last_cache_refreshes = (int(n_full), int(n_base))
+        elif adaptive:
             pixels, n_refresh = program(
                 self.params, latents, jnp.asarray(control_pixels, self.dtype),
                 prompt_embeds, prompt_mask, pooled, cond_pooled,

@@ -118,7 +118,8 @@ class UniGenSD3Pipeline:
                  cache_interval: int = 1, adaptive: bool = False,
                  cfg_cache: bool = False, model_cache: bool = False,
                  model_cache_order: int = 0,
-                 hybrid_model_interval: int = 1):
+                 hybrid_model_interval: int = 1,
+                 hybrid_adaptive: bool = False):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, not baked in) — one compiled program serves any threshold.
         # cfg_cache=True (requires a caching mode + CFG): replay steps run
@@ -137,7 +138,7 @@ class UniGenSD3Pipeline:
 
         def program(params, vae_params, latents, control_pixels, prompt_embeds,
                     pooled, cond_pooled, neg_embeds, neg_pooled,
-                    cache_threshold=None):
+                    cache_threshold=None, model_threshold=None):
             control_lat = vae_lib.vae_encode(vae_params, self.vae_cfg,
                                              control_pixels).astype(self.dtype)
             if do_cfg:
@@ -161,7 +162,8 @@ class UniGenSD3Pipeline:
                     pred = neg + guidance_scale * (pos - neg)
                 return pred, outs
 
-            if cache_interval <= 1 and not adaptive:
+            if (cache_interval <= 1 and not adaptive
+                    and hybrid_model_interval <= 1 and not hybrid_adaptive):
                 def step(lat, i):
                     pred, _ = fwd(lat, i)
                     return scheduling.euler_step(lat, pred, sigmas[i],
@@ -179,7 +181,7 @@ class UniGenSD3Pipeline:
                     adaptive=adaptive,
                     threshold=cache_threshold if adaptive else None,
                     order=model_cache_order)
-            elif hybrid_model_interval > 1:
+            elif hybrid_model_interval > 1 or hybrid_adaptive:
                 # hybrid three-level cache (docs/SERVING.md rung 3c): full
                 # refresh every cache_interval steps, base-with-control-replay
                 # every hybrid_model_interval steps between, prediction replay
@@ -198,11 +200,14 @@ class UniGenSD3Pipeline:
                 def base_fwd_h(lat, i, res):
                     return fwd(lat, i, control_residuals=res)[0]
 
-                latents, _, _ = caching.hybrid_cache_scan(
+                latents, n_full, n_base = caching.hybrid_cache_scan(
                     full_fwd_h, base_fwd_h, latents, sigmas, num_steps,
                     control_interval=cache_interval,
                     model_interval=hybrid_model_interval,
-                    residuals_init=zero, order=model_cache_order)
+                    residuals_init=zero, order=model_cache_order,
+                    adaptive=hybrid_adaptive,
+                    control_threshold=cache_threshold,
+                    model_threshold=model_threshold)
             else:
                 # control-residual step caching (see unigen_sd3_forward): one
                 # cache [n_base, B(*2 if cfg), S, D] of raw control block
@@ -297,6 +302,8 @@ class UniGenSD3Pipeline:
                         jnp.arange(num_steps))
             pixels = vae_lib.vae_decode(vae_params, self.vae_cfg,
                                         latents.astype(jnp.float32))
+            if hybrid_adaptive:
+                return pixels, n_full, n_base
             if adaptive:
                 return pixels, n_refresh
             return pixels
@@ -330,7 +337,9 @@ class UniGenSD3Pipeline:
         Setting BOTH intervals (> 1) enables the HYBRID three-level cache
         (rung 3c): full refresh every control_cache_interval steps,
         base-with-control-replay every model_cache_interval steps between,
-        prediction replay otherwise."""
+        prediction replay otherwise. Setting BOTH thresholds (> 0,
+        control > model) enables the fully-ADAPTIVE hybrid (both traced,
+        one compiled program); last_cache_refreshes = (n_full, n_base)."""
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
@@ -339,11 +348,32 @@ class UniGenSD3Pipeline:
         schedule = jnp.asarray(conditioning_scale * keep)
         model_cache = model_cache_interval > 1 or model_cache_threshold > 0.0
         hybrid_model_interval = 1
-        if model_cache_interval > 1 and control_cache_interval > 1:
+        hybrid_adaptive = (model_cache_threshold > 0.0
+                           and control_cache_threshold > 0.0)
+        if hybrid_adaptive:
+            # fully-ADAPTIVE three-level cache (rung 3c): both refresh
+            # decisions are traced drift thresholds — one compiled program
+            if model_cache_interval > 1 or control_cache_interval > 1:
+                raise ValueError("adaptive hybrid caching (both thresholds "
+                                 "> 0) takes thresholds only; leave the "
+                                 "intervals at 1")
+            if cfg_cache:
+                raise ValueError("cfg_cache does not compose with hybrid "
+                                 "caching (skip steps already bypass the "
+                                 "uncond stream)")
+            if control_cache_threshold <= model_cache_threshold:
+                raise ValueError(
+                    "adaptive hybrid caching requires control_cache_threshold"
+                    " > model_cache_threshold, got "
+                    f"c={control_cache_threshold} m={model_cache_threshold}")
+            model_cache = False
+            cache_interval = 1
+            cache_threshold = 0.0
+        elif model_cache_interval > 1 and control_cache_interval > 1:
             # hybrid three-level cache (rung 3c) — fixed intervals only
             if control_cache_threshold > 0.0 or model_cache_threshold > 0.0:
-                raise ValueError("hybrid caching (both intervals > 1) takes "
-                                 "fixed intervals only")
+                raise ValueError("hybrid caching takes both intervals OR "
+                                 "both thresholds, not a mix")
             if cfg_cache:
                 raise ValueError("cfg_cache does not compose with hybrid "
                                  "caching (skip steps already bypass the "
@@ -374,7 +404,7 @@ class UniGenSD3Pipeline:
         else:
             cache_interval = control_cache_interval
             cache_threshold = control_cache_threshold
-        adaptive = cache_threshold > 0.0
+        adaptive = cache_threshold > 0.0 and not hybrid_adaptive
         if cfg_cache and control_cache_interval <= 1 and not adaptive:
             raise ValueError("cfg_cache requires control_cache_interval > 1 "
                              "or control_cache_threshold > 0 (it rides the "
@@ -382,7 +412,7 @@ class UniGenSD3Pipeline:
         cache_key = (steps, height, width, round(guidance_scale, 4),
                      tuple(conditioning_scale * keep), cache_interval,
                      adaptive, cfg_cache, model_cache, model_cache_order,
-                     hybrid_model_interval)
+                     hybrid_model_interval, hybrid_adaptive)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
@@ -391,7 +421,8 @@ class UniGenSD3Pipeline:
                                               cache_interval,
                                               adaptive, cfg_cache, model_cache,
                                               model_cache_order,
-                                              hybrid_model_interval)
+                                              hybrid_model_interval,
+                                              hybrid_adaptive)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]
@@ -402,7 +433,14 @@ class UniGenSD3Pipeline:
         if neg_embeds is None:
             neg_embeds = jnp.zeros_like(prompt_embeds)
             neg_pooled = jnp.zeros_like(pooled)
-        if adaptive:
+        if hybrid_adaptive:
+            pixels, n_full, n_base = program(
+                self.params, self.vae_params, latents, control_pixels,
+                prompt_embeds, pooled, cond_pooled, neg_embeds, neg_pooled,
+                jnp.float32(control_cache_threshold),
+                jnp.float32(model_cache_threshold))
+            self.last_cache_refreshes = (int(n_full), int(n_base))
+        elif adaptive:
             pixels, n_refresh = program(
                 self.params, self.vae_params, latents, control_pixels,
                 prompt_embeds, pooled, cond_pooled, neg_embeds, neg_pooled,
