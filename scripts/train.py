@@ -32,6 +32,21 @@ def parse_args(argv=None):
     p.add_argument("--max_train_steps", type=int, default=30000)
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true", default=False,
+                   help="scale LR by grad_accum * batch * num_processes "
+                        "(reference train.py:341-342)")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--num_train_epochs", type=int, default=None,
+                   help="alternative to --max_train_steps: epochs over the "
+                        "dataset (reference train.py:438-440)")
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--lr_scheduler", type=str, default="cosine",
+                   choices=["linear", "cosine", "cosine_with_restarts",
+                            "polynomial", "constant", "constant_with_warmup"],
+                   help="LR schedule shape (reference train.py:160-161)")
     p.add_argument("--lr_warmup_steps", type=int, default=500)
     p.add_argument("--weighting_scheme", default="none",
                    choices=["sigma_sqrt", "logit_normal", "mode", "cosmap", "none"])
@@ -79,7 +94,10 @@ def main(argv=None):
     # pre-check: exit if this run already completed (reference train.py:717-722)
     from unigen_tpu.train import checkpoint as ckpt_lib
     done = ckpt_lib.latest_step(args.work_dir)
-    if done is not None and done >= args.max_train_steps:
+    if (done is not None and args.num_train_epochs is None
+            and done >= args.max_train_steps):
+        # (epochs mode re-derives max_steps from the dataset below and
+        # re-checks before training starts)
         logger.info("training already completed at step %d", done)
         return
 
@@ -101,16 +119,57 @@ def main(argv=None):
     observability.param_report(pipe.params["base"], "base")
     observability.param_report(pipe.params["control"], "adapter")
 
+    if args.dataset_name == "MultiGen":
+        datasets = [MultiGen(args.data_path, t, args.resolution)
+                    for t in args.condition_types]
+    elif args.dataset_name == "MultiConditionSubjects200K":
+        datasets = [MultiConditionSubjects200K(args.data_path,
+                                               args.condition_types,
+                                               resolution=args.resolution)]
+    else:
+        datasets = [Subjects200K(args.data_path, t, args.resolution)
+                    for t in args.condition_types]
+    concat = ConcatDataset(datasets)
+    sampler = MultiTaskMixedBatchSampler(
+        [len(d) for d in datasets], args.train_batch_size,
+        num_replicas=jax.process_count(), rank=jax.process_index(),
+        shuffle=True, seed=args.seed)
+
+    lr = args.learning_rate
+    if args.scale_lr:
+        # reference train.py:341-342: LR scales with the effective global
+        # batch (accumulation x per-host batch x process count)
+        lr = (lr * args.gradient_accumulation_steps * args.train_batch_size
+              * jax.process_count())
+    max_steps = args.max_train_steps
+    if args.num_train_epochs is not None:
+        # reference train.py:438-440: epochs -> optimizer-update steps over
+        # the sampler's epoch length (ceil over accumulation)
+        import math as _math
+        epoch_len = _math.ceil(len(concat) / args.train_batch_size)
+        max_steps = args.num_train_epochs * _math.ceil(
+            epoch_len / args.gradient_accumulation_steps)
+        logger.info("num_train_epochs=%d -> max_train_steps=%d",
+                    args.num_train_epochs, max_steps)
+        if done is not None and done >= max_steps:
+            logger.info("training already completed at step %d", done)
+            return
+
     tcfg = C.TrainConfig(
-        learning_rate=args.learning_rate, lr_warmup_steps=args.lr_warmup_steps,
-        max_train_steps=args.max_train_steps,
+        learning_rate=lr, lr_warmup_steps=args.lr_warmup_steps,
+        lr_scheduler=args.lr_scheduler,
+        max_train_steps=max_steps,
         train_batch_size=args.train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
         weighting_scheme=args.weighting_scheme,
         guidance_scale=args.guidance_scale,
         max_sequence_length=args.max_sequence_length,
         resolution=args.resolution, seed=args.seed,
         checkpointing_steps=args.checkpointing_steps,
-        max_grad_norm=args.max_grad_norm)
+        max_grad_norm=args.max_grad_norm,
+        adam_beta1=args.adam_beta1, adam_beta2=args.adam_beta2,
+        adam_weight_decay=args.adam_weight_decay,
+        adam_epsilon=args.adam_epsilon)
 
     def encode_text(prompts):
         embeds, pooled = pipe.encode_prompt(list(prompts),
@@ -128,22 +187,6 @@ def main(argv=None):
                       encode_text=encode_text, encode_images=encode_images,
                       work_dir=args.work_dir, mesh=mesh)
     trainer.maybe_resume()
-
-    if args.dataset_name == "MultiGen":
-        datasets = [MultiGen(args.data_path, t, args.resolution)
-                    for t in args.condition_types]
-    elif args.dataset_name == "MultiConditionSubjects200K":
-        datasets = [MultiConditionSubjects200K(args.data_path,
-                                               args.condition_types,
-                                               resolution=args.resolution)]
-    else:
-        datasets = [Subjects200K(args.data_path, t, args.resolution)
-                    for t in args.condition_types]
-    concat = ConcatDataset(datasets)
-    sampler = MultiTaskMixedBatchSampler(
-        [len(d) for d in datasets], args.train_batch_size,
-        num_replicas=jax.process_count(), rank=jax.process_index(),
-        shuffle=True, seed=args.seed)
 
     def batch_stream():
         while True:

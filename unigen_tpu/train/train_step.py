@@ -33,10 +33,39 @@ class TrainState(NamedTuple):
 
 
 def lr_schedule(cfg: TrainConfig):
-    warmup = min(cfg.lr_warmup_steps, max(cfg.max_train_steps - 1, 1))
-    return optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=cfg.learning_rate,
-        warmup_steps=warmup, decay_steps=cfg.max_train_steps, end_value=0.0)
+    """The reference's six HF ``get_scheduler`` choices (train.py:160-161),
+    re-derived in optax with HF's semantics: linear warmup 0→peak over
+    ``lr_warmup_steps``, then per-type decay over the remaining steps
+    (HF defaults: polynomial power=1.0 ending at lr_end=1e-7;
+    cosine_with_restarts num_cycles=1 — one hard-restart cycle, which HF
+    shapes as cos(π·(progress % 1)) and equals plain cosine)."""
+    total = max(cfg.max_train_steps, 1)
+    warmup = min(cfg.lr_warmup_steps, max(total - 1, 1))
+    decay = max(total - warmup, 1)
+    peak = cfg.learning_rate
+    kind = cfg.lr_scheduler
+
+    if kind == "constant":
+        return optax.constant_schedule(peak)
+
+    ramp = optax.linear_schedule(0.0, peak, warmup)
+    if kind == "constant_with_warmup":
+        tail = optax.constant_schedule(peak)
+    elif kind == "linear":
+        tail = optax.linear_schedule(peak, 0.0, decay)
+    elif kind == "polynomial":
+        tail = optax.polynomial_schedule(peak, 1e-7, power=1.0,
+                                         transition_steps=decay)
+    elif kind in ("cosine", "cosine_with_restarts"):
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=peak,
+            warmup_steps=warmup, decay_steps=total, end_value=0.0)
+    else:
+        raise ValueError(f"unknown lr_scheduler {kind!r}; expected one of "
+                         "linear/cosine/cosine_with_restarts/polynomial/"
+                         "constant/constant_with_warmup (reference "
+                         "train.py:161)")
+    return optax.join_schedules([ramp, tail], [warmup])
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
