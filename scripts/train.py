@@ -10,6 +10,7 @@ mesh/sharding config: run one process per host (GKE/xpk style), pass
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import functools
 import os
 import sys
@@ -56,6 +57,12 @@ def parse_args(argv=None):
     p.add_argument("--checkpointing_steps", type=int, default=1000)
     p.add_argument("--seed", type=int, default=12443)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--cn_config", type=str, default=None,
+                   help="reference-format control config YAML/JSON "
+                        "(unigen.yaml: params.control_params.* keys map "
+                        "onto ControlConfig/MoEConfig; the explicit "
+                        "--single_* CLI flags override it, reference "
+                        "train.py:297-301)")
     p.add_argument("--single_control_dev", type=int, default=2)
     p.add_argument("--single_block_control_method", default="overall_add")
     p.add_argument("--disable_single_trans_blocks", action="store_true")
@@ -67,6 +74,33 @@ def parse_args(argv=None):
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
     return p.parse_args(argv)
+
+
+def load_cn_config(path):
+    """Load the reference control-config file (config/unigen.yaml layout:
+    ``params.control_params.*``) into ControlConfig/MoEConfig override
+    kwargs. Accepts plain YAML/JSON; unknown keys error loudly. MoE keys
+    (``expert_num_each_condition``) are folded into a MoEConfig override."""
+    if not path:
+        return {}
+    import yaml
+
+    from unigen_tpu import config as C
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    params = (doc or {}).get("params", doc) or {}
+    cp = dict(params.get("control_params", params) or {})
+    moe_keys = {k: cp.pop(k) for k in list(cp)
+                if k in ("expert_num_each_condition", "expert_num", "top_k",
+                         "capacity_factor", "aux_loss_weight")}
+    valid = {f.name for f in dataclasses.fields(C.ControlConfig)}
+    unknown = set(cp) - valid
+    if unknown:
+        raise SystemExit(f"--cn_config: unknown control_params keys "
+                         f"{sorted(unknown)}; valid: {sorted(valid)}")
+    if moe_keys:
+        cp["moe"] = C.MoEConfig(**moe_keys)
+    return cp
 
 
 def main(argv=None):
@@ -109,13 +143,16 @@ def main(argv=None):
     mesh = build_mesh(mesh_cfg)
     logger.info("mesh: %s", dict(mesh.shape))
 
+    control_overrides = load_cn_config(args.cn_config)
+    # CLI flags override the config file (reference train.py:298-301)
+    control_overrides.update(
+        single_control_dev=args.single_control_dev,
+        single_block_control_method=args.single_block_control_method,
+        use_single_trans_blocks=not args.disable_single_trans_blocks)
     pipe = load_flux_pipeline(
         args.pretrained_model_name_or_path,
         condition_types=args.condition_types,
-        control_overrides=dict(
-            single_control_dev=args.single_control_dev,
-            single_block_control_method=args.single_block_control_method,
-            use_single_trans_blocks=not args.disable_single_trans_blocks))
+        control_overrides=control_overrides)
     observability.param_report(pipe.params["base"], "base")
     observability.param_report(pipe.params["control"], "adapter")
 

@@ -346,3 +346,40 @@ def test_lr_scheduler_choices_match_hf_semantics():
 
     with pytest.raises(ValueError):
         mk("nonsense")
+
+
+def test_cn_config_yaml_maps_reference_keys(tmp_path):
+    """--cn_config loads the reference config/unigen.yaml layout
+    (params.control_params.*) into ControlConfig/MoEConfig overrides;
+    unknown keys error loudly."""
+    import importlib.util as ilu
+    import os
+    spec = ilu.spec_from_file_location(
+        "train_cli", os.path.join(os.path.dirname(__file__), "..",
+                                  "scripts", "train.py"))
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    y = tmp_path / "unigen.yaml"
+    y.write_text(
+        "params:\n  control_params:\n"
+        "    use_transformer_params: True\n"
+        "    use_pooled_prompt_embeds: True\n"
+        "    use_encoder_hidden_states: True\n"
+        "    extra_conditioning_channels: 0\n"
+        "    expert_num_each_condition: 5\n"
+        "    use_shared_expert: True\n"
+        "    use_consis_module: False\n"
+        "    use_modulate: False\n")
+    ov = mod.load_cn_config(str(y))
+    assert ov["use_transformer_params"] is True
+    assert ov["extra_conditioning_channels"] == 0
+    assert ov["moe"].expert_num_each_condition == 5
+    cfg = cfg_lib.ControlConfig(**ov)            # constructible
+    assert cfg.moe.expert_num_each_condition == 5
+    assert mod.load_cn_config(None) == {}
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("params:\n  control_params:\n    not_a_key: 1\n")
+    with pytest.raises(SystemExit):
+        mod.load_cn_config(str(bad))
