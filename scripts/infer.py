@@ -57,6 +57,14 @@ def parse_args(argv=None):
     p.add_argument("--lora_dir", default=None,
                    help="per-condition LoRA experts (reference hook.py "
                         "per-adapter layout); auto-switched by condition type")
+    p.add_argument("--cn_config", type=str, default=None,
+                   help="reference-format control config YAML "
+                        "(config/unigen.yaml layout); the --single_* flags "
+                        "override it (reference infer.py builds the model "
+                        "with the same knobs as train.py)")
+    p.add_argument("--single_control_dev", type=int, default=2)
+    p.add_argument("--single_block_control_method", default="overall_add")
+    p.add_argument("--disable_single_trans_blocks", action="store_true")
     return p.parse_args(argv)
 
 
@@ -73,10 +81,17 @@ def main(argv=None):
     os.makedirs(args.save_path, exist_ok=True)
     logger = setup_logging(args.save_path)
 
+    from unigen_tpu.config import control_overrides_from_yaml
+    control_overrides = control_overrides_from_yaml(args.cn_config)
+    control_overrides.update(
+        single_control_dev=args.single_control_dev,
+        single_block_control_method=args.single_block_control_method,
+        use_single_trans_blocks=not args.disable_single_trans_blocks)
     pipe = load_flux_pipeline(args.pretrained_model_name_or_path,
                               condition_types=args.condition_types,
                               adapter_dir=args.ckpt_path,
-                              lora_dir=args.lora_dir)
+                              lora_dir=args.lora_dir,
+                              control_overrides=control_overrides)
     param_report(pipe.params["base"], "base")
     param_report(pipe.params["control"], "adapter")
 

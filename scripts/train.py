@@ -10,7 +10,6 @@ mesh/sharding config: run one process per host (GKE/xpk style), pass
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import functools
 import os
 import sys
@@ -77,30 +76,14 @@ def parse_args(argv=None):
 
 
 def load_cn_config(path):
-    """Load the reference control-config file (config/unigen.yaml layout:
-    ``params.control_params.*``) into ControlConfig/MoEConfig override
-    kwargs. Accepts plain YAML/JSON; unknown keys error loudly. MoE keys
-    (``expert_num_each_condition``) are folded into a MoEConfig override."""
-    if not path:
-        return {}
-    import yaml
-
+    """Reference --cn_config YAML -> ControlConfig override kwargs
+    (config.control_overrides_from_yaml; SystemExit on unknown keys so the
+    CLI fails loudly)."""
     from unigen_tpu import config as C
-    with open(path) as f:
-        doc = yaml.safe_load(f)
-    params = (doc or {}).get("params", doc) or {}
-    cp = dict(params.get("control_params", params) or {})
-    moe_keys = {k: cp.pop(k) for k in list(cp)
-                if k in ("expert_num_each_condition", "expert_num", "top_k",
-                         "capacity_factor", "aux_loss_weight")}
-    valid = {f.name for f in dataclasses.fields(C.ControlConfig)}
-    unknown = set(cp) - valid
-    if unknown:
-        raise SystemExit(f"--cn_config: unknown control_params keys "
-                         f"{sorted(unknown)}; valid: {sorted(valid)}")
-    if moe_keys:
-        cp["moe"] = C.MoEConfig(**moe_keys)
-    return cp
+    try:
+        return C.control_overrides_from_yaml(path)
+    except ValueError as e:
+        raise SystemExit(f"--cn_config: {e}")
 
 
 def main(argv=None):

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from typing import Any, Optional, Tuple
 
 
@@ -214,6 +214,33 @@ class TrainConfig:
     mixed_precision: str = "bf16"
     checkpointing_steps: int = 1000
     remat: bool = True                     # activation rematerialisation
+
+
+def control_overrides_from_yaml(path: Optional[str]) -> dict:
+    """Load the reference control-config file (config/unigen.yaml layout:
+    ``params.control_params.*``) into ControlConfig/MoEConfig override
+    kwargs (reference train.py:297-301 consumes the same keys via OmegaConf).
+    Accepts plain YAML/JSON; unknown keys error loudly; MoE keys
+    (``expert_num_each_condition`` et al) fold into a ``moe=MoEConfig``
+    override. Returns {} for a falsy path."""
+    if not path:
+        return {}
+    import yaml
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    params = (doc or {}).get("params", doc) or {}
+    cp = dict(params.get("control_params", params) or {})
+    moe_keys = {k: cp.pop(k) for k in list(cp)
+                if k in ("expert_num_each_condition", "expert_num", "top_k",
+                         "capacity_factor", "aux_loss_weight")}
+    valid = {f.name for f in fields(ControlConfig)}
+    unknown = set(cp) - valid
+    if unknown:
+        raise ValueError(f"control config {path}: unknown control_params "
+                         f"keys {sorted(unknown)}; valid: {sorted(valid)}")
+    if moe_keys:
+        cp["moe"] = MoEConfig(**moe_keys)
+    return cp
 
 
 def tiny_flux_config(**overrides) -> FluxBackboneConfig:
