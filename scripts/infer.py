@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--model_cache_order", type=int, default=0, choices=[0, 1],
                    help="0 = zero-order hold, 1 = first-order Taylor "
                         "extrapolation from the two most recent refreshes")
+    p.add_argument("--quality_profile", default=None,
+                   choices=["exact", "balanced", "fast"],
+                   help="measured serving operating point (SERVING.md); "
+                        "mutually exclusive with the raw cache knobs")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--max_sequence_length", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=1)
@@ -113,6 +117,7 @@ def main(argv=None):
                     model_cache_interval=args.model_cache_interval,
                     model_cache_threshold=args.model_cache_threshold,
                     model_cache_order=args.model_cache_order,
+                    quality_profile=args.quality_profile,
                     seed=args.seed)
         Image.fromarray(imgs[0]).save(os.path.join(args.save_path, "res.png"))
         logger.info("saved %s", os.path.join(args.save_path, "res.png"))
@@ -140,6 +145,7 @@ def main(argv=None):
                     model_cache_interval=args.model_cache_interval,
                     model_cache_threshold=args.model_cache_threshold,
                     model_cache_order=args.model_cache_order,
+                    quality_profile=args.quality_profile,
                     seed=args.seed + start)
         for j, (i, s) in enumerate(zip(idxs, samples)):
             d = os.path.join(args.save_path, f"{i:05d}")

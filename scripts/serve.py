@@ -117,6 +117,12 @@ def main(argv=None):
                     choices=[0, 1],
                     help="0 = zero-order hold, 1 = first-order Taylor "
                          "extrapolation from the two most recent refreshes")
+    ap.add_argument("--quality-profile", default=None,
+                    choices=["exact", "balanced", "fast"],
+                    help="measured serving operating point (SERVING.md): "
+                         "exact = no caching; balanced = hybrid three-level "
+                         "cache; fast = full-model cache. Mutually exclusive "
+                         "with the raw cache knobs")
     ap.add_argument("--prompt-cache", type=int, default=32,
                     help="LRU size for prompt/condition embeddings (0 "
                          "disables; serving repeats the negative prompt and "
@@ -157,7 +163,8 @@ def main(argv=None):
             control_cache_threshold=args.control_cache_threshold,
             model_cache_interval=args.model_cache_interval,
             model_cache_threshold=args.model_cache_threshold,
-            model_cache_order=args.model_cache_order)
+            model_cache_order=args.model_cache_order,
+            quality_profile=args.quality_profile)
 
     srv = MicroBatchServer(run_batch, batch_size=args.batch_size,
                            batch_sizes=args.batch_sizes)

@@ -1363,3 +1363,63 @@ def test_sana_hybrid_cache_runs(tiny_sana):
     assert np.abs(hyb.astype(int) - exact.astype(int)).max() > 0
     with pytest.raises(ValueError):
         pipe.generate(**kw, control_cache_interval=3, model_cache_interval=2)
+
+
+def test_quality_profiles_map_to_measured_knobs():
+    """quality_profile is sugar for the measured cache knobs: balanced ==
+    hybrid (c=4, m=2) bit-for-bit, fast == model cache interval 4 order 1,
+    exact == no caching; mixing a profile with explicit knobs errors."""
+    pipe, flux = _tiny_pipe()
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=4, seed=0)
+    np.testing.assert_array_equal(
+        pipe.generate(**kw, quality_profile="exact"), pipe.generate(**kw))
+    np.testing.assert_array_equal(
+        pipe.generate(**kw, quality_profile="balanced"),
+        pipe.generate(**kw, control_cache_interval=4, model_cache_interval=2))
+    np.testing.assert_array_equal(
+        pipe.generate(**kw, quality_profile="fast"),
+        pipe.generate(**kw, model_cache_interval=4, model_cache_order=1))
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, quality_profile="balanced",
+                      control_cache_interval=2)
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, quality_profile="warp9")
+
+
+def test_sd3_sana_quality_profiles(tiny_sd3, tiny_sana):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+    pipe, kw = _sd3_pipe_kw(tiny_sd3, steps=8)
+    np.testing.assert_array_equal(
+        pipe.generate(**kw, quality_profile="balanced"),
+        pipe.generate(**kw, control_cache_interval=8, model_cache_interval=2))
+
+    cfg, params = tiny_sana
+    bb = cfg.sana
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    spipe = UniGenSanaPipeline(
+        cfg=cfg, params=params,
+        ae_encode=lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px),
+        ae_decode=lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat),
+        ae_downscale=vae_cfg.downscale)
+    res = 8 * vae_cfg.downscale
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    skw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (1, 5, bb.caption_channels)),
+        prompt_mask=jnp.ones((1, 5), jnp.int32),
+        pooled=jax.random.normal(ks[1], (1, bb.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (1, bb.pooled_projection_dim)),
+        control_pixels=np.random.default_rng(0).standard_normal(
+            (1, 3, res, res)).astype(np.float32) * 0.1,
+        height=res, width=res, num_inference_steps=4, seed=0)
+    np.testing.assert_array_equal(
+        spipe.generate(**skw, quality_profile="fast"),
+        spipe.generate(**skw, model_cache_interval=4, model_cache_order=1))

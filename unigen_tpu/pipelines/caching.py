@@ -221,6 +221,34 @@ def hybrid_cache_scan(full_fwd: Callable, base_fwd: Callable,
     return latents, n_full, n_base
 
 
+def quality_profile_knobs(profile: Optional[str], table: dict,
+                          explicit: dict) -> dict:
+    """Map a named serving profile onto this pipeline's cache knobs.
+
+    ``table`` is the pipeline's measured operating points (CACHE.json /
+    docs/SERVING.md), e.g. ``{"balanced": {"control_cache_interval": 4,
+    "model_cache_interval": 2}, "fast": {...}}``; ``"exact"`` is always
+    valid and maps to no caching. ``explicit`` holds the caller's raw cache
+    kwargs — mixing a profile with explicit knobs is an error (the profile
+    IS the knob setting).
+
+    Returns the knob dict to apply ({} for exact/None).
+    """
+    if profile is None:
+        return {}
+    for k, v in explicit.items():
+        if v not in (1, 0.0, False, 0):
+            raise ValueError(
+                f"quality_profile={profile!r} sets the cache knobs itself; "
+                f"drop the explicit {k}={v!r} (or drop the profile)")
+    if profile == "exact":
+        return {}
+    if profile not in table:
+        raise ValueError(f"unknown quality_profile {profile!r}; expected "
+                         f"one of {['exact'] + sorted(table)}")
+    return dict(table[profile])
+
+
 class PromptLRU:
     """Opt-in LRU over prompt-encoding results (``prompt_cache_size`` on the
     pipelines). Serving workloads repeat the negative prompt and the

@@ -410,10 +410,19 @@ class UniGenFluxPipeline:
                  cfg_cache: bool = False,
                  model_cache_interval: int = 1,
                  model_cache_threshold: float = 0.0,
-                 model_cache_order: int = 0
+                 model_cache_order: int = 0,
+                 quality_profile: Optional[str] = None
                  ) -> np.ndarray:
         """Single-condition generation from precomputed embeddings.
         Returns uint8 images [B, H, W, 3].
+
+        quality_profile picks a measured serving operating point instead of
+        raw cache knobs (docs/SERVING.md; flux full topology W4A8 b=2):
+        "exact" (default) — no caching, 1.371 img/s; "balanced" — hybrid
+        three-level cache (c=4, m=2), 3.412 img/s at SSIM-vs-exact 0.99957;
+        "fast" — full-model cache interval 4 with first-order Taylor replay,
+        5.304 img/s at SSIM 0.99949. Mixing a profile with explicit cache
+        knobs is an error.
 
         control_cache_interval > 1 enables the control-residual step cache
         (recompute the control branch + MoE preprocess every k-th denoise
@@ -442,6 +451,24 @@ class UniGenFluxPipeline:
         prediction refresh, skip otherwise; both thresholds ride as traced
         scalars (one compiled program, live-tunable);
         last_cache_refreshes = (n_full, n_base)."""
+        knobs = caching.quality_profile_knobs(
+            quality_profile,
+            # measured operating points: CACHE.json hybrid_rows / model_rows
+            {"balanced": dict(control_cache_interval=4,
+                              model_cache_interval=2),
+             "fast": dict(model_cache_interval=4, model_cache_order=1)},
+            dict(control_cache_interval=control_cache_interval,
+                 control_cache_threshold=control_cache_threshold,
+                 cfg_cache=cfg_cache,
+                 model_cache_interval=model_cache_interval,
+                 model_cache_threshold=model_cache_threshold,
+                 model_cache_order=model_cache_order))
+        control_cache_interval = knobs.get("control_cache_interval",
+                                           control_cache_interval)
+        model_cache_interval = knobs.get("model_cache_interval",
+                                         model_cache_interval)
+        model_cache_order = knobs.get("model_cache_order", model_cache_order)
+
         multi = control_pixels.ndim == 5
         steps = num_inference_steps
         keep = np.array([

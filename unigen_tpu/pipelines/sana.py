@@ -239,8 +239,15 @@ class UniGenSanaPipeline:
                  control_cache_threshold: float = 0.0,
                  model_cache_interval: int = 1,
                  model_cache_threshold: float = 0.0,
-                 model_cache_order: int = 0) -> np.ndarray:
-        """control_cache_interval > 1 enables control-residual step caching
+                 model_cache_order: int = 0,
+                 quality_profile: Optional[str] = None) -> np.ndarray:
+        """quality_profile picks a measured serving operating point
+        (docs/SERVING.md; SANA-1.6B W8A8 1024² 20-step b=2): "exact"
+        (default) 1.213 img/s; "balanced" — hybrid (c=4, m=2) 3.056 img/s
+        (2.52x); "fast" — full-model cache interval 4 order 1, 4.473 img/s
+        (3.69x, SSIM-vs-bf16 0.99752). Mixing a profile with explicit
+        knobs is an error.
+        control_cache_interval > 1 enables control-residual step caching
         (recompute the control branch every k-th denoise step) — a
         serving-only approximation; measure fidelity before production use.
         control_cache_threshold > 0 switches to the adaptive drift rule
@@ -254,6 +261,21 @@ class UniGenSanaPipeline:
         prediction replay otherwise. Setting BOTH thresholds (> 0,
         control > model) enables the fully-ADAPTIVE hybrid (both traced,
         one compiled program); last_cache_refreshes = (n_full, n_base)."""
+        knobs = caching.quality_profile_knobs(
+            quality_profile,
+            {"balanced": dict(control_cache_interval=4,
+                              model_cache_interval=2),
+             "fast": dict(model_cache_interval=4, model_cache_order=1)},
+            dict(control_cache_interval=control_cache_interval,
+                 control_cache_threshold=control_cache_threshold,
+                 model_cache_interval=model_cache_interval,
+                 model_cache_threshold=model_cache_threshold,
+                 model_cache_order=model_cache_order))
+        control_cache_interval = knobs.get("control_cache_interval",
+                                           control_cache_interval)
+        model_cache_interval = knobs.get("model_cache_interval",
+                                         model_cache_interval)
+        model_cache_order = knobs.get("model_cache_order", model_cache_order)
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)

@@ -322,8 +322,14 @@ class UniGenSD3Pipeline:
                  cfg_cache: bool = False,
                  model_cache_interval: int = 1,
                  model_cache_threshold: float = 0.0,
-                 model_cache_order: int = 0) -> np.ndarray:
-        """control_cache_interval > 1 enables control-residual step caching
+                 model_cache_order: int = 0,
+                 quality_profile: Optional[str] = None) -> np.ndarray:
+        """quality_profile picks a measured serving operating point
+        (docs/SERVING.md; SD3.5-medium W8A8 28-step CFG b=1): "exact"
+        (default) 0.502 img/s; "balanced" — hybrid (c=8, m=2) 1.419 img/s
+        (2.83x); "fast" — full-model cache interval 4 order 1, 1.858 img/s
+        (3.70x). Mixing a profile with explicit cache knobs is an error.
+        control_cache_interval > 1 enables control-residual step caching
         (recompute the control branch every k-th denoise step) — a
         serving-only approximation; measure fidelity before production use.
         control_cache_threshold > 0 switches to the adaptive drift rule
@@ -340,6 +346,22 @@ class UniGenSD3Pipeline:
         prediction replay otherwise. Setting BOTH thresholds (> 0,
         control > model) enables the fully-ADAPTIVE hybrid (both traced,
         one compiled program); last_cache_refreshes = (n_full, n_base)."""
+        knobs = caching.quality_profile_knobs(
+            quality_profile,
+            {"balanced": dict(control_cache_interval=8,
+                              model_cache_interval=2),
+             "fast": dict(model_cache_interval=4, model_cache_order=1)},
+            dict(control_cache_interval=control_cache_interval,
+                 control_cache_threshold=control_cache_threshold,
+                 cfg_cache=cfg_cache,
+                 model_cache_interval=model_cache_interval,
+                 model_cache_threshold=model_cache_threshold,
+                 model_cache_order=model_cache_order))
+        control_cache_interval = knobs.get("control_cache_interval",
+                                           control_cache_interval)
+        model_cache_interval = knobs.get("model_cache_interval",
+                                         model_cache_interval)
+        model_cache_order = knobs.get("model_cache_order", model_cache_order)
         steps = num_inference_steps
         keep = np.array([
             1.0 - float((i / steps < control_guidance_start)
