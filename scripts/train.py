@@ -55,6 +55,12 @@ def parse_args(argv=None):
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--checkpointing_steps", type=int, default=1000)
     p.add_argument("--seed", type=int, default=12443)
+    p.add_argument("--mixed_precision", default="bf16",
+                   choices=["bf16", "fp32", "no"],
+                   help="dtype the FROZEN base weights are loaded/ridden in "
+                        "(reference accelerate --mixed_precision casts "
+                        "non-trainable weights, train.py:251); trainable "
+                        "adapter params stay fp32 either way")
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--cn_config", type=str, default=None,
                    help="reference-format control config YAML/JSON "
@@ -135,7 +141,9 @@ def main(argv=None):
     pipe = load_flux_pipeline(
         args.pretrained_model_name_or_path,
         condition_types=args.condition_types,
-        control_overrides=control_overrides)
+        control_overrides=control_overrides,
+        dtype=(jnp.bfloat16 if args.mixed_precision == "bf16"
+               else jnp.float32))
     observability.param_report(pipe.params["base"], "base")
     observability.param_report(pipe.params["control"], "adapter")
 
@@ -187,6 +195,7 @@ def main(argv=None):
         resolution=args.resolution, seed=args.seed,
         checkpointing_steps=args.checkpointing_steps,
         max_grad_norm=args.max_grad_norm,
+        mixed_precision=args.mixed_precision,
         adam_beta1=args.adam_beta1, adam_beta2=args.adam_beta2,
         adam_weight_decay=args.adam_weight_decay,
         adam_epsilon=args.adam_epsilon)

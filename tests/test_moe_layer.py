@@ -220,3 +220,44 @@ def test_per_sample_vs_global_routing_delta_bounded():
     assert delta < 0.6, f"per-sample routing diverged too far: {delta:.3f}"
     # with no capacity pressure the two modes agree exactly (covered by
     # test_per_sample_batch_mode_matches_global above)
+
+
+def test_drop_tokens_false_keeps_every_token():
+    """MoEConfig.drop_tokens=False sets capacity to the worst case (all
+    tokens to one expert) so no token can be dropped — DeepSpeed
+    drop_tokens=False semantics (reference UniGenUtils.py:18). With a gate
+    biased so every token picks expert 0, the default capacity drops most
+    tokens (their combine weight is zero) while drop_tokens=False keeps
+    them all."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unigen_tpu import config as C
+    from unigen_tpu.models.moe import init_moe_params, moe_apply
+
+    def run(drop_tokens):
+        cfg = C.ControlConfig(moe=C.MoEConfig(
+            expert_num=4, drop_tokens=drop_tokens, fast_dispatch=False))
+        params = init_moe_params(jax.random.PRNGKey(0), 8, 8, 4)
+        # bias the router hard toward expert 0 for every token
+        gate_w = np.zeros((8, 4), np.float32)
+        gate_w[:, 0] = 100.0
+        params = dict(params)
+        params["gate"] = {"w": jnp.asarray(np.abs(gate_w))}
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        hidden = jnp.abs(jax.random.normal(ks[0], (1, 16, 8))) + 0.1
+        condition = jnp.abs(jax.random.normal(ks[1], (1, 16, 8))) + 0.1
+        streams = {"pooled": jax.random.normal(ks[2], (1, 8)),
+                   "condition_pooled": jax.random.normal(ks[3], (1, 8))}
+        return moe_apply(params, cfg, 4, hidden, condition, streams)
+
+    kept = run(False)
+    dropped = run(True)
+    # a dropped token's combine weight is zero -> its output row is zero.
+    # default capacity 16/4=4: 12 of the 16 expert-0 tokens overflow and
+    # zero out; drop_tokens=False keeps every row live
+    zero_rows = lambda o: int(jnp.sum(jnp.all(o.expert_hidden == 0, axis=-1)))
+    assert zero_rows(kept) == 0
+    assert zero_rows(dropped) == 12
+    assert float(jnp.abs(kept.expert_hidden - dropped.expert_hidden).max()) > 0

@@ -84,6 +84,40 @@ def test_unigen_base_variant(sd3_cfg):
     assert jnp.isfinite(pred).all() and jnp.isfinite(losses["moe_loss"])
 
 
+def test_unigen_base_variant_single_control_blocks(sd3_cfg):
+    """use_encoder_hidden_states=False (reference :90-100, base variant
+    only): control blocks are SINGLE transformer blocks over the hidden
+    stream — no text weave inside the control stack, no base warm-start,
+    and the residual-cache replay stays bit-exact. The interleaved
+    UniGenSD3 rejects the flag (reference :496)."""
+    import dataclasses
+    from unigen_tpu.models.unigen_sd3 import (init_unigen_sd3_params,
+                                              unigen_base_forward,
+                                              unigen_sd3_forward)
+    cfg2 = dataclasses.replace(
+        sd3_cfg, control=dataclasses.replace(sd3_cfg.control,
+                                             use_encoder_hidden_states=False))
+    params = init_unigen_sd3_params(jax.random.PRNGKey(2), cfg2,
+                                    base_variant=True)
+    assert "single_control_blocks" in params["control"]
+    assert "joint_blocks" not in params["control"]
+    # single blocks have no context stream -> no norm1_context
+    assert "norm1_context" not in params["control"]["single_control_blocks"]
+    batch = _sd3_batch(cfg2, key=3)
+    pred, losses, outs = unigen_base_forward(params, cfg2, **batch,
+                                             return_control_residuals=True)
+    assert pred.shape == batch["hidden"].shape
+    assert jnp.isfinite(pred).all() and jnp.isfinite(losses["moe_loss"])
+    # replay with the captured residuals is bit-exact (cache contract)
+    replay, _, _ = unigen_base_forward(
+        params, cfg2, **batch, control_residuals=outs["control_residuals"])
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(replay))
+    # interleaved class rejects the flag (reference :496)
+    p2 = init_unigen_sd3_params(jax.random.PRNGKey(2), cfg2)
+    with pytest.raises(AssertionError):
+        unigen_sd3_forward(p2, cfg2, **batch)
+
+
 def test_unigen_base_variant_use_pos_embed(sd3_cfg):
     """use_pos_embed=True creates a separate trainable target PatchEmbed,
     warm-started to equal base pos_embed (reference :53-65,146-147) — so the

@@ -106,7 +106,10 @@ class MoEConfig:
     drop_tokens: bool = True
     use_rts: bool = False                  # random token selection on overflow (train-only)
     aux_loss_weight: float = 0.1
-    ep_size: int = 1                       # expert-parallel degree (mesh 'expert' axis)
+    # informational: the ACTUAL expert-parallel degree is MeshConfig.expert
+    # (moe_apply(expert_axis=...) reads the live mesh); kept for
+    # reference-config compatibility (DeepSpeed MoE ep_size)
+    ep_size: int = 1
     # "global": one router over all B*S tokens (reference parity; dispatch
     # cost grows ~quadratically with batch). "per_sample": vmapped per-sample
     # routing with per-sample capacity — linear in batch, the batched-serving

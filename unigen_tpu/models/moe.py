@@ -138,6 +138,11 @@ def moe_apply(params: dict, cfg: ControlConfig, num_experts: int,
     cap_factor = cfg.moe.capacity_factor if training else cfg.moe.eval_capacity_factor
     capacity = gating.compute_capacity(b * s, num_experts, cap_factor,
                                        cfg.moe.min_capacity)
+    if not cfg.moe.drop_tokens:
+        # DeepSpeed drop_tokens=False: capacity covers the worst case (every
+        # token to one expert) so nothing can drop — static shapes keep this
+        # free of dynamic padding (reference UniGenUtils.py:18,35)
+        capacity = b * s
     if cfg.moe.top_k == 2:
         gate_out = gating.top2_gate(logits, capacity, rng=rng)
     else:

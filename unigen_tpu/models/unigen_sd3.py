@@ -83,10 +83,20 @@ def init_unigen_sd3_control(key, cfg: UniGenConfig, *, dtype=jnp.float32,
         # the UniGenBase variant keeps joint_dim->d (reference :80)
         "context_embedder": init_linear(
             next(ks), bb.joint_attention_dim if base_variant else d, d, dtype=dtype),
-        "joint_blocks": init_stacked(
+        # use_encoder_hidden_states=False (reference :90-100, base variant
+        # only): control blocks are SINGLE transformer blocks over the
+        # hidden stream — no text weave inside the control stack, and no
+        # base warm-start (the reference only loads transformer_blocks into
+        # the control stack when the flag is True, :155-156)
+        ("joint_blocks" if cc.use_encoder_hidden_states or not base_variant
+         else "single_control_blocks"): init_stacked(
             next(ks), n_cn,
-            lambda k: init_sd3_joint_block(k, d, heads, hd, qk_norm=bb.qk_norm,
-                                           dtype=dtype)),
+            (lambda k: init_sd3_joint_block(k, d, heads, hd,
+                                            qk_norm=bb.qk_norm, dtype=dtype))
+            if cc.use_encoder_hidden_states or not base_variant else
+            (lambda k: init_sd3_single_block(k, d, heads, hd,
+                                             qk_norm=bb.qk_norm,
+                                             dtype=dtype))),
         "add_blocks": init_stacked(
             next(ks), n_cn, lambda k: init_linear(k, d, d, dtype=dtype, zero=True)),
         "moe": moe_lib.init_moe_params(
@@ -260,6 +270,10 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
     bb, cc = cfg.sd3, cfg.control
     heads = bb.num_attention_heads
     b, c, height, width = hidden.shape
+    # reference :496: the interleaved class requires joint control blocks
+    assert cc.use_encoder_hidden_states, \
+        "UniGenSD3 (interleaved) requires use_encoder_hidden_states=True; " \
+        "the single-block control variant exists on the UniGenBase path only"
 
     h, enc, temb = sd3_embed_inputs(base, bb, hidden, encoder, pooled, timestep)
     blocks = sd3_block_list(base, bb)
@@ -385,9 +399,17 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
     n_cn = _n_control(cfg)
     residuals = []
     for i in range(n_cn):
-        cn_p = index_params(ctrl["joint_blocks"], i)
-        control_enc2, x = sd3_joint_block(cn_p, x, control_enc2, control_temb,
-                                          heads=heads, attn_impl=attn_impl)
+        if cc.use_encoder_hidden_states:
+            cn_p = index_params(ctrl["joint_blocks"], i)
+            control_enc2, x = sd3_joint_block(cn_p, x, control_enc2,
+                                              control_temb, heads=heads,
+                                              attn_impl=attn_impl)
+        else:
+            # single-block control stack (reference :353-356): the hidden
+            # stream alone, no text weave inside the control blocks
+            cn_p = index_params(ctrl["single_control_blocks"], i)
+            x = sd3_single_block(cn_p, x, control_temb, heads=heads,
+                                 attn_impl=attn_impl)
         res = linear(index_params(ctrl["add_blocks"], i), x)
         residuals.append(res)
 

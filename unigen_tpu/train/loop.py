@@ -50,6 +50,13 @@ class Trainer:
         self.encode_images = encode_images
         self.work_dir = work_dir
         self.mesh = mesh
+        # reference train.py:346: "only upcast trainable parameters (LoRA)
+        # into fp32" — the frozen base rides in its loaded dtype
+        # (--mixed_precision), trainable floating leaves train in fp32
+        control_params = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, control_params)
         if mesh is not None:
             # distributed placement: frozen base + trainable adapter go onto
             # the mesh per the sharding rules; the optimizer state created
