@@ -906,18 +906,41 @@ def bench_suite():
     condition = jax.random.normal(ks[3], (b, s_img, bb.in_channels), dtype)
     latents0 = jax.random.normal(ks[4], (b, s_img, bb.in_channels), dtype)
 
+    # UNIGEN_BENCH_HYBRID_CACHE=<c:m>: run the suite at the hybrid cache
+    # operating point — LoRA switching composes with the cache rungs (the
+    # fold happens in the weights, the cache in the schedule)
+    hyb_c, hyb_m = _parse_hybrid_env()
+
     def denoise(params, latents, condition, prompt, pooled, cond_pooled):
         sig = jnp.asarray(sigmas)
         ids_i = jnp.asarray(img_ids)
         ids_t = jnp.asarray(txt_ids)
 
-        def step(lat, i):
-            pred, _, _ = unigen_flux_forward(
+        def fwd(lat, i, **kw):
+            pred, _, outs = unigen_flux_forward(
                 params, cfg, hidden=lat, condition=condition,
                 encoder=prompt, pooled=pooled, condition_pooled=cond_pooled,
                 timestep=jnp.full((b,), sig[i], dtype),
                 img_ids=ids_i, txt_ids=ids_t, condition_ids=ids_i,
-                attn_impl="auto")
+                attn_impl="auto", **kw)
+            return pred, outs
+
+        if hyb_m > 1:
+            from unigen_tpu.pipelines import caching
+            d = bb.inner_dim
+            zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
+                    jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
+                              dtype))
+            latents, _, _ = caching.hybrid_cache_scan(
+                lambda l, i: (lambda pr, o: (pr, o["control_residuals"]))(
+                    *fwd(l, i, return_control_residuals=True)),
+                lambda l, i, r: fwd(l, i, control_residuals=r)[0],
+                latents, sig, num_steps, control_interval=hyb_c,
+                model_interval=hyb_m, residuals_init=zero)
+            return latents
+
+        def step(lat, i):
+            pred, _ = fwd(lat, i)
             return scheduling.euler_step(lat, pred, sig[i], sig[i + 1]), None
         latents, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
         return latents
@@ -952,14 +975,18 @@ def bench_suite():
         print(f"# {name}: {ips:.3f} img/s switch={switch_ms:.0f}ms", file=sys.stderr)
 
     mean_ips = float(np.mean([r["ips"] for r in rows]))
+    suffix = f"_hybc{hyb_c}m{hyb_m}" if hyb_m > 1 else ""
     suite = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
-                       f"w{bb.inner_dim}_w4a8_lora_suite",
+                       f"w{bb.inner_dim}_w4a8_lora_suite{suffix}",
              "res": res, "batch": b, "rank": rank, "targets": targets,
              "rows": rows, "mean_ips": round(mean_ips, 4),
              "mean_switch_ms": round(float(np.mean(
                  [r["switch_ms"] for r in rows])), 1)}
+    # cached suite runs get their own artifact so the exact SUITE.json
+    # survives (same pattern as MULTI_CACHE.json)
+    out_name = "SUITE_CACHE.json" if hyb_m > 1 else "SUITE.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "SUITE.json"), "w") as f:
+                           out_name), "w") as f:
         json.dump(suite, f, indent=1)
     print(json.dumps({
         "metric": f"unigen_flux_condition_suite_{res}px_images_per_sec",
