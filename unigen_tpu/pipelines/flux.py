@@ -419,10 +419,14 @@ class UniGenFluxPipeline:
         quality_profile picks a measured serving operating point instead of
         raw cache knobs (docs/SERVING.md; flux full topology W4A8 b=2):
         "exact" (default) — no caching, 1.371 img/s; "balanced" — hybrid
-        three-level cache (c=4, m=2), 3.412 img/s at SSIM-vs-exact 0.99957;
-        "fast" — full-model cache interval 4 with first-order Taylor replay,
-        5.304 img/s at SSIM 0.99949. Mixing a profile with explicit cache
-        knobs is an error.
+        three-level cache (c=4, m=2), 3.412 img/s, ABSOLUTE SSIM vs bf16
+        0.99734/0.99719 (gate passed, FIDELITY_FLUX_HYBRID.json); "fast" —
+        full-model cache interval 4 with first-order Taylor replay,
+        5.304 img/s. CAUTION: "fast" fails the absolute 0.99 gate on the
+        4-step schnell schedule (SSIM 0.985 — k=4 over 4 steps leaves one
+        model forward; FIDELITY_FLUX_FAST.json); use "balanced" there —
+        "fast" suits schedules long enough for several refreshes. Mixing a
+        profile with explicit cache knobs is an error.
 
         control_cache_interval > 1 enables the control-residual step cache
         (recompute the control branch + MoE preprocess every k-th denoise
