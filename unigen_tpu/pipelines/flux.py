@@ -635,7 +635,8 @@ class UniGenFluxPipeline:
                  cfg_cache: bool = False,
                  model_cache_interval: int = 1,
                  model_cache_threshold: float = 0.0,
-                 model_cache_order: int = 0) -> np.ndarray:
+                 model_cache_order: int = 0,
+                 quality_profile: Optional[str] = None) -> np.ndarray:
         """Single-condition call (reference UniGenPipeline.py:486-807).
         control_image: float array [B,3,H,W] in [-1,1]."""
         self._auto_switch(condition_prompt)
@@ -665,7 +666,8 @@ class UniGenFluxPipeline:
             cfg_cache=cfg_cache,
             model_cache_interval=model_cache_interval,
             model_cache_threshold=model_cache_threshold,
-            model_cache_order=model_cache_order)
+            model_cache_order=model_cache_order,
+            quality_profile=quality_profile)
 
     def multi_condition_call(self, prompt: Union[str, Sequence[str]],
                              condition_prompts: Sequence[str],
