@@ -130,6 +130,12 @@ def main(argv=None):
                          "repeat otherwise costs a full T5-XXL forward)")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--quant", default="w4a8", choices=["w4a8", "w8a8", "bf16"])
+    ap.add_argument("--serving-cache", default=None,
+                    help="directory for the persisted QUANTIZED transformer "
+                         "tree (io/serving_cache.py): restarts read the "
+                         "small quantized tree directly instead of the bf16 "
+                         "checkpoint + streaming quantization; written on "
+                         "first start when missing")
     ap.add_argument("--demo", action="store_true",
                     help="tiny random model + synthetic load (no checkpoint)")
     args = ap.parse_args(argv)
@@ -144,7 +150,8 @@ def main(argv=None):
 
     pipe = load_flux_pipeline(args.ckpt, condition_types=args.condition_types,
                               adapter_dir=args.adapter, quantize=args.quant,
-                              lora_dir=args.lora_dir)
+                              lora_dir=args.lora_dir,
+                              serving_cache=args.serving_cache)
     if args.prompt_cache > 0:
         from unigen_tpu.pipelines.caching import PromptLRU
         pipe.prompt_cache_size = args.prompt_cache

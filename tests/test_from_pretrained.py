@@ -211,6 +211,48 @@ def test_load_flux_pipeline_and_generate(fake_ckpt):
     assert imgs.shape == (b, h, w, 3) and imgs.dtype == np.uint8
 
 
+def test_serving_cache_roundtrip_and_validation(fake_ckpt, tmp_path):
+    """serving_cache persists the quantized transformer tree: the second
+    load reads the cache (bit-identical tree, same generated image) and a
+    topology/policy mismatch refuses to load (io/serving_cache.py)."""
+    from unigen_tpu.io import serving_cache as sc
+    from unigen_tpu.pipelines.loading import load_flux_pipeline
+    cache = str(tmp_path / "scache")
+
+    pipe1 = load_flux_pipeline(fake_ckpt, condition_types=["canny"],
+                               dtype=jnp.float32, quantize="w8a8",
+                               serving_cache=cache)
+    assert sc.has_serving_tree(cache)
+    pipe2 = load_flux_pipeline(fake_ckpt, condition_types=["canny"],
+                               dtype=jnp.float32, quantize="w8a8",
+                               serving_cache=cache)
+    for a, b in zip(jax.tree.leaves(pipe1.params),
+                    jax.tree.leaves(pipe2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    b_, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    flux = pipe1.cfg.flux
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b_, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b_, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b_, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b_, 3, h, w)),
+        height=h, width=w, num_inference_steps=2)
+    np.testing.assert_array_equal(pipe1.generate(**kw), pipe2.generate(**kw))
+
+    # policy mismatch refuses
+    with pytest.raises(ValueError):
+        load_flux_pipeline(fake_ckpt, condition_types=["canny"],
+                           dtype=jnp.float32, quantize="w4a8",
+                           serving_cache=cache)
+    # topology mismatch refuses (different condition set changes experts)
+    with pytest.raises(ValueError):
+        load_flux_pipeline(fake_ckpt, condition_types=["canny", "depth"],
+                           dtype=jnp.float32, quantize="w8a8",
+                           serving_cache=cache)
+
+
 def test_load_sd3_pipeline_and_generate(tmp_path):
     """SD3 from_pretrained: tiny SD3 transformer + VAE layout -> pipeline."""
     from tests.test_sd3_bridge_pipeline import _sd3_state_dict

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from unigen_tpu import config as cfg_lib
+from unigen_tpu.io import serving_cache as serving_cache_lib
 from unigen_tpu.io import torch_bridge as tb
 from unigen_tpu.models import vae as vae_lib
 from unigen_tpu.models.clip_text import CLIPTextConfig
@@ -37,7 +38,8 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
                        dtype=jnp.bfloat16, control_overrides: Optional[dict] = None,
                        quantize: Optional[str] = None,
                        lora_dir: Optional[str] = None,
-                       lora_adapter_names: Optional[Sequence[str]] = None):
+                       lora_adapter_names: Optional[Sequence[str]] = None,
+                       serving_cache: Optional[str] = None):
     """Build a UniGenFluxPipeline from a FLUX.1 HF directory. The control
     branch is warm-started from the base unless an adapter checkpoint is
     given (reference infer.py:115-140).
@@ -52,7 +54,14 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
     lora_dir: per-condition LoRA experts in the reference per-adapter layout
     ({lora_dir}/{adapter}/pytorch_lora_weights.safetensors, hook.py:48-76);
     loaded AFTER quantization so switching refolds through the quantized
-    tree (see pipelines/flux.load_lora)."""
+    tree (see pipelines/flux.load_lora).
+
+    serving_cache (with quantize): directory for the persisted QUANTIZED
+    transformer tree (io/serving_cache.py). A valid cache skips the bf16
+    transformer read + streaming quantization on restart (the production
+    cold-start path: read the small quantized tree directly); a missing
+    cache is written after the first quantization. Topology/policy
+    mismatches refuse to load."""
     from unigen_tpu.models.unigen_flux import init_unigen_flux_control
     from unigen_tpu.pipelines.flux import UniGenFluxPipeline
 
@@ -73,28 +82,44 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
         control=cfg_lib.ControlConfig(**(control_overrides or {})),
         condition_types=tuple(condition_types))
 
-    sd = tb.read_checkpoint_dir(os.path.join(root, "transformer"))
-    base = tb.load_flux_transformer(sd, flux.num_layers, flux.num_single_layers,
-                                    dtype=dtype)
-    n_cn = flux.num_layers // cfg.control.single_control_dev
-    n_cn_s = flux.num_single_layers // cfg.control.single_control_dev
-    if adapter_dir:
-        control = tb.load_adapter_checkpoint(
-            adapter_dir, n_cn=n_cn, n_cn_single=n_cn_s,
-            num_experts=cfg.control.moe.num_experts(cfg.condition_nums),
-            dtype=dtype, guidance=flux.guidance_embeds)
-    else:
-        control = init_unigen_flux_control(jax.random.PRNGKey(0), cfg,
-                                           dtype=dtype, base_params=base)
-
-    if quantize in ("w4a8", "w8a8"):
-        from unigen_tpu.ops import quant
-        tree = {"base": base, "control": control}
-        if quantize == "w4a8":
-            tree = quant.quantize_unigen_serving_streaming(tree)
-        else:
-            tree = quant.quantize_tree_streaming(tree)
+    fingerprint = {"family": "flux", "num_layers": flux.num_layers,
+                   "num_single_layers": flux.num_single_layers,
+                   "inner_dim": flux.inner_dim,
+                   "single_control_dev": cfg.control.single_control_dev,
+                   "condition_types": list(condition_types),
+                   "adapter_dir": bool(adapter_dir)}
+    use_cache = quantize in ("w4a8", "w8a8") and serving_cache
+    if use_cache and serving_cache_lib.has_serving_tree(serving_cache):
+        tree, _ = serving_cache_lib.load_serving_tree(
+            serving_cache, quantize=quantize, config_fingerprint=fingerprint)
         base, control = tree["base"], tree["control"]
+    else:
+        sd = tb.read_checkpoint_dir(os.path.join(root, "transformer"))
+        base = tb.load_flux_transformer(sd, flux.num_layers,
+                                        flux.num_single_layers, dtype=dtype)
+        n_cn = flux.num_layers // cfg.control.single_control_dev
+        n_cn_s = flux.num_single_layers // cfg.control.single_control_dev
+        if adapter_dir:
+            control = tb.load_adapter_checkpoint(
+                adapter_dir, n_cn=n_cn, n_cn_single=n_cn_s,
+                num_experts=cfg.control.moe.num_experts(cfg.condition_nums),
+                dtype=dtype, guidance=flux.guidance_embeds)
+        else:
+            control = init_unigen_flux_control(jax.random.PRNGKey(0), cfg,
+                                               dtype=dtype, base_params=base)
+
+        if quantize in ("w4a8", "w8a8"):
+            from unigen_tpu.ops import quant
+            tree = {"base": base, "control": control}
+            if quantize == "w4a8":
+                tree = quant.quantize_unigen_serving_streaming(tree)
+            else:
+                tree = quant.quantize_tree_streaming(tree)
+            base, control = tree["base"], tree["control"]
+            if use_cache:
+                serving_cache_lib.save_serving_tree(
+                    {"base": base, "control": control}, serving_cache,
+                    quantize=quantize, config_fingerprint=fingerprint)
 
     vcfg_raw = _subcfg(root, "vae")
     vae_cfg = vae_lib.VAEConfig(
