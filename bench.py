@@ -1761,6 +1761,11 @@ def bench_stepserver():
 
     res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
     B = int(os.environ.get("UNIGEN_BENCH_STEP_SLOTS", "4"))
+    # UNIGEN_BENCH_STEP_CACHE=k composes the per-slot model cache with
+    # continuous batching (serving_steps docstring): replay ticks gather
+    # only the refreshing slots into the smallest compiled program
+    cache_k = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE", "1"))
+    cache_order = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE_ORDER", "0"))
     num_steps = 4
     preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
     cfg_base = {"full": presets.flux_full, "proxy": presets.flux_bench,
@@ -1791,7 +1796,8 @@ def bench_stepserver():
         jax.random.PRNGKey(1))
     srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=B,
                      num_inference_steps=num_steps, height=res, width=res,
-                     dtype=dtype)
+                     model_cache_interval=cache_k,
+                     model_cache_order=cache_order, dtype=dtype)
     t_len = 16 if preset == "tiny" else 512
 
     def request(i):
@@ -1829,9 +1835,11 @@ def bench_stepserver():
     print(f"# sustained {sustained:.3f} img/s over {n_req} staggered requests "
           f"({B} slots)", file=sys.stderr)
 
+    ctag = f"_cache{cache_k}o{cache_order}" if cache_k > 1 else ""
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
-                     f"w{bb.inner_dim}_stepserver{B}slots",
+                     f"w{bb.inner_dim}_stepserver{B}slots{ctag}",
            "res": res, "slots": B, "num_steps": num_steps,
+           "model_cache_interval": cache_k, "model_cache_order": cache_order,
            "warm_single_request_latency_ms": round(single_lat * 1000, 1),
            "sustained_img_per_sec": round(sustained, 4),
            "note": "admission latency bounded by ONE denoise step (vs a full "
@@ -1841,10 +1849,11 @@ def bench_stepserver():
                    "use MicroBatchServer when peak batch throughput beats "
                    "admission latency"}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "STEPSERVE.json"), "w") as f:
+                           "STEPSERVE_CACHE.json" if cache_k > 1
+                           else "STEPSERVE.json"), "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({
-        "metric": f"unigen_flux_stepserver_{res}px_images_per_sec",
+        "metric": f"unigen_flux_stepserver{ctag}_{res}px_images_per_sec",
         "value": round(sustained, 4), "unit": "images/sec/chip",
         "vs_baseline": 0.0, "config": doc["config"]}))
 

@@ -47,7 +47,7 @@ def _request(i, cfg, h=32, w=32):
     )
 
 
-def _pipeline_reference(tiny_world, req, steps=3):
+def _pipeline_reference(tiny_world, req, steps=3, **knobs):
     cfg, params, vae_cfg, vae_params = tiny_world
     pipe = UniGenFluxPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
                               vae_params=vae_params, dtype=jnp.float32)
@@ -55,7 +55,7 @@ def _pipeline_reference(tiny_world, req, steps=3):
                          pooled=req["pooled"], cond_pooled=req["cond_pooled"],
                          control_pixels=req["control_pixels"],
                          height=32, width=32, num_inference_steps=steps,
-                         latents=req["latents"])
+                         latents=req["latents"], **knobs)
 
 
 def test_step_server_matches_pipeline(tiny_world):
@@ -76,6 +76,37 @@ def test_step_server_matches_pipeline(tiny_world):
     for out, ref in zip(outs, refs):
         assert out.shape == ref.shape
         # same math modulo fp32 reduction-order noise -> allow ±1 uint8 step
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_step_server_model_cache_matches_pipeline(tiny_world, order):
+    """model_cache_interval composed with continuous batching: each slot
+    refreshes on its OWN step schedule; per-request outputs must equal the
+    one-shot pipeline with the same knobs. steps=5, k=2 exercises hold
+    (one refresh seen) AND order-1 extrapolation (two refreshes seen), and
+    the staggered admissions put slots at different refresh phases inside
+    the same tick (compact-gather path at m < active)."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps, k = 5, 2
+    reqs = [_request(30 + i, cfg) for i in range(3)]
+    refs = [_pipeline_reference(tiny_world, r, steps,
+                                model_cache_interval=k,
+                                model_cache_order=order) for r in reqs]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=steps, height=32, width=32,
+                     model_cache_interval=k, model_cache_order=order,
+                     dtype=jnp.float32)
+    futs = [srv.submit(**r) for r in reqs]
+    outs = [f.result(timeout=300) for f in futs]
+    # slot reuse must reset the per-slot cache indices (fresh step-0 refresh)
+    f_again = srv.submit(**reqs[0])
+    out_again = f_again.result(timeout=300)
+    srv.close()
+    for out, ref in zip(outs + [out_again], refs + [refs[0]]):
+        assert out.shape == ref.shape
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1, f"max diff {diff.max()}"
 

@@ -23,6 +23,19 @@ routing a garbage pad row could steal expert capacity from real rows. True
 CFG is intentionally not supported here (a CFG request occupies two slots in
 spirit; use MicroBatchServer for CFG pipelines).
 
+``model_cache_interval=k`` composes the full-model output cache
+(pipelines/caching.model_cache_scan semantics) with continuous batching,
+PER SLOT: each slot refreshes its cached prediction every k-th OWN step and
+replays it in between (zero-order hold, or first-order Taylor with
+``model_cache_order=1``). Replay slots skip the transformer entirely, so a
+tick gathers only the REFRESHING slots into a compact batch and dispatches
+the smallest compiled program that fits (sizes 1, 2, 4, … up to
+``batch_size``) — tick cost scales with refresh count, not slot count.
+With staggered admissions the refresh phases interleave, so steady-state
+throughput approaches k× the exact StepServer at the model cache's measured
+fidelity (CACHE.json model_rows). Per-request outputs remain IDENTICAL to
+the one-shot pipeline run with the same ``model_cache_interval`` (tests).
+
 VAE encode (admission) and decode (retirement) run as separate jitted
 b=1 programs off the hot step loop.
 """
@@ -68,9 +81,11 @@ class StepServer:
                  height: int = 512, width: int = 512,
                  guidance_scale: float = 3.5,
                  scheduler: Optional[scheduling.FlowMatchConfig] = None,
+                 model_cache_interval: int = 1, model_cache_order: int = 0,
                  dtype=jnp.bfloat16):
         assert cfg.control.moe.batch_mode == "per_sample", \
             "StepServer needs per-sample MoE routing (row independence)"
+        assert model_cache_interval >= 1 and model_cache_order in (0, 1)
         self.cfg, self.params = cfg, params
         self.vae_cfg, self.vae_params = vae_cfg, vae_params
         self.B = batch_size
@@ -97,6 +112,22 @@ class StepServer:
         self._pooled = jnp.zeros((B, bb.pooled_projection_dim), dtype)
         self._cond_pooled = jnp.zeros((B, bb.pooled_projection_dim), dtype)
         self._slots: List[_Slot] = [_Slot() for _ in range(B)]
+        self.cache_k = int(model_cache_interval)
+        self.cache_order = int(model_cache_order)
+        if self.cache_k > 1:
+            # per-slot prediction cache: p1 = latest refreshed prediction,
+            # p0 = the one before (order-1 Taylor replay), refresh step
+            # indices kept host-side (they drive the replay factor)
+            self._p1 = jnp.zeros((B, S, C), dtype)
+            self._p0 = jnp.zeros((B, S, C), dtype)
+            self._i1 = np.full((B,), -1, np.int64)
+            self._i0 = np.full((B,), -1, np.int64)
+        # compact program sizes for the refresh subset: powers of two + B
+        self._sizes = sorted({1 << p for p in range(B.bit_length())
+                              if (1 << p) <= B} | {B})
+        self._fwd_fns: Dict[int, Any] = {}   # m -> gathered prediction fwd
+        self._upd_fns: Dict[int, Any] = {}   # m -> scatter+replay+Euler
+        self._replay_fn = None               # zero-refresh tick
         self._lock = threading.Lock()
         self._closed = False
         self._work = threading.Condition(self._lock)
@@ -144,6 +175,141 @@ class StepServer:
                                          s_next[:, None, None])
 
         return jax.jit(step)
+
+    def _build_fwd(self, t_len: int, m: int):
+        """Prediction forward for ``m`` refreshing slots: gathers rows
+        ``idx`` out of the B-slot state arrays inside the program (so the
+        host never reshuffles device buffers) and runs the transformer at
+        batch m. Short refresh lists are padded by repeating a real slot —
+        the duplicate rows compute the identical prediction, and the
+        duplicate scatter in the update program writes the same value."""
+        cfg, bb = self.cfg, self.cfg.flux
+        txt_ids = jnp.zeros((t_len, 3))
+        img_ids = self._img_ids
+        use_guidance = bb.guidance_embeds
+        gs = self._guidance_scale
+        dtype = self.dtype
+
+        def fwd(params, lat, cond, embeds, pooled, cond_pooled, idx,
+                t_now, scale):
+            guidance = (jnp.full((m,), gs, dtype) if use_guidance else None)
+            pred, _, _ = unigen_flux_forward(
+                params, cfg, hidden=lat[idx], condition=cond[idx],
+                encoder=embeds[idx], pooled=pooled[idx],
+                condition_pooled=cond_pooled[idx],
+                timestep=t_now.astype(dtype),
+                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+                guidance=guidance,
+                conditioning_scale=scale[:, None, None].astype(dtype))
+            return pred
+
+        return jax.jit(fwd)
+
+    def _build_update(self, m: int):
+        """Scatter ``m`` fresh predictions into the per-slot cache, form
+        every slot's prediction, and Euler-step all rows. The replay
+        expression ``p1 + gap * ((p1 - p0) / dt)`` is the exact arithmetic
+        of ``model_cache_scan``'s order-1 branch (gap/dt host-computed per
+        slot, cast to the cache dtype like the scan casts its step indices),
+        so per-request latents match the one-shot pipeline bit-for-bit.
+        Refreshing slots ride the same expression with gap=0, dt=1: p1 was
+        just set to the fresh value, so pred == fresh exactly."""
+        B = self.B
+
+        def upd(lat, p1, p0, fresh, idx, gap, dt, s_now, s_next):
+            refreshed = jnp.zeros((B,), bool).at[idx].set(True)[:, None, None]
+            p0n = jnp.where(refreshed, p1, p0)
+            p1n = p1.at[idx].set(fresh)
+            slope = (p1n - p0n) / dt[:, None, None].astype(p1.dtype)
+            pred = p1n + gap[:, None, None].astype(p1.dtype) * slope
+            lat_n = scheduling.euler_step(lat, pred, s_now[:, None, None],
+                                          s_next[:, None, None])
+            return lat_n, p1n, p0n
+
+        return jax.jit(upd)
+
+    def _build_replay(self):
+        """All-replay tick: no transformer at all, just the (extrapolated)
+        cached predictions through one Euler step."""
+        def upd(lat, p1, p0, gap, dt, s_now, s_next):
+            slope = (p1 - p0) / dt[:, None, None].astype(p1.dtype)
+            pred = p1 + gap[:, None, None].astype(p1.dtype) * slope
+            return scheduling.euler_step(lat, pred, s_now[:, None, None],
+                                         s_next[:, None, None])
+        return jax.jit(upd)
+
+    def _prepare_cached_tick(self, active, s_now, s_next, scale):
+        """Called under the lock: snapshot device/host state into a thunk
+        that runs one cached tick outside the lock. A slot refreshes on its
+        own step schedule (``step % k == 0``, so admissions always refresh
+        at step 0); refreshing slots are gathered into the smallest compiled
+        program size that fits. Returns a thunk yielding ``(new_lat,
+        commit)`` — ``commit`` (run under the lock only after the tick
+        dispatched cleanly) publishes the prediction cache and the
+        host-side refresh step indices, so a failed tick leaves the cache
+        untouched."""
+        k, order, B = self.cache_k, self.cache_order, self.B
+        refresh = [i for i, s in active
+                   if s.step % k == 0 or self._i1[i] < 0]
+        rset = set(refresh)
+        # replay coefficients, per the model_cache_scan semantics: order-0
+        # (or fewer than two refreshes) holds p1 (gap=0); order-1
+        # extrapolates by (step - i1) / max(i1 - i0, 1)
+        gap = np.zeros((B,), np.float32)
+        dt = np.ones((B,), np.float32)
+        i1n, i0n = self._i1.copy(), self._i0.copy()
+        for i, s in active:
+            if i in rset:
+                i0n[i] = i1n[i]
+                i1n[i] = s.step
+            elif order >= 1 and self._i0[i] >= 0:
+                gap[i] = s.step - self._i1[i]
+                dt[i] = max(self._i1[i] - self._i0[i], 1)
+        params, lat, cond = self.params, self._lat, self._cond
+        embeds, pooled, cpool = self._embeds, self._pooled, self._cond_pooled
+        p1, p0 = self._p1, self._p0
+        s_now_j = jnp.asarray(s_now)
+        s_next_j = jnp.asarray(s_next)
+        gap_j, dt_j = jnp.asarray(gap), jnp.asarray(dt)
+
+        if not refresh:
+            if self._replay_fn is None:
+                self._replay_fn = self._build_replay()
+            replay = self._replay_fn
+
+            def tick():
+                new_lat = replay(lat, p1, p0, gap_j, dt_j, s_now_j, s_next_j)
+                return new_lat, None
+
+            return tick
+
+        m = next(sz for sz in self._sizes if sz >= len(refresh))
+        # pad by repeating the first refreshing slot: the duplicate row
+        # computes the identical prediction and its duplicate scatter
+        # writes the same value
+        idx = np.asarray((refresh + [refresh[0]] * m)[:m], np.int32)
+        t_r = np.asarray([self._timesteps[self._slots[i].step] / 1000.0
+                          for i in idx], np.float32)
+        sc_r = scale[idx]
+        if m not in self._fwd_fns:
+            self._fwd_fns[m] = self._build_fwd(embeds.shape[1], m)
+            self._upd_fns[m] = self._build_update(m)
+        fwd, upd = self._fwd_fns[m], self._upd_fns[m]
+        idx_j = jnp.asarray(idx)
+
+        def tick():
+            fresh = fwd(params, lat, cond, embeds, pooled, cpool, idx_j,
+                        jnp.asarray(t_r), jnp.asarray(sc_r))
+            new_lat, p1n, p0n = upd(lat, p1, p0, fresh, idx_j, gap_j, dt_j,
+                                    s_now_j, s_next_j)
+
+            def commit():
+                self._p1, self._p0 = p1n, p0n
+                self._i1, self._i0 = i1n, i0n
+
+            return new_lat, commit
+
+        return tick
 
     # ------------------------------------------------------------ client
 
@@ -232,6 +398,8 @@ class StepServer:
                         self._pooled = self._pooled.at[i].set(p["pooled"])
                         self._cond_pooled = self._cond_pooled.at[i].set(
                             p["cond_pooled"])
+                        if self.cache_k > 1:
+                            self._i1[i] = self._i0[i] = -1
                         s.payload = None
                 active = [(i, s) for i, s in enumerate(self._slots)
                           if not s.free]
@@ -244,15 +412,23 @@ class StepServer:
                     s_now[i] = self._sigmas[s.step]
                     s_next[i] = self._sigmas[s.step + 1]
                     scale[i] = s.scale
-                step_fn = self._step_fn
-                args = (self.params, self._lat, self._cond, self._embeds,
-                        self._pooled, self._cond_pooled)
+                if self.cache_k > 1:
+                    tick = self._prepare_cached_tick(active, s_now, s_next,
+                                                     scale)
+                else:
+                    step_fn = self._step_fn
+                    args = (self.params, self._lat, self._cond, self._embeds,
+                            self._pooled, self._cond_pooled)
             # ---- run the tick OUTSIDE the lock (submissions may land
             # between ticks; they only touch rows whose slots are free)
             try:
-                new_lat = step_fn(*args, jnp.asarray(t_now),
-                                  jnp.asarray(s_now), jnp.asarray(s_next),
-                                  jnp.asarray(scale))
+                if self.cache_k > 1:
+                    new_lat, commit = tick()
+                else:
+                    new_lat = step_fn(*args, jnp.asarray(t_now),
+                                      jnp.asarray(s_now), jnp.asarray(s_next),
+                                      jnp.asarray(scale))
+                    commit = None
             except Exception as e:
                 with self._work:
                     for i, s in active:
@@ -267,6 +443,8 @@ class StepServer:
                 jax.block_until_ready(inflight.popleft())
             with self._work:
                 self._lat = new_lat
+                if commit is not None:
+                    commit()
                 for i, s in active:
                     s.step += 1
                     if s.step >= self.num_steps:
