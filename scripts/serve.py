@@ -28,6 +28,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0):
+    """Tiny random-model StepServer demo (CPU-safe): full request lifecycle
+    — VAE encode on admit, per-slot denoise ticks, VAE decode on retire —
+    with staggered arrivals, optionally at a model-cache operating point."""
+    import jax
+    jax.config.update("jax_platforms", os.environ.get("UNIGEN_SERVE_PLATFORM",
+                                                      "cpu"))
+    import jax.numpy as jnp
+    from unigen_tpu import config as cfg_lib
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.serving_steps import StepServer
+
+    cfg = cfg_lib.UniGenConfig(
+        family="flux", flux=cfg_lib.tiny_flux_config(),
+        condition_types=("canny",),
+        control=cfg_lib.ControlConfig(
+            moe=cfg_lib.MoEConfig(batch_mode="per_sample")))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+    vae_cfg = vae_lib.tiny_vae_config(
+        latent_channels=cfg.flux.in_channels // 4)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    srv = StepServer(cfg, params, vae_cfg, vae_params,
+                     batch_size=batch_size, num_inference_steps=4,
+                     height=32, width=32, model_cache_interval=cache_k,
+                     model_cache_order=cache_order, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    mk = lambda *shape: rng.standard_normal(shape).astype(np.float32)
+    bb = cfg.flux
+    n_req = 2 * batch_size + 1
+    t0 = time.time()
+    futs = [srv.submit(prompt_embeds=mk(1, 16, bb.joint_attention_dim),
+                       pooled=mk(1, bb.pooled_projection_dim),
+                       cond_pooled=mk(1, bb.pooled_projection_dim),
+                       control_pixels=mk(1, 3, 32, 32), wait=True)
+            for _ in range(n_req)]
+    outs = [f.result(timeout=600) for f in futs]
+    dt = time.time() - t0
+    srv.close()
+    print(f"step-server demo: {n_req} requests in {dt:.2f}s "
+          f"({n_req/dt:.1f} req/s, {batch_size} slots, "
+          f"model_cache_interval={cache_k}); out shape {outs[0].shape}")
+
+
 def _demo(batch_size: int):
     import jax
     jax.config.update("jax_platforms", os.environ.get("UNIGEN_SERVE_PLATFORM",
@@ -78,6 +122,65 @@ def _demo(batch_size: int):
           f"({n_req/dt:.1f} req/s), {srv.stats.batches} batches, "
           f"{srv.stats.padded_samples} padded samples; "
           f"out shape {outs[0].shape}")
+
+
+def _serve_steps(pipe, args):
+    """Checkpoint-backed StepServer loop: same stdin JSON-lines protocol as
+    the request-batched path, but each request is admitted into a free slot
+    the moment one exists (blocking submit keeps occupancy at the slot
+    count under load)."""
+    from PIL import Image
+
+    from unigen_tpu import config as C
+    from unigen_tpu.serving_steps import StepServer
+
+    # StepServer requires row-independent routing; retrace-only change
+    cfg = C.replace(pipe.cfg, control=C.replace(
+        pipe.cfg.control, moe=C.replace(pipe.cfg.control.moe,
+                                        batch_mode="per_sample")))
+    srv = StepServer(cfg, pipe.params, pipe.vae_cfg, pipe.vae_params,
+                     batch_size=args.batch_size,
+                     num_inference_steps=args.steps,
+                     height=args.resolution, width=args.resolution,
+                     scheduler=pipe.scheduler,
+                     model_cache_interval=args.model_cache_interval,
+                     model_cache_order=args.model_cache_order)
+    print(f"# step-server ready: slots={args.batch_size} steps={args.steps} "
+          f"res={args.resolution} quant={args.quant} "
+          f"model_cache_interval={args.model_cache_interval}; "
+          f"JSON lines on stdin", file=sys.stderr)
+    res = args.resolution
+
+    def _save(out_path):
+        def cb(fut):
+            if fut.cancelled() or fut.exception() is not None:
+                print(f"# {out_path}: "
+                      f"{'cancelled' if fut.cancelled() else fut.exception()}",
+                      file=sys.stderr)
+                return
+            Image.fromarray(fut.result()[0]).save(out_path)
+            print(out_path, flush=True)
+        return cb
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        req = json.loads(line)
+        pil = Image.open(req["control"]).convert("RGB").resize(
+            (res, res), Image.LANCZOS)
+        img = (np.asarray(pil, np.float32) / 127.5 - 1.0
+               ).transpose(2, 0, 1)[None]
+        embeds, pooled = pipe.encode_prompt(req["prompt"])
+        cond_pooled = pipe.encode_condition_prompt(
+            req.get("condition", args.condition_types[0]))
+        fut = srv.submit(prompt_embeds=np.asarray(embeds),
+                         pooled=np.asarray(pooled),
+                         cond_pooled=np.asarray(cond_pooled),
+                         control_pixels=img, wait=True)
+        fut.add_done_callback(_save(req["out"]))
+    srv.drain()
+    srv.close()
 
 
 def main(argv=None):
@@ -136,11 +239,28 @@ def main(argv=None):
                          "small quantized tree directly instead of the bf16 "
                          "checkpoint + streaming quantization; written on "
                          "first start when missing")
+    ap.add_argument("--step-server", action="store_true",
+                    help="step-level continuous batching (serving_steps."
+                         "StepServer): requests join mid-denoise at their own "
+                         "step index — admission latency bounded by ONE step. "
+                         "Supports --model-cache-interval/-order (per-slot "
+                         "refresh schedule); control-cache knobs, quality "
+                         "profiles and CFG need MicroBatchServer")
     ap.add_argument("--demo", action="store_true",
                     help="tiny random model + synthetic load (no checkpoint)")
     args = ap.parse_args(argv)
 
+    if args.step_server and (args.control_cache_interval > 1
+                             or args.control_cache_threshold > 0
+                             or args.model_cache_threshold > 0
+                             or args.quality_profile):
+        ap.error("--step-server supports only --model-cache-interval/-order "
+                 "(fixed per-slot schedule); use the request-batched server "
+                 "for control-cache / adaptive / profile knobs")
     if args.demo or not args.ckpt:
+        if args.step_server:
+            return _demo_steps(args.batch_size, args.model_cache_interval,
+                               args.model_cache_order)
         return _demo(args.batch_size)
 
     from PIL import Image
@@ -158,6 +278,9 @@ def main(argv=None):
         pipe._prompt_cache = PromptLRU(args.prompt_cache)
     if args.lora_dir and args.condition_types:
         pipe._auto_switch(args.condition_types[0])
+
+    if args.step_server:
+        return _serve_steps(pipe, args)
 
     def run_batch(inputs):
         return pipe.generate(
