@@ -1823,6 +1823,14 @@ def bench_stepserver():
     print(f"# cold={cold_s:.1f}s warm single-request latency="
           f"{single_lat*1000:.0f}ms", file=sys.stderr)
 
+    # untimed warmup at full occupancy: the cached server compiles one
+    # gathered program per refresh-subset size actually hit (m=1 was warmed
+    # by the single requests; full-batch and tail sizes appear only under
+    # load) — without this the first timed window pays those compiles
+    wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
+    for f in wfuts:
+        f.result(timeout=3600)
+
     # sustained saturating load: blocking submit refills a slot the moment
     # one retires, so occupancy holds at B
     n_req = 4 * B
