@@ -15,14 +15,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="UniGen-TPU inference")
-    p.add_argument("--basemodel", default="UniGenFlux")
+    p.add_argument("--basemodel", default="UniGenFlux",
+                   choices=["UniGenFlux", "MultiCondtionUniGenFlux",
+                            "UniGenSD3", "SANAUniGen"],
+                   help="model family (reference infer.py:115-121 "
+                        "eval(basemodel).from_pretrained; the [sic] "
+                        "multi-condition spelling is the reference's)")
+    p.add_argument("--clip_dir", default=None,
+                   help="SANAUniGen only: CLIP-L directory for the pooled "
+                        "prompt/condition stream (the reference loads CLIP "
+                        "for every family, train.py:81-88)")
     p.add_argument("--pretrained_model_name_or_path", required=True)
     p.add_argument("--ckpt_path", default=None, help="UniGen adapter dir")
     p.add_argument("--data_path", default=None)
     p.add_argument("--save_path", default="output/infer")
     p.add_argument("--condition_types", nargs="+", default=["canny"])
     p.add_argument("--prompt", default=None, help="single-prompt mode")
-    p.add_argument("--control_image", default=None)
+    p.add_argument("--control_image", default=None, nargs="+",
+                   help="control image path(s); MultiCondtionUniGenFlux "
+                        "pairs one per --condition_types entry")
+    p.add_argument("--quantize", default=None,
+                   choices=["w8a8", "w4a8", "bf16"],
+                   help="serving quantization policy applied to the loaded "
+                        "transformer tree (ops/quant streaming walk; the "
+                        "same knob serve.py uses). Default keeps the load "
+                        "dtype")
     p.add_argument("--num_inference_steps", type=int, default=28)
     p.add_argument("--guidance_scale", type=float, default=3.5)
     p.add_argument("--true_cfg_scale", type=float, default=1.0)
@@ -74,16 +91,29 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from unigen_tpu.utils import apply_env_platform
+    apply_env_platform()
     import numpy as np
     from PIL import Image
 
     from unigen_tpu.data import conditions as C
     from unigen_tpu.data.datasets import Subjects200K
     from unigen_tpu.observability import param_report, setup_logging
-    from unigen_tpu.pipelines.loading import load_flux_pipeline
+    from unigen_tpu.pipelines.loading import (load_flux_pipeline,
+                                              load_sana_pipeline,
+                                              load_sd3_pipeline)
 
     os.makedirs(args.save_path, exist_ok=True)
     logger = setup_logging(args.save_path)
+
+    # --basemodel selects the family like the reference's
+    # eval(args.basemodel).from_pretrained (infer.py:115-121)
+    fam_map = {"UniGenFlux": "flux", "MultiCondtionUniGenFlux": "flux",
+               "UniGenSD3": "sd3", "SANAUniGen": "sana"}
+    if args.basemodel not in fam_map:
+        raise SystemExit(f"unknown --basemodel {args.basemodel!r}; choose "
+                         f"one of {sorted(fam_map)}")
+    family = fam_map[args.basemodel]
 
     from unigen_tpu.config import control_overrides_from_yaml
     control_overrides = control_overrides_from_yaml(args.cn_config)
@@ -91,34 +121,79 @@ def main(argv=None):
         single_control_dev=args.single_control_dev,
         single_block_control_method=args.single_block_control_method,
         use_single_trans_blocks=not args.disable_single_trans_blocks)
-    pipe = load_flux_pipeline(args.pretrained_model_name_or_path,
-                              condition_types=args.condition_types,
-                              adapter_dir=args.ckpt_path,
-                              lora_dir=args.lora_dir,
-                              control_overrides=control_overrides)
+    quantize = None if args.quantize == "bf16" else args.quantize
+    if family == "flux":
+        pipe = load_flux_pipeline(args.pretrained_model_name_or_path,
+                                  condition_types=args.condition_types,
+                                  adapter_dir=args.ckpt_path,
+                                  lora_dir=args.lora_dir,
+                                  quantize=args.quantize,
+                                  control_overrides=control_overrides)
+    elif family == "sd3":
+        pipe = load_sd3_pipeline(args.pretrained_model_name_or_path,
+                                 condition_types=args.condition_types,
+                                 adapter_dir=args.ckpt_path,
+                                 quantize=quantize,
+                                 control_overrides=control_overrides)
+    else:
+        pipe = load_sana_pipeline(args.pretrained_model_name_or_path,
+                                  condition_types=args.condition_types,
+                                  adapter_dir=args.ckpt_path,
+                                  quantize=quantize,
+                                  control_overrides=control_overrides,
+                                  clip_dir=args.clip_dir)
+    if args.lora_dir and family != "flux":
+        raise SystemExit("--lora_dir: per-condition LoRA experts are wired "
+                         "for the flux family")
     param_report(pipe.params["base"], "base")
     param_report(pipe.params["control"], "adapter")
 
-    if args.prompt is not None:
-        img = np.asarray(Image.open(args.control_image).convert("RGB")
-                         .resize((args.resolution, args.resolution)))
-        control = C.to_model_range(img)[None]
-        imgs = pipe(prompt=args.prompt,
-                    condition_prompt=args.condition_types[0],
-                    control_image=control,
-                    height=args.resolution, width=args.resolution,
-                    num_inference_steps=args.num_inference_steps,
-                    guidance_scale=args.guidance_scale,
-                    true_cfg_scale=args.true_cfg_scale,
-                    conditioning_scale=args.conditioning_scale,
-                    control_cache_interval=args.control_cache_interval,
+    cache_kw = dict(control_cache_interval=args.control_cache_interval,
                     control_cache_threshold=args.control_cache_threshold,
-                    cfg_cache=args.cfg_cache,
                     model_cache_interval=args.model_cache_interval,
                     model_cache_threshold=args.model_cache_threshold,
                     model_cache_order=args.model_cache_order,
-                    quality_profile=args.quality_profile,
-                    seed=args.seed)
+                    quality_profile=args.quality_profile)
+
+    def run_pipe(prompts, control, seed):
+        kw = dict(condition_prompt=args.condition_types[0],
+                  control_image=control,
+                  height=args.resolution, width=args.resolution,
+                  num_inference_steps=args.num_inference_steps,
+                  conditioning_scale=args.conditioning_scale,
+                  seed=seed, **cache_kw)
+        if family == "flux":
+            kw.update(guidance_scale=args.guidance_scale,
+                      true_cfg_scale=args.true_cfg_scale,
+                      cfg_cache=args.cfg_cache)
+        elif family == "sd3":
+            kw.update(guidance_scale=args.guidance_scale,
+                      cfg_cache=args.cfg_cache)
+        return pipe(prompt=prompts, **kw)
+
+    if args.prompt is not None:
+        def load_control(path):
+            img = np.asarray(Image.open(path).convert("RGB")
+                             .resize((args.resolution, args.resolution)))
+            return C.to_model_range(img)[None]
+
+        if args.basemodel == "MultiCondtionUniGenFlux" and \
+                len(args.condition_types) > 1:
+            # joint control (reference UniGenPipeline.py:809-1134): one
+            # control image per condition type
+            assert len(args.control_image) == len(args.condition_types), \
+                "--control_image count must match --condition_types"
+            imgs = pipe.multi_condition_call(
+                args.prompt, condition_prompts=list(args.condition_types),
+                control_images=[load_control(p) for p in args.control_image],
+                height=args.resolution, width=args.resolution,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                conditioning_scale=args.conditioning_scale,
+                seed=args.seed, **cache_kw)
+        else:
+            imgs = run_pipe(args.prompt, load_control(args.control_image[0]),
+                            args.seed)
         Image.fromarray(imgs[0]).save(os.path.join(args.save_path, "res.png"))
         logger.info("saved %s", os.path.join(args.save_path, "res.png"))
         return
@@ -134,19 +209,7 @@ def main(argv=None):
         control = np.stack([C.to_model_range(s["condition_image"])
                             for s in samples])
         prompts = [s["descriptions"] for s in samples]
-        imgs = pipe(prompt=prompts, condition_prompt=args.condition_types[0],
-                    control_image=control, height=args.resolution,
-                    width=args.resolution,
-                    num_inference_steps=args.num_inference_steps,
-                    guidance_scale=args.guidance_scale,
-                    conditioning_scale=args.conditioning_scale,
-                    control_cache_interval=args.control_cache_interval,
-                    control_cache_threshold=args.control_cache_threshold,
-                    model_cache_interval=args.model_cache_interval,
-                    model_cache_threshold=args.model_cache_threshold,
-                    model_cache_order=args.model_cache_order,
-                    quality_profile=args.quality_profile,
-                    seed=args.seed + start)
+        imgs = run_pipe(prompts, control, args.seed + start)
         for j, (i, s) in enumerate(zip(idxs, samples)):
             d = os.path.join(args.save_path, f"{i:05d}")
             os.makedirs(d, exist_ok=True)

@@ -94,6 +94,8 @@ def load_cn_config(path):
 
 def main(argv=None):
     args = parse_args(argv)
+    from unigen_tpu.utils import apply_env_platform
+    apply_env_platform()
     import jax
     import jax.numpy as jnp
     import numpy as np

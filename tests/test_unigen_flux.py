@@ -132,3 +132,26 @@ def test_warm_start_copies_base_blocks(tiny):
     np.testing.assert_array_equal(
         np.asarray(params["control"]["x_embedder"]["w"]),
         np.asarray(params["base"]["x_embedder"]["w"]))
+
+
+def test_bf16_forward_with_f32_scale_schedule():
+    """A strongly-typed f32 conditioning_scale (e.g. an element of the
+    pipeline's controlnet_keep schedule array) must not promote the bf16
+    activation stream — this previously broke every bf16 pipeline __call__
+    with a scan-carry dtype mismatch (the CLI path; tests ran fp32)."""
+    flux = cfg_lib.tiny_flux_config()
+    cfg = cfg_lib.UniGenConfig(family="flux", flux=flux,
+                               condition_types=("canny",))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.bfloat16)
+    batch = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        _batch(cfg, b=1))
+    batch["img_ids"] = batch["img_ids"].astype(jnp.float32)
+    batch["txt_ids"] = batch["txt_ids"].astype(jnp.float32)
+    batch["condition_ids"] = batch["condition_ids"].astype(jnp.float32)
+    schedule = jnp.ones((4,), jnp.float32)       # strong f32 scalar element
+    pred, _, _ = unigen_flux_forward(params, cfg, **batch,
+                                     conditioning_scale=schedule[0])
+    assert pred.dtype == jnp.bfloat16
+    assert jnp.isfinite(pred.astype(jnp.float32)).all()

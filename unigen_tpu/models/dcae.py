@@ -277,11 +277,66 @@ def init_dcae_params(key, cfg: DCAEConfig, *, dtype=jnp.float32) -> dict:
     return {"encoder": enc, "decoder": dec}
 
 
+def save_dcae_native(path: str, params: dict, cfg: DCAEConfig) -> None:
+    """Persist a DC-AE tree in the framework-native format: a flat npz of
+    leaves in canonical pytree order + a config.json. Released dc-ae
+    checkpoints bridge into this format once a weights-available environment
+    pins the released naming (module docstring / ROADMAP #1); everything
+    downstream (load_sana_pipeline) consumes only this."""
+    import dataclasses
+    import json
+    import os
+
+    import numpy as np
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves(params)
+    np.savez(os.path.join(path, "dcae_native.npz"),
+             **{f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)})
+    with open(os.path.join(path, "dcae_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1)
+
+
+def has_dcae_native(path: str) -> bool:
+    import os
+    return os.path.isfile(os.path.join(path, "dcae_native.npz"))
+
+
+def load_dcae_native(path: str, *, dtype=jnp.float32):
+    """Inverse of save_dcae_native -> (params, cfg). The tree structure is
+    rebuilt from the saved config (init_dcae_params is deterministic in
+    structure), so leaf count mismatches fail loudly."""
+    import json
+    import os
+
+    import numpy as np
+    with open(os.path.join(path, "dcae_config.json")) as f:
+        raw = json.load(f)
+    for k in ("widths", "encoder_depths", "decoder_depths"):
+        raw[k] = tuple(raw[k])
+    cfg = DCAEConfig(**raw)
+    z = np.load(os.path.join(path, "dcae_native.npz"))
+    struct = jax.eval_shape(
+        lambda: init_dcae_params(jax.random.PRNGKey(0), cfg))
+    treedef = jax.tree_util.tree_structure(struct)
+    names = sorted(z.files)
+    assert len(names) == treedef.num_leaves, \
+        f"dcae_native.npz has {len(names)} leaves, config implies " \
+        f"{treedef.num_leaves}"
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(z[n], dtype) for n in names])
+    shapes = jax.tree_util.tree_leaves(struct)
+    for got, want in zip(jax.tree_util.tree_leaves(params), shapes):
+        assert got.shape == want.shape, (got.shape, want.shape)
+    return params, cfg
+
+
 def dcae_encode(params: dict, cfg: DCAEConfig, pixels: jnp.ndarray) -> jnp.ndarray:
     """pixels [B,3,H,W] in [-1,1] -> latents [B,C,H/f,W/f] * scaling_factor.
     Deterministic (no posterior) — the dc-ae convention."""
     enc = params["encoder"]
     ws = cfg.widths
+    # run at the codec's own parameter precision regardless of pipeline dtype
+    pixels = pixels.astype(enc["conv_in"]["w"].dtype)
     x = conv(enc["conv_in"], pixels)
     for i in range(len(ws)):
         x = _run_stage(enc["stages"][i], x, i >= cfg.attention_start, cfg)
@@ -297,6 +352,7 @@ def dcae_decode(params: dict, cfg: DCAEConfig, latents: jnp.ndarray) -> jnp.ndar
     dec = params["decoder"]
     rws = list(reversed(cfg.widths))
     n = len(rws)
+    latents = latents.astype(dec["conv_in"]["w"].dtype)
     z = latents / cfg.scaling_factor
     # latent in-projection with the duplication shortcut
     x = conv(dec["conv_in"], z) + channel_duplicate(z, rws[0])

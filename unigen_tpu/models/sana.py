@@ -171,6 +171,8 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
     base, ctrl = params["base"], params["control"]
     bb, cc = cfg.sana, cfg.control
     b, c, height, width = hidden.shape
+    # keep a strongly-typed f32 scale from promoting bf16 activations
+    conditioning_scale = jnp.asarray(conditioning_scale, hidden.dtype)
     hp, wp = height // bb.patch_size, width // bb.patch_size
     heads, xheads = bb.num_attention_heads, bb.num_cross_attention_heads
     num_experts = cc.moe.num_experts(cfg.condition_nums)

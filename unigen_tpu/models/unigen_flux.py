@@ -276,7 +276,9 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
     bb = cfg.flux
     cc = cfg.control
     heads = bb.num_attention_heads
-    scale = conditioning_scale
+    # a strongly-typed f32 scale (e.g. a schedule-array element) must not
+    # promote the bf16 residual stream — cast to the activation dtype
+    scale = jnp.asarray(conditioning_scale, hidden.dtype)
 
     h, enc, temb = flux_embed_inputs(base, bb, hidden, encoder, pooled,
                                      timestep, guidance)

@@ -270,6 +270,8 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
     bb, cc = cfg.sd3, cfg.control
     heads = bb.num_attention_heads
     b, c, height, width = hidden.shape
+    # keep a strongly-typed f32 scale from promoting bf16 activations
+    conditioning_scale = jnp.asarray(conditioning_scale, hidden.dtype)
     # reference :496: the interleaved class requires joint control blocks
     assert cc.use_encoder_hidden_states, \
         "UniGenSD3 (interleaved) requires use_encoder_hidden_states=True; " \
@@ -356,6 +358,8 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
     heads = bb.num_attention_heads
     b, c, height, width = hidden.shape
     dtype = hidden.dtype
+    # keep a strongly-typed f32 scale from promoting bf16 activations
+    conditioning_scale = jnp.asarray(conditioning_scale, dtype)
 
     reuse = control_residuals is not None
     assert not (reuse and return_control_residuals), \

@@ -168,6 +168,10 @@ def vae_encode(params: dict, cfg: VAEConfig, pixels: jnp.ndarray,
     (deterministic, inference default)."""
     g = cfg.norm_num_groups
     enc = params["encoder"]
+    # the VAE runs at its own parameter precision (fp32 by default) even when
+    # the surrounding pipeline is bf16 — cast at the boundary like the decode
+    # side does (pipelines/flux.py casts latents to fp32 before vae_decode)
+    pixels = pixels.astype(enc["conv_in"]["w"].dtype)
     x = conv(enc["conv_in"], pixels)
     for block in enc["down"]:
         for r in block["resnets"]:

@@ -219,14 +219,72 @@ def sana_backbone_from_json(tcfg: dict) -> cfg_lib.SanaBackboneConfig:
         caption_channels=tcfg.get("caption_channels", 2304),
         mlp_ratio=tcfg.get("mlp_ratio", 2.5),
         patch_size=tcfg.get("patch_size", 1),
-        sample_size=tcfg.get("sample_size", 32))
+        sample_size=tcfg.get("sample_size", 32),
+        # UniGen-specific (not a diffusers SanaTransformer2DModel field):
+        # pooled-embedding dim for the MoE modulation stream
+        pooled_projection_dim=tcfg.get("pooled_projection_dim", 768))
+
+
+def _clip_cfg_from_json(raw: dict) -> CLIPTextConfig:
+    return CLIPTextConfig(
+        vocab_size=raw.get("vocab_size", 49408),
+        hidden_size=raw.get("hidden_size", 768),
+        intermediate_size=raw.get("intermediate_size", 3072),
+        num_layers=raw.get("num_hidden_layers", 12),
+        num_heads=raw.get("num_attention_heads", 12),
+        max_position_embeddings=raw.get("max_position_embeddings", 77),
+        eos_token_id=raw.get("eos_token_id", 49407),
+        projection_dim=raw.get("projection_dim")
+        if raw.get("architectures", [""])[0].endswith("WithProjection")
+        else None)
+
+
+def _load_clip_bundle(root: str, sub: str, tok_sub: str):
+    """(params, cfg, tokenizer) for a CLIP text-encoder subfolder, or None
+    when the subfolder is absent (prompt-embed-only pipelines)."""
+    enc_dir = os.path.join(root, sub)
+    if not os.path.isdir(enc_dir):
+        return None
+    raw = _subcfg(root, sub)
+    ccfg = _clip_cfg_from_json(raw)
+    params = tb.load_clip_text(tb.read_checkpoint_dir(enc_dir),
+                               ccfg.num_layers, dtype=jnp.float32)
+    tokenizer = None
+    try:
+        from transformers import CLIPTokenizer
+        tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, tok_sub))
+    except Exception:
+        pass
+    return params, ccfg, tokenizer
+
+
+def _quantize_unigen_tree(base, control, quantize: Optional[str]):
+    """Apply the serving quantization policy to a loaded sd3/sana
+    {base, control} pair. 'w8a8' -> int8 everywhere eligible; 'w4a8' ->
+    int4 base + int8 adapter (the measured SD3 half-memory policy — the
+    flux-specific key map in quantize_unigen_serving doesn't apply to
+    these families, see bench.py sd3 family rung)."""
+    if quantize not in ("w4a8", "w8a8"):
+        return base, control
+    from unigen_tpu.ops import quant
+    if quantize == "w8a8":
+        tree = quant.quantize_tree_streaming({"base": base, "control": control})
+        return tree["base"], tree["control"]
+    return (quant.quantize_tree_streaming(base, bits=4),
+            quant.quantize_tree_streaming(control, bits=8))
 
 
 def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),
                       adapter_dir: Optional[str] = None,
-                      dtype=jnp.float32, control_overrides: Optional[dict] = None):
+                      dtype=jnp.float32, control_overrides: Optional[dict] = None,
+                      quantize: Optional[str] = None):
     """Build a UniGenSD3Pipeline from an SD3.5 HF directory (reference
-    train.py:259-307 asset loading for the SD3 family)."""
+    train.py:259-307 asset loading for the SD3 family). Text encoders load
+    from the SD3 triple-encoder layout (text_encoder=CLIP-L,
+    text_encoder_2=CLIP-G, text_encoder_3=T5) when the subfolders exist;
+    otherwise the pipeline serves prompt embeddings passed by the caller.
+    quantize: 'w8a8'/'w4a8' applies the streaming serving policy to the
+    transformer tree (same knob as load_flux_pipeline)."""
     from unigen_tpu.io import torch_bridge_sd3 as tb3
     from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_control
     from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
@@ -251,6 +309,34 @@ def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),
     else:
         control = init_unigen_sd3_control(jax.random.PRNGKey(0), cfg,
                                           dtype=dtype, base_params=base)
+    base, control = _quantize_unigen_tree(base, control, quantize)
+
+    text_encoders = None
+    clip_l = _load_clip_bundle(root, "text_encoder", "tokenizer")
+    clip_g = _load_clip_bundle(root, "text_encoder_2", "tokenizer_2")
+    if clip_l and clip_g:
+        t5 = None
+        t5_dir = os.path.join(root, "text_encoder_3")
+        if os.path.isdir(t5_dir):
+            t5_raw = _subcfg(root, "text_encoder_3")
+            t5_cfg = T5Config(
+                vocab_size=t5_raw.get("vocab_size", 32128),
+                d_model=t5_raw.get("d_model", 4096),
+                d_kv=t5_raw.get("d_kv", 64),
+                d_ff=t5_raw.get("d_ff", 10240),
+                num_layers=t5_raw.get("num_layers", 24),
+                num_heads=t5_raw.get("num_heads", 64))
+            t5_params = tb.load_t5_encoder(tb.read_checkpoint_dir(t5_dir),
+                                           t5_cfg.num_layers, dtype=dtype)
+            tok3 = None
+            try:
+                from transformers import T5TokenizerFast
+                tok3 = T5TokenizerFast.from_pretrained(
+                    os.path.join(root, "tokenizer_3"))
+            except Exception:
+                pass
+            t5 = (t5_params, t5_cfg, tok3)
+        text_encoders = {"clip_l": clip_l, "clip_g": clip_g, "t5": t5}
 
     vcfg_raw = _subcfg(root, "vae")
     vae_cfg = vae_lib.VAEConfig(
@@ -270,4 +356,126 @@ def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),
 
     return UniGenSD3Pipeline(cfg=cfg, params={"base": base, "control": control},
                              vae_cfg=vae_cfg, vae_params=vae_params,
-                             scheduler=scheduler, dtype=dtype)
+                             scheduler=scheduler, text_encoders=text_encoders,
+                             dtype=dtype)
+
+
+def gemma_config_from_json(raw: dict):
+    """transformers Gemma2 config.json -> models/gemma_text.GemmaConfig."""
+    from unigen_tpu.models.gemma_text import GemmaConfig
+    return GemmaConfig(
+        vocab_size=raw.get("vocab_size", 256000),
+        hidden_size=raw.get("hidden_size", 2304),
+        intermediate_size=raw.get("intermediate_size", 9216),
+        num_layers=raw.get("num_hidden_layers", 26),
+        num_heads=raw.get("num_attention_heads", 8),
+        num_kv_heads=raw.get("num_key_value_heads", 4),
+        head_dim=raw.get("head_dim", 256),
+        rms_norm_eps=raw.get("rms_norm_eps", 1e-6),
+        rope_theta=raw.get("rope_theta", 10000.0),
+        attn_logit_softcapping=raw.get("attn_logit_softcapping", 50.0),
+        query_pre_attn_scalar=raw.get("query_pre_attn_scalar", 256.0),
+        sliding_window=raw.get("sliding_window", 4096))
+
+
+def load_sana_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",),
+                       adapter_dir: Optional[str] = None,
+                       dtype=jnp.float32, control_overrides: Optional[dict] = None,
+                       quantize: Optional[str] = None,
+                       dcae_dir: Optional[str] = None,
+                       clip_dir: Optional[str] = None):
+    """Build a UniGenSanaPipeline from a SANA HF directory (reference
+    infer.py:115-150 asset loading applied to the SANA family, which the
+    reference models but never wires into an entry point —
+    UniGenTransformer.py:1453-2112).
+
+    - transformer/adapter: validated bridges (torch_bridge_sd3).
+    - text_encoder/tokenizer: Gemma-2 (golden-tested vs transformers).
+    - latent codec: DC-AE in the framework-native format
+      (models/dcae.save_dcae_native) from ``dcae_dir`` or ``{root}/vae``;
+      when neither holds a native save, a RANDOM-INIT DC-AE is used and a
+      loud warning printed — bridging released dc-ae weights needs a
+      weights-available environment (ROADMAP #1).
+    - clip_dir: optional CLIP-L directory for pooled prompt/condition
+      embeddings (the UniGen-SANA pooled stream; the reference loads CLIP
+      for every family, train.py:81-88). Absent -> callers pass
+      pooled embeddings directly.
+    """
+    from unigen_tpu.io import torch_bridge_sd3 as tb3
+    from unigen_tpu.models import dcae
+    from unigen_tpu.models.sana import init_sana_unigen_control
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+
+    tcfg = _subcfg(root, "transformer")
+    sana = sana_backbone_from_json(tcfg)
+    cfg = cfg_lib.UniGenConfig(
+        family="sana", sana=sana,
+        control=cfg_lib.ControlConfig(**(control_overrides or {})),
+        condition_types=tuple(condition_types))
+
+    sd = tb.read_checkpoint_dir(os.path.join(root, "transformer"))
+    base = tb3.load_sana_transformer(sd, sana, dtype=dtype)
+    n_cn = cfg.control.num_layers or sana.num_layers
+    if adapter_dir:
+        control = tb3.load_sana_unigen_adapter(
+            tb.read_checkpoint_dir(adapter_dir), sana, n_cn,
+            cfg.control.moe.num_experts(cfg.condition_nums), dtype=dtype)
+    else:
+        control = init_sana_unigen_control(jax.random.PRNGKey(0), cfg,
+                                           dtype=dtype, base_params=base)
+    base, control = _quantize_unigen_tree(base, control, quantize)
+
+    ae_root = dcae_dir or os.path.join(root, "vae")
+    if dcae.has_dcae_native(ae_root):
+        ae_params, ae_cfg = dcae.load_dcae_native(ae_root)
+    else:
+        import sys
+        ae_cfg = dcae.DCAEConfig(latent_channels=sana.in_channels)
+        ae_params = jax.jit(
+            lambda k: dcae.init_dcae_params(k, ae_cfg))(jax.random.PRNGKey(2))
+        print(f"# load_sana_pipeline: no native DC-AE at {ae_root} — using "
+              "RANDOM-INIT codec (decoded pixels are meaningless; bridge "
+              "released dc-ae weights via models/dcae.save_dcae_native)",
+              file=sys.stderr)
+
+    gemma_cfg = gemma_params = tokenizer = None
+    enc_dir = os.path.join(root, "text_encoder")
+    if os.path.isdir(enc_dir):
+        gemma_cfg = gemma_config_from_json(_subcfg(root, "text_encoder"))
+        gemma_params = tb.load_gemma_text(tb.read_checkpoint_dir(enc_dir),
+                                          gemma_cfg.num_layers, dtype=dtype)
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(
+                os.path.join(root, "tokenizer"))
+        except Exception:
+            pass
+
+    clip_cfg = clip_params = tokenizer_clip = None
+    if clip_dir:
+        raw = {}
+        cfg_path = os.path.join(clip_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                raw = json.load(f)
+        clip_cfg = _clip_cfg_from_json(raw)
+        clip_params = tb.load_clip_text(tb.read_checkpoint_dir(clip_dir),
+                                        clip_cfg.num_layers, dtype=jnp.float32)
+        try:
+            from transformers import CLIPTokenizer
+            tokenizer_clip = CLIPTokenizer.from_pretrained(clip_dir)
+        except Exception:
+            pass
+
+    sch_raw = _subcfg(root, "scheduler") or {}
+    scheduler = scheduling.FlowMatchConfig(shift=sch_raw.get("shift", 3.0))
+
+    return UniGenSanaPipeline(
+        cfg=cfg, params={"base": base, "control": control},
+        ae_encode=lambda px: dcae.dcae_encode(ae_params, ae_cfg, px),
+        ae_decode=lambda z: dcae.dcae_decode(ae_params, ae_cfg, z),
+        ae_downscale=ae_cfg.downscale,
+        gemma_cfg=gemma_cfg, gemma_params=gemma_params,
+        clip_cfg=clip_cfg, clip_params=clip_params,
+        tokenizer=tokenizer, tokenizer_clip=tokenizer_clip,
+        scheduler=scheduler, dtype=dtype)
