@@ -54,3 +54,64 @@ def test_sharded_inference_matches_single_device():
     got = fwd(sharded, sharded_batch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=5e-5)
+
+
+def _tiny_pipe(quantize=False):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.flux import UniGenFluxPipeline
+
+    flux = cfg_lib.tiny_flux_config()
+    cfg = cfg_lib.UniGenConfig(
+        family="flux", flux=flux, condition_types=("canny",),
+        control=cfg_lib.ControlConfig(moe=cfg_lib.MoEConfig(expert_num=4)))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+    if quantize:
+        from unigen_tpu.ops.quant import quantize_tree
+        params = quantize_tree(params, min_dim=8)
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=flux.in_channels // 4)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    return UniGenFluxPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                              vae_params=vae_params, dtype=jnp.float32)
+
+
+def _gen(pipe, b=2):
+    bb = pipe.cfg.flux
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    return pipe.generate(
+        prompt_embeds=jax.random.normal(ks[0], (b, 6, bb.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, bb.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, bb.pooled_projection_dim)),
+        control_pixels=np.asarray(
+            jax.random.uniform(ks[3], (b, 3, 32, 32), minval=-1, maxval=1)),
+        height=32, width=32, num_inference_steps=2, seed=5)
+
+
+@pytest.mark.parametrize("quantize", [False, True],
+                         ids=["fp32", "quantized"])
+def test_sharded_pipeline_generate_matches_single_device(quantize):
+    """Multi-chip serving through the PIPELINE API (serve.py --mesh-*):
+    pipe.shard(mesh) places the tree (incl. w_q/w_scale leaves) by the
+    sharding rules, generate() shards its batch inputs over 'data', and the
+    denoise program partitions under GSPMD — output == single-device."""
+    pipe = _tiny_pipe(quantize)
+    ref = _gen(pipe)
+
+    sharded = _tiny_pipe(quantize)
+    mesh = build_mesh(cfg_lib.MeshConfig(data=2, expert=2, sequence=1,
+                                         model=2))
+    sharded.shard(mesh)
+    if quantize:
+        # the rules actually engaged on the quantized serving leaves
+        from unigen_tpu.parallel.sharding import param_spec
+        hit = []
+        def _check(path, leaf):
+            keys = [getattr(k, "key", None) for k in path]
+            if keys and keys[-1] in ("w_q", "w_q4", "w_scale"):
+                hit.append("model" in str(param_spec(path, leaf, mesh)))
+            return leaf
+        jax.tree_util.tree_map_with_path(_check, sharded.params)
+        assert hit and any(hit), "no quantized leaf picked up a 'model' spec"
+    got = _gen(sharded)
+    assert got.shape == ref.shape
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"

@@ -61,8 +61,11 @@ def param_spec(path, leaf, mesh: Mesh, *, zero_sharding: bool = True,
             if k in _ROW_PARALLEL:
                 owner = "row"
                 break
-        is_w = names and names[-1] == "w"
-        is_b = names and names[-1] == "b"
+        # quantized serving leaves shard like their fp counterparts:
+        # w_q [in,out] / w_q4 [in/2,out] like w; w_scale (per-out-channel)
+        # like the bias for column-parallel, replicated for row-parallel
+        is_w = names and names[-1] in ("w", "w_q", "w_q4")
+        is_b = names and names[-1] in ("b", "w_scale")
         m = _axis_size(mesh, "model")
         if owner == "col":
             if is_w and leaf.shape[-1] % m == 0:

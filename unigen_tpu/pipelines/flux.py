@@ -57,11 +57,52 @@ class UniGenFluxPipeline:
     prompt_cache_size: int = 0      # >0: LRU prompt-embedding cache (serving
                                     # repeats negative/condition prompts every
                                     # request; see caching.PromptLRU)
+    mesh: Any = None                # set via shard(): multi-chip serving
 
     def __post_init__(self):
         self._program_cache: Dict[Any, Any] = {}
         self._lora = None               # models/lora.LoraSwitcher when loaded
         self._prompt_cache = caching.PromptLRU(self.prompt_cache_size)
+
+    # ------------------------------------------------------------ multi-chip
+
+    def shard(self, mesh) -> None:
+        """Place the serving tree on a device mesh for multi-chip serving
+        (the inference counterpart of Trainer(mesh=...)): params follow the
+        TP/EP/ZeRO rules in parallel/sharding.py (quantized w_q/w_q4/w_scale
+        leaves shard like their fp counterparts), the VAE replicates, and
+        subsequent generate() calls shard their batch inputs over 'data' so
+        GSPMD partitions the compiled denoise program with XLA collectives
+        over ICI. Call AFTER load_lora (adapter refolds re-place onto the
+        mesh automatically, at a full re-placement cost per switch)."""
+        from unigen_tpu.parallel import sharding as shd
+        self.mesh = mesh
+        self.params = shd.shard_params(self.params, mesh)
+        if self.vae_params is not None:
+            self.vae_params = jax.device_put(self.vae_params,
+                                             shd.replicated(mesh))
+
+    def _place_inputs(self, tree, batch_axis: int = 0):
+        """Shard array inputs over the mesh 'data' axis (replicate anything
+        whose batch dim doesn't divide); no-op without a mesh."""
+        if self.mesh is None:
+            return tree
+        from unigen_tpu.parallel import sharding as shd
+        d = self.mesh.shape.get("data", 1)
+
+        def _place(x):
+            if not hasattr(x, "ndim"):
+                return x
+            if (x.ndim > batch_axis and d > 1
+                    and x.shape[batch_axis] % d == 0):
+                spec = [None] * x.ndim
+                spec[batch_axis] = "data"
+                return jax.device_put(
+                    x, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(*spec)))
+            return jax.device_put(x, shd.replicated(self.mesh))
+
+        return jax.tree.map(_place, tree)
 
     # ------------------------------------------------------------ LoRA experts
 
@@ -87,6 +128,10 @@ class UniGenFluxPipeline:
         are reused across switches; cost is the refold of affected linears."""
         assert self._lora is not None, "call load_lora() first"
         self.params = self._lora.switch(self.params, names, scale)
+        if self.mesh is not None:
+            # refolded leaves come back unplaced — keep the mesh placement
+            from unigen_tpu.parallel import sharding as shd
+            self.params = shd.shard_params(self.params, self.mesh)
 
     def _auto_switch(self, condition_prompt) -> None:
         """Per-call expert selection by condition type (enable_lora parity):
@@ -593,6 +638,22 @@ class UniGenFluxPipeline:
             flag = (any(subject_offset) if not isinstance(subject_offset, bool)
                     else subject_offset)
             offsets = jnp.asarray(lw / 2.0 if flag else 0.0)
+
+        if self.mesh is not None:
+            # multi-chip serving: batch inputs shard over 'data', the rest
+            # replicates; GSPMD partitions the program against the sharded
+            # params placed by shard()
+            (latents, prompt_embeds, pooled, neg_embeds,
+             neg_pooled) = self._place_inputs(
+                (latents, prompt_embeds, pooled, neg_embeds, neg_pooled))
+            # multi-condition arrays carry a leading K axis; batch is axis 1
+            cond_axis = 1 if multi else 0
+            cond_pooled = self._place_inputs(cond_pooled,
+                                             batch_axis=cond_axis)
+            control_pixels = self._place_inputs(control_pixels,
+                                                batch_axis=cond_axis)
+            from unigen_tpu.parallel import sharding as shd
+            offsets = jax.device_put(offsets, shd.replicated(self.mesh))
 
         if hybrid_adaptive:
             # BOTH thresholds ride as traced scalars: one compiled program
