@@ -1766,6 +1766,10 @@ def bench_stepserver():
     # only the refreshing slots into the smallest compiled program
     cache_k = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE", "1"))
     cache_order = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE_ORDER", "0"))
+    # UNIGEN_BENCH_STEP_HYBRID=c adds the per-slot control-residual cache on
+    # top: full refresh every c-th OWN step, base-with-control-replay every
+    # k-th, prediction replay otherwise (the hybrid three-level schedule)
+    cache_c = int(os.environ.get("UNIGEN_BENCH_STEP_HYBRID", "1"))
     num_steps = 4
     preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
     cfg_base = {"full": presets.flux_full, "proxy": presets.flux_bench,
@@ -1797,7 +1801,8 @@ def bench_stepserver():
     srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=B,
                      num_inference_steps=num_steps, height=res, width=res,
                      model_cache_interval=cache_k,
-                     model_cache_order=cache_order, dtype=dtype)
+                     model_cache_order=cache_order,
+                     control_cache_interval=cache_c, dtype=dtype)
     t_len = 16 if preset == "tiny" else 512
 
     def request(i):
@@ -1844,10 +1849,13 @@ def bench_stepserver():
           f"({B} slots)", file=sys.stderr)
 
     ctag = f"_cache{cache_k}o{cache_order}" if cache_k > 1 else ""
+    if cache_c > 1:
+        ctag += f"_hybrid{cache_c}"
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
                      f"w{bb.inner_dim}_stepserver{B}slots{ctag}",
            "res": res, "slots": B, "num_steps": num_steps,
            "model_cache_interval": cache_k, "model_cache_order": cache_order,
+           "control_cache_interval": cache_c,
            "warm_single_request_latency_ms": round(single_lat * 1000, 1),
            "sustained_img_per_sec": round(sustained, 4),
            "note": "admission latency bounded by ONE denoise step (vs a full "
@@ -1857,7 +1865,8 @@ def bench_stepserver():
                    "use MicroBatchServer when peak batch throughput beats "
                    "admission latency"}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "STEPSERVE_CACHE.json" if cache_k > 1
+                           "STEPSERVE_HYBRID.json" if cache_c > 1
+                           else "STEPSERVE_CACHE.json" if cache_k > 1
                            else "STEPSERVE.json"), "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({

@@ -126,3 +126,36 @@ def test_step_server_slot_reuse_and_errors(tiny_world):
     srv.close()
     with pytest.raises(RuntimeError):
         srv.submit(**_request(21, cfg))
+
+
+@pytest.mark.parametrize("c,k", [(4, 2), (2, 1)],
+                         ids=["hybrid_4_2", "control_only_2"])
+def test_step_server_hybrid_cache_matches_pipeline(tiny_world, c, k):
+    """The hybrid three-level cache composed with continuous batching: each
+    slot runs FULL on its own c-boundary, BASE with its cached control
+    residuals on its k-boundary (every non-full step when k == 1 — the pure
+    per-slot control cache), prediction replay otherwise. Per-request
+    outputs must equal the one-shot pipeline with the same knobs; staggered
+    admissions put slots at different levels inside the same tick (a full
+    gather AND a base gather in one tick)."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 5
+    reqs = [_request(60 + i, cfg) for i in range(3)]
+    refs = [_pipeline_reference(tiny_world, r, steps,
+                                control_cache_interval=c,
+                                model_cache_interval=k) for r in reqs]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=steps, height=32, width=32,
+                     control_cache_interval=c, model_cache_interval=k,
+                     dtype=jnp.float32)
+    futs = [srv.submit(**r) for r in reqs]
+    outs = [f.result(timeout=300) for f in futs]
+    # slot reuse resets the per-slot caches (step-0 full refresh)
+    f_again = srv.submit(**reqs[0])
+    out_again = f_again.result(timeout=300)
+    srv.close()
+    for out, ref in zip(outs + [out_again], refs + [refs[0]]):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"

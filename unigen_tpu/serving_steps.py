@@ -82,10 +82,19 @@ class StepServer:
                  guidance_scale: float = 3.5,
                  scheduler: Optional[scheduling.FlowMatchConfig] = None,
                  model_cache_interval: int = 1, model_cache_order: int = 0,
+                 control_cache_interval: int = 1,
                  dtype=jnp.bfloat16):
         assert cfg.control.moe.batch_mode == "per_sample", \
             "StepServer needs per-sample MoE routing (row independence)"
         assert model_cache_interval >= 1 and model_cache_order in (0, 1)
+        assert control_cache_interval >= 1
+        if control_cache_interval > 1 and model_cache_interval > 1:
+            # hybrid three-level schedule per slot (caching.hybrid_cache_scan
+            # semantics): every full step must fall on a base boundary
+            assert (model_cache_interval < control_cache_interval
+                    and control_cache_interval % model_cache_interval == 0), \
+                "hybrid needs model_cache_interval < control_cache_interval " \
+                "with the latter a multiple of the former"
         self.cfg, self.params = cfg, params
         self.vae_cfg, self.vae_params = vae_cfg, vae_params
         self.B = batch_size
@@ -114,7 +123,8 @@ class StepServer:
         self._slots: List[_Slot] = [_Slot() for _ in range(B)]
         self.cache_k = int(model_cache_interval)
         self.cache_order = int(model_cache_order)
-        if self.cache_k > 1:
+        self.cache_c = int(control_cache_interval)
+        if self.cache_k > 1 or self.cache_c > 1:
             # per-slot prediction cache: p1 = latest refreshed prediction,
             # p0 = the one before (order-1 Taylor replay), refresh step
             # indices kept host-side (they drive the replay factor)
@@ -122,6 +132,17 @@ class StepServer:
             self._p0 = jnp.zeros((B, S, C), dtype)
             self._i1 = np.full((B,), -1, np.int64)
             self._i0 = np.full((B,), -1, np.int64)
+        if self.cache_c > 1:
+            # per-slot control-residual cache (the hybrid's middle level):
+            # raw unscaled adds, (dbl [n_dbl, B, S_img, D], sgl [n_sgl, B,
+            # t_len + S_img, D]) — the sgl part is allocated on first admit
+            # (needs the text length)
+            d_inner = bb.num_attention_heads * bb.attention_head_dim
+            self._res_d = jnp.zeros((bb.num_layers, B, S, d_inner), dtype)
+            self._res_s = None
+            self._full_fns: Dict[int, Any] = {}   # m -> full fwd (+residuals)
+            self._base_fns: Dict[int, Any] = {}   # m -> control-replay fwd
+            self._scatter_res_fns: Dict[int, Any] = {}
         # compact program sizes for the refresh subset: powers of two + B
         self._sizes = sorted({1 << p for p in range(B.bit_length())
                               if (1 << p) <= B} | {B})
@@ -204,6 +225,68 @@ class StepServer:
             return pred
 
         return jax.jit(fwd)
+
+    def _build_full_h(self, t_len: int, m: int):
+        """Hybrid FULL refresh for ``m`` gathered slots: the exact forward
+        that ALSO captures the raw per-block control residuals (level 2 of
+        caching.hybrid_cache_scan, per slot). Pad rows repeat a real slot —
+        their residual scatter writes the identical value."""
+        cfg, bb = self.cfg, self.cfg.flux
+        txt_ids = jnp.zeros((t_len, 3))
+        img_ids = self._img_ids
+        use_guidance = bb.guidance_embeds
+        gs = self._guidance_scale
+        dtype = self.dtype
+
+        def fwd(params, lat, cond, embeds, pooled, cond_pooled, idx,
+                t_now, scale):
+            guidance = (jnp.full((m,), gs, dtype) if use_guidance else None)
+            pred, _, outs = unigen_flux_forward(
+                params, cfg, hidden=lat[idx], condition=cond[idx],
+                encoder=embeds[idx], pooled=pooled[idx],
+                condition_pooled=cond_pooled[idx],
+                timestep=t_now.astype(dtype),
+                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+                guidance=guidance,
+                conditioning_scale=scale[:, None, None].astype(dtype),
+                return_control_residuals=True)
+            return pred, outs["control_residuals"]
+
+        return jax.jit(fwd)
+
+    def _build_base_h(self, t_len: int, m: int):
+        """Hybrid BASE refresh: ``m`` gathered slots run the base
+        transformer with their cached control residuals replayed (level 1;
+        ~54% of a full step at flux full topology, PROFILE_FULL.json). The
+        residual gather rides inside the program like the row gathers."""
+        cfg, bb = self.cfg, self.cfg.flux
+        txt_ids = jnp.zeros((t_len, 3))
+        img_ids = self._img_ids
+        use_guidance = bb.guidance_embeds
+        gs = self._guidance_scale
+        dtype = self.dtype
+
+        def fwd(params, lat, cond, embeds, pooled, cond_pooled,
+                res_d, res_s, idx, t_now, scale):
+            guidance = (jnp.full((m,), gs, dtype) if use_guidance else None)
+            pred, _, _ = unigen_flux_forward(
+                params, cfg, hidden=lat[idx], condition=cond[idx],
+                encoder=embeds[idx], pooled=pooled[idx],
+                condition_pooled=cond_pooled[idx],
+                timestep=t_now.astype(dtype),
+                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+                guidance=guidance,
+                conditioning_scale=scale[:, None, None].astype(dtype),
+                control_residuals=(res_d[:, idx], res_s[:, idx]))
+            return pred
+
+        return jax.jit(fwd)
+
+    def _build_scatter_res(self, m: int):
+        def scat(res_d, res_s, new_d, new_s, idx):
+            return (res_d.at[:, idx].set(new_d),
+                    res_s.at[:, idx].set(new_s))
+        return jax.jit(scat)
 
     def _build_update(self, m: int):
         """Scatter ``m`` fresh predictions into the per-slot cache, form
@@ -311,6 +394,118 @@ class StepServer:
 
         return tick
 
+    def _prepare_hybrid_tick(self, active, s_now, s_next, scale):
+        """Per-slot three-level schedule (hybrid_cache_scan semantics): a
+        slot runs FULL on its own c-boundary (or before its first refresh),
+        BASE with control-residual replay on its k-boundary (every non-full
+        step when k == 1 — the pure per-slot control cache), and prediction
+        replay otherwise. Full and base slots gather into their own smallest
+        compiled forward; the fresh predictions from both merge into one
+        scatter+Euler update. Same thunk/commit contract as
+        _prepare_cached_tick."""
+        c, k, order = self.cache_c, self.cache_k, self.cache_order
+        B = self.B
+        full_l = [i for i, s in active
+                  if s.step % c == 0 or self._i1[i] < 0]
+        fset = set(full_l)
+        base_l = [i for i, s in active
+                  if i not in fset and (k == 1 or s.step % k == 0)]
+        gap = np.zeros((B,), np.float32)
+        dt = np.ones((B,), np.float32)
+        i1n, i0n = self._i1.copy(), self._i0.copy()
+        refreshing = fset | set(base_l)
+        for i, s in active:
+            if i in refreshing:
+                i0n[i] = i1n[i]
+                i1n[i] = s.step
+            elif order >= 1 and self._i0[i] >= 0:
+                gap[i] = s.step - self._i1[i]
+                dt[i] = max(self._i1[i] - self._i0[i], 1)
+        params, lat, cond = self.params, self._lat, self._cond
+        embeds, pooled, cpool = self._embeds, self._pooled, self._cond_pooled
+        p1, p0 = self._p1, self._p0
+        res_d, res_s = self._res_d, self._res_s
+        s_now_j = jnp.asarray(s_now)
+        s_next_j = jnp.asarray(s_next)
+        gap_j, dt_j = jnp.asarray(gap), jnp.asarray(dt)
+        t_len = embeds.shape[1]
+
+        if not full_l and not base_l:
+            if self._replay_fn is None:
+                self._replay_fn = self._build_replay()
+            replay = self._replay_fn
+
+            def tick():
+                new_lat = replay(lat, p1, p0, gap_j, dt_j, s_now_j, s_next_j)
+                return new_lat, None
+
+            return tick
+
+        def _gathered(lst, fns, build):
+            m = next(sz for sz in self._sizes if sz >= len(lst))
+            idx = np.asarray((lst + [lst[0]] * m)[:m], np.int32)
+            t_r = jnp.asarray(
+                [self._timesteps[self._slots[i].step] / 1000.0 for i in idx],
+                jnp.float32)
+            if m not in fns:
+                fns[m] = build(t_len, m)
+            return fns[m], jnp.asarray(idx), t_r, jnp.asarray(scale[idx]), m
+
+        full_plan = (_gathered(full_l, self._full_fns, self._build_full_h)
+                     if full_l else None)
+        base_plan = (_gathered(base_l, self._base_fns, self._build_base_h)
+                     if base_l else None)
+        n_ref = len(full_l) + len(base_l)
+        m_u = next(sz for sz in self._sizes if sz >= n_ref)
+        comb = full_l + base_l
+        idx_u = jnp.asarray(
+            np.asarray((comb + [comb[0]] * m_u)[:m_u], np.int32))
+        if m_u not in self._upd_fns:
+            self._upd_fns[m_u] = self._build_update(m_u)
+        upd = self._upd_fns[m_u]
+        scat = None
+        if full_l:
+            mf = full_plan[4]
+            if mf not in self._scatter_res_fns:
+                self._scatter_res_fns[mf] = self._build_scatter_res(mf)
+            scat = self._scatter_res_fns[mf]
+        nf, nb = len(full_l), len(base_l)
+
+        def tick():
+            rows = []
+            res_new = None
+            if full_plan is not None:
+                fn, idx_j, t_r, sc_r, _ = full_plan
+                fresh_f, res_new = fn(params, lat, cond, embeds, pooled,
+                                      cpool, idx_j, t_r, sc_r)
+                rows.append(fresh_f[:nf])
+            if base_plan is not None:
+                fn, idx_j, t_r, sc_r, _ = base_plan
+                fresh_b = fn(params, lat, cond, embeds, pooled, cpool,
+                             res_d, res_s, idx_j, t_r, sc_r)
+                rows.append(fresh_b[:nb])
+            fresh = rows[0] if len(rows) == 1 else jnp.concatenate(rows)
+            if fresh.shape[0] < m_u:      # pad by repeating a real row:
+                fresh = jnp.concatenate(  # its duplicate scatter is a no-op
+                    [fresh, jnp.repeat(fresh[:1], m_u - n_ref, 0)])
+            new_lat, p1n, p0n = upd(lat, p1, p0, fresh, idx_u, gap_j, dt_j,
+                                    s_now_j, s_next_j)
+            if res_new is not None:
+                _, fidx_j, _, _, _ = full_plan
+                res_dn, res_sn = scat(res_d, res_s, res_new[0], res_new[1],
+                                      fidx_j)
+            else:
+                res_dn, res_sn = res_d, res_s
+
+            def commit():
+                self._p1, self._p0 = p1n, p0n
+                self._i1, self._i0 = i1n, i0n
+                self._res_d, self._res_s = res_dn, res_sn
+
+            return new_lat, commit
+
+        return tick
+
     # ------------------------------------------------------------ client
 
     def submit(self, *, prompt_embeds, pooled, cond_pooled, control_pixels,
@@ -345,6 +540,14 @@ class StepServer:
                 self._embeds = jnp.zeros(
                     (self.B,) + tuple(embeds.shape[1:]), self.dtype)
                 self._step_fn = self._build_step(embeds.shape[1])
+                if self.cache_c > 1 and self._res_s is None:
+                    bb = self.cfg.flux
+                    d_inner = (bb.num_attention_heads
+                               * bb.attention_head_dim)
+                    # single-block residuals live on the [txt | img] stream
+                    self._res_s = jnp.zeros(
+                        (bb.num_single_layers, self.B,
+                         embeds.shape[1] + self.s_img, d_inner), self.dtype)
             assert embeds.shape[1:] == self._embeds.shape[1:], \
                 "all requests must share the text sequence length"
             # row writes are deferred to the WORKER at tick start — a write
@@ -398,7 +601,7 @@ class StepServer:
                         self._pooled = self._pooled.at[i].set(p["pooled"])
                         self._cond_pooled = self._cond_pooled.at[i].set(
                             p["cond_pooled"])
-                        if self.cache_k > 1:
+                        if self.cache_k > 1 or self.cache_c > 1:
                             self._i1[i] = self._i0[i] = -1
                         s.payload = None
                 active = [(i, s) for i, s in enumerate(self._slots)
@@ -412,7 +615,11 @@ class StepServer:
                     s_now[i] = self._sigmas[s.step]
                     s_next[i] = self._sigmas[s.step + 1]
                     scale[i] = s.scale
-                if self.cache_k > 1:
+                cached = self.cache_k > 1 or self.cache_c > 1
+                if self.cache_c > 1:
+                    tick = self._prepare_hybrid_tick(active, s_now, s_next,
+                                                     scale)
+                elif self.cache_k > 1:
                     tick = self._prepare_cached_tick(active, s_now, s_next,
                                                      scale)
                 else:
@@ -422,7 +629,7 @@ class StepServer:
             # ---- run the tick OUTSIDE the lock (submissions may land
             # between ticks; they only touch rows whose slots are free)
             try:
-                if self.cache_k > 1:
+                if cached:
                     new_lat, commit = tick()
                 else:
                     new_lat = step_fn(*args, jnp.asarray(t_now),
