@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Serving entry point: micro-batched UniGenFlux image generation.
+"""Serving entry point: micro-batched UniGen image generation.
 
-Wraps pipelines/flux.UniGenFluxPipeline (or a random tiny model when no
-checkpoint is given) in serving.MicroBatchServer at the throughput-optimal
-batch (v5e: 8 -> 1.308 img/s/chip at 512^2, bench.py). Requests arrive as
-JSON lines on stdin, images leave as PNGs:
+Wraps the family pipeline (--family flux|sd3|sana; or a random tiny flux
+model when no checkpoint is given) in serving.MicroBatchServer at the
+throughput-optimal batch (v5e: 8 -> 1.308 img/s/chip at 512^2, bench.py).
+Requests arrive as JSON lines on stdin, images leave as PNGs:
 
   {"prompt": "a cat", "condition": "canny", "control": "path/in.png",
    "out": "path/out.png"}
@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0):
+def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0,
+                cache_c: int = 1):
     """Tiny random-model StepServer demo (CPU-safe): full request lifecycle
     — VAE encode on admit, per-slot denoise ticks, VAE decode on retire —
     with staggered arrivals, optionally at a model-cache operating point."""
@@ -53,7 +54,8 @@ def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0):
     srv = StepServer(cfg, params, vae_cfg, vae_params,
                      batch_size=batch_size, num_inference_steps=4,
                      height=32, width=32, model_cache_interval=cache_k,
-                     model_cache_order=cache_order, dtype=jnp.float32)
+                     model_cache_order=cache_order,
+                     control_cache_interval=cache_c, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     mk = lambda *shape: rng.standard_normal(shape).astype(np.float32)
     bb = cfg.flux
@@ -144,10 +146,12 @@ def _serve_steps(pipe, args):
                      height=args.resolution, width=args.resolution,
                      scheduler=pipe.scheduler,
                      model_cache_interval=args.model_cache_interval,
-                     model_cache_order=args.model_cache_order)
+                     model_cache_order=args.model_cache_order,
+                     control_cache_interval=args.control_cache_interval)
     print(f"# step-server ready: slots={args.batch_size} steps={args.steps} "
           f"res={args.resolution} quant={args.quant} "
-          f"model_cache_interval={args.model_cache_interval}; "
+          f"model_cache_interval={args.model_cache_interval} "
+          f"control_cache_interval={args.control_cache_interval}; "
           f"JSON lines on stdin", file=sys.stderr)
     res = args.resolution
 
@@ -185,7 +189,18 @@ def _serve_steps(pipe, args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", help="diffusers checkpoint dir (FLUX layout)")
+    ap.add_argument("--ckpt", help="diffusers checkpoint dir (family layout)")
+    ap.add_argument("--family", default="flux", choices=["flux", "sd3", "sana"],
+                    help="model family served from --ckpt (flux: FLUX.1 "
+                         "layout; sd3: SD3.5 triple-encoder layout; sana: "
+                         "SANA layout with Gemma-2 text encoder + native "
+                         "DC-AE — see pipelines/loading.py)")
+    ap.add_argument("--clip-dir", default=None,
+                    help="sana only: CLIP-L dir for the pooled prompt/"
+                         "condition stream")
+    ap.add_argument("--guidance-scale", type=float, default=None,
+                    help="override the family's default guidance scale "
+                         "(flux embedded guidance / sd3 CFG; sana has none)")
     ap.add_argument("--adapter", help="UniGen adapter dir")
     ap.add_argument("--condition-types", nargs="+", default=["canny"])
     ap.add_argument("--batch-size", type=int, default=8)
@@ -231,6 +246,16 @@ def main(argv=None):
                          "disables; serving repeats the negative prompt and "
                          "condition task name every request — each flux "
                          "repeat otherwise costs a full T5-XXL forward)")
+    ap.add_argument("--mesh-data", type=int, default=1,
+                    help="multi-chip serving: data-parallel mesh axis "
+                         "(batch shards; flux family)")
+    ap.add_argument("--mesh-expert", type=int, default=1,
+                    help="multi-chip serving: expert-parallel mesh axis")
+    ap.add_argument("--mesh-model", type=int, default=1,
+                    help="multi-chip serving: tensor-parallel mesh axis; "
+                         "the serving tree (incl. quantized leaves) shards "
+                         "by parallel/sharding.py rules and GSPMD partitions "
+                         "the denoise program over ICI")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--quant", default="w4a8", choices=["w4a8", "w8a8", "bf16"])
     ap.add_argument("--serving-cache", default=None,
@@ -250,28 +275,67 @@ def main(argv=None):
                     help="tiny random model + synthetic load (no checkpoint)")
     args = ap.parse_args(argv)
 
-    if args.step_server and (args.control_cache_interval > 1
-                             or args.control_cache_threshold > 0
+    if args.step_server and (args.control_cache_threshold > 0
                              or args.model_cache_threshold > 0
                              or args.quality_profile):
-        ap.error("--step-server supports only --model-cache-interval/-order "
-                 "(fixed per-slot schedule); use the request-batched server "
-                 "for control-cache / adaptive / profile knobs")
+        ap.error("--step-server runs fixed per-slot schedules only: "
+                 "--model-cache-interval/-order, --control-cache-interval "
+                 "(pure per-slot control cache), or both (hybrid three-level "
+                 "per slot); adaptive thresholds / quality profiles need the "
+                 "request-batched server")
     if args.demo or not args.ckpt:
         if args.step_server:
             return _demo_steps(args.batch_size, args.model_cache_interval,
-                               args.model_cache_order)
+                               args.model_cache_order,
+                               args.control_cache_interval)
         return _demo(args.batch_size)
 
     from PIL import Image
 
-    from unigen_tpu.pipelines.loading import load_flux_pipeline
+    from unigen_tpu.pipelines.loading import (load_flux_pipeline,
+                                              load_sana_pipeline,
+                                              load_sd3_pipeline)
     from unigen_tpu.serving import MicroBatchServer
 
-    pipe = load_flux_pipeline(args.ckpt, condition_types=args.condition_types,
-                              adapter_dir=args.adapter, quantize=args.quant,
-                              lora_dir=args.lora_dir,
-                              serving_cache=args.serving_cache)
+    fam = args.family
+    if fam != "flux":
+        for flag, name in ((args.lora_dir, "--lora-dir"),
+                           (args.serving_cache, "--serving-cache"),
+                           (args.step_server, "--step-server")):
+            if flag:
+                ap.error(f"{name} is wired for the flux family")
+    if fam == "flux":
+        pipe = load_flux_pipeline(args.ckpt,
+                                  condition_types=args.condition_types,
+                                  adapter_dir=args.adapter,
+                                  quantize=args.quant,
+                                  lora_dir=args.lora_dir,
+                                  serving_cache=args.serving_cache)
+    elif fam == "sd3":
+        pipe = load_sd3_pipeline(
+            args.ckpt, condition_types=args.condition_types,
+            adapter_dir=args.adapter,
+            quantize=None if args.quant == "bf16" else args.quant)
+    else:
+        pipe = load_sana_pipeline(
+            args.ckpt, condition_types=args.condition_types,
+            adapter_dir=args.adapter,
+            quantize=None if args.quant == "bf16" else args.quant,
+            clip_dir=args.clip_dir)
+    if args.mesh_data * args.mesh_expert * args.mesh_model > 1:
+        if fam != "flux":
+            ap.error("--mesh-* multi-chip serving is wired for the flux "
+                     "family (UniGenFluxPipeline.shard)")
+        if args.step_server:
+            ap.error("--step-server is single-chip; use the request-batched "
+                     "server for --mesh-*")
+        from unigen_tpu import config as cfg_lib
+        from unigen_tpu.parallel.mesh import build_mesh
+        mesh = build_mesh(cfg_lib.MeshConfig(
+            data=args.mesh_data, expert=args.mesh_expert,
+            sequence=1, model=args.mesh_model))
+        pipe.shard(mesh)
+        print(f"# sharded serving: mesh {dict(mesh.shape)}", file=sys.stderr)
     if args.prompt_cache > 0:
         from unigen_tpu.pipelines.caching import PromptLRU
         pipe.prompt_cache_size = args.prompt_cache
@@ -283,24 +347,28 @@ def main(argv=None):
         return _serve_steps(pipe, args)
 
     def run_batch(inputs):
+        kw = dict(height=args.resolution, width=args.resolution,
+                  num_inference_steps=args.steps,
+                  control_cache_interval=args.control_cache_interval,
+                  control_cache_threshold=args.control_cache_threshold,
+                  model_cache_interval=args.model_cache_interval,
+                  model_cache_threshold=args.model_cache_threshold,
+                  model_cache_order=args.model_cache_order,
+                  quality_profile=args.quality_profile)
+        if fam != "sana" and args.guidance_scale is not None:
+            kw["guidance_scale"] = args.guidance_scale
+        if fam == "sana":
+            kw["prompt_mask"] = inputs["prompt_mask"]
         return pipe.generate(
             prompt_embeds=inputs["prompt_embeds"], pooled=inputs["pooled"],
             cond_pooled=inputs["cond_pooled"],
-            control_pixels=inputs["control_pixels"],
-            height=args.resolution, width=args.resolution,
-            num_inference_steps=args.steps,
-            control_cache_interval=args.control_cache_interval,
-            control_cache_threshold=args.control_cache_threshold,
-            model_cache_interval=args.model_cache_interval,
-            model_cache_threshold=args.model_cache_threshold,
-            model_cache_order=args.model_cache_order,
-            quality_profile=args.quality_profile)
+            control_pixels=inputs["control_pixels"], **kw)
 
     srv = MicroBatchServer(run_batch, batch_size=args.batch_size,
                            batch_sizes=args.batch_sizes)
-    print(f"# serving ready: batch={args.batch_size} steps={args.steps} "
-          f"res={args.resolution} quant={args.quant}; JSON lines on stdin",
-          file=sys.stderr)
+    print(f"# serving ready: family={fam} batch={args.batch_size} "
+          f"steps={args.steps} res={args.resolution} quant={args.quant}; "
+          f"JSON lines on stdin", file=sys.stderr)
     def _save(out_path):
         def cb(fut):
             if fut.cancelled() or fut.exception() is not None:
@@ -324,13 +392,21 @@ def main(argv=None):
         pil = Image.open(req["control"]).convert("RGB").resize(
             (res, res), Image.LANCZOS)
         img = (np.asarray(pil, np.float32) / 127.5 - 1.0).transpose(2, 0, 1)[None]
-        embeds, pooled = pipe.encode_prompt(req["prompt"])
-        cond_pooled = pipe.encode_condition_prompt(
-            req.get("condition", args.condition_types[0]))
+        cond_name = req.get("condition", args.condition_types[0])
+        extra = {}
+        if fam == "sana":
+            # Gemma-2 context + CLIP pooled streams (pipelines/sana.py)
+            embeds, mask = pipe.encode_prompt(req["prompt"])
+            pooled = pipe.encode_pooled(req["prompt"])
+            cond_pooled = pipe.encode_pooled(cond_name)
+            extra["prompt_mask"] = np.asarray(mask)
+        else:
+            embeds, pooled = pipe.encode_prompt(req["prompt"])
+            cond_pooled = pipe.encode_condition_prompt(cond_name)
         fut = srv.submit(prompt_embeds=np.asarray(embeds),
                          pooled=np.asarray(pooled),
                          cond_pooled=np.asarray(cond_pooled),
-                         control_pixels=img)
+                         control_pixels=img, **extra)
         fut.add_done_callback(_save(req["out"]))   # saves as batches finish
         pending.append(fut)
     srv.close()          # drains; callbacks have all fired by join()
