@@ -1832,9 +1832,11 @@ def bench_stepserver():
     # gathered program per refresh-subset size actually hit (m=1 was warmed
     # by the single requests; full-batch and tail sizes appear only under
     # load) — without this the first timed window pays those compiles
+    t0 = time.time()
     wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
     for f in wfuts:
         f.result(timeout=3600)
+    print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
 
     # sustained saturating load: blocking submit refills a slot the moment
     # one retires, so occupancy holds at B

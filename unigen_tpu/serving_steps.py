@@ -142,7 +142,6 @@ class StepServer:
             self._res_s = None
             self._full_fns: Dict[int, Any] = {}   # m -> full fwd (+residuals)
             self._base_fns: Dict[int, Any] = {}   # m -> control-replay fwd
-            self._scatter_res_fns: Dict[int, Any] = {}
         # compact program sizes for the refresh subset: powers of two + B
         self._sizes = sorted({1 << p for p in range(B.bit_length())
                               if (1 << p) <= B} | {B})
@@ -229,8 +228,13 @@ class StepServer:
     def _build_full_h(self, t_len: int, m: int):
         """Hybrid FULL refresh for ``m`` gathered slots: the exact forward
         that ALSO captures the raw per-block control residuals (level 2 of
-        caching.hybrid_cache_scan, per slot). Pad rows repeat a real slot —
-        their residual scatter writes the identical value."""
+        caching.hybrid_cache_scan, per slot) and scatters them into the
+        per-slot cache INSIDE the program. The cache buffers are DONATED so
+        XLA updates the rows in place — the functional scatter would
+        otherwise hold old cache + fresh residuals + new cache live at once
+        (3× ~0.5 GiB/slot at full topology — measured OOM on v5e at 4
+        slots). Pad rows repeat a real slot — their duplicate scatter
+        writes the identical value."""
         cfg, bb = self.cfg, self.cfg.flux
         txt_ids = jnp.zeros((t_len, 3))
         img_ids = self._img_ids
@@ -238,8 +242,8 @@ class StepServer:
         gs = self._guidance_scale
         dtype = self.dtype
 
-        def fwd(params, lat, cond, embeds, pooled, cond_pooled, idx,
-                t_now, scale):
+        def fwd(params, lat, cond, embeds, pooled, cond_pooled,
+                res_d, res_s, idx, t_now, scale):
             guidance = (jnp.full((m,), gs, dtype) if use_guidance else None)
             pred, _, outs = unigen_flux_forward(
                 params, cfg, hidden=lat[idx], condition=cond[idx],
@@ -250,9 +254,11 @@ class StepServer:
                 guidance=guidance,
                 conditioning_scale=scale[:, None, None].astype(dtype),
                 return_control_residuals=True)
-            return pred, outs["control_residuals"]
+            new_d, new_s = outs["control_residuals"]
+            return (pred, res_d.at[:, idx].set(new_d),
+                    res_s.at[:, idx].set(new_s))
 
-        return jax.jit(fwd)
+        return jax.jit(fwd, donate_argnums=(6, 7))
 
     def _build_base_h(self, t_len: int, m: int):
         """Hybrid BASE refresh: ``m`` gathered slots run the base
@@ -281,12 +287,6 @@ class StepServer:
             return pred
 
         return jax.jit(fwd)
-
-    def _build_scatter_res(self, m: int):
-        def scat(res_d, res_s, new_d, new_s, idx):
-            return (res_d.at[:, idx].set(new_d),
-                    res_s.at[:, idx].set(new_s))
-        return jax.jit(scat)
 
     def _build_update(self, m: int):
         """Scatter ``m`` fresh predictions into the per-slot cache, form
@@ -463,26 +463,26 @@ class StepServer:
         if m_u not in self._upd_fns:
             self._upd_fns[m_u] = self._build_update(m_u)
         upd = self._upd_fns[m_u]
-        scat = None
-        if full_l:
-            mf = full_plan[4]
-            if mf not in self._scatter_res_fns:
-                self._scatter_res_fns[mf] = self._build_scatter_res(mf)
-            scat = self._scatter_res_fns[mf]
         nf, nb = len(full_l), len(base_l)
 
         def tick():
-            rows = []
-            res_new = None
-            if full_plan is not None:
-                fn, idx_j, t_r, sc_r, _ = full_plan
-                fresh_f, res_new = fn(params, lat, cond, embeds, pooled,
-                                      cpool, idx_j, t_r, sc_r)
-                rows.append(fresh_f[:nf])
+            # base FIRST: it reads the old residual cache, which the full
+            # program then consumes by DONATION (in-place row update);
+            # dispatch order gives the runtime the dependency
+            fresh_b = None
             if base_plan is not None:
                 fn, idx_j, t_r, sc_r, _ = base_plan
                 fresh_b = fn(params, lat, cond, embeds, pooled, cpool,
                              res_d, res_s, idx_j, t_r, sc_r)
+            res_dn, res_sn = res_d, res_s
+            rows = []
+            if full_plan is not None:
+                fn, idx_j, t_r, sc_r, _ = full_plan
+                fresh_f, res_dn, res_sn = fn(params, lat, cond, embeds,
+                                             pooled, cpool, res_d, res_s,
+                                             idx_j, t_r, sc_r)
+                rows.append(fresh_f[:nf])
+            if fresh_b is not None:
                 rows.append(fresh_b[:nb])
             fresh = rows[0] if len(rows) == 1 else jnp.concatenate(rows)
             if fresh.shape[0] < m_u:      # pad by repeating a real row:
@@ -490,12 +490,6 @@ class StepServer:
                     [fresh, jnp.repeat(fresh[:1], m_u - n_ref, 0)])
             new_lat, p1n, p0n = upd(lat, p1, p0, fresh, idx_u, gap_j, dt_j,
                                     s_now_j, s_next_j)
-            if res_new is not None:
-                _, fidx_j, _, _, _ = full_plan
-                res_dn, res_sn = scat(res_d, res_s, res_new[0], res_new[1],
-                                      fidx_j)
-            else:
-                res_dn, res_sn = res_d, res_s
 
             def commit():
                 self._p1, self._p0 = p1n, p0n
@@ -584,6 +578,10 @@ class StepServer:
 
     def _loop(self):
         import collections
+        import os
+        import sys
+        import time as _time
+        debug = os.environ.get("UNIGEN_STEP_DEBUG") == "1"
         inflight = collections.deque()   # recent tick outputs; bounded window
         while True:
             with self._work:
@@ -628,6 +626,7 @@ class StepServer:
                             self._pooled, self._cond_pooled)
             # ---- run the tick OUTSIDE the lock (submissions may land
             # between ticks; they only touch rows whose slots are free)
+            t_tick = _time.perf_counter() if debug else 0.0
             try:
                 if cached:
                     new_lat, commit = tick()
@@ -642,12 +641,29 @@ class StepServer:
                         if not s.future.done():
                             s.future.set_exception(e)
                         self._slots[i] = _Slot()
+                    if self.cache_c > 1:
+                        # the residual buffers may have been DONATED into a
+                        # failed full program (invalidated) — rebuild them
+                        # and force full refreshes on the next admissions
+                        # .shape/.dtype are aval metadata — valid even on a
+                        # deleted (donated) array
+                        self._res_d = jnp.zeros(self._res_d.shape,
+                                                self._res_d.dtype)
+                        if self._res_s is not None:
+                            self._res_s = jnp.zeros(self._res_s.shape,
+                                                    self._res_s.dtype)
+                        self._i1[:] = self._i0[:] = -1
                 continue
             # bounded async window: let the device pipeline 2 ticks, no more
             # (an unbounded dispatch queue can wedge the axon relay)
             inflight.append(new_lat)
             if len(inflight) > 2:
                 jax.block_until_ready(inflight.popleft())
+            if debug:
+                steps = [s.step for _, s in active]
+                print(f"# tick {len(active)}act steps={steps} "
+                      f"{(_time.perf_counter()-t_tick)*1000:.0f}ms",
+                      file=sys.stderr, flush=True)
             with self._work:
                 self._lat = new_lat
                 if commit is not None:
