@@ -323,9 +323,10 @@ def main(argv=None):
             quantize=None if args.quant == "bf16" else args.quant,
             clip_dir=args.clip_dir)
     if args.mesh_data * args.mesh_expert * args.mesh_model > 1:
-        if fam != "flux":
-            ap.error("--mesh-* multi-chip serving is wired for the flux "
-                     "family (UniGenFluxPipeline.shard)")
+        if fam == "sana":
+            ap.error("--mesh-* multi-chip serving is wired for the flux and "
+                     "sd3 families (the SANA DC-AE codec rides in closures; "
+                     "shard() would not re-place it)")
         if args.step_server:
             ap.error("--step-server is single-chip; use the request-batched "
                      "server for --mesh-*")

@@ -1,0 +1,59 @@
+"""serve.py end-to-end: the stdin JSON-lines protocol against a fake flux
+checkpoint directory — request-batched AND step-server modes, on CPU at the
+default bf16 load dtype (the deployment configuration; regression for the
+bf16 pipeline-path bugs the CLIs surfaced)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           UNIGEN_SERVE_PLATFORM="cpu",
+           JAX_COMPILATION_CACHE_DIR="/root/.cache/unigen_jax_cache")
+
+
+@pytest.fixture(scope="module")
+def serve_world(tmp_path_factory):
+    import tests.test_from_pretrained as tfp
+    root = tfp.fake_ckpt.__wrapped__(tmp_path_factory)
+    ctrl = os.path.join(root, "serve_ctrl.png")
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+                    ).save(ctrl)
+    return root, ctrl
+
+
+def _run_serve(extra_args, requests, timeout=600):
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(ROOT, "scripts", "serve.py")]
+        + extra_args,
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=ENV)
+    stdin = "".join(json.dumps(r) + "\n" for r in requests)
+    out, err = proc.communicate(stdin, timeout=timeout)
+    return proc.returncode, out, err
+
+
+@pytest.mark.parametrize("mode", ["batched", "step_server"])
+def test_serve_cli_end_to_end(serve_world, tmp_path, mode):
+    root, ctrl = serve_world
+    out_png = str(tmp_path / f"{mode}.png")
+    args = ["--ckpt", root, "--quant", "bf16", "--batch-size", "1",
+            "--steps", "2", "--resolution", "32", "--prompt-cache", "0"]
+    if mode == "step_server":
+        args.append("--step-server")
+    rc, out, err = _run_serve(
+        args, [{"prompt": "a cat", "condition": "canny",
+                "control": ctrl, "out": out_png}])
+    assert rc == 0, err[-2000:]
+    assert os.path.exists(out_png), (out, err[-2000:])
+    img = np.asarray(Image.open(out_png))
+    assert img.shape == (32, 32, 3)

@@ -115,3 +115,42 @@ def test_sharded_pipeline_generate_matches_single_device(quantize):
     assert got.shape == ref.shape
     diff = np.abs(got.astype(int) - ref.astype(int))
     assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+
+
+def test_sharded_sd3_pipeline_matches_single_device():
+    """UniGenSD3Pipeline.shard(mesh): same contract as the flux pipeline
+    (serve.py --family sd3 --mesh-*)."""
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_params
+    from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
+
+    cfg = cfg_lib.UniGenConfig(family="sd3", sd3=cfg_lib.tiny_sd3_config(),
+                               control=cfg_lib.ControlConfig(use_rope=False),
+                               condition_types=("depth",))
+
+    def mk():
+        params = init_unigen_sd3_params(jax.random.PRNGKey(0), cfg)
+        vae_cfg = vae_lib.tiny_vae_config(latent_channels=cfg.sd3.in_channels)
+        vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+        return UniGenSD3Pipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                                 vae_params=vae_params, dtype=jnp.float32)
+
+    b, h = 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0],
+                                        (b, 6, cfg.sd3.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, cfg.sd3.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2],
+                                      (b, cfg.sd3.pooled_projection_dim)),
+        control_pixels=np.asarray(
+            jax.random.normal(ks[3], (b, 3, h, h))),
+        height=h, width=h, num_inference_steps=2, guidance_scale=3.0,
+        seed=0)
+    ref = mk().generate(**kw)
+    sharded = mk()
+    sharded.shard(build_mesh(cfg_lib.MeshConfig(data=2, expert=2,
+                                                sequence=1, model=2)))
+    got = sharded.generate(**kw)
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"

@@ -36,10 +36,44 @@ class UniGenSD3Pipeline:
     dtype: Any = jnp.float32
     prompt_cache_size: int = 0         # >0: LRU prompt-embedding cache
                                        # (caching.PromptLRU)
+    mesh: Any = None                   # set via shard(): multi-chip serving
 
     def __post_init__(self):
         self._program_cache: Dict[Any, Any] = {}
         self._prompt_cache = caching.PromptLRU(self.prompt_cache_size)
+
+    # ------------------------------------------------------------ multi-chip
+
+    def shard(self, mesh) -> None:
+        """Place the serving tree on a device mesh (same contract as
+        UniGenFluxPipeline.shard): params follow parallel/sharding.py rules
+        (quantized leaves included), the VAE replicates, and generate()
+        shards its batch inputs over 'data'."""
+        from unigen_tpu.parallel import sharding as shd
+        self.mesh = mesh
+        self.params = shd.shard_params(self.params, mesh)
+        if self.vae_params is not None:
+            self.vae_params = jax.device_put(self.vae_params,
+                                             shd.replicated(mesh))
+
+    def _place_inputs(self, tree):
+        if self.mesh is None:
+            return tree
+        from unigen_tpu.parallel import sharding as shd
+        d = self.mesh.shape.get("data", 1)
+
+        def _place(x):
+            if not hasattr(x, "ndim"):
+                return x
+            if x.ndim >= 1 and d > 1 and x.shape[0] % d == 0:
+                spec = [None] * x.ndim
+                spec[0] = "data"
+                return jax.device_put(
+                    x, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(*spec)))
+            return jax.device_put(x, shd.replicated(self.mesh))
+
+        return jax.tree.map(_place, tree)
 
     # ------------------------------------------------------------ text
     # text_encoders bundle layout:
@@ -455,6 +489,11 @@ class UniGenSD3Pipeline:
         if neg_embeds is None:
             neg_embeds = jnp.zeros_like(prompt_embeds)
             neg_pooled = jnp.zeros_like(pooled)
+        if self.mesh is not None:
+            (latents, control_pixels, prompt_embeds, pooled, cond_pooled,
+             neg_embeds, neg_pooled) = self._place_inputs(
+                (latents, control_pixels, prompt_embeds, pooled,
+                 cond_pooled, neg_embeds, neg_pooled))
         if hybrid_adaptive:
             pixels, n_full, n_base = program(
                 self.params, self.vae_params, latents, control_pixels,
