@@ -159,3 +159,42 @@ def test_step_server_hybrid_cache_matches_pipeline(tiny_world, c, k):
         assert out.shape == ref.shape
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_hybrid_error_path_rebuilds_residuals(tiny_world):
+    """A failed hybrid tick may have DONATED (invalidated) the residual
+    buffers into the failing program — the error path must fail the
+    in-flight futures, rebuild the buffers, and leave the server able to
+    serve the next request exactly."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 3
+    req = _request(90, cfg)
+    ref = _pipeline_reference(tiny_world, req, steps,
+                              control_cache_interval=2)
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                     num_inference_steps=steps, height=32, width=32,
+                     control_cache_interval=2, dtype=jnp.float32)
+    boom = {"armed": True}
+    real_build = srv._build_full_h
+
+    def poisoned(t_len, m):
+        fn = real_build(t_len, m)
+
+        def wrapper(*a, **kw):
+            if boom["armed"]:
+                boom["armed"] = False
+                raise RuntimeError("injected tick failure")
+            return fn(*a, **kw)
+
+        return wrapper
+
+    srv._build_full_h = poisoned
+    f1 = srv.submit(**req)
+    with pytest.raises(Exception, match="injected tick failure"):
+        f1.result(timeout=300)
+    assert all(self_slot.free for self_slot in srv._slots)
+    out = srv.submit(**req).result(timeout=300)
+    srv.close()
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
