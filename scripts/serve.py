@@ -140,14 +140,21 @@ def _serve_steps(pipe, args):
     cfg = C.replace(pipe.cfg, control=C.replace(
         pipe.cfg.control, moe=C.replace(pipe.cfg.control.moe,
                                         batch_mode="per_sample")))
-    srv = StepServer(cfg, pipe.params, pipe.vae_cfg, pipe.vae_params,
+    kw = {}
+    if cfg.family == "sana":
+        kw = dict(ae_encode=pipe.ae_encode, ae_decode=pipe.ae_decode,
+                  ae_downscale=pipe.ae_downscale)
+    else:
+        kw = dict(vae_cfg=pipe.vae_cfg, vae_params=pipe.vae_params)
+    srv = StepServer(cfg, pipe.params,
                      batch_size=args.batch_size,
                      num_inference_steps=args.steps,
                      height=args.resolution, width=args.resolution,
                      scheduler=pipe.scheduler,
                      model_cache_interval=args.model_cache_interval,
                      model_cache_order=args.model_cache_order,
-                     control_cache_interval=args.control_cache_interval)
+                     control_cache_interval=args.control_cache_interval,
+                     **kw)
     print(f"# step-server ready: slots={args.batch_size} steps={args.steps} "
           f"res={args.resolution} quant={args.quant} "
           f"model_cache_interval={args.model_cache_interval} "
@@ -175,13 +182,20 @@ def _serve_steps(pipe, args):
             (res, res), Image.LANCZOS)
         img = (np.asarray(pil, np.float32) / 127.5 - 1.0
                ).transpose(2, 0, 1)[None]
-        embeds, pooled = pipe.encode_prompt(req["prompt"])
-        cond_pooled = pipe.encode_condition_prompt(
-            req.get("condition", args.condition_types[0]))
+        cond_name = req.get("condition", args.condition_types[0])
+        extra = {}
+        if cfg.family == "sana":
+            embeds, mask = pipe.encode_prompt(req["prompt"])
+            pooled = pipe.encode_pooled(req["prompt"])
+            cond_pooled = pipe.encode_pooled(cond_name)
+            extra["prompt_mask"] = np.asarray(mask)
+        else:
+            embeds, pooled = pipe.encode_prompt(req["prompt"])
+            cond_pooled = pipe.encode_condition_prompt(cond_name)
         fut = srv.submit(prompt_embeds=np.asarray(embeds),
                          pooled=np.asarray(pooled),
                          cond_pooled=np.asarray(cond_pooled),
-                         control_pixels=img, wait=True)
+                         control_pixels=img, wait=True, **extra)
         fut.add_done_callback(_save(req["out"]))
     srv.drain()
     srv.close()
@@ -300,10 +314,12 @@ def main(argv=None):
     fam = args.family
     if fam != "flux":
         for flag, name in ((args.lora_dir, "--lora-dir"),
-                           (args.serving_cache, "--serving-cache"),
-                           (args.step_server, "--step-server")):
+                           (args.serving_cache, "--serving-cache")):
             if flag:
                 ap.error(f"{name} is wired for the flux family")
+    if args.step_server and fam == "sd3":
+        ap.error("--step-server serves flux and sana (sd3 denoises under "
+                 "CFG; use the request-batched server)")
     if fam == "flux":
         pipe = load_flux_pipeline(args.ckpt,
                                   condition_types=args.condition_types,

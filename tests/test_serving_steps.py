@@ -198,3 +198,78 @@ def test_step_server_hybrid_error_path_rebuilds_residuals(tiny_world):
     srv.close()
     diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+# ------------------------------------------------------------ SANA family
+
+@pytest.fixture(scope="module")
+def tiny_sana_world():
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.sana import init_sana_unigen_params
+
+    sana = cfg_lib.tiny_sana_config(caption_channels=32)
+    cfg = cfg_lib.UniGenConfig(
+        family="sana", sana=sana, condition_types=("canny",),
+        control=cfg_lib.ControlConfig(
+            moe=cfg_lib.MoEConfig(batch_mode="per_sample")))
+    params = init_sana_unigen_params(jax.random.PRNGKey(0), cfg)
+    params["control"]["add_blocks"]["w"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), params["control"]["add_blocks"]["w"].shape)
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=sana.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    ae_encode = lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px)
+    ae_decode = lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat)
+    return cfg, params, ae_encode, ae_decode, vae_cfg.downscale
+
+
+def _sana_request(i, cfg, ds):
+    res = 4 * ds
+    lat = res // ds
+    ks = jax.random.split(jax.random.PRNGKey(700 + i), 5)
+    return dict(
+        prompt_embeds=jax.random.normal(
+            ks[0], (1, 6, cfg.sana.caption_channels), jnp.float32),
+        prompt_mask=jnp.ones((1, 6), jnp.int32),
+        pooled=jax.random.normal(
+            ks[1], (1, cfg.sana.pooled_projection_dim), jnp.float32),
+        cond_pooled=jax.random.normal(
+            ks[2], (1, cfg.sana.pooled_projection_dim), jnp.float32),
+        control_pixels=jax.random.normal(ks[3], (1, 3, res, res),
+                                         jnp.float32),
+        latents=jax.random.normal(
+            jax.random.PRNGKey(800 + i),
+            (1, cfg.sana.in_channels, lat, lat), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("knobs", [{}, dict(control_cache_interval=4,
+                                            model_cache_interval=2)],
+                         ids=["exact", "hybrid_4_2"])
+def test_sana_step_server_matches_pipeline(tiny_sana_world, knobs):
+    """StepServer generalized to the SANA family (NCHW DC-AE latents,
+    encoder mask, no guidance): per-request outputs == the one-shot
+    UniGenSanaPipeline with the same knobs, exact AND hybrid per-slot
+    schedules, staggered admissions."""
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+
+    cfg, params, ae_encode, ae_decode, ds = tiny_sana_world
+    steps = 5
+    res = 4 * ds
+    pipe = UniGenSanaPipeline(cfg=cfg, params=params, ae_encode=ae_encode,
+                              ae_decode=ae_decode, ae_downscale=ds,
+                              dtype=jnp.float32)
+    reqs = [_sana_request(i, cfg, ds) for i in range(3)]
+    refs = [pipe.generate(height=res, width=res, num_inference_steps=steps,
+                          **r, **knobs) for r in reqs]
+
+    srv = StepServer(cfg, params, ae_encode=ae_encode, ae_decode=ae_decode,
+                     ae_downscale=ds, batch_size=4,
+                     num_inference_steps=steps, height=res, width=res,
+                     scheduler=pipe.scheduler, dtype=jnp.float32, **knobs)
+    futs = [srv.submit(**r) for r in reqs]
+    outs = [f.result(timeout=300) for f in futs]
+    srv.close()
+    for out, ref in zip(outs, refs):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"

@@ -23,6 +23,13 @@ routing a garbage pad row could steal expert capacity from real rows. True
 CFG is intentionally not supported here (a CFG request occupies two slots in
 spirit; use MicroBatchServer for CFG pipelines).
 
+Families: **flux** (token-packed latents, VAE codec) and **sana** (NCHW
+DC-AE latents via ``ae_encode``/``ae_decode`` callables, Gemma encoder mask
+per request, no guidance — SANA denoises without CFG, so it fits the slot
+model exactly). SD3 is excluded (CFG). The per-slot caches (model cache,
+control-residual cache, hybrid) work identically for both — the residual
+cache is a family-shaped pytree with the slot axis at position 1.
+
 ``model_cache_interval=k`` composes the full-model output cache
 (pipelines/caching.model_cache_scan semantics) with continuous batching,
 PER SLOT: each slot refreshes its cached prediction every k-th OWN step and
@@ -76,7 +83,9 @@ class _Slot:
 class StepServer:
     """Continuous step-level batching over one UniGenFlux program."""
 
-    def __init__(self, cfg: UniGenConfig, params, vae_cfg, vae_params, *,
+    def __init__(self, cfg: UniGenConfig, params, vae_cfg=None,
+                 vae_params=None, *,
+                 ae_encode=None, ae_decode=None, ae_downscale: int = 32,
                  batch_size: int = 8, num_inference_steps: int = 4,
                  height: int = 512, width: int = 512,
                  guidance_scale: float = 3.5,
@@ -84,6 +93,9 @@ class StepServer:
                  model_cache_interval: int = 1, model_cache_order: int = 0,
                  control_cache_interval: int = 1,
                  dtype=jnp.bfloat16):
+        assert cfg.family in ("flux", "sana"), \
+            "StepServer serves flux and sana (sd3 denoises under CFG — a " \
+            "request would occupy two slots in spirit; use MicroBatchServer)"
         assert cfg.control.moe.batch_mode == "per_sample", \
             "StepServer needs per-sample MoE routing (row independence)"
         assert model_cache_interval >= 1 and model_cache_order in (0, 1)
@@ -97,27 +109,57 @@ class StepServer:
                 "with the latter a multiple of the former"
         self.cfg, self.params = cfg, params
         self.vae_cfg, self.vae_params = vae_cfg, vae_params
+        self.family = cfg.family
         self.B = batch_size
         self.num_steps = num_inference_steps
         self.dtype = dtype
-        bb = cfg.flux
-        vs = vae_cfg.downscale
-        lh, lw = 2 * (height // (vs * 2)), 2 * (width // (vs * 2))
-        self._lh, self._lw = lh, lw
-        self.s_img = (lh // 2) * (lw // 2)
-        sch = scheduler or scheduling.FlowMatchConfig(shift=1.0)
+        B = batch_size
+        if self.family == "flux":
+            bb = cfg.flux
+            vs = vae_cfg.downscale
+            lh, lw = 2 * (height // (vs * 2)), 2 * (width // (vs * 2))
+            self._lh, self._lw = lh, lw
+            self.s_img = (lh // 2) * (lw // 2)
+            seq_for_sigmas = self.s_img
+            lat_shape = (B, self.s_img, bb.in_channels)
+            self._img_ids = prepare_latent_image_ids(lh // 2, lw // 2)
+            sch = scheduler or scheduling.FlowMatchConfig(shift=1.0)
+            self._encode = jax.jit(lambda vp, px: pack_latents(
+                vae_lib.vae_encode(vp, vae_cfg, px)).astype(dtype))
+            self._decode = jax.jit(
+                lambda vp, lat: jnp.clip(vae_lib.vae_decode(
+                    vp, vae_cfg,
+                    unpack_latents(lat.astype(jnp.float32), lh, lw)),
+                    -1, 1))
+        else:
+            bb = cfg.sana
+            assert ae_encode is not None and ae_decode is not None, \
+                "sana StepServer needs the DC-AE codec (ae_encode/ae_decode" \
+                " callables, e.g. from load_sana_pipeline)"
+            lh, lw = height // ae_downscale, width // ae_downscale
+            self._lh, self._lw = lh, lw
+            self.s_img = (lh // bb.patch_size) * (lw // bb.patch_size)
+            # the sana pipeline passes the RAW latent area (pre-patchify)
+            # as image_seq_len — match it so schedules agree exactly
+            seq_for_sigmas = lh * lw
+            lat_shape = (B, bb.in_channels, lh, lw)
+            self._img_ids = None
+            sch = scheduler or scheduling.FlowMatchConfig(shift=3.0)
+            _enc, _dec = ae_encode, ae_decode
+            self._encode = jax.jit(lambda vp, px: _enc(px).astype(dtype))
+            self._decode = jax.jit(lambda vp, lat: jnp.clip(
+                _dec(lat.astype(jnp.float32)), -1, 1))
         sig, tst = scheduling.inference_sigmas(sch, num_inference_steps,
-                                               image_seq_len=self.s_img)
+                                               image_seq_len=seq_for_sigmas)
         self._sigmas = np.asarray(sig)          # [n+1]
         self._timesteps = np.asarray(tst)       # [n]
-        self._img_ids = prepare_latent_image_ids(lh // 2, lw // 2)
         self._guidance_scale = guidance_scale
 
         # device state: full-slot arrays (rows updated on admission)
-        B, S, C = batch_size, self.s_img, bb.in_channels
-        self._lat = jnp.zeros((B, S, C), dtype)
-        self._cond = jnp.zeros((B, S, C), dtype)
+        self._lat = jnp.zeros(lat_shape, dtype)
+        self._cond = jnp.zeros(lat_shape, dtype)
         self._embeds = None                     # [B, T, D] set on first admit
+        self._mask = None                       # [B, T] (sana encoder mask)
         self._pooled = jnp.zeros((B, bb.pooled_projection_dim), dtype)
         self._cond_pooled = jnp.zeros((B, bb.pooled_projection_dim), dtype)
         self._slots: List[_Slot] = [_Slot() for _ in range(B)]
@@ -128,18 +170,18 @@ class StepServer:
             # per-slot prediction cache: p1 = latest refreshed prediction,
             # p0 = the one before (order-1 Taylor replay), refresh step
             # indices kept host-side (they drive the replay factor)
-            self._p1 = jnp.zeros((B, S, C), dtype)
-            self._p0 = jnp.zeros((B, S, C), dtype)
+            self._p1 = jnp.zeros(lat_shape, dtype)
+            self._p0 = jnp.zeros(lat_shape, dtype)
             self._i1 = np.full((B,), -1, np.int64)
             self._i0 = np.full((B,), -1, np.int64)
         if self.cache_c > 1:
             # per-slot control-residual cache (the hybrid's middle level):
-            # raw unscaled adds, (dbl [n_dbl, B, S_img, D], sgl [n_sgl, B,
-            # t_len + S_img, D]) — the sgl part is allocated on first admit
-            # (needs the text length)
-            d_inner = bb.num_attention_heads * bb.attention_head_dim
-            self._res_d = jnp.zeros((bb.num_layers, B, S, d_inner), dtype)
-            self._res_s = None
+            # a PYTREE with the slot axis at position 1, mirroring the
+            # family forward's control_residuals structure — flux:
+            # (dbl [n_dbl, B, S_img, D], sgl [n_sgl, B, t_len + S_img, D]);
+            # sana: [n_layers, B, s_tok, inner]. Allocated on first admit
+            # (flux needs the text length).
+            self._res = None
             self._full_fns: Dict[int, Any] = {}   # m -> full fwd (+residuals)
             self._base_fns: Dict[int, Any] = {}   # m -> control-replay fwd
         # compact program sizes for the refresh subset: powers of two + B
@@ -151,11 +193,6 @@ class StepServer:
         self._lock = threading.Lock()
         self._closed = False
         self._work = threading.Condition(self._lock)
-        self._encode = jax.jit(lambda vp, px: pack_latents(
-            vae_lib.vae_encode(vp, vae_cfg, px)).astype(dtype))
-        self._decode = jax.jit(lambda vp, lat: jnp.clip(vae_lib.vae_decode(
-            vp, vae_cfg, unpack_latents(lat.astype(jnp.float32), lh, lw)),
-            -1, 1))
         self._step_fn = None                    # built lazily (needs T)
         # retirement (VAE decode + d2h) runs on its OWN thread so the step
         # loop never waits on a host pull — ticks stay back-to-back async
@@ -170,29 +207,59 @@ class StepServer:
 
     # ------------------------------------------------------------ program
 
-    def _build_step(self, t_len: int):
-        cfg, bb = self.cfg, self.cfg.flux
-        B = self.B
-        txt_ids = jnp.zeros((t_len, 3))
-        img_ids = self._img_ids
-        use_guidance = bb.guidance_embeds
-        gs = self._guidance_scale
-        dtype = self.dtype
+    @staticmethod
+    def _bsig(x, lat):
+        """Broadcast a per-sample [m] scalar against the latent layout."""
+        return x.reshape((-1,) + (1,) * (lat.ndim - 1))
 
-        def step(params, lat, cond, embeds, pooled, cond_pooled,
+    def _family_fwd(self, n_rows: int, t_len: int):
+        """The per-family forward over ``n_rows`` gathered rows. Shared by
+        the exact step, the model-cache refresh, and the hybrid full/base
+        programs; returns the raw (pred, losses, outs) triple."""
+        cfg, dtype = self.cfg, self.dtype
+        if self.family == "flux":
+            bb = cfg.flux
+            txt_ids = jnp.zeros((t_len, 3))
+            img_ids = self._img_ids
+            use_guidance = bb.guidance_embeds
+            gs = self._guidance_scale
+
+            def call(params, lat, cond, embeds, mask, pooled, cpool,
+                     t_now, scale, **kw):
+                guidance = (jnp.full((n_rows,), gs, dtype)
+                            if use_guidance else None)
+                return unigen_flux_forward(
+                    params, cfg, hidden=lat, condition=cond, encoder=embeds,
+                    pooled=pooled, condition_pooled=cpool,
+                    timestep=t_now.astype(dtype),
+                    img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
+                    guidance=guidance,
+                    # cast to the activation dtype: an f32 per-sample scale
+                    # would promote bf16 residuals in the forward
+                    conditioning_scale=scale[:, None, None].astype(dtype),
+                    **kw)
+        else:
+            from unigen_tpu.models.sana import sana_unigen_forward
+
+            def call(params, lat, cond, embeds, mask, pooled, cpool,
+                     t_now, scale, **kw):
+                return sana_unigen_forward(
+                    params, cfg, hidden=lat, condition=cond, encoder=embeds,
+                    pooled=pooled, condition_pooled=cpool,
+                    timestep=t_now.astype(dtype), encoder_mask=mask,
+                    conditioning_scale=scale[:, None, None].astype(dtype),
+                    **kw)
+        return call
+
+    def _build_step(self, t_len: int):
+        call = self._family_fwd(self.B, t_len)
+
+        def step(params, lat, cond, embeds, mask, pooled, cond_pooled,
                  t_now, s_now, s_next, scale):
-            guidance = (jnp.full((B,), gs, dtype) if use_guidance else None)
-            pred, _, _ = unigen_flux_forward(
-                params, cfg, hidden=lat, condition=cond, encoder=embeds,
-                pooled=pooled, condition_pooled=cond_pooled,
-                timestep=t_now.astype(dtype),
-                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
-                guidance=guidance,
-                # cast to the activation dtype: an f32 per-sample scale would
-                # promote bf16 residuals and break the scan carry dtype
-                conditioning_scale=scale[:, None, None].astype(dtype))
-            return scheduling.euler_step(lat, pred, s_now[:, None, None],
-                                         s_next[:, None, None])
+            pred, _, _ = call(params, lat, cond, embeds, mask, pooled,
+                              cond_pooled, t_now, scale)
+            return scheduling.euler_step(lat, pred, self._bsig(s_now, lat),
+                                         self._bsig(s_next, lat))
 
         return jax.jit(step)
 
@@ -203,24 +270,13 @@ class StepServer:
         batch m. Short refresh lists are padded by repeating a real slot —
         the duplicate rows compute the identical prediction, and the
         duplicate scatter in the update program writes the same value."""
-        cfg, bb = self.cfg, self.cfg.flux
-        txt_ids = jnp.zeros((t_len, 3))
-        img_ids = self._img_ids
-        use_guidance = bb.guidance_embeds
-        gs = self._guidance_scale
-        dtype = self.dtype
+        call = self._family_fwd(m, t_len)
 
-        def fwd(params, lat, cond, embeds, pooled, cond_pooled, idx,
+        def fwd(params, lat, cond, embeds, mask, pooled, cond_pooled, idx,
                 t_now, scale):
-            guidance = (jnp.full((m,), gs, dtype) if use_guidance else None)
-            pred, _, _ = unigen_flux_forward(
-                params, cfg, hidden=lat[idx], condition=cond[idx],
-                encoder=embeds[idx], pooled=pooled[idx],
-                condition_pooled=cond_pooled[idx],
-                timestep=t_now.astype(dtype),
-                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
-                guidance=guidance,
-                conditioning_scale=scale[:, None, None].astype(dtype))
+            pred, _, _ = call(params, lat[idx], cond[idx], embeds[idx],
+                              None if mask is None else mask[idx],
+                              pooled[idx], cond_pooled[idx], t_now, scale)
             return pred
 
         return jax.jit(fwd)
@@ -234,56 +290,38 @@ class StepServer:
         otherwise hold old cache + fresh residuals + new cache live at once
         (3× ~0.5 GiB/slot at full topology — measured OOM on v5e at 4
         slots). Pad rows repeat a real slot — their duplicate scatter
-        writes the identical value."""
-        cfg, bb = self.cfg, self.cfg.flux
-        txt_ids = jnp.zeros((t_len, 3))
-        img_ids = self._img_ids
-        use_guidance = bb.guidance_embeds
-        gs = self._guidance_scale
-        dtype = self.dtype
+        writes the identical value. The residual cache is an arbitrary
+        PYTREE with the slot axis at position 1 (family-specific
+        structure)."""
+        call = self._family_fwd(m, t_len)
 
-        def fwd(params, lat, cond, embeds, pooled, cond_pooled,
-                res_d, res_s, idx, t_now, scale):
-            guidance = (jnp.full((m,), gs, dtype) if use_guidance else None)
-            pred, _, outs = unigen_flux_forward(
-                params, cfg, hidden=lat[idx], condition=cond[idx],
-                encoder=embeds[idx], pooled=pooled[idx],
-                condition_pooled=cond_pooled[idx],
-                timestep=t_now.astype(dtype),
-                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
-                guidance=guidance,
-                conditioning_scale=scale[:, None, None].astype(dtype),
-                return_control_residuals=True)
-            new_d, new_s = outs["control_residuals"]
-            return (pred, res_d.at[:, idx].set(new_d),
-                    res_s.at[:, idx].set(new_s))
+        def fwd(params, lat, cond, embeds, mask, pooled, cond_pooled,
+                res, idx, t_now, scale):
+            pred, _, outs = call(params, lat[idx], cond[idx], embeds[idx],
+                                 None if mask is None else mask[idx],
+                                 pooled[idx], cond_pooled[idx], t_now, scale,
+                                 return_control_residuals=True)
+            new = outs["control_residuals"]
+            res_n = jax.tree.map(lambda r, nw: r.at[:, idx].set(nw),
+                                 res, new)
+            return pred, res_n
 
-        return jax.jit(fwd, donate_argnums=(6, 7))
+        return jax.jit(fwd, donate_argnums=(7,))
 
     def _build_base_h(self, t_len: int, m: int):
         """Hybrid BASE refresh: ``m`` gathered slots run the base
         transformer with their cached control residuals replayed (level 1;
         ~54% of a full step at flux full topology, PROFILE_FULL.json). The
         residual gather rides inside the program like the row gathers."""
-        cfg, bb = self.cfg, self.cfg.flux
-        txt_ids = jnp.zeros((t_len, 3))
-        img_ids = self._img_ids
-        use_guidance = bb.guidance_embeds
-        gs = self._guidance_scale
-        dtype = self.dtype
+        call = self._family_fwd(m, t_len)
 
-        def fwd(params, lat, cond, embeds, pooled, cond_pooled,
-                res_d, res_s, idx, t_now, scale):
-            guidance = (jnp.full((m,), gs, dtype) if use_guidance else None)
-            pred, _, _ = unigen_flux_forward(
-                params, cfg, hidden=lat[idx], condition=cond[idx],
-                encoder=embeds[idx], pooled=pooled[idx],
-                condition_pooled=cond_pooled[idx],
-                timestep=t_now.astype(dtype),
-                img_ids=img_ids, txt_ids=txt_ids, condition_ids=img_ids,
-                guidance=guidance,
-                conditioning_scale=scale[:, None, None].astype(dtype),
-                control_residuals=(res_d[:, idx], res_s[:, idx]))
+        def fwd(params, lat, cond, embeds, mask, pooled, cond_pooled,
+                res, idx, t_now, scale):
+            pred, _, _ = call(params, lat[idx], cond[idx], embeds[idx],
+                              None if mask is None else mask[idx],
+                              pooled[idx], cond_pooled[idx], t_now, scale,
+                              control_residuals=jax.tree.map(
+                                  lambda r: r[:, idx], res))
             return pred
 
         return jax.jit(fwd)
@@ -297,16 +335,16 @@ class StepServer:
         so per-request latents match the one-shot pipeline bit-for-bit.
         Refreshing slots ride the same expression with gap=0, dt=1: p1 was
         just set to the fresh value, so pred == fresh exactly."""
-        B = self.B
+        B, bsig = self.B, self._bsig
 
         def upd(lat, p1, p0, fresh, idx, gap, dt, s_now, s_next):
-            refreshed = jnp.zeros((B,), bool).at[idx].set(True)[:, None, None]
+            refreshed = bsig(jnp.zeros((B,), bool).at[idx].set(True), p1)
             p0n = jnp.where(refreshed, p1, p0)
             p1n = p1.at[idx].set(fresh)
-            slope = (p1n - p0n) / dt[:, None, None].astype(p1.dtype)
-            pred = p1n + gap[:, None, None].astype(p1.dtype) * slope
-            lat_n = scheduling.euler_step(lat, pred, s_now[:, None, None],
-                                          s_next[:, None, None])
+            slope = (p1n - p0n) / bsig(dt, p1).astype(p1.dtype)
+            pred = p1n + bsig(gap, p1).astype(p1.dtype) * slope
+            lat_n = scheduling.euler_step(lat, pred, bsig(s_now, lat),
+                                          bsig(s_next, lat))
             return lat_n, p1n, p0n
 
         return jax.jit(upd)
@@ -314,11 +352,13 @@ class StepServer:
     def _build_replay(self):
         """All-replay tick: no transformer at all, just the (extrapolated)
         cached predictions through one Euler step."""
+        bsig = self._bsig
+
         def upd(lat, p1, p0, gap, dt, s_now, s_next):
-            slope = (p1 - p0) / dt[:, None, None].astype(p1.dtype)
-            pred = p1 + gap[:, None, None].astype(p1.dtype) * slope
-            return scheduling.euler_step(lat, pred, s_now[:, None, None],
-                                         s_next[:, None, None])
+            slope = (p1 - p0) / bsig(dt, p1).astype(p1.dtype)
+            pred = p1 + bsig(gap, p1).astype(p1.dtype) * slope
+            return scheduling.euler_step(lat, pred, bsig(s_now, lat),
+                                         bsig(s_next, lat))
         return jax.jit(upd)
 
     def _prepare_cached_tick(self, active, s_now, s_next, scale):
@@ -350,6 +390,7 @@ class StepServer:
                 dt[i] = max(self._i1[i] - self._i0[i], 1)
         params, lat, cond = self.params, self._lat, self._cond
         embeds, pooled, cpool = self._embeds, self._pooled, self._cond_pooled
+        mask = self._mask
         p1, p0 = self._p1, self._p0
         s_now_j = jnp.asarray(s_now)
         s_next_j = jnp.asarray(s_next)
@@ -381,8 +422,8 @@ class StepServer:
         idx_j = jnp.asarray(idx)
 
         def tick():
-            fresh = fwd(params, lat, cond, embeds, pooled, cpool, idx_j,
-                        jnp.asarray(t_r), jnp.asarray(sc_r))
+            fresh = fwd(params, lat, cond, embeds, mask, pooled, cpool,
+                        idx_j, jnp.asarray(t_r), jnp.asarray(sc_r))
             new_lat, p1n, p0n = upd(lat, p1, p0, fresh, idx_j, gap_j, dt_j,
                                     s_now_j, s_next_j)
 
@@ -423,8 +464,9 @@ class StepServer:
                 dt[i] = max(self._i1[i] - self._i0[i], 1)
         params, lat, cond = self.params, self._lat, self._cond
         embeds, pooled, cpool = self._embeds, self._pooled, self._cond_pooled
+        mask = self._mask
         p1, p0 = self._p1, self._p0
-        res_d, res_s = self._res_d, self._res_s
+        res = self._res
         s_now_j = jnp.asarray(s_now)
         s_next_j = jnp.asarray(s_next)
         gap_j, dt_j = jnp.asarray(gap), jnp.asarray(dt)
@@ -472,15 +514,14 @@ class StepServer:
             fresh_b = None
             if base_plan is not None:
                 fn, idx_j, t_r, sc_r, _ = base_plan
-                fresh_b = fn(params, lat, cond, embeds, pooled, cpool,
-                             res_d, res_s, idx_j, t_r, sc_r)
-            res_dn, res_sn = res_d, res_s
+                fresh_b = fn(params, lat, cond, embeds, mask, pooled, cpool,
+                             res, idx_j, t_r, sc_r)
+            res_n = res
             rows = []
             if full_plan is not None:
                 fn, idx_j, t_r, sc_r, _ = full_plan
-                fresh_f, res_dn, res_sn = fn(params, lat, cond, embeds,
-                                             pooled, cpool, res_d, res_s,
-                                             idx_j, t_r, sc_r)
+                fresh_f, res_n = fn(params, lat, cond, embeds, mask, pooled,
+                                    cpool, res, idx_j, t_r, sc_r)
                 rows.append(fresh_f[:nf])
             if fresh_b is not None:
                 rows.append(fresh_b[:nb])
@@ -494,7 +535,7 @@ class StepServer:
             def commit():
                 self._p1, self._p0 = p1n, p0n
                 self._i1, self._i0 = i1n, i0n
-                self._res_d, self._res_s = res_dn, res_sn
+                self._res = res_n
 
             return new_lat, commit
 
@@ -503,13 +544,14 @@ class StepServer:
     # ------------------------------------------------------------ client
 
     def submit(self, *, prompt_embeds, pooled, cond_pooled, control_pixels,
-               conditioning_scale: float = 1.0, seed: int = 0,
-               latents=None, wait: bool = False) -> Future:
+               prompt_mask=None, conditioning_scale: float = 1.0,
+               seed: int = 0, latents=None, wait: bool = False) -> Future:
         """Admit one request (leading dim 1 on every array). Returns a
         Future resolving to a uint8 image [1, H, W, 3]. wait=True blocks
         until a slot frees instead of raising — the saturating-load mode
         (slots are re-filled the moment a request retires, so occupancy
-        never dips between admissions)."""
+        never dips between admissions). ``prompt_mask`` [1, T] is the sana
+        encoder mask (defaults to all-ones)."""
         fut: Future = Future()
         embeds = jnp.asarray(prompt_embeds, self.dtype)
         assert embeds.shape[0] == 1, "one sample per request"
@@ -517,8 +559,12 @@ class StepServer:
                                 jnp.asarray(control_pixels, jnp.float32))
         if latents is None:
             latents = jax.random.normal(
-                jax.random.PRNGKey(seed),
-                (1, self.s_img, self.cfg.flux.in_channels), self.dtype)
+                jax.random.PRNGKey(seed), (1,) + self._lat.shape[1:],
+                self.dtype)
+        if self.family == "sana":
+            prompt_mask = (jnp.ones((1, embeds.shape[1]), jnp.int32)
+                           if prompt_mask is None
+                           else jnp.asarray(prompt_mask, jnp.int32))
         with self._work:
             if self._closed:
                 raise RuntimeError("server is closed")
@@ -533,27 +579,44 @@ class StepServer:
             if self._embeds is None:
                 self._embeds = jnp.zeros(
                     (self.B,) + tuple(embeds.shape[1:]), self.dtype)
+                if self.family == "sana":
+                    self._mask = jnp.zeros((self.B, embeds.shape[1]),
+                                           jnp.int32)
                 self._step_fn = self._build_step(embeds.shape[1])
-                if self.cache_c > 1 and self._res_s is None:
-                    bb = self.cfg.flux
-                    d_inner = (bb.num_attention_heads
-                               * bb.attention_head_dim)
-                    # single-block residuals live on the [txt | img] stream
-                    self._res_s = jnp.zeros(
-                        (bb.num_single_layers, self.B,
-                         embeds.shape[1] + self.s_img, d_inner), self.dtype)
+                if self.cache_c > 1 and self._res is None:
+                    t_len = embeds.shape[1]
+                    if self.family == "flux":
+                        bb = self.cfg.flux
+                        d_inner = (bb.num_attention_heads
+                                   * bb.attention_head_dim)
+                        # flux residual pytree: (doubles on the img stream,
+                        # singles on the [txt | img] stream)
+                        self._res = (
+                            jnp.zeros((bb.num_layers, self.B, self.s_img,
+                                       d_inner), self.dtype),
+                            jnp.zeros((bb.num_single_layers, self.B,
+                                       t_len + self.s_img, d_inner),
+                                      self.dtype))
+                    else:
+                        bb = self.cfg.sana
+                        self._res = jnp.zeros(
+                            (bb.num_layers, self.B, self.s_img,
+                             bb.inner_dim), self.dtype)
             assert embeds.shape[1:] == self._embeds.shape[1:], \
                 "all requests must share the text sequence length"
             # row writes are deferred to the WORKER at tick start — a write
             # here could race an in-flight tick whose new_lat would clobber
             # the admitted latents row
+            payload = dict(lat=latents[0], cond=cond_lat[0],
+                           embeds=embeds[0],
+                           pooled=jnp.asarray(pooled, self.dtype)[0],
+                           cond_pooled=jnp.asarray(cond_pooled,
+                                                   self.dtype)[0])
+            if self.family == "sana":
+                payload["mask"] = prompt_mask[0]
             self._slots[idx] = _Slot(
                 future=fut, step=0, scale=float(conditioning_scale),
-                payload=dict(lat=latents[0], cond=cond_lat[0],
-                             embeds=embeds[0],
-                             pooled=jnp.asarray(pooled, self.dtype)[0],
-                             cond_pooled=jnp.asarray(cond_pooled,
-                                                     self.dtype)[0]))
+                payload=payload)
             self._work.notify()
         return fut
 
@@ -599,6 +662,8 @@ class StepServer:
                         self._pooled = self._pooled.at[i].set(p["pooled"])
                         self._cond_pooled = self._cond_pooled.at[i].set(
                             p["cond_pooled"])
+                        if "mask" in p:
+                            self._mask = self._mask.at[i].set(p["mask"])
                         if self.cache_k > 1 or self.cache_c > 1:
                             self._i1[i] = self._i0[i] = -1
                         s.payload = None
@@ -623,7 +688,7 @@ class StepServer:
                 else:
                     step_fn = self._step_fn
                     args = (self.params, self._lat, self._cond, self._embeds,
-                            self._pooled, self._cond_pooled)
+                            self._mask, self._pooled, self._cond_pooled)
             # ---- run the tick OUTSIDE the lock (submissions may land
             # between ticks; they only touch rows whose slots are free)
             t_tick = _time.perf_counter() if debug else 0.0
@@ -641,17 +706,14 @@ class StepServer:
                         if not s.future.done():
                             s.future.set_exception(e)
                         self._slots[i] = _Slot()
-                    if self.cache_c > 1:
+                    if self.cache_c > 1 and self._res is not None:
                         # the residual buffers may have been DONATED into a
                         # failed full program (invalidated) — rebuild them
                         # and force full refreshes on the next admissions
-                        # .shape/.dtype are aval metadata — valid even on a
-                        # deleted (donated) array
-                        self._res_d = jnp.zeros(self._res_d.shape,
-                                                self._res_d.dtype)
-                        if self._res_s is not None:
-                            self._res_s = jnp.zeros(self._res_s.shape,
-                                                    self._res_s.dtype)
+                        # (.shape/.dtype are aval metadata — valid even on
+                        # a deleted array)
+                        self._res = jax.tree.map(
+                            lambda r: jnp.zeros(r.shape, r.dtype), self._res)
                         self._i1[:] = self._i0[:] = -1
                 continue
             # bounded async window: let the device pipeline 2 ticks, no more
