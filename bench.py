@@ -1759,6 +1759,9 @@ def bench_stepserver():
     from unigen_tpu.ops.quant import quantize_unigen_serving, quantized_bytes
     from unigen_tpu.serving_steps import StepServer
 
+    fam = os.environ.get("UNIGEN_BENCH_STEP_FAMILY", "flux")
+    if fam == "sana":
+        return bench_stepserver_sana()
     res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
     B = int(os.environ.get("UNIGEN_BENCH_STEP_SLOTS", "4"))
     # UNIGEN_BENCH_STEP_CACHE=k composes the per-slot model cache with
@@ -1873,6 +1876,117 @@ def bench_stepserver():
         json.dump(doc, f, indent=1)
     print(json.dumps({
         "metric": f"unigen_flux_stepserver{ctag}_{res}px_images_per_sec",
+        "value": round(sustained, 4), "unit": "images/sec/chip",
+        "vs_baseline": 0.0, "config": doc["config"]}))
+
+
+def bench_stepserver_sana():
+    """UNIGEN_BENCH_STEPSERVER=1 UNIGEN_BENCH_STEP_FAMILY=sana: step-level
+    continuous batching for the SANA family (1024², 20-step, W8A8 — the
+    measured SANA serving dtype) with the REAL-shape DC-AE codec on-stream
+    (random weights; the codec cost is architectural). Knobs as the flux
+    rung: UNIGEN_BENCH_STEP_SLOTS / _STEP_CACHE / _STEP_HYBRID."""
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu import config as C
+    from unigen_tpu.models import dcae
+    from unigen_tpu.models.sana import init_sana_unigen_params
+    from unigen_tpu.ops.quant import quantize_tree, quantized_bytes
+    from unigen_tpu.serving_steps import StepServer
+
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "1024"))
+    B = int(os.environ.get("UNIGEN_BENCH_STEP_SLOTS", "2"))
+    cache_k = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE", "1"))
+    cache_order = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE_ORDER", "0"))
+    cache_c = int(os.environ.get("UNIGEN_BENCH_STEP_HYBRID", "1"))
+    num_steps = 20
+    cfg = C.UniGenConfig(
+        family="sana", sana=C.SanaBackboneConfig(),
+        control=C.ControlConfig(moe=C.MoEConfig(batch_mode="per_sample")),
+        condition_types=("canny",))
+    bb = cfg.sana
+    dtype = jnp.bfloat16
+
+    t0 = time.time()
+    params = direct_quantized_init(
+        jax.random.PRNGKey(0),
+        lambda k: quantize_tree(init_sana_unigen_params(k, cfg, dtype=dtype)))
+    ae_cfg = dcae.DCAEConfig(latent_channels=bb.in_channels)
+    ae_params = jax.jit(lambda k: dcae.init_dcae_params(k, ae_cfg))(
+        jax.random.PRNGKey(1))
+    jax.block_until_ready((params, ae_params))
+    print(f"# sana stepserver init {time.time()-t0:.1f}s resident="
+          f"{quantized_bytes(params)/2**30:.2f}GiB transformer "
+          f"+ {quantized_bytes(ae_params)/2**30:.2f}GiB codec",
+          file=sys.stderr)
+
+    srv = StepServer(
+        cfg, params,
+        ae_encode=lambda vp, px: dcae.dcae_encode(vp, ae_cfg, px),
+        ae_decode=lambda vp, lat: dcae.dcae_decode(vp, ae_cfg, lat),
+        ae_params=ae_params, ae_downscale=ae_cfg.downscale,
+        batch_size=B, num_inference_steps=num_steps,
+        height=res, width=res, model_cache_interval=cache_k,
+        model_cache_order=cache_order, control_cache_interval=cache_c,
+        dtype=dtype)
+    t_len = 300
+
+    def request(i):
+        ks = jax.random.split(jax.random.PRNGKey(1000 + i), 4)
+        return dict(
+            prompt_embeds=jax.random.normal(
+                ks[0], (1, t_len, bb.caption_channels), dtype),
+            pooled=jax.random.normal(
+                ks[1], (1, bb.pooled_projection_dim), dtype),
+            cond_pooled=jax.random.normal(
+                ks[2], (1, bb.pooled_projection_dim), dtype),
+            control_pixels=jax.random.normal(ks[3], (1, 3, res, res),
+                                             jnp.float32))
+
+    t0 = time.time()
+    srv.submit(**request(0)).result(timeout=3600)
+    cold_s = time.time() - t0
+    t0 = time.perf_counter()
+    srv.submit(**request(1)).result(timeout=600)
+    single_lat = time.perf_counter() - t0
+    print(f"# cold={cold_s:.1f}s warm single-request latency="
+          f"{single_lat*1000:.0f}ms", file=sys.stderr)
+
+    t0 = time.time()
+    wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
+    for f in wfuts:
+        f.result(timeout=3600)
+    print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
+
+    n_req = 4 * B
+    t0 = time.perf_counter()
+    futs = [srv.submit(**request(2 + i), wait=True) for i in range(n_req)]
+    for f in futs:
+        f.result(timeout=1200)
+    sustained = n_req / (time.perf_counter() - t0)
+    srv.close()
+    print(f"# sustained {sustained:.3f} img/s over {n_req} staggered "
+          f"requests ({B} slots)", file=sys.stderr)
+
+    ctag = f"_cache{cache_k}o{cache_order}" if cache_k > 1 else ""
+    if cache_c > 1:
+        ctag += f"_hybrid{cache_c}"
+    doc = {"config": f"sana_{bb.num_layers}blk_w{bb.inner_dim}_"
+                     f"stepserver{B}slots{ctag}",
+           "res": res, "slots": B, "num_steps": num_steps,
+           "model_cache_interval": cache_k, "model_cache_order": cache_order,
+           "control_cache_interval": cache_c, "quant": "w8a8",
+           "warm_single_request_latency_ms": round(single_lat * 1000, 1),
+           "sustained_img_per_sec": round(sustained, 4),
+           "note": "SANA family StepServer (no CFG — fits the slot model "
+                   "exactly); sustained includes per-request REAL-shape "
+                   "DC-AE encode+decode on-stream"}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "STEPSERVE_SANA.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({
+        "metric": f"unigen_sana_stepserver{ctag}_{res}px_images_per_sec",
         "value": round(sustained, 4), "unit": "images/sec/chip",
         "vs_baseline": 0.0, "config": doc["config"]}))
 

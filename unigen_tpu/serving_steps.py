@@ -85,7 +85,8 @@ class StepServer:
 
     def __init__(self, cfg: UniGenConfig, params, vae_cfg=None,
                  vae_params=None, *,
-                 ae_encode=None, ae_decode=None, ae_downscale: int = 32,
+                 ae_encode=None, ae_decode=None, ae_params=None,
+                 ae_downscale: int = 32,
                  batch_size: int = 8, num_inference_steps: int = 4,
                  height: int = 512, width: int = 512,
                  guidance_scale: float = 3.5,
@@ -146,9 +147,20 @@ class StepServer:
             self._img_ids = None
             sch = scheduler or scheduling.FlowMatchConfig(shift=3.0)
             _enc, _dec = ae_encode, ae_decode
-            self._encode = jax.jit(lambda vp, px: _enc(px).astype(dtype))
-            self._decode = jax.jit(lambda vp, lat: jnp.clip(
-                _dec(lat.astype(jnp.float32)), -1, 1))
+            if ae_params is not None:
+                # codec params threaded THROUGH the jit boundary (callables
+                # take (params, x)) — closure-captured device arrays would
+                # be pulled to host at trace time (CLAUDE.md closure gotcha)
+                self.vae_params = ae_params
+                self._encode = jax.jit(
+                    lambda vp, px: _enc(vp, px).astype(dtype))
+                self._decode = jax.jit(lambda vp, lat: jnp.clip(
+                    _dec(vp, lat.astype(jnp.float32)), -1, 1))
+            else:
+                self._encode = jax.jit(
+                    lambda vp, px: _enc(px).astype(dtype))
+                self._decode = jax.jit(lambda vp, lat: jnp.clip(
+                    _dec(lat.astype(jnp.float32)), -1, 1))
         sig, tst = scheduling.inference_sigmas(sch, num_inference_steps,
                                                image_seq_len=seq_for_sigmas)
         self._sigmas = np.asarray(sig)          # [n+1]
