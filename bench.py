@@ -29,6 +29,10 @@ Env knobs:
                         replay — SERVING.md rung 3c): the flux sweep runs
                         bench_cache (CACHE.json hybrid_rows); the sd3/sana
                         family rungs take ONE pair.
+  UNIGEN_BENCH_STEP_RESBITS=8  StepServer rungs only: store the per-slot
+                        control-residual cache int8 with per-token scales
+                        (ops/quant.quantize_residual) — half the cache HBM,
+                        the slot-count lever at full topology / 1024².
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
   value       — images/sec for the jitted 4-step denoise loop (text encode /
@@ -1773,6 +1777,10 @@ def bench_stepserver():
     # top: full refresh every c-th OWN step, base-with-control-replay every
     # k-th, prediction replay otherwise (the hybrid three-level schedule)
     cache_c = int(os.environ.get("UNIGEN_BENCH_STEP_HYBRID", "1"))
+    # UNIGEN_BENCH_STEP_RESBITS=8 stores the per-slot control-residual cache
+    # int8 with per-token scales (half the cache HBM — the slot-count lever:
+    # bf16 residuals are 0.47 GiB/slot at 512², ~1.9 GiB/slot at 1024²)
+    res_bits = int(os.environ.get("UNIGEN_BENCH_STEP_RESBITS", "16"))
     num_steps = 4
     preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
     cfg_base = {"full": presets.flux_full, "proxy": presets.flux_bench,
@@ -1805,7 +1813,8 @@ def bench_stepserver():
                      num_inference_steps=num_steps, height=res, width=res,
                      model_cache_interval=cache_k,
                      model_cache_order=cache_order,
-                     control_cache_interval=cache_c, dtype=dtype)
+                     control_cache_interval=cache_c,
+                     residual_cache_bits=res_bits, dtype=dtype)
     t_len = 16 if preset == "tiny" else 512
 
     def request(i):
@@ -1856,11 +1865,14 @@ def bench_stepserver():
     ctag = f"_cache{cache_k}o{cache_order}" if cache_k > 1 else ""
     if cache_c > 1:
         ctag += f"_hybrid{cache_c}"
+        if res_bits == 8:
+            ctag += "_res8"
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
                      f"w{bb.inner_dim}_stepserver{B}slots{ctag}",
            "res": res, "slots": B, "num_steps": num_steps,
            "model_cache_interval": cache_k, "model_cache_order": cache_order,
            "control_cache_interval": cache_c,
+           "residual_cache_bits": res_bits,
            "warm_single_request_latency_ms": round(single_lat * 1000, 1),
            "sustained_img_per_sec": round(sustained, 4),
            "note": "admission latency bounded by ONE denoise step (vs a full "
@@ -1900,6 +1912,7 @@ def bench_stepserver_sana():
     cache_k = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE", "1"))
     cache_order = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE_ORDER", "0"))
     cache_c = int(os.environ.get("UNIGEN_BENCH_STEP_HYBRID", "1"))
+    res_bits = int(os.environ.get("UNIGEN_BENCH_STEP_RESBITS", "16"))
     num_steps = 20
     cfg = C.UniGenConfig(
         family="sana", sana=C.SanaBackboneConfig(),
@@ -1929,7 +1942,7 @@ def bench_stepserver_sana():
         batch_size=B, num_inference_steps=num_steps,
         height=res, width=res, model_cache_interval=cache_k,
         model_cache_order=cache_order, control_cache_interval=cache_c,
-        dtype=dtype)
+        residual_cache_bits=res_bits, dtype=dtype)
     t_len = 300
 
     def request(i):
@@ -1972,11 +1985,14 @@ def bench_stepserver_sana():
     ctag = f"_cache{cache_k}o{cache_order}" if cache_k > 1 else ""
     if cache_c > 1:
         ctag += f"_hybrid{cache_c}"
+        if res_bits == 8:
+            ctag += "_res8"
     doc = {"config": f"sana_{bb.num_layers}blk_w{bb.inner_dim}_"
                      f"stepserver{B}slots{ctag}",
            "res": res, "slots": B, "num_steps": num_steps,
            "model_cache_interval": cache_k, "model_cache_order": cache_order,
            "control_cache_interval": cache_c, "quant": "w8a8",
+           "residual_cache_bits": res_bits,
            "warm_single_request_latency_ms": round(single_lat * 1000, 1),
            "sustained_img_per_sec": round(sustained, 4),
            "note": "SANA family StepServer (no CFG — fits the slot model "

@@ -66,6 +66,11 @@ def parse_args(argv=None):
     p.add_argument("--model_cache_order", type=int, default=0, choices=[0, 1],
                    help="0 = zero-order hold, 1 = first-order Taylor "
                         "extrapolation from the two most recent refreshes")
+    p.add_argument("--residual_cache_bits", type=int, default=16,
+                   choices=[8, 16],
+                   help="8 stores the control-residual cache int8 with "
+                        "per-token scales (half the cache HBM; requires a "
+                        "control-cache or hybrid mode)")
     p.add_argument("--quality_profile", default=None,
                    choices=["exact", "balanced", "fast"],
                    help="measured serving operating point (SERVING.md); "
@@ -153,6 +158,7 @@ def main(argv=None):
                     model_cache_interval=args.model_cache_interval,
                     model_cache_threshold=args.model_cache_threshold,
                     model_cache_order=args.model_cache_order,
+                    residual_cache_bits=args.residual_cache_bits,
                     quality_profile=args.quality_profile)
 
     def run_pipe(prompts, control, seed):

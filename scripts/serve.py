@@ -29,7 +29,7 @@ import numpy as np
 
 
 def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0,
-                cache_c: int = 1):
+                cache_c: int = 1, res_bits: int = 16):
     """Tiny random-model StepServer demo (CPU-safe): full request lifecycle
     — VAE encode on admit, per-slot denoise ticks, VAE decode on retire —
     with staggered arrivals, optionally at a model-cache operating point."""
@@ -55,7 +55,8 @@ def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0,
                      batch_size=batch_size, num_inference_steps=4,
                      height=32, width=32, model_cache_interval=cache_k,
                      model_cache_order=cache_order,
-                     control_cache_interval=cache_c, dtype=jnp.float32)
+                     control_cache_interval=cache_c,
+                     residual_cache_bits=res_bits, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     mk = lambda *shape: rng.standard_normal(shape).astype(np.float32)
     bb = cfg.flux
@@ -154,6 +155,7 @@ def _serve_steps(pipe, args):
                      model_cache_interval=args.model_cache_interval,
                      model_cache_order=args.model_cache_order,
                      control_cache_interval=args.control_cache_interval,
+                     residual_cache_bits=args.residual_cache_bits,
                      **kw)
     print(f"# step-server ready: slots={args.batch_size} steps={args.steps} "
           f"res={args.resolution} quant={args.quant} "
@@ -249,6 +251,12 @@ def main(argv=None):
                     choices=[0, 1],
                     help="0 = zero-order hold, 1 = first-order Taylor "
                          "extrapolation from the two most recent refreshes")
+    ap.add_argument("--residual-cache-bits", type=int, default=16,
+                    choices=[8, 16],
+                    help="8 stores the control-residual cache int8 with "
+                         "per-token scales (HALF the cache HBM — the "
+                         "step-server slot-count lever at 1024²); requires "
+                         "a control-cache or hybrid mode")
     ap.add_argument("--quality-profile", default=None,
                     choices=["exact", "balanced", "fast"],
                     help="measured serving operating point (SERVING.md): "
@@ -301,7 +309,8 @@ def main(argv=None):
         if args.step_server:
             return _demo_steps(args.batch_size, args.model_cache_interval,
                                args.model_cache_order,
-                               args.control_cache_interval)
+                               args.control_cache_interval,
+                               args.residual_cache_bits)
         return _demo(args.batch_size)
 
     from PIL import Image
@@ -371,6 +380,7 @@ def main(argv=None):
                   model_cache_interval=args.model_cache_interval,
                   model_cache_threshold=args.model_cache_threshold,
                   model_cache_order=args.model_cache_order,
+                  residual_cache_bits=args.residual_cache_bits,
                   quality_profile=args.quality_profile)
         if fam != "sana" and args.guidance_scale is not None:
             kw["guidance_scale"] = args.guidance_scale

@@ -1423,3 +1423,252 @@ def test_sd3_sana_quality_profiles(tiny_sd3, tiny_sana):
     np.testing.assert_array_equal(
         spipe.generate(**skw, quality_profile="fast"),
         spipe.generate(**skw, model_cache_interval=4, model_cache_order=1))
+
+
+# ------------------------------------------------- int8 residual cache
+
+def test_int8_residual_quant_roundtrip():
+    """ops/quant.quantize_residual: per-token symmetric int8 — the max-|x|
+    element of every token row is exact; everything else within s/2."""
+    from unigen_tpu.ops import quant as quant_lib
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 17, 64)) * 3.0
+    d = quant_lib.quantize_residual(x)
+    assert d["q"].dtype == jnp.int8 and d["s"].shape == (3, 2, 17, 1)
+    y = quant_lib.dequantize_residual(d, jnp.float32)
+    s = np.asarray(d["s"])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                               atol=float(s.max()) * 0.5 + 1e-7, rtol=0)
+    # amax element maps to ±127 exactly
+    xf = np.asarray(x)
+    amax_err = np.abs(np.asarray(y) - xf).max() / np.abs(xf).max()
+    assert amax_err < 0.01
+
+
+def test_flux_int8_capture_replay_close(tiny):
+    """bits=8 capture: residual leaves become {"q","s"} dicts with the block
+    axis leading both; replay at the same state approximates the exact
+    forward to quantization precision (and is NOT bit-identical — the
+    approximation must be live)."""
+    cfg, params = tiny
+    batch = _batch(cfg)
+    pred0, _, _ = unigen_flux_forward(params, cfg, **batch)
+    pred8, _, outs = unigen_flux_forward(params, cfg, **batch,
+                                         return_control_residuals=True,
+                                         control_residuals_bits=8)
+    # capture itself must not perturb the prediction
+    np.testing.assert_array_equal(np.asarray(pred0), np.asarray(pred8))
+    dbl, sgl = outs["control_residuals"]
+    bb = cfg.flux
+    b, s = batch["hidden"].shape[0], batch["hidden"].shape[1]
+    t = batch["encoder"].shape[1]
+    assert dbl["q"].dtype == jnp.int8
+    assert dbl["q"].shape == (bb.num_layers, b, s, bb.inner_dim)
+    assert dbl["s"].shape == (bb.num_layers, b, s, 1)
+    assert sgl["q"].shape == (bb.num_single_layers, b, t + s, bb.inner_dim)
+    rep, losses, _ = unigen_flux_forward(
+        params, cfg, **batch, control_residuals=(dbl, sgl))
+    assert float(losses["moe_loss"]) == 0.0
+    a, r = np.asarray(rep), np.asarray(pred0)
+    assert np.abs(a - r).max() > 0            # quantized, not exact
+    rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-8)
+    assert rel < 0.05, f"int8 replay rel err {rel}"
+
+
+def test_sana_int8_capture_replay_close(tiny_sana):
+    from unigen_tpu.models.sana import sana_unigen_forward
+    cfg, params = tiny_sana
+    batch = _sana_batch(cfg)
+    pred0, _, _ = sana_unigen_forward(params, cfg, **batch)
+    pred8, _, outs = sana_unigen_forward(params, cfg, **batch,
+                                         return_control_residuals=True,
+                                         control_residuals_bits=8)
+    np.testing.assert_array_equal(np.asarray(pred0), np.asarray(pred8))
+    res = outs["control_residuals"]
+    bb = cfg.sana
+    s = (batch["hidden"].shape[2] // bb.patch_size) ** 2
+    assert res["q"].dtype == jnp.int8
+    assert res["q"].shape == (bb.num_layers, 2, s, bb.inner_dim)
+    assert res["s"].shape == (bb.num_layers, 2, s, 1)
+    rep, losses, _ = sana_unigen_forward(params, cfg, **batch,
+                                         control_residuals=res)
+    assert float(losses["moe_loss"]) == 0.0
+    a, r = np.asarray(rep), np.asarray(pred0)
+    assert np.abs(a - r).max() > 0
+    rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-8)
+    assert rel < 0.05, f"int8 replay rel err {rel}"
+
+
+def test_pipeline_residual_bits8_control_cache():
+    """residual_cache_bits=8 through the compiled pipeline program: runs in
+    control-cache AND hybrid modes, stays close to the bf16-residual result,
+    and the validation rejects the pure model cache (no residual cache to
+    quantize) and bad bit widths."""
+    pipe, flux = _tiny_pipe()
+    kw = dict(steps=4, interval=2, scale=1.0)
+    ref = _gen(pipe, flux, **kw)
+    got = pipe.generate(
+        prompt_embeds=jax.random.normal(
+            jax.random.split(jax.random.PRNGKey(2), 4)[0],
+            (1, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(
+            jax.random.split(jax.random.PRNGKey(2), 4)[1],
+            (1, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(
+            jax.random.split(jax.random.PRNGKey(2), 4)[2],
+            (1, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(
+            jax.random.split(jax.random.PRNGKey(2), 4)[3], (1, 3, 16, 16)),
+        height=16, width=16, num_inference_steps=4,
+        conditioning_scale=1.0, control_cache_interval=2,
+        residual_cache_bits=8)
+    assert got.shape == ref.shape
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.mean() < 8, f"int8 residual image drift {d.mean()}"
+    with pytest.raises(ValueError, match="residual_cache_bits"):
+        _gen_kw = dict(
+            prompt_embeds=jnp.zeros((1, 8, flux.joint_attention_dim)),
+            pooled=jnp.zeros((1, flux.pooled_projection_dim)),
+            cond_pooled=jnp.zeros((1, flux.pooled_projection_dim)),
+            control_pixels=jnp.zeros((1, 3, 16, 16)),
+            height=16, width=16, num_inference_steps=4)
+        pipe.generate(**_gen_kw, residual_cache_bits=4)
+    with pytest.raises(ValueError, match="model cache"):
+        pipe.generate(**_gen_kw, model_cache_interval=2,
+                      residual_cache_bits=8)
+
+
+def test_pipeline_residual_bits8_hybrid_and_cfg():
+    """Hybrid three-level cache with int8 residuals, plus the true-CFG path
+    (two quantized caches)."""
+    pipe, flux = _tiny_pipe()
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0],
+                                        (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=4, seed=0)
+    ref = pipe.generate(**kw, control_cache_interval=4,
+                        model_cache_interval=2)
+    got = pipe.generate(**kw, control_cache_interval=4,
+                        model_cache_interval=2, residual_cache_bits=8)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.mean() < 8, f"hybrid int8 drift {d.mean()}"
+    img = pipe.generate(**kw, control_cache_interval=2, true_cfg_scale=2.0,
+                        residual_cache_bits=8)
+    assert img.shape == (1, h, w, 3)
+
+
+def test_sana_pipeline_residual_bits8(tiny_sana):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+    cfg, params = tiny_sana
+    bb = cfg.sana
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenSanaPipeline(
+        cfg=cfg, params=params,
+        ae_encode=lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px),
+        ae_decode=lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat),
+        ae_downscale=vae_cfg.downscale)
+    res = 8 * vae_cfg.downscale
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (1, 5, bb.caption_channels)),
+        prompt_mask=jnp.ones((1, 5), jnp.int32),
+        pooled=jax.random.normal(ks[1], (1, bb.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (1, bb.pooled_projection_dim)),
+        control_pixels=np.random.default_rng(0).standard_normal(
+            (1, 3, res, res)).astype(np.float32) * 0.1,
+        height=res, width=res, num_inference_steps=4, seed=0)
+    ref = pipe.generate(**kw, control_cache_interval=2)
+    got = pipe.generate(**kw, control_cache_interval=2,
+                        residual_cache_bits=8)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.mean() < 8, f"sana int8 drift {d.mean()}"
+    hyb = pipe.generate(**kw, control_cache_interval=4,
+                        model_cache_interval=2, residual_cache_bits=8)
+    assert hyb.shape == ref.shape
+    with pytest.raises(ValueError, match="model cache"):
+        pipe.generate(**kw, model_cache_interval=2, residual_cache_bits=8)
+
+
+def test_sd3_int8_capture_replay_close(tiny_sd3):
+    """SD3 interleaved forward: int8 capture/replay (and the base variant)."""
+    from unigen_tpu.models.unigen_sd3 import (unigen_base_forward,
+                                              unigen_sd3_forward)
+    cfg, params = tiny_sd3
+    batch = _sd3_batch(cfg)
+    pred0, _, _ = unigen_sd3_forward(params, cfg, **batch)
+    pred8, _, outs = unigen_sd3_forward(params, cfg, **batch,
+                                        return_control_residuals=True,
+                                        control_residuals_bits=8)
+    np.testing.assert_array_equal(np.asarray(pred0), np.asarray(pred8))
+    res = outs["control_residuals"]
+    bb = cfg.sd3
+    s = (batch["hidden"].shape[2] // bb.patch_size) ** 2
+    assert res["q"].dtype == jnp.int8
+    assert res["q"].shape == (bb.num_layers, 2, s, bb.inner_dim)
+    rep, losses, _ = unigen_sd3_forward(params, cfg, **batch,
+                                        control_residuals=res)
+    assert float(losses["moe_loss"]) == 0.0
+    a, r = np.asarray(rep), np.asarray(pred0)
+    assert np.abs(a - r).max() > 0
+    rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-8)
+    assert rel < 0.05, f"sd3 int8 replay rel err {rel}"
+
+    # base variant (post-add-linear residual stack)
+    from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_params
+    bparams = init_unigen_sd3_params(jax.random.PRNGKey(2), cfg,
+                                     base_variant=True)
+    bctrl = dict(bparams["control"])
+    bctrl["add_blocks"] = _bump_adds(bctrl["add_blocks"], 0.5)
+    bparams = {"base": bparams["base"], "control": bctrl}
+    b0, _, _ = unigen_base_forward(bparams, cfg, **batch)
+    _, _, bouts = unigen_base_forward(bparams, cfg, **batch,
+                                      return_control_residuals=True,
+                                      control_residuals_bits=8)
+    bres = bouts["control_residuals"]
+    assert bres["q"].dtype == jnp.int8
+    brep, _, _ = unigen_base_forward(bparams, cfg, **batch,
+                                     control_residuals=bres)
+    a, r = np.asarray(brep), np.asarray(b0)
+    rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-8)
+    assert rel < 0.05, f"sd3 base int8 replay rel err {rel}"
+
+
+def test_sd3_pipeline_residual_bits8(tiny_sd3):
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
+    cfg, params = tiny_sd3
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=cfg.sd3.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    pipe = UniGenSD3Pipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                             vae_params=vae_params, dtype=jnp.float32)
+    b, h, w, steps = 1, 16, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0],
+                                        (b, 6, cfg.sd3.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, cfg.sd3.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2],
+                                      (b, cfg.sd3.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=steps, guidance_scale=3.0,
+        seed=0)
+    ref = pipe.generate(**kw, control_cache_interval=2)
+    got = pipe.generate(**kw, control_cache_interval=2,
+                        residual_cache_bits=8)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.mean() < 8, f"sd3 int8 drift {d.mean()}"
+    # hybrid + the CFG-cache composition both run with int8 residuals
+    hyb = pipe.generate(**kw, control_cache_interval=4,
+                        model_cache_interval=2, residual_cache_bits=8)
+    assert hyb.shape == ref.shape
+    cfgc = pipe.generate(**kw, control_cache_interval=2, cfg_cache=True,
+                         residual_cache_bits=8)
+    assert cfgc.shape == ref.shape
+    with pytest.raises(ValueError, match="model cache"):
+        pipe.generate(**kw, model_cache_interval=2, residual_cache_bits=8)

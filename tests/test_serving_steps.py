@@ -273,3 +273,29 @@ def test_sana_step_server_matches_pipeline(tiny_sana_world, knobs):
         assert out.shape == ref.shape
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_int8_residuals_matches_pipeline(tiny_world):
+    """residual_cache_bits=8: the per-slot control-residual cache is stored
+    int8 (half HBM — the 1024² slot-count lever); per-request outputs must
+    still equal the one-shot pipeline at the SAME knobs (the quantization is
+    deterministic, so both paths compute identical math)."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 5
+    reqs = [_request(120 + i, cfg) for i in range(3)]
+    refs = [_pipeline_reference(tiny_world, r, steps,
+                                control_cache_interval=4,
+                                model_cache_interval=2,
+                                residual_cache_bits=8) for r in reqs]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=steps, height=32, width=32,
+                     control_cache_interval=4, model_cache_interval=2,
+                     residual_cache_bits=8, dtype=jnp.float32)
+    futs = [srv.submit(**r) for r in reqs]
+    outs = [f.result(timeout=300) for f in futs]
+    srv.close()
+    for out, ref in zip(outs, refs):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"

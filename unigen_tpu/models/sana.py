@@ -159,7 +159,8 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
                         rng: Optional[jax.Array] = None,
                         training: bool = False,
                         control_residuals: Optional[jnp.ndarray] = None,
-                        return_control_residuals: bool = False
+                        return_control_residuals: bool = False,
+                        control_residuals_bits: int = 16
                         ) -> Tuple[jnp.ndarray, Dict, Dict]:
     """Control-residual step caching (serving-only approximation, same scheme
     as ``unigen_flux_forward``): the cached tensor is the RAW per-base-block
@@ -187,6 +188,16 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
     reuse = control_residuals is not None
     assert not (reuse and return_control_residuals), \
         "pass either control_residuals or return_control_residuals, not both"
+    assert control_residuals_bits in (8, 16)
+    # int8 residual capture/replay (same contract as unigen_flux_forward):
+    # capture quantizes per block inside the scan; replay auto-detects the
+    # {"q","s"} dict leaves and dequantizes per block
+    from unigen_tpu.ops import quant as quant_lib
+    _cap = (quant_lib.quantize_residual
+            if return_control_residuals and control_residuals_bits == 8
+            else (lambda r: r))
+    _deq = (lambda r: quant_lib.dequantize_residual(r, hidden.dtype)
+            if isinstance(r, dict) else r)
     cn_table = jnp.asarray([int(i / interval) for i in range(bb.num_layers)])
 
     # ---- base block 0 + MoE preprocess (the i==0 special case)
@@ -196,9 +207,14 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
     if reuse:
         def add_cached(h, cn_out, cn_idx):
             return h + linear(index_params(ctrl["add_blocks"], cn_idx),
-                              cn_out) * conditioning_scale
+                              _deq(cn_out)) * conditioning_scale
 
-        h = add_cached(h, control_residuals[0], 0)
+        quantized = isinstance(control_residuals, dict)
+        first = (jax.tree.map(lambda r: r[0], control_residuals)
+                 if quantized else control_residuals[0])
+        rest = (jax.tree.map(lambda r: r[1:], control_residuals)
+                if quantized else control_residuals[1:])
+        h = add_cached(h, first, 0)
 
         def body_reuse(h, xs):
             i, cn_out = xs
@@ -208,8 +224,7 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
             return add_cached(h, cn_out, cn_table[i]), None
 
         h, _ = jax.lax.scan(body_reuse, h,
-                            (jnp.arange(1, bb.num_layers),
-                             control_residuals[1:]))
+                            (jnp.arange(1, bb.num_layers), rest))
         pre = None
     else:
         cond_tokens = linear(ctrl["pos_embed_input"],
@@ -253,7 +268,7 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
                            wp, heads=heads, cross_heads=xheads,
                            ctx_mask=encoder_mask, attn_impl=attn_impl)
             h, cn_out = cn_apply(h, h, cn_table[i])
-            return h, (cn_out if return_control_residuals else None)
+            return h, (_cap(cn_out) if return_control_residuals else None)
 
         h, cn_ys = jax.lax.scan(body, h, jnp.arange(1, bb.num_layers))
 
@@ -269,6 +284,7 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
         add_losses = {"moe_loss": pre.aux_loss * cc.moe.aux_loss_weight}
         add_outputs = {"expert_counts": pre.expert_counts}
     if return_control_residuals:
-        add_outputs["control_residuals"] = jnp.concatenate(
-            [cn0[None], cn_ys], axis=0)
+        add_outputs["control_residuals"] = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0),
+            _cap(cn0), cn_ys)
     return out_img, add_losses, add_outputs

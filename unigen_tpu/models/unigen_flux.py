@@ -253,7 +253,8 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
                         rng: Optional[jax.Array] = None, training: bool = False,
                         expert_axis: Optional[str] = None,
                         control_residuals: Optional[Tuple] = None,
-                        return_control_residuals: bool = False
+                        return_control_residuals: bool = False,
+                        control_residuals_bits: int = 16
                         ) -> Tuple[jnp.ndarray, Dict, Dict]:
     """Full UniGenFlux forward. condition/condition_pooled/condition_ids may
     carry a leading condition axis for multi-condition joint control.
@@ -271,7 +272,15 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
         control block; add the cached residuals (times the CURRENT
         conditioning_scale) at the same sites. aux loss/counts are zeros.
     The prediction with residuals captured at the same state is bit-identical
-    to the plain forward (tests/test_control_cache.py)."""
+    to the plain forward (tests/test_control_cache.py).
+
+    ``control_residuals_bits=8`` captures each block's residual as int8 with
+    per-token scales (``ops/quant.quantize_residual``) INSIDE the scan, so
+    the bf16 residual stack never materialises — each leaf becomes
+    ``{"q": int8 [L, B, S, D], "s": f32 [L, B, S, 1]}``. Replay auto-detects
+    the dict structure and dequantizes per block. Halves the residual-cache
+    HBM residency (the StepServer slot-count constraint) at a small,
+    measured fidelity cost."""
     base, ctrl = params["base"], params["control"]
     bb = cfg.flux
     cc = cfg.control
@@ -295,6 +304,20 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
     reuse = control_residuals is not None
     assert not (reuse and return_control_residuals), \
         "pass either control_residuals or return_control_residuals, not both"
+    assert control_residuals_bits in (8, 16)
+    # int8 residual capture/replay (ops/quant.quantize_residual): capture
+    # quantizes per block INSIDE the scan (the bf16 stack never
+    # materialises); replay auto-detects the {"q","s"} dict leaves
+    from unigen_tpu.ops import quant as quant_lib
+    _cap = (quant_lib.quantize_residual
+            if return_control_residuals and control_residuals_bits == 8
+            else (lambda r: r))
+    _deq = (lambda r: quant_lib.dequantize_residual(r, hidden.dtype)
+            if isinstance(r, dict) else r)
+    _res_at0 = (lambda res: _deq(jax.tree.map(lambda r: r[0], res))
+                if isinstance(res, dict) else res[0])
+    _res_rest = (lambda res: jax.tree.map(lambda r: r[1:], res)
+                 if isinstance(res, dict) else res[1:])
 
     # ---- base double block 0 + MoE preprocess (the i==0 special case)
     block0 = index_params(base["double_blocks"], 0)
@@ -303,7 +326,7 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
     if reuse:
         dbl_res_in, sgl_res_in = control_residuals
         pre = None
-        h = h + dbl_res_in[0] * scale
+        h = h + _res_at0(dbl_res_in) * scale
     else:
         pre = preprocess_moe(ctrl, cfg, h, enc, condition, pooled,
                              condition_pooled, timestep, guidance, img_ids,
@@ -326,12 +349,13 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
             block_p = index_params(base["double_blocks"], i)
             enc, h = flux_double_block(block_p, h, enc, temb, rope_base,
                                        heads=heads, attn_impl=attn_impl)
-            h = h + res * scale
+            h = h + _deq(res) * scale
             return (h, enc), None
 
         body = jax.checkpoint(double_body) if remat else double_body
         (h, enc), _ = jax.lax.scan(body, (h, enc),
-                                   (jnp.arange(1, n_base), dbl_res_in[1:]))
+                                   (jnp.arange(1, n_base),
+                                    _res_rest(dbl_res_in)))
     else:
         def double_body(carry, i):
             h, enc = carry
@@ -346,7 +370,7 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
             add_p = index_params(ctrl["add_double"], cn_table[i])
             res = linear(add_p, cn_out)
             h = h + res * scale
-            return (h, enc), (res if return_control_residuals else None)
+            return (h, enc), (_cap(res) if return_control_residuals else None)
 
         body = jax.checkpoint(double_body) if remat else double_body
         (h, enc), dbl_ys = jax.lax.scan(body, (h, enc), jnp.arange(1, n_base))
@@ -373,7 +397,7 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
                 block_p, res = xs
                 stream = flux_single_block(block_p, stream, temb, rope_base,
                                            heads=heads, attn_impl=attn_impl)
-                return _apply_single_add(stream, res * scale), None
+                return _apply_single_add(stream, _deq(res) * scale), None
 
             sbody = jax.checkpoint(single_body) if remat else single_body
             stream, _ = jax.lax.scan(sbody, stream,
@@ -390,7 +414,8 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
                 add_p = index_params(ctrl["add_single"], cn_idx)
                 res = linear(add_p, cn_out)
                 stream = _apply_single_add(stream, res * scale)
-                return stream, (res if return_control_residuals else None)
+                return stream, (_cap(res) if return_control_residuals
+                                else None)
 
             sbody = jax.checkpoint(single_body) if remat else single_body
             stream, sgl_ys = jax.lax.scan(sbody, stream,
@@ -416,5 +441,6 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
         assert cc.use_single_trans_blocks and "single_blocks" in ctrl, \
             "control-residual caching requires the single-block control path"
         add_outputs["control_residuals"] = (
-            jnp.concatenate([res0[None], dbl_ys], axis=0), sgl_ys)
+            jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                         _cap(res0), dbl_ys), sgl_ys)
     return pred, add_losses, add_outputs

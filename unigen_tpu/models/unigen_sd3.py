@@ -254,7 +254,8 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
                        attn_impl: str = "auto",
                        rng: Optional[jax.Array] = None, training: bool = False,
                        control_residuals: Optional[jnp.ndarray] = None,
-                       return_control_residuals: bool = False
+                       return_control_residuals: bool = False,
+                       control_residuals_bits: int = 16
                        ) -> Tuple[jnp.ndarray, Dict, Dict]:
     """Interleaved UniGenSD3 forward (reference :581-710).
 
@@ -286,6 +287,15 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
     reuse = control_residuals is not None
     assert not (reuse and return_control_residuals), \
         "pass either control_residuals or return_control_residuals, not both"
+    assert control_residuals_bits in (8, 16)
+    # int8 residual capture/replay (same contract as unigen_flux_forward):
+    # capture quantizes per block ({"q","s"} leaves, ops/quant); replay
+    # auto-detects the dict structure and dequantizes per block
+    from unigen_tpu.ops import quant as quant_lib
+    _cap = (quant_lib.quantize_residual
+            if return_control_residuals and control_residuals_bits == 8
+            else (lambda r: r))
+    _q = isinstance(control_residuals, dict)
 
     pre = None
     cond_kv = None
@@ -300,7 +310,9 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
                                      attn_impl=attn_impl)
         enc = enc_out if enc_out is not None else enc
         if reuse:
-            cn_out = control_residuals[i]
+            cn_out = (quant_lib.dequantize_residual(
+                jax.tree.map(lambda r: r[i], control_residuals), h.dtype)
+                if _q else control_residuals[i])
         else:
             if pre is None:
                 pre = _preprocess_sd3(ctrl, cfg, h, enc, condition, pooled,
@@ -314,7 +326,7 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
                                         pre.cond_temb, heads=heads,
                                         attn_impl=attn_impl)
             if return_control_residuals:
-                cn_ys.append(cn_out)
+                cn_ys.append(_cap(cn_out))
         if cross:
             cond_kv = cn_out
         h = h + linear(index_params(ctrl["add_blocks"], table[i]), cn_out) \
@@ -331,7 +343,8 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
         add_losses = {"moe_loss": pre.aux_loss * cc.moe.aux_loss_weight}
         add_outputs = {"expert_counts": pre.expert_counts}
     if return_control_residuals:
-        add_outputs["control_residuals"] = jnp.stack(cn_ys)
+        add_outputs["control_residuals"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *cn_ys)
     return out, add_losses, add_outputs
 
 
@@ -343,7 +356,8 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
                         attn_impl: str = "auto",
                         rng: Optional[jax.Array] = None, training: bool = False,
                         control_residuals: Optional[jnp.ndarray] = None,
-                        return_control_residuals: bool = False
+                        return_control_residuals: bool = False,
+                        control_residuals_bits: int = 16
                         ) -> Tuple[jnp.ndarray, Dict, Dict]:
     """UniGenBase variant (reference :298-488): the control branch runs ONCE
     (preprocess weave blocks + MoE + n control blocks) producing per-block
@@ -364,6 +378,7 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
     reuse = control_residuals is not None
     assert not (reuse and return_control_residuals), \
         "pass either control_residuals or return_control_residuals, not both"
+    assert control_residuals_bits in (8, 16)
     if reuse:
         return _base_forward_with_residuals(
             params, cfg, hidden, encoder, pooled, timestep,
@@ -422,7 +437,11 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
                          attn_impl=attn_impl)
     add_outputs: Dict[str, Any] = {"expert_counts": moe_out.expert_counts}
     if return_control_residuals:
-        add_outputs["control_residuals"] = jnp.stack(residuals)
+        from unigen_tpu.ops import quant as quant_lib
+        _cap = (quant_lib.quantize_residual
+                if control_residuals_bits == 8 else (lambda r: r))
+        add_outputs["control_residuals"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[_cap(r) for r in residuals])
     return out, {"moe_loss": moe_out.aux_loss * cc.moe.aux_loss_weight}, \
         add_outputs
 
@@ -466,7 +485,16 @@ def _base_forward_with_residuals(params, cfg, hidden, encoder, pooled,
                                  timestep, control_residuals, *,
                                  conditioning_scale, attn_impl):
     """Replay path of ``unigen_base_forward``: the whole control branch is
-    skipped; cached residuals drive the base pass."""
+    skipped; cached residuals drive the base pass. int8 caches ({"q","s"}
+    dict leaves, ops/quant.quantize_residual) are dequantized per index."""
+    if isinstance(control_residuals, dict):
+        from unigen_tpu.ops import quant as quant_lib
+        n = control_residuals["q"].shape[0]
+        control_residuals = [
+            quant_lib.dequantize_residual(
+                jax.tree.map(lambda r, i=i: r[i], control_residuals),
+                hidden.dtype)
+            for i in range(n)]
     out = _base_pass_sd3(params, cfg, hidden, encoder, pooled, timestep,
                          list(control_residuals),
                          conditioning_scale=conditioning_scale,

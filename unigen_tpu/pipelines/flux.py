@@ -203,7 +203,8 @@ class UniGenFluxPipeline:
                          model_cache: bool = False,
                          model_cache_order: int = 0,
                          hybrid_model_interval: int = 1,
-                         hybrid_adaptive: bool = False):
+                         hybrid_adaptive: bool = False,
+                         residual_bits: int = 16):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, NOT baked in) — one compiled program serves every
         # threshold, so the knob is tunable at serving time for free.
@@ -302,10 +303,14 @@ class UniGenFluxPipeline:
                     streams.append((neg_embeds, neg_pooled))
 
                 def zero_res():
-                    return (jnp.zeros((bb_.num_layers, b, s_img, d),
-                                      self.dtype),
-                            jnp.zeros((bb_.num_single_layers, b, s_stream, d),
-                                      self.dtype))
+                    shapes = ((bb_.num_layers, b, s_img, d),
+                              (bb_.num_single_layers, b, s_stream, d))
+                    if residual_bits == 8:
+                        return tuple({"q": jnp.zeros(s, jnp.int8),
+                                      "s": jnp.zeros(s[:-1] + (1,),
+                                                     jnp.float32)}
+                                     for s in shapes)
+                    return tuple(jnp.zeros(s, self.dtype) for s in shapes)
 
                 def combine(preds):
                     if do_cfg:
@@ -315,7 +320,8 @@ class UniGenFluxPipeline:
 
                 def full_fwd_h(lat, i):
                     outs2 = [fwd(lat, i, emb, pool,
-                                 return_control_residuals=True)
+                                 return_control_residuals=True,
+                                 control_residuals_bits=residual_bits)
                              for emb, pool in streams]
                     return (combine([p for p, _ in outs2]),
                             tuple(o["control_residuals"] for _, o in outs2))
@@ -344,10 +350,14 @@ class UniGenFluxPipeline:
                 d = bb_.inner_dim
 
                 def zero_res():
-                    return (jnp.zeros((bb_.num_layers, b, s_img, d),
-                                      self.dtype),
-                            jnp.zeros((bb_.num_single_layers, b, s_stream, d),
-                                      self.dtype))
+                    shapes = ((bb_.num_layers, b, s_img, d),
+                              (bb_.num_single_layers, b, s_stream, d))
+                    if residual_bits == 8:
+                        return tuple({"q": jnp.zeros(s, jnp.int8),
+                                      "s": jnp.zeros(s[:-1] + (1,),
+                                                     jnp.float32)}
+                                     for s in shapes)
+                    return tuple(jnp.zeros(s, self.dtype) for s in shapes)
 
                 streams = [(prompt_embeds, pooled)]
                 if do_cfg:
@@ -370,7 +380,8 @@ class UniGenFluxPipeline:
                         # stream (half the compute) and reuses the delta
                         def full():
                             outs2 = [fwd(lat, i, emb, pool,
-                                         return_control_residuals=True)
+                                         return_control_residuals=True,
+                                         control_residuals_bits=residual_bits)
                                      for emb, pool in streams]
                             preds = [p for p, _ in outs2]
                             d_ = preds[0] - preds[1]
@@ -391,8 +402,10 @@ class UniGenFluxPipeline:
                         preds, new_caches = [], []
                         for (emb, pool), res in zip(streams, caches):
                             def full(lat=lat, emb=emb, pool=pool):
-                                pred, outs = fwd(lat, i, emb, pool,
-                                                 return_control_residuals=True)
+                                pred, outs = fwd(
+                                    lat, i, emb, pool,
+                                    return_control_residuals=True,
+                                    control_residuals_bits=residual_bits)
                                 return pred, outs["control_residuals"]
 
                             def replay(lat=lat, emb=emb, pool=pool, res=res):
@@ -456,6 +469,7 @@ class UniGenFluxPipeline:
                  model_cache_interval: int = 1,
                  model_cache_threshold: float = 0.0,
                  model_cache_order: int = 0,
+                 residual_cache_bits: int = 16,
                  quality_profile: Optional[str] = None
                  ) -> np.ndarray:
         """Single-condition generation from precomputed embeddings.
@@ -499,7 +513,13 @@ class UniGenFluxPipeline:
         when it drifted more than model_cache_threshold since the last
         prediction refresh, skip otherwise; both thresholds ride as traced
         scalars (one compiled program, live-tunable);
-        last_cache_refreshes = (n_full, n_base)."""
+        last_cache_refreshes = (n_full, n_base).
+        residual_cache_bits=8 stores the control-residual cache as int8
+        with per-token scales (ops/quant.quantize_residual — quantized
+        inside the capture scan, so the bf16 stack never materialises):
+        HALF the cache HBM residency for a small measured fidelity cost.
+        Only meaningful with a control-residual cache (control-cache or
+        hybrid modes); orthogonal to quality_profile."""
         knobs = caching.quality_profile_knobs(
             quality_profile,
             # measured operating points: CACHE.json hybrid_rows / model_rows
@@ -598,10 +618,19 @@ class UniGenFluxPipeline:
             raise ValueError("cfg_cache requires control_cache_interval > 1 "
                              "or control_cache_threshold > 0 (it rides the "
                              "same refresh schedule)")
+        if residual_cache_bits not in (8, 16):
+            raise ValueError("residual_cache_bits must be 8 or 16, got "
+                             f"{residual_cache_bits}")
+        if residual_cache_bits == 8 and model_cache and not (
+                hybrid_model_interval > 1 or hybrid_adaptive):
+            raise ValueError("residual_cache_bits=8 quantizes the "
+                             "control-residual cache; the pure model cache "
+                             "has none (use a control-cache or hybrid mode)")
         cache_key = (steps, height, width, true_cfg_scale > 1.0,
                      round(guidance_scale, 4), tuple(np.asarray(schedule)),
                      multi, cache_interval, adaptive, cfg_cache, model_cache,
-                     model_cache_order, hybrid_model_interval, hybrid_adaptive)
+                     model_cache_order, hybrid_model_interval, hybrid_adaptive,
+                     residual_cache_bits)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
@@ -611,7 +640,8 @@ class UniGenFluxPipeline:
                 adaptive=adaptive, cfg_cache=cfg_cache,
                 model_cache=model_cache, model_cache_order=model_cache_order,
                 hybrid_model_interval=hybrid_model_interval,
-                hybrid_adaptive=hybrid_adaptive)
+                hybrid_adaptive=hybrid_adaptive,
+                residual_bits=residual_cache_bits)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
 
@@ -697,6 +727,7 @@ class UniGenFluxPipeline:
                  model_cache_interval: int = 1,
                  model_cache_threshold: float = 0.0,
                  model_cache_order: int = 0,
+                 residual_cache_bits: int = 16,
                  quality_profile: Optional[str] = None) -> np.ndarray:
         """Single-condition call (reference UniGenPipeline.py:486-807).
         control_image: float array [B,3,H,W] in [-1,1]."""
@@ -728,6 +759,7 @@ class UniGenFluxPipeline:
             model_cache_interval=model_cache_interval,
             model_cache_threshold=model_cache_threshold,
             model_cache_order=model_cache_order,
+            residual_cache_bits=residual_cache_bits,
             quality_profile=quality_profile)
 
     def multi_condition_call(self, prompt: Union[str, Sequence[str]],

@@ -104,7 +104,8 @@ class UniGenSanaPipeline:
                          adaptive: bool = False, model_cache: bool = False,
                          model_cache_order: int = 0,
                          hybrid_model_interval: int = 1,
-                         hybrid_adaptive: bool = False):
+                         hybrid_adaptive: bool = False,
+                         residual_bits: int = 16):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, not baked in) — one compiled program serves any threshold.
         # model_cache=True: replay steps skip the ENTIRE transformer and
@@ -158,11 +159,15 @@ class UniGenSanaPipeline:
                 # hybrid three-level cache (docs/SERVING.md rung 3c)
                 bb = cfg.sana
                 s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
-                zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
-                                 self.dtype)
+                shp = (bb.num_layers, b, s_tok, bb.inner_dim)
+                zero = ({"q": jnp.zeros(shp, jnp.int8),
+                         "s": jnp.zeros(shp[:-1] + (1,), jnp.float32)}
+                        if residual_bits == 8
+                        else jnp.zeros(shp, self.dtype))
 
                 def full_fwd_h(lat, i):
-                    pred, outs = fwd(lat, i, return_control_residuals=True)
+                    pred, outs = fwd(lat, i, return_control_residuals=True,
+                                     control_residuals_bits=residual_bits)
                     return pred, outs["control_residuals"]
 
                 def base_fwd_h(lat, i, res):
@@ -181,8 +186,11 @@ class UniGenSanaPipeline:
                 # cache of raw per-base-block control outputs
                 bb = cfg.sana
                 s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
-                zero = jnp.zeros((bb.num_layers, b, s_tok, bb.inner_dim),
-                                 self.dtype)
+                shp = (bb.num_layers, b, s_tok, bb.inner_dim)
+                zero = ({"q": jnp.zeros(shp, jnp.int8),
+                         "s": jnp.zeros(shp[:-1] + (1,), jnp.float32)}
+                        if residual_bits == 8
+                        else jnp.zeros(shp, self.dtype))
 
                 def step(carry, i):
                     if adaptive:
@@ -195,7 +203,8 @@ class UniGenSanaPipeline:
 
                     def full():
                         pred, outs = fwd(lat, i,
-                                         return_control_residuals=True)
+                                         return_control_residuals=True,
+                                         control_residuals_bits=residual_bits)
                         return pred, outs["control_residuals"]
 
                     def replay():
@@ -240,6 +249,7 @@ class UniGenSanaPipeline:
                  model_cache_interval: int = 1,
                  model_cache_threshold: float = 0.0,
                  model_cache_order: int = 0,
+                 residual_cache_bits: int = 16,
                  quality_profile: Optional[str] = None) -> np.ndarray:
         """quality_profile picks a measured serving operating point
         (docs/SERVING.md; SANA-1.6B W8A8 1024² 20-step b=2): "exact"
@@ -260,7 +270,9 @@ class UniGenSanaPipeline:
         base-with-control-replay every model_cache_interval steps between,
         prediction replay otherwise. Setting BOTH thresholds (> 0,
         control > model) enables the fully-ADAPTIVE hybrid (both traced,
-        one compiled program); last_cache_refreshes = (n_full, n_base)."""
+        one compiled program); last_cache_refreshes = (n_full, n_base).
+        residual_cache_bits=8 stores the control-residual cache int8 with
+        per-token scales (half the cache HBM; see UniGenFluxPipeline)."""
         knobs = caching.quality_profile_knobs(
             quality_profile,
             {"balanced": dict(control_cache_interval=4,
@@ -327,9 +339,17 @@ class UniGenSanaPipeline:
             cache_threshold = (model_cache_threshold if model_cache
                                else control_cache_threshold)
         adaptive = cache_threshold > 0.0 and not hybrid_adaptive
+        if residual_cache_bits not in (8, 16):
+            raise ValueError("residual_cache_bits must be 8 or 16, got "
+                             f"{residual_cache_bits}")
+        if residual_cache_bits == 8 and model_cache and not (
+                hybrid_model_interval > 1 or hybrid_adaptive):
+            raise ValueError("residual_cache_bits=8 quantizes the "
+                             "control-residual cache; the pure model cache "
+                             "has none (use a control-cache or hybrid mode)")
         key = (steps, height, width, schedule, cache_interval,
                adaptive, model_cache, model_cache_order,
-               hybrid_model_interval, hybrid_adaptive)
+               hybrid_model_interval, hybrid_adaptive, residual_cache_bits)
         if key in self._program_cache:
             program, (lh, lw) = self._program_cache[key]
         else:
@@ -339,7 +359,8 @@ class UniGenSanaPipeline:
                                                       adaptive, model_cache,
                                                       model_cache_order,
                                                       hybrid_model_interval,
-                                                      hybrid_adaptive)
+                                                      hybrid_adaptive,
+                                                      residual_cache_bits)
             program = jax.jit(program)
             self._program_cache[key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]

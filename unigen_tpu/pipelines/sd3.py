@@ -153,7 +153,8 @@ class UniGenSD3Pipeline:
                  cfg_cache: bool = False, model_cache: bool = False,
                  model_cache_order: int = 0,
                  hybrid_model_interval: int = 1,
-                 hybrid_adaptive: bool = False):
+                 hybrid_adaptive: bool = False,
+                 residual_bits: int = 16):
         # adaptive=True: the program takes a trailing cache_threshold scalar
         # (traced, not baked in) — one compiled program serves any threshold.
         # cfg_cache=True (requires a caching mode + CFG): replay steps run
@@ -224,11 +225,15 @@ class UniGenSD3Pipeline:
                 bb = cfg.sd3
                 bc = latents.shape[0] * (2 if do_cfg else 1)
                 s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
-                zero = jnp.zeros((bb.num_layers, bc, s_tok, bb.inner_dim),
-                                 self.dtype)
+                shp = (bb.num_layers, bc, s_tok, bb.inner_dim)
+                zero = ({"q": jnp.zeros(shp, jnp.int8),
+                         "s": jnp.zeros(shp[:-1] + (1,), jnp.float32)}
+                        if residual_bits == 8
+                        else jnp.zeros(shp, self.dtype))
 
                 def full_fwd_h(lat, i):
-                    pred, outs = fwd(lat, i, return_control_residuals=True)
+                    pred, outs = fwd(lat, i, return_control_residuals=True,
+                                     control_residuals_bits=residual_bits)
                     return pred, outs["control_residuals"]
 
                 def base_fwd_h(lat, i, res):
@@ -250,8 +255,11 @@ class UniGenSD3Pipeline:
                 bb = cfg.sd3
                 bc = latents.shape[0] * (2 if do_cfg else 1)
                 s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
-                zero = jnp.zeros((bb.num_layers, bc, s_tok, bb.inner_dim),
-                                 self.dtype)
+                shp = (bb.num_layers, bc, s_tok, bb.inner_dim)
+                zero = ({"q": jnp.zeros(shp, jnp.int8),
+                         "s": jnp.zeros(shp[:-1] + (1,), jnp.float32)}
+                        if residual_bits == 8
+                        else jnp.zeros(shp, self.dtype))
 
                 use_cfg_cache = cfg_cache and do_cfg
                 bsz = None  # bound below once latents' batch is known
@@ -291,21 +299,25 @@ class UniGenSD3Pipeline:
                                 encoder=embeds, pooled=pool,
                                 condition_pooled=cpool, timestep=t,
                                 conditioning_scale=schedule[i],
-                                return_control_residuals=True)
+                                return_control_residuals=True,
+                                control_residuals_bits=residual_bits)
                             neg, pos = jnp.split(pred2, 2, axis=0)
                             d = pos - neg
                             return (neg + guidance_scale * d,
                                     outs["control_residuals"], d)
 
                         def replay():
-                            pos = fwd_pos(lat, i, res[:, bsz:])
+                            pos = fwd_pos(lat, i,
+                                          jax.tree.map(lambda r: r[:, bsz:],
+                                                       res))
                             # pred = neg + g(pos-neg) = pos + (g-1)(pos-neg)
                             return (pos + (guidance_scale - 1.0) * delta,
                                     res, delta)
                     else:
                         def full():
-                            pred, outs = fwd(lat, i,
-                                             return_control_residuals=True)
+                            pred, outs = fwd(
+                                lat, i, return_control_residuals=True,
+                                control_residuals_bits=residual_bits)
                             return pred, outs["control_residuals"], delta
 
                         def replay():
@@ -357,6 +369,7 @@ class UniGenSD3Pipeline:
                  model_cache_interval: int = 1,
                  model_cache_threshold: float = 0.0,
                  model_cache_order: int = 0,
+                 residual_cache_bits: int = 16,
                  quality_profile: Optional[str] = None) -> np.ndarray:
         """quality_profile picks a measured serving operating point
         (docs/SERVING.md; SD3.5-medium W8A8 28-step CFG b=1): "exact"
@@ -465,10 +478,19 @@ class UniGenSD3Pipeline:
             raise ValueError("cfg_cache requires control_cache_interval > 1 "
                              "or control_cache_threshold > 0 (it rides the "
                              "same refresh schedule)")
+        if residual_cache_bits not in (8, 16):
+            raise ValueError("residual_cache_bits must be 8 or 16, got "
+                             f"{residual_cache_bits}")
+        if residual_cache_bits == 8 and model_cache and not (
+                hybrid_model_interval > 1 or hybrid_adaptive):
+            raise ValueError("residual_cache_bits=8 quantizes the "
+                             "control-residual cache; the pure model cache "
+                             "has none (use a control-cache or hybrid mode)")
         cache_key = (steps, height, width, round(guidance_scale, 4),
                      tuple(conditioning_scale * keep), cache_interval,
                      adaptive, cfg_cache, model_cache, model_cache_order,
-                     hybrid_model_interval, hybrid_adaptive)
+                     hybrid_model_interval, hybrid_adaptive,
+                     residual_cache_bits)
         if cache_key in self._program_cache:
             program, (lh, lw) = self._program_cache[cache_key]
         else:
@@ -478,7 +500,8 @@ class UniGenSD3Pipeline:
                                               adaptive, cfg_cache, model_cache,
                                               model_cache_order,
                                               hybrid_model_interval,
-                                              hybrid_adaptive)
+                                              hybrid_adaptive,
+                                              residual_cache_bits)
             program = jax.jit(program)
             self._program_cache[cache_key] = (program, (lh, lw))
         b = prompt_embeds.shape[0]

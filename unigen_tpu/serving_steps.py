@@ -93,6 +93,7 @@ class StepServer:
                  scheduler: Optional[scheduling.FlowMatchConfig] = None,
                  model_cache_interval: int = 1, model_cache_order: int = 0,
                  control_cache_interval: int = 1,
+                 residual_cache_bits: int = 16,
                  dtype=jnp.bfloat16):
         assert cfg.family in ("flux", "sana"), \
             "StepServer serves flux and sana (sd3 denoises under CFG — a " \
@@ -101,6 +102,11 @@ class StepServer:
             "StepServer needs per-sample MoE routing (row independence)"
         assert model_cache_interval >= 1 and model_cache_order in (0, 1)
         assert control_cache_interval >= 1
+        assert residual_cache_bits in (8, 16), \
+            "residual_cache_bits: 16 (bf16 exact) or 8 (int8 per-token " \
+            "quantized — HALF the per-slot residual-cache HBM; the slot-" \
+            "count constraint at full topology / 1024²)"
+        self.res_bits = residual_cache_bits
         if control_cache_interval > 1 and model_cache_interval > 1:
             # hybrid three-level schedule per slot (caching.hybrid_cache_scan
             # semantics): every full step must fall on a base boundary
@@ -312,7 +318,8 @@ class StepServer:
             pred, _, outs = call(params, lat[idx], cond[idx], embeds[idx],
                                  None if mask is None else mask[idx],
                                  pooled[idx], cond_pooled[idx], t_now, scale,
-                                 return_control_residuals=True)
+                                 return_control_residuals=True,
+                                 control_residuals_bits=self.res_bits)
             new = outs["control_residuals"]
             res_n = jax.tree.map(lambda r, nw: r.at[:, idx].set(nw),
                                  res, new)
@@ -597,6 +604,17 @@ class StepServer:
                 self._step_fn = self._build_step(embeds.shape[1])
                 if self.cache_c > 1 and self._res is None:
                     t_len = embeds.shape[1]
+
+                    def _buf(shp):
+                        # res_bits=8: int8 codes + per-token f32 scales
+                        # (slot axis stays at position 1 in BOTH leaves, so
+                        # the tree.map gathers/scatters are unchanged)
+                        if self.res_bits == 8:
+                            return {"q": jnp.zeros(shp, jnp.int8),
+                                    "s": jnp.zeros(shp[:-1] + (1,),
+                                                   jnp.float32)}
+                        return jnp.zeros(shp, self.dtype)
+
                     if self.family == "flux":
                         bb = self.cfg.flux
                         d_inner = (bb.num_attention_heads
@@ -604,16 +622,14 @@ class StepServer:
                         # flux residual pytree: (doubles on the img stream,
                         # singles on the [txt | img] stream)
                         self._res = (
-                            jnp.zeros((bb.num_layers, self.B, self.s_img,
-                                       d_inner), self.dtype),
-                            jnp.zeros((bb.num_single_layers, self.B,
-                                       t_len + self.s_img, d_inner),
-                                      self.dtype))
+                            _buf((bb.num_layers, self.B, self.s_img,
+                                  d_inner)),
+                            _buf((bb.num_single_layers, self.B,
+                                  t_len + self.s_img, d_inner)))
                     else:
                         bb = self.cfg.sana
-                        self._res = jnp.zeros(
-                            (bb.num_layers, self.B, self.s_img,
-                             bb.inner_dim), self.dtype)
+                        self._res = _buf((bb.num_layers, self.B, self.s_img,
+                                          bb.inner_dim))
             assert embeds.shape[1:] == self._embeds.shape[1:], \
                 "all requests must share the text sequence length"
             # row writes are deferred to the WORKER at tick start — a write
