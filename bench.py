@@ -1366,6 +1366,12 @@ def bench_cache():
 
     model_order = int(os.environ.get("UNIGEN_BENCH_MODEL_CACHE_ORDER", "0"))
 
+    # UNIGEN_BENCH_RESBITS=8: store the control-residual cache int8 with
+    # per-token scales (ops/quant.quantize_residual) — halves the carry HBM;
+    # applies to the control-cache and hybrid rungs (the model cache has no
+    # residual cache)
+    res_bits = int(os.environ.get("UNIGEN_BENCH_RESBITS", "16"))
+
     def make_denoise(interval: int, adaptive: bool = False,
                      model_cache: bool = False, hybrid: int = 1,
                      hybrid_adaptive: bool = False):
@@ -1413,15 +1419,21 @@ def bench_cache():
                     order=model_order)
 
             d = bb.inner_dim
-            zero = (jnp.zeros((bb.num_layers, b, s_img, d), dtype),
-                    jnp.zeros((bb.num_single_layers, b, t_len + s_img, d),
-                              dtype))
+            shapes = ((bb.num_layers, b, s_img, d),
+                      (bb.num_single_layers, b, t_len + s_img, d))
+            if res_bits == 8:
+                zero = tuple({"q": jnp.zeros(s, jnp.int8),
+                              "s": jnp.zeros(s[:-1] + (1,), jnp.float32)}
+                             for s in shapes)
+            else:
+                zero = tuple(jnp.zeros(s, dtype) for s in shapes)
 
             if hybrid > 1 or hybrid_adaptive:
                 latents, n_full, n_base = caching.hybrid_cache_scan(
                     lambda l, i: (lambda pr, o:
                                   (pr, o["control_residuals"]))(
-                        *fwd(l, i, return_control_residuals=True)),
+                        *fwd(l, i, return_control_residuals=True,
+                             control_residuals_bits=res_bits)),
                     lambda l, i, r: fwd(l, i, control_residuals=r)[0],
                     latents, sig, num_steps, control_interval=interval,
                     model_interval=hybrid, residuals_init=zero,
@@ -1440,7 +1452,8 @@ def bench_cache():
 
                 def full():
                     pred, outs = fwd(lat, i,
-                                     return_control_residuals=True)
+                                     return_control_residuals=True,
+                                     control_residuals_bits=res_bits)
                     return pred, outs["control_residuals"]
 
                 def replay():
@@ -1565,7 +1578,10 @@ def bench_cache():
             print(f"# cache interval={k} failed: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)
             continue
-        rows.append(fidelity_row(ips_k, img_k, {"interval": k}))
+        extra_r = {"interval": k}
+        if res_bits == 8:
+            extra_r["residual_bits"] = 8
+        rows.append(fidelity_row(ips_k, img_k, extra_r))
 
     # adaptive drift-threshold rows (pipelines/caching.py):
     # UNIGEN_BENCH_CACHE_ADAPTIVE=<thr[,thr2]> — refresh count is
@@ -1637,6 +1653,8 @@ def bench_cache():
         extra = {"control_interval": c, "model_interval": m}
         if model_order:
             extra["order"] = model_order
+        if res_bits == 8:
+            extra["residual_bits"] = 8
         hybrid_rows.append(fidelity_row(ips_k, img_k, extra))
 
     # fully-ADAPTIVE hybrid rows: UNIGEN_BENCH_HYBRID_ADAPTIVE=
@@ -1680,8 +1698,9 @@ def bench_cache():
     if preset == "tiny":
         rk += "_tiny"                      # keep smoke runs out of real rows
     prev = runs.get(rk, {})
-    merged = {r["interval"]: r for r in prev.get("rows", [])}
-    merged.update({r["interval"]: r for r in rows})
+    _rk_ = lambda r: (r["interval"], r.get("residual_bits", 16))
+    merged = {_rk_(r): r for r in prev.get("rows", [])}
+    merged.update({_rk_(r): r for r in rows})
     merged_a = {r["threshold"]: r for r in prev.get("adaptive_rows", [])}
     merged_a.update({r["threshold"]: r for r in adaptive_rows})
     # model rows key on (interval|threshold, order) so zero-order and
@@ -1693,7 +1712,7 @@ def bench_cache():
                  for r in prev.get("model_adaptive_rows", [])}
     merged_ma.update({_mk(r, "threshold"): r for r in model_adaptive_rows})
     _hk = lambda r: (r["control_interval"], r["model_interval"],
-                     r.get("order", 0))
+                     r.get("order", 0), r.get("residual_bits", 16))
     merged_h = {_hk(r): r for r in prev.get("hybrid_rows", [])}
     merged_h.update({_hk(r): r for r in hybrid_rows})
     _hak = lambda r: (r["control_threshold"], r["model_threshold"],
