@@ -147,6 +147,10 @@ def _serve_steps(pipe, args):
                   ae_downscale=pipe.ae_downscale)
     else:
         kw = dict(vae_cfg=pipe.vae_cfg, vae_params=pipe.vae_params)
+    if cfg.family == "sd3" and args.guidance_scale is not None:
+        kw["guidance_scale"] = args.guidance_scale
+    elif cfg.family == "sd3":
+        kw["guidance_scale"] = 7.0       # the sd3 pipeline default
     srv = StepServer(cfg, pipe.params,
                      batch_size=args.batch_size,
                      num_inference_steps=args.steps,
@@ -194,6 +198,10 @@ def _serve_steps(pipe, args):
         else:
             embeds, pooled = pipe.encode_prompt(req["prompt"])
             cond_pooled = pipe.encode_condition_prompt(cond_name)
+            if cfg.family == "sd3" and req.get("negative"):
+                neg_e, neg_p = pipe.encode_prompt(req["negative"])
+                extra["neg_embeds"] = np.asarray(neg_e)
+                extra["neg_pooled"] = np.asarray(neg_p)
         fut = srv.submit(prompt_embeds=np.asarray(embeds),
                          pooled=np.asarray(pooled),
                          cond_pooled=np.asarray(cond_pooled),
@@ -288,11 +296,14 @@ def main(argv=None):
                          "first start when missing")
     ap.add_argument("--step-server", action="store_true",
                     help="step-level continuous batching (serving_steps."
-                         "StepServer): requests join mid-denoise at their own "
-                         "step index — admission latency bounded by ONE step. "
-                         "Supports --model-cache-interval/-order (per-slot "
-                         "refresh schedule); control-cache knobs, quality "
-                         "profiles and CFG need MicroBatchServer")
+                         "StepServer), all three families: requests join "
+                         "mid-denoise at their own step index — admission "
+                         "latency bounded by ONE step; sd3 slots carry the "
+                         "CFG pair (JSON key 'negative' sets the negative "
+                         "prompt). Supports --model-cache-interval/-order "
+                         "and --control-cache-interval (per-slot schedules); "
+                         "adaptive thresholds / quality profiles need "
+                         "MicroBatchServer")
     ap.add_argument("--demo", action="store_true",
                     help="tiny random model + synthetic load (no checkpoint)")
     args = ap.parse_args(argv)
@@ -326,9 +337,6 @@ def main(argv=None):
                            (args.serving_cache, "--serving-cache")):
             if flag:
                 ap.error(f"{name} is wired for the flux family")
-    if args.step_server and fam == "sd3":
-        ap.error("--step-server serves flux and sana (sd3 denoises under "
-                 "CFG; use the request-batched server)")
     if fam == "flux":
         pipe = load_flux_pipeline(args.ckpt,
                                   condition_types=args.condition_types,

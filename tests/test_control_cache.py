@@ -1382,13 +1382,17 @@ def test_quality_profiles_map_to_measured_knobs():
         pipe.generate(**kw, quality_profile="exact"), pipe.generate(**kw))
     np.testing.assert_array_equal(
         pipe.generate(**kw, quality_profile="balanced"),
-        pipe.generate(**kw, control_cache_interval=4, model_cache_interval=2))
+        pipe.generate(**kw, control_cache_interval=4, model_cache_interval=2,
+                      residual_cache_bits=8))
     np.testing.assert_array_equal(
         pipe.generate(**kw, quality_profile="fast"),
         pipe.generate(**kw, model_cache_interval=4, model_cache_order=1))
     with pytest.raises(ValueError):
         pipe.generate(**kw, quality_profile="balanced",
                       control_cache_interval=2)
+    with pytest.raises(ValueError):
+        pipe.generate(**kw, quality_profile="balanced",
+                      residual_cache_bits=8)
     with pytest.raises(ValueError):
         pipe.generate(**kw, quality_profile="warp9")
 

@@ -630,3 +630,144 @@ def test_load_sd3_pipeline_text_encoders(tmp_path):
     assert pl_cfg.hidden_size == dl and pl is not None
     pg, pg_cfg, _ = pipe.text_encoders["clip_g"]
     assert pg_cfg.hidden_size == dl and pg is not None
+
+
+def make_fake_vae_sd(vcfg, g):
+    """Reusable tiny-VAE diffusers state dict (same layout the inline
+    builders above construct) — for fixtures in other test files."""
+    def cv(name, ci, co, k=3):
+        return {f"{name}.weight": g(co, ci, k, k), f"{name}.bias": g(co)}
+
+    def gn(name, c):
+        return {f"{name}.weight": g(c), f"{name}.bias": g(c)}
+
+    def res(p, ci, co):
+        sd = {}
+        sd.update(gn(f"{p}.norm1", ci)); sd.update(cv(f"{p}.conv1", ci, co))
+        sd.update(gn(f"{p}.norm2", co)); sd.update(cv(f"{p}.conv2", co, co))
+        if ci != co:
+            sd.update(cv(f"{p}.conv_shortcut", ci, co, k=1))
+        return sd
+
+    def at(p, c):
+        sd = gn(f"{p}.group_norm", c)
+        for n in ["to_q", "to_k", "to_v", "to_out.0"]:
+            sd[f"{p}.{n}.weight"] = g(c, c)
+            sd[f"{p}.{n}.bias"] = g(c)
+        return sd
+
+    bo, lc = vcfg.block_out_channels, vcfg.latent_channels
+    sd = {}
+    sd.update(cv("encoder.conv_in", 3, bo[0]))
+    for i, c in enumerate(bo):
+        ci = bo[max(i - 1, 0)]
+        for j in range(vcfg.layers_per_block):
+            sd.update(res(f"encoder.down_blocks.{i}.resnets.{j}",
+                          ci if j == 0 else c, c))
+        if i < len(bo) - 1:
+            sd.update(cv(f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                         c, c))
+    c = bo[-1]
+    sd.update(res("encoder.mid_block.resnets.0", c, c))
+    sd.update(at("encoder.mid_block.attentions.0", c))
+    sd.update(res("encoder.mid_block.resnets.1", c, c))
+    sd.update(gn("encoder.conv_norm_out", c))
+    sd.update(cv("encoder.conv_out", c, 2 * lc))
+    sd.update(cv("decoder.conv_in", lc, c))
+    sd.update(res("decoder.mid_block.resnets.0", c, c))
+    sd.update(at("decoder.mid_block.attentions.0", c))
+    sd.update(res("decoder.mid_block.resnets.1", c, c))
+    rbo = list(reversed(bo))
+    for i, cc in enumerate(rbo):
+        ci = rbo[max(i - 1, 0)]
+        for j in range(vcfg.layers_per_block + 1):
+            sd.update(res(f"decoder.up_blocks.{i}.resnets.{j}",
+                          ci if j == 0 else cc, cc))
+        if i < len(rbo) - 1:
+            sd.update(cv(f"decoder.up_blocks.{i}.upsamplers.0.conv", cc, cc))
+    sd.update(gn("decoder.conv_norm_out", bo[0]))
+    sd.update(cv("decoder.conv_out", bo[0], 3))
+    return sd
+
+
+def make_fake_sd3_root(root):
+    """Full fake SD3 checkpoint root: transformer + vae + dual CLIP
+    encoders + CLIP tokenizers — enough for load_sd3_pipeline with a real
+    text path (serve.py end-to-end tests)."""
+    from tests.test_sd3_bridge_pipeline import _sd3_state_dict
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.clip_text import tiny_clip_config
+    rng = np.random.default_rng(3)
+    g = lambda *s: (0.02 * rng.standard_normal(s)).astype(np.float32)
+
+    sd3 = cfg_lib.tiny_sd3_config()
+    _write(os.path.join(root, "transformer"), _sd3_state_dict(sd3), {
+        "sample_size": sd3.sample_size, "patch_size": sd3.patch_size,
+        "in_channels": sd3.in_channels, "num_layers": sd3.num_layers,
+        "attention_head_dim": sd3.attention_head_dim,
+        "num_attention_heads": sd3.num_attention_heads,
+        "joint_attention_dim": sd3.joint_attention_dim,
+        "caption_projection_dim": sd3.caption_projection_dim,
+        "pooled_projection_dim": sd3.pooled_projection_dim,
+        "out_channels": sd3.out_channels,
+        "pos_embed_max_size": sd3.pos_embed_max_size,
+        "dual_attention_layers": list(sd3.dual_attention_layers),
+        "qk_norm": sd3.qk_norm})
+
+    vcfg = vae_lib.tiny_vae_config(latent_channels=sd3.in_channels)
+    _write(os.path.join(root, "vae"), make_fake_vae_sd(vcfg, g), {
+        "latent_channels": vcfg.latent_channels,
+        "block_out_channels": list(vcfg.block_out_channels),
+        "layers_per_block": vcfg.layers_per_block,
+        "norm_num_groups": vcfg.norm_num_groups,
+        "scaling_factor": 1.0, "shift_factor": 0.0})
+
+    def clip_sd(d, it, n_layers, vocab, maxp):
+        sd = {"text_model.embeddings.token_embedding.weight": g(vocab, d),
+              "text_model.embeddings.position_embedding.weight": g(maxp, d),
+              "text_model.final_layer_norm.weight": g(d),
+              "text_model.final_layer_norm.bias": g(d)}
+        for i in range(n_layers):
+            p = f"text_model.encoder.layers.{i}"
+            for n, (i_, o_) in {
+                    "self_attn.q_proj": (d, d), "self_attn.k_proj": (d, d),
+                    "self_attn.v_proj": (d, d),
+                    "self_attn.out_proj": (d, d),
+                    "mlp.fc1": (d, it), "mlp.fc2": (it, d)}.items():
+                sd[f"{p}.{n}.weight"] = g(o_, i_)
+                sd[f"{p}.{n}.bias"] = g(o_)
+            for n in ["layer_norm1", "layer_norm2"]:
+                sd[f"{p}.{n}.weight"] = g(d)
+                sd[f"{p}.{n}.bias"] = g(d)
+        return sd
+
+    dl = sd3.pooled_projection_dim // 2
+    # the CLIP tokenizer path pads to its 77-token model max
+    ccfg = tiny_clip_config(hidden_size=dl, intermediate_size=2 * dl,
+                            max_position_embeddings=77)
+    for sub in ("text_encoder", "text_encoder_2"):
+        _write(os.path.join(root, sub),
+               clip_sd(dl, 2 * dl, ccfg.num_layers, ccfg.vocab_size,
+                       ccfg.max_position_embeddings), {
+            "vocab_size": ccfg.vocab_size, "hidden_size": dl,
+            "intermediate_size": 2 * dl,
+            "num_hidden_layers": ccfg.num_layers,
+            "num_attention_heads": ccfg.num_heads,
+            "max_position_embeddings": ccfg.max_position_embeddings,
+            "eos_token_id": 1, "architectures": ["CLIPTextModel"]})
+
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for i, w in enumerate(["a</w>", "cat</w>", "dog</w>", "hat</w>",
+                           "canny</w>", "depth</w>", "wearing</w>"]):
+        vocab[w] = 2 + i
+    for tok_sub in ("tokenizer", "tokenizer_2"):
+        os.makedirs(os.path.join(root, tok_sub), exist_ok=True)
+        with open(os.path.join(root, tok_sub, "vocab.json"), "w") as f:
+            json.dump(vocab, f)
+        with open(os.path.join(root, tok_sub, "merges.txt"), "w") as f:
+            f.write("#version: 0.2\n")
+
+    os.makedirs(os.path.join(root, "scheduler"), exist_ok=True)
+    with open(os.path.join(root, "scheduler", "config.json"), "w") as f:
+        json.dump({"shift": 3.0, "use_dynamic_shifting": False}, f)
+    return root

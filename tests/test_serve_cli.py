@@ -57,3 +57,34 @@ def test_serve_cli_end_to_end(serve_world, tmp_path, mode):
     assert os.path.exists(out_png), (out, err[-2000:])
     img = np.asarray(Image.open(out_png))
     assert img.shape == (32, 32, 3)
+
+
+@pytest.fixture(scope="module")
+def sd3_serve_world(tmp_path_factory):
+    import tests.test_from_pretrained as tfp
+    root = str(tmp_path_factory.mktemp("sd3_ckpt"))
+    tfp.make_fake_sd3_root(root)
+    ctrl = os.path.join(root, "serve_ctrl.png")
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+                    ).save(ctrl)
+    return root, ctrl
+
+
+def test_serve_cli_sd3_step_server(sd3_serve_world, tmp_path):
+    """SD3 through the CFG-aware StepServer end-to-end: checkpoint load,
+    dual-CLIP prompt encoding (incl. a per-request negative prompt), VAE
+    codec on-stream, stdin JSON-lines protocol."""
+    root, ctrl = sd3_serve_world
+    out_png = str(tmp_path / "sd3_steps.png")
+    rc, out, err = _run_serve(
+        ["--ckpt", root, "--family", "sd3", "--quant", "bf16",
+         "--batch-size", "1", "--steps", "2", "--resolution", "32",
+         "--prompt-cache", "0", "--step-server", "--condition-types",
+         "depth"],
+        [{"prompt": "a cat", "negative": "a dog", "condition": "depth",
+          "control": ctrl, "out": out_png}])
+    assert rc == 0, err[-2000:]
+    assert os.path.exists(out_png), (out, err[-2000:])
+    img = np.asarray(Image.open(out_png))
+    assert img.shape == (32, 32, 3)

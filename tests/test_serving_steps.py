@@ -299,3 +299,118 @@ def test_step_server_int8_residuals_matches_pipeline(tiny_world):
         assert out.shape == ref.shape
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+# ------------------------------------------------------------ SD3 family
+
+@pytest.fixture(scope="module")
+def tiny_sd3_world():
+    from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_params
+
+    sd3 = cfg_lib.tiny_sd3_config()
+    cfg = cfg_lib.UniGenConfig(
+        family="sd3", sd3=sd3, condition_types=("depth",),
+        control=cfg_lib.ControlConfig(
+            use_rope=False,
+            moe=cfg_lib.MoEConfig(batch_mode="per_sample")))
+    params = init_unigen_sd3_params(jax.random.PRNGKey(0), cfg)
+    params["control"]["add_blocks"]["w"] = params["control"]["add_blocks"][
+        "w"] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), params["control"]["add_blocks"]["w"].shape)
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=sd3.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    return cfg, params, vae_cfg, vae_params
+
+
+def _sd3_request(i, cfg, vae_cfg, res=None):
+    res = res or 4 * vae_cfg.downscale * 2
+    lh = res // vae_cfg.downscale
+    ks = jax.random.split(jax.random.PRNGKey(900 + i), 6)
+    return dict(
+        prompt_embeds=jax.random.normal(
+            ks[0], (1, 6, cfg.sd3.joint_attention_dim), jnp.float32),
+        neg_embeds=jax.random.normal(
+            ks[1], (1, 6, cfg.sd3.joint_attention_dim), jnp.float32),
+        pooled=jax.random.normal(
+            ks[2], (1, cfg.sd3.pooled_projection_dim), jnp.float32),
+        neg_pooled=jax.random.normal(
+            ks[3], (1, cfg.sd3.pooled_projection_dim), jnp.float32),
+        cond_pooled=jax.random.normal(
+            ks[4], (1, cfg.sd3.pooled_projection_dim), jnp.float32),
+        control_pixels=jax.random.normal(ks[5], (1, 3, res, res),
+                                         jnp.float32),
+        latents=jax.random.normal(
+            jax.random.PRNGKey(950 + i),
+            (1, cfg.sd3.in_channels, lh, lh), jnp.float32),
+    )
+
+
+def _sd3_pipeline_ref(tiny_sd3_world, req, steps, res=None, g=3.0, **knobs):
+    from unigen_tpu.pipelines.sd3 import UniGenSD3Pipeline
+    cfg, params, vae_cfg, vae_params = tiny_sd3_world
+    res = res or 4 * vae_cfg.downscale * 2
+    pipe = UniGenSD3Pipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                             vae_params=vae_params, dtype=jnp.float32)
+    return pipe.generate(
+        prompt_embeds=req["prompt_embeds"], pooled=req["pooled"],
+        neg_embeds=req["neg_embeds"], neg_pooled=req["neg_pooled"],
+        cond_pooled=req["cond_pooled"],
+        control_pixels=req["control_pixels"], height=res, width=res,
+        num_inference_steps=steps, guidance_scale=g,
+        latents=req["latents"], **knobs)
+
+
+@pytest.mark.parametrize("knobs,skw", [
+    ({}, {}),
+    ({"model_cache_interval": 2}, {"model_cache_interval": 2}),
+    ({"control_cache_interval": 4, "model_cache_interval": 2},
+     {"control_cache_interval": 4, "model_cache_interval": 2}),
+    ({"control_cache_interval": 4, "model_cache_interval": 2,
+      "residual_cache_bits": 8},
+     {"control_cache_interval": 4, "model_cache_interval": 2,
+      "residual_cache_bits": 8}),
+], ids=["exact", "model_cache_2", "hybrid_4_2", "hybrid_4_2_int8"])
+def test_step_server_sd3_matches_pipeline(tiny_sd3_world, knobs, skw):
+    """SD3 CFG-aware slots: each slot owns one latent + a stacked (neg, pos)
+    stream pair; the forward duplicates to 2m rows and applies the guidance
+    combine inside the program. Per-request outputs must equal the one-shot
+    UniGenSD3Pipeline (guidance_scale > 1, real negative embeddings) at the
+    same cache knobs — exact, per-slot model cache, hybrid, and int8-residual
+    hybrid — with staggered admissions mixing slot phases in one tick."""
+    cfg, params, vae_cfg, vae_params = tiny_sd3_world
+    steps = 5 if knobs else 3
+    res = 4 * vae_cfg.downscale * 2
+    reqs = [_sd3_request(40 + i, cfg, vae_cfg) for i in range(3)]
+    refs = [_sd3_pipeline_ref(tiny_sd3_world, r, steps, **knobs)
+            for r in reqs]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=steps, height=res, width=res,
+                     guidance_scale=3.0, dtype=jnp.float32, **skw)
+    futs = [srv.submit(**r) for r in reqs]
+    outs = [f.result(timeout=300) for f in futs]
+    # slot reuse resets per-slot caches (fresh step-0 refresh)
+    out_again = srv.submit(**reqs[0]).result(timeout=300)
+    srv.close()
+    for out, ref in zip(outs + [out_again], refs + [refs[0]]):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_sd3_default_negatives(tiny_sd3_world):
+    """Omitting neg_embeds/neg_pooled defaults to zeros — the one-shot
+    pipeline's default negative stream."""
+    cfg, params, vae_cfg, vae_params = tiny_sd3_world
+    res = 4 * vae_cfg.downscale * 2
+    req = _sd3_request(70, cfg, vae_cfg)
+    req.pop("neg_embeds"); req.pop("neg_pooled")
+    ref = _sd3_pipeline_ref(tiny_sd3_world, dict(
+        req, neg_embeds=None, neg_pooled=None), 3)
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                     num_inference_steps=3, height=res, width=res,
+                     guidance_scale=3.0, dtype=jnp.float32)
+    out = srv.submit(**req).result(timeout=300)
+    srv.close()
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"

@@ -50,10 +50,16 @@ def flux_encode_prompt(clip_params, clip_cfg, t5_params, t5_cfg: T5Config,
 def sd3_encode_prompt(clip_l, clip_l_cfg, clip_g, clip_g_cfg,
                       t5_params, t5_cfg: Optional[T5Config],
                       tokenizer, tokenizer_2, tokenizer_3,
-                      prompts: Sequence[str], max_sequence_length: int = 256
+                      prompts: Sequence[str], max_sequence_length: int = 256,
+                      pad_to_dim: Optional[int] = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SD3 triple-encoder prompt embedding:
-    context = [pad(concat(clip_l_h, clip_g_h)) ; t5_h], pooled = [l | g]."""
+    context = [pad(concat(clip_l_h, clip_g_h)) ; t5_h], pooled = [l | g].
+    Without T5, diffusers substitutes a ZERO t5 block (StableDiffusion3
+    pipeline _get_t5_prompt_embeds with text_encoder_3=None): the CLIP
+    concat is channel-padded to ``pad_to_dim`` (the transformer's
+    joint_attention_dim) and a zero [B, max_sequence_length, pad_to_dim]
+    block is appended along the sequence axis."""
     ids_l, _ = _tokenize(tokenizer, prompts, 77)
     ids_g, _ = _tokenize(tokenizer_2, prompts, 77)
     _, hid_l, pooled_l = jax.jit(partial(clip_encode, cfg=clip_l_cfg))(
@@ -68,6 +74,12 @@ def sd3_encode_prompt(clip_l, clip_l_cfg, clip_g, clip_g_cfg,
                                                        input_ids=ids_t5)
         clip_h = jnp.pad(clip_h,
                          ((0, 0), (0, 0), (0, t5_h.shape[-1] - clip_h.shape[-1])))
+        context = jnp.concatenate([clip_h, t5_h], axis=1)
+    elif pad_to_dim is not None:
+        t5_h = jnp.zeros((clip_h.shape[0], max_sequence_length, pad_to_dim),
+                         clip_h.dtype)
+        clip_h = jnp.pad(clip_h,
+                         ((0, 0), (0, 0), (0, pad_to_dim - clip_h.shape[-1])))
         context = jnp.concatenate([clip_h, t5_h], axis=1)
     else:
         context = clip_h

@@ -478,8 +478,11 @@ class UniGenFluxPipeline:
         quality_profile picks a measured serving operating point instead of
         raw cache knobs (docs/SERVING.md; flux full topology W4A8 b=2):
         "exact" (default) — no caching, 1.371 img/s; "balanced" — hybrid
-        three-level cache (c=4, m=2), 3.412 img/s, ABSOLUTE SSIM vs bf16
-        0.99734/0.99719 (gate passed, FIDELITY_FLUX_HYBRID.json); "fast" —
+        three-level cache (c=4, m=2) with int8 residuals, 3.611 img/s at
+        the same SSIM-vs-exact (0.99957) as bf16 residuals, ABSOLUTE SSIM
+        vs bf16 0.99734/0.99719 (gate passed, FIDELITY_FLUX_HYBRID.json,
+        measured with bf16 residuals — the int8 residual delta is below
+        image-level resolution at this config); "fast" —
         full-model cache interval 4 with first-order Taylor replay,
         5.304 img/s. CAUTION: "fast" fails the absolute 0.99 gate on the
         4-step schnell schedule (SSIM 0.985 — k=4 over 4 steps leaves one
@@ -520,18 +523,26 @@ class UniGenFluxPipeline:
         HALF the cache HBM residency for a small measured fidelity cost.
         Only meaningful with a control-residual cache (control-cache or
         hybrid modes); orthogonal to quality_profile."""
+        explicit = dict(control_cache_interval=control_cache_interval,
+                        control_cache_threshold=control_cache_threshold,
+                        cfg_cache=cfg_cache,
+                        model_cache_interval=model_cache_interval,
+                        model_cache_threshold=model_cache_threshold,
+                        model_cache_order=model_cache_order)
+        if residual_cache_bits != 16:
+            explicit["residual_cache_bits"] = residual_cache_bits
         knobs = caching.quality_profile_knobs(
             quality_profile,
             # measured operating points: CACHE.json hybrid_rows / model_rows
+            # (balanced carries int8 residuals — 3.611 img/s vs 3.412 bf16
+            # at the SAME SSIM 0.99957, strictly dominant)
             {"balanced": dict(control_cache_interval=4,
-                              model_cache_interval=2),
+                              model_cache_interval=2,
+                              residual_cache_bits=8),
              "fast": dict(model_cache_interval=4, model_cache_order=1)},
-            dict(control_cache_interval=control_cache_interval,
-                 control_cache_threshold=control_cache_threshold,
-                 cfg_cache=cfg_cache,
-                 model_cache_interval=model_cache_interval,
-                 model_cache_threshold=model_cache_threshold,
-                 model_cache_order=model_cache_order))
+            explicit)
+        residual_cache_bits = knobs.get("residual_cache_bits",
+                                        residual_cache_bits)
         control_cache_interval = knobs.get("control_cache_interval",
                                            control_cache_interval)
         model_cache_interval = knobs.get("model_cache_interval",

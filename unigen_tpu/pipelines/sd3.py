@@ -93,10 +93,10 @@ class UniGenSD3Pipeline:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
 
         def compute():
-            ctx, pooled = sd3_encode_prompt(clip_l, clip_l_cfg, clip_g,
-                                            clip_g_cfg, t5_params, t5_cfg,
-                                            tok_l, tok_g, tok_t5, prompts,
-                                            max_sequence_length)
+            ctx, pooled = sd3_encode_prompt(
+                clip_l, clip_l_cfg, clip_g, clip_g_cfg, t5_params, t5_cfg,
+                tok_l, tok_g, tok_t5, prompts, max_sequence_length,
+                pad_to_dim=self.cfg.sd3.joint_attention_dim)
             return ctx.astype(self.dtype), pooled.astype(self.dtype)
 
         return self._prompt_cache.get_or(

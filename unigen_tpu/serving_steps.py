@@ -19,16 +19,21 @@ requests are admitted into free slots between ticks, so
 
 Requirements: ``MoEConfig.batch_mode="per_sample"`` (the serving default in
 the bench presets) so the router keeps batch rows independent — with global
-routing a garbage pad row could steal expert capacity from real rows. True
-CFG is intentionally not supported here (a CFG request occupies two slots in
-spirit; use MicroBatchServer for CFG pipelines).
+routing a garbage pad row could steal expert capacity from real rows.
 
-Families: **flux** (token-packed latents, VAE codec) and **sana** (NCHW
-DC-AE latents via ``ae_encode``/``ae_decode`` callables, Gemma encoder mask
-per request, no guidance — SANA denoises without CFG, so it fits the slot
-model exactly). SD3 is excluded (CFG). The per-slot caches (model cache,
-control-residual cache, hybrid) work identically for both — the residual
-cache is a family-shaped pytree with the slot axis at position 1.
+Families: **flux** (token-packed latents, VAE codec), **sana** (NCHW DC-AE
+latents via ``ae_encode``/``ae_decode`` callables, Gemma encoder mask per
+request, no guidance — SANA denoises without CFG, so it fits the slot model
+exactly), and **sd3** (CFG-aware slots: each slot owns ONE latent but a
+stacked (neg, pos) pair of text/pooled stream rows; the family forward
+duplicates the gathered latents into a 2m batch — reference
+UniGenPipeline.py:286-290 neg/pos duplication — and applies the guidance
+combine ``neg + g·(pos−neg)`` INSIDE the program, so the per-slot caches
+hold the guided prediction exactly like the one-shot pipeline's model
+cache). The per-slot caches (model cache, control-residual cache, hybrid)
+work identically across families — the residual cache is a family-shaped
+pytree with the slot axis at position 1 (sd3 carries the CFG pair as an
+extra axis: [n, B, 2, S, D], packed/unpacked at the program boundary).
 
 ``model_cache_interval=k`` composes the full-model output cache
 (pipelines/caching.model_cache_scan semantics) with continuous batching,
@@ -95,9 +100,8 @@ class StepServer:
                  control_cache_interval: int = 1,
                  residual_cache_bits: int = 16,
                  dtype=jnp.bfloat16):
-        assert cfg.family in ("flux", "sana"), \
-            "StepServer serves flux and sana (sd3 denoises under CFG — a " \
-            "request would occupy two slots in spirit; use MicroBatchServer)"
+        assert cfg.family in ("flux", "sana", "sd3"), \
+            f"unknown family {cfg.family!r}"
         assert cfg.control.moe.batch_mode == "per_sample", \
             "StepServer needs per-sample MoE routing (row independence)"
         assert model_cache_interval >= 1 and model_cache_order in (0, 1)
@@ -121,6 +125,10 @@ class StepServer:
         self.num_steps = num_inference_steps
         self.dtype = dtype
         B = batch_size
+        # timestep units differ per family: flux/sana forwards take 0..1
+        # (timesteps / 1000), sd3 takes the raw scheduler timesteps — match
+        # each one-shot pipeline exactly
+        self._t_fac = 1.0 if self.family == "sd3" else 1e-3
         if self.family == "flux":
             bb = cfg.flux
             vs = vae_cfg.downscale
@@ -138,6 +146,24 @@ class StepServer:
                     vp, vae_cfg,
                     unpack_latents(lat.astype(jnp.float32), lh, lw)),
                     -1, 1))
+        elif self.family == "sd3":
+            bb = cfg.sd3
+            # reference :496 — the interleaved class (the pipeline forward)
+            assert cfg.control.use_encoder_hidden_states, \
+                "sd3 StepServer runs the interleaved UniGenSD3 forward"
+            vs = vae_cfg.downscale
+            lh, lw = height // vs, width // vs
+            self._lh, self._lw = lh, lw
+            self.s_img = (lh // bb.patch_size) * (lw // bb.patch_size)
+            seq_for_sigmas = None       # sd3 pipeline: static-shift sigmas
+            lat_shape = (B, bb.in_channels, lh, lw)
+            self._img_ids = None
+            sch = scheduler or scheduling.FlowMatchConfig(shift=3.0)
+            self._encode = jax.jit(lambda vp, px: vae_lib.vae_encode(
+                vp, vae_cfg, px).astype(dtype))
+            self._decode = jax.jit(lambda vp, lat: jnp.clip(
+                vae_lib.vae_decode(vp, vae_cfg, lat.astype(jnp.float32)),
+                -1, 1))
         else:
             bb = cfg.sana
             assert ae_encode is not None and ae_decode is not None, \
@@ -178,7 +204,12 @@ class StepServer:
         self._cond = jnp.zeros(lat_shape, dtype)
         self._embeds = None                     # [B, T, D] set on first admit
         self._mask = None                       # [B, T] (sana encoder mask)
-        self._pooled = jnp.zeros((B, bb.pooled_projection_dim), dtype)
+        # sd3 slots stack the (neg, pos) CFG pair on axis 1 of the stream
+        # arrays (one latent per slot, two text/pooled rows)
+        pool_shape = ((B, 2, bb.pooled_projection_dim)
+                      if self.family == "sd3"
+                      else (B, bb.pooled_projection_dim))
+        self._pooled = jnp.zeros(pool_shape, dtype)
         self._cond_pooled = jnp.zeros((B, bb.pooled_projection_dim), dtype)
         self._slots: List[_Slot] = [_Slot() for _ in range(B)]
         self.cache_k = int(model_cache_interval)
@@ -230,10 +261,33 @@ class StepServer:
         """Broadcast a per-sample [m] scalar against the latent layout."""
         return x.reshape((-1,) + (1,) * (lat.ndim - 1))
 
+    def _res_pack(self, new):
+        """Forward-output residuals → cache-row layout. sd3 captures at
+        batch 2m ([neg rows | pos rows]); the per-slot cache keeps the CFG
+        pair on its own axis ([n, m, 2, ...]) so the slot axis stays at
+        position 1 for the generic gathers/scatters."""
+        if self.family != "sd3":
+            return new
+        return jax.tree.map(
+            lambda r: r.reshape((r.shape[0], 2, r.shape[1] // 2)
+                                + r.shape[2:]).swapaxes(1, 2), new)
+
+    def _res_unpack(self, rows):
+        """Inverse of :meth:`_res_pack` (cache rows → forward batch)."""
+        if self.family != "sd3":
+            return rows
+        return jax.tree.map(
+            lambda r: r.swapaxes(1, 2).reshape(
+                (r.shape[0], r.shape[1] * 2) + r.shape[3:]), rows)
+
     def _family_fwd(self, n_rows: int, t_len: int):
         """The per-family forward over ``n_rows`` gathered rows. Shared by
         the exact step, the model-cache refresh, and the hybrid full/base
-        programs; returns the raw (pred, losses, outs) triple."""
+        programs; returns the raw (pred, losses, outs) triple. The sd3
+        forward runs the duplicated 2m CFG batch and returns the GUIDED
+        prediction (reference UniGenPipeline.py:286-290 duplication +
+        :418-422 combine), so everything downstream (Euler, caches) sees
+        one prediction per slot like the other families."""
         cfg, dtype = self.cfg, self.dtype
         if self.family == "flux":
             bb = cfg.flux
@@ -256,6 +310,37 @@ class StepServer:
                     # would promote bf16 residuals in the forward
                     conditioning_scale=scale[:, None, None].astype(dtype),
                     **kw)
+        elif self.family == "sd3":
+            from unigen_tpu.models.unigen_sd3 import unigen_sd3_forward
+            g = float(self._guidance_scale)
+
+            def call(params, lat, cond, embeds, mask, pooled, cpool,
+                     t_now, scale, **kw):
+                # neg/pos duplication inside the program: embeds/pooled
+                # carry the stacked pair on axis 1, lat/cond/cond_pooled
+                # are shared by both halves
+                lat2 = jnp.concatenate([lat, lat], axis=0)
+                cond2 = jnp.concatenate([cond, cond], axis=0)
+                emb2 = jnp.concatenate([embeds[:, 0], embeds[:, 1]], axis=0)
+                pool2 = jnp.concatenate([pooled[:, 0], pooled[:, 1]], axis=0)
+                cpool2 = jnp.concatenate([cpool, cpool], axis=0)
+                t2 = jnp.concatenate([t_now, t_now])
+                sc2 = jnp.concatenate([scale, scale])
+                if "control_residuals" in kw:
+                    kw["control_residuals"] = self._res_unpack(
+                        kw["control_residuals"])
+                pred2, losses, outs = unigen_sd3_forward(
+                    params, cfg, hidden=lat2, condition=cond2, encoder=emb2,
+                    pooled=pool2, condition_pooled=cpool2,
+                    timestep=t2.astype(dtype),
+                    conditioning_scale=sc2[:, None, None].astype(dtype),
+                    **kw)
+                neg, pos = jnp.split(pred2, 2, axis=0)
+                pred = neg + jnp.asarray(g, pred2.dtype) * (pos - neg)
+                if "control_residuals" in outs:
+                    outs["control_residuals"] = self._res_pack(
+                        outs["control_residuals"])
+                return pred, losses, outs
         else:
             from unigen_tpu.models.sana import sana_unigen_forward
 
@@ -431,11 +516,13 @@ class StepServer:
         # computes the identical prediction and its duplicate scatter
         # writes the same value
         idx = np.asarray((refresh + [refresh[0]] * m)[:m], np.int32)
-        t_r = np.asarray([self._timesteps[self._slots[i].step] / 1000.0
-                          for i in idx], np.float32)
+        t_r = np.asarray([self._timesteps[self._slots[i].step]
+                          * self._t_fac for i in idx], np.float32)
         sc_r = scale[idx]
         if m not in self._fwd_fns:
-            self._fwd_fns[m] = self._build_fwd(embeds.shape[1], m)
+            self._fwd_fns[m] = self._build_fwd(
+                embeds.shape[2] if self.family == "sd3" else embeds.shape[1],
+                m)
             self._upd_fns[m] = self._build_update(m)
         fwd, upd = self._fwd_fns[m], self._upd_fns[m]
         idx_j = jnp.asarray(idx)
@@ -489,7 +576,7 @@ class StepServer:
         s_now_j = jnp.asarray(s_now)
         s_next_j = jnp.asarray(s_next)
         gap_j, dt_j = jnp.asarray(gap), jnp.asarray(dt)
-        t_len = embeds.shape[1]
+        t_len = embeds.shape[2] if self.family == "sd3" else embeds.shape[1]
 
         if not full_l and not base_l:
             if self._replay_fn is None:
@@ -506,8 +593,8 @@ class StepServer:
             m = next(sz for sz in self._sizes if sz >= len(lst))
             idx = np.asarray((lst + [lst[0]] * m)[:m], np.int32)
             t_r = jnp.asarray(
-                [self._timesteps[self._slots[i].step] / 1000.0 for i in idx],
-                jnp.float32)
+                [self._timesteps[self._slots[i].step] * self._t_fac
+                 for i in idx], jnp.float32)
             if m not in fns:
                 fns[m] = build(t_len, m)
             return fns[m], jnp.asarray(idx), t_r, jnp.asarray(scale[idx]), m
@@ -563,17 +650,29 @@ class StepServer:
     # ------------------------------------------------------------ client
 
     def submit(self, *, prompt_embeds, pooled, cond_pooled, control_pixels,
-               prompt_mask=None, conditioning_scale: float = 1.0,
+               prompt_mask=None, neg_embeds=None, neg_pooled=None,
+               conditioning_scale: float = 1.0,
                seed: int = 0, latents=None, wait: bool = False) -> Future:
         """Admit one request (leading dim 1 on every array). Returns a
         Future resolving to a uint8 image [1, H, W, 3]. wait=True blocks
         until a slot frees instead of raising — the saturating-load mode
         (slots are re-filled the moment a request retires, so occupancy
         never dips between admissions). ``prompt_mask`` [1, T] is the sana
-        encoder mask (defaults to all-ones)."""
+        encoder mask (defaults to all-ones). ``neg_embeds``/``neg_pooled``
+        are the sd3 negative stream (defaults to zeros, the one-shot
+        pipeline's default)."""
         fut: Future = Future()
         embeds = jnp.asarray(prompt_embeds, self.dtype)
         assert embeds.shape[0] == 1, "one sample per request"
+        pooled = jnp.asarray(pooled, self.dtype)
+        if self.family == "sd3":
+            # stack the (neg, pos) CFG pair on axis 1 — one slot, two rows
+            neg_e = (jnp.zeros_like(embeds) if neg_embeds is None
+                     else jnp.asarray(neg_embeds, self.dtype))
+            neg_p = (jnp.zeros_like(pooled) if neg_pooled is None
+                     else jnp.asarray(neg_pooled, self.dtype))
+            embeds = jnp.stack([neg_e[0], embeds[0]])[None]   # [1, 2, T, D]
+            pooled = jnp.stack([neg_p[0], pooled[0]])[None]   # [1, 2, D]
         cond_lat = self._encode(self.vae_params,
                                 jnp.asarray(control_pixels, jnp.float32))
         if latents is None:
@@ -601,9 +700,10 @@ class StepServer:
                 if self.family == "sana":
                     self._mask = jnp.zeros((self.B, embeds.shape[1]),
                                            jnp.int32)
-                self._step_fn = self._build_step(embeds.shape[1])
+                t_len = (embeds.shape[2] if self.family == "sd3"
+                         else embeds.shape[1])
+                self._step_fn = self._build_step(t_len)
                 if self.cache_c > 1 and self._res is None:
-                    t_len = embeds.shape[1]
 
                     def _buf(shp):
                         # res_bits=8: int8 codes + per-token f32 scales
@@ -626,6 +726,12 @@ class StepServer:
                                   d_inner)),
                             _buf((bb.num_single_layers, self.B,
                                   t_len + self.s_img, d_inner)))
+                    elif self.family == "sd3":
+                        # raw control-block outputs for BOTH CFG halves
+                        # (the pair rides axis 2; slot axis stays at 1)
+                        bb = self.cfg.sd3
+                        self._res = _buf((bb.num_layers, self.B, 2,
+                                          self.s_img, bb.inner_dim))
                     else:
                         bb = self.cfg.sana
                         self._res = _buf((bb.num_layers, self.B, self.s_img,
@@ -702,7 +808,7 @@ class StepServer:
                 s_next = np.zeros((self.B,), np.float32)
                 scale = np.zeros((self.B,), np.float32)
                 for i, s in active:
-                    t_now[i] = self._timesteps[s.step] / 1000.0
+                    t_now[i] = self._timesteps[s.step] * self._t_fac
                     s_now[i] = self._sigmas[s.step]
                     s_next[i] = self._sigmas[s.step + 1]
                     scale[i] = s.scale
