@@ -1579,8 +1579,8 @@ def bench_cache():
                   f"{str(e)[:300]}", file=sys.stderr)
             continue
         extra_r = {"interval": k}
-        if res_bits == 8:
-            extra_r["residual_bits"] = 8
+        if res_bits != 16:
+            extra_r["residual_bits"] = res_bits
         rows.append(fidelity_row(ips_k, img_k, extra_r))
 
     # adaptive drift-threshold rows (pipelines/caching.py):
@@ -1653,8 +1653,8 @@ def bench_cache():
         extra = {"control_interval": c, "model_interval": m}
         if model_order:
             extra["order"] = model_order
-        if res_bits == 8:
-            extra["residual_bits"] = 8
+        if res_bits != 16:
+            extra["residual_bits"] = res_bits
         hybrid_rows.append(fidelity_row(ips_k, img_k, extra))
 
     # fully-ADAPTIVE hybrid rows: UNIGEN_BENCH_HYBRID_ADAPTIVE=

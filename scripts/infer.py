@@ -67,10 +67,11 @@ def parse_args(argv=None):
                    help="0 = zero-order hold, 1 = first-order Taylor "
                         "extrapolation from the two most recent refreshes")
     p.add_argument("--residual_cache_bits", type=int, default=16,
-                   choices=[8, 16],
+                   choices=[4, 8, 16],
                    help="8 stores the control-residual cache int8 with "
-                        "per-token scales (half the cache HBM; requires a "
-                        "control-cache or hybrid mode)")
+                        "per-token scales (half the cache HBM), 4 packs "
+                        "int4 nibbles (quarter); requires a control-cache "
+                        "or hybrid mode")
     p.add_argument("--quality_profile", default=None,
                    choices=["exact", "balanced", "fast"],
                    help="measured serving operating point (SERVING.md); "

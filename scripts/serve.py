@@ -62,17 +62,24 @@ def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0,
     bb = cfg.flux
     n_req = 2 * batch_size + 1
     t0 = time.time()
+    # mixed per-request knobs: one server serves different step counts and
+    # keep-windows concurrently (serving_steps.StepServer.submit)
+    per_req = [dict(num_inference_steps=3 + (i % 3),
+                    control_guidance_end=1.0 - 0.2 * (i % 2))
+               for i in range(n_req)]
     futs = [srv.submit(prompt_embeds=mk(1, 16, bb.joint_attention_dim),
                        pooled=mk(1, bb.pooled_projection_dim),
                        cond_pooled=mk(1, bb.pooled_projection_dim),
-                       control_pixels=mk(1, 3, 32, 32), wait=True)
-            for _ in range(n_req)]
+                       control_pixels=mk(1, 3, 32, 32), wait=True, **k)
+            for k in per_req]
     outs = [f.result(timeout=600) for f in futs]
     dt = time.time() - t0
+    st = srv.stats()
     srv.close()
     print(f"step-server demo: {n_req} requests in {dt:.2f}s "
           f"({n_req/dt:.1f} req/s, {batch_size} slots, "
-          f"model_cache_interval={cache_k}); out shape {outs[0].shape}")
+          f"model_cache_interval={cache_k}, mixed per-request steps 3-5); "
+          f"out shape {outs[0].shape}; stats {json.dumps(st)}")
 
 
 def _demo(batch_size: int):
@@ -202,13 +209,25 @@ def _serve_steps(pipe, args):
                 neg_e, neg_p = pipe.encode_prompt(req["negative"])
                 extra["neg_embeds"] = np.asarray(neg_e)
                 extra["neg_pooled"] = np.asarray(neg_p)
+        # per-request knobs (serving_steps.StepServer.submit): the server
+        # freely mixes step counts / guidance / keep-windows across slots
+        for json_key, kw_key in (("steps", "num_inference_steps"),
+                                 ("guidance", "guidance_scale"),
+                                 ("control_start", "control_guidance_start"),
+                                 ("control_end", "control_guidance_end"),
+                                 ("conditioning_scale", "conditioning_scale"),
+                                 ("seed", "seed")):
+            if json_key in req:
+                extra[kw_key] = req[json_key]
         fut = srv.submit(prompt_embeds=np.asarray(embeds),
                          pooled=np.asarray(pooled),
                          cond_pooled=np.asarray(cond_pooled),
                          control_pixels=img, wait=True, **extra)
         fut.add_done_callback(_save(req["out"]))
     srv.drain()
+    st = srv.stats()
     srv.close()
+    print(f"# step-server stats: {json.dumps(st)}", file=sys.stderr)
 
 
 def main(argv=None):
@@ -260,11 +279,12 @@ def main(argv=None):
                     help="0 = zero-order hold, 1 = first-order Taylor "
                          "extrapolation from the two most recent refreshes")
     ap.add_argument("--residual-cache-bits", type=int, default=16,
-                    choices=[8, 16],
+                    choices=[4, 8, 16],
                     help="8 stores the control-residual cache int8 with "
                          "per-token scales (HALF the cache HBM — the "
-                         "step-server slot-count lever at 1024²); requires "
-                         "a control-cache or hybrid mode")
+                         "step-server slot-count lever at 1024²); 4 packs "
+                         "int4 nibbles (QUARTER); requires a control-cache "
+                         "or hybrid mode")
     ap.add_argument("--quality-profile", default=None,
                     choices=["exact", "balanced", "fast"],
                     help="measured serving operating point (SERVING.md): "

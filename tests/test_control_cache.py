@@ -1448,6 +1448,75 @@ def test_int8_residual_quant_roundtrip():
     assert amax_err < 0.01
 
 
+def test_int4_residual_quant_roundtrip():
+    """bits=4: nibble-packed codes in [-7, 7] on int8 carriers (jnp.int4
+    cannot cross a jit boundary on axon), packed feature axis is D/2, the
+    per-token amax element is exact."""
+    from unigen_tpu.ops import quant as quant_lib
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 17, 64)) * 3.0
+    d = quant_lib.quantize_residual(x, bits=4)
+    assert set(d) == {"q4", "s"}
+    assert d["q4"].dtype == jnp.int8 and d["q4"].shape == (3, 2, 17, 32)
+    assert d["s"].shape == (3, 2, 17, 1)
+    y = quant_lib.dequantize_residual(d, jnp.float32)
+    s = np.asarray(d["s"])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                               atol=float(s.max()) * 0.5 + 1e-7, rtol=0)
+    xf = np.asarray(x)
+    amax_err = np.abs(np.asarray(y) - xf).max() / np.abs(xf).max()
+    assert amax_err < 0.08
+    # quantize/dequantize also round-trip under jit (the serving path)
+    yj = jax.jit(lambda a: quant_lib.dequantize_residual(
+        quant_lib.quantize_residual(a, bits=4), jnp.float32))(x)
+    np.testing.assert_allclose(np.asarray(yj), np.asarray(y),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_residual_buffer_layouts():
+    """ops/quant.residual_buffer: one constructor for all three layouts —
+    leaf shapes keep the slot/batch axes at the same positions (StepServer
+    gathers/scatters rely on that) and match quantize_residual's leaves."""
+    from unigen_tpu.ops import quant as quant_lib
+    shp = (5, 4, 9, 16)
+    b16 = quant_lib.residual_buffer(shp, 16, jnp.bfloat16)
+    assert b16.shape == shp and b16.dtype == jnp.bfloat16
+    b8 = quant_lib.residual_buffer(shp, 8, jnp.bfloat16)
+    assert b8["q"].shape == shp and b8["s"].shape == shp[:-1] + (1,)
+    b4 = quant_lib.residual_buffer(shp, 4, jnp.bfloat16)
+    assert b4["q4"].shape == shp[:-1] + (8,)
+    assert b4["s"].shape == shp[:-1] + (1,)
+    q = quant_lib.quantize_residual(jnp.ones(shp), bits=4)
+    assert jax.tree.structure(q) == jax.tree.structure(b4)
+    assert all(a.shape == b.shape for a, b in
+               zip(jax.tree.leaves(q), jax.tree.leaves(b4)))
+
+
+def test_flux_int4_capture_replay_close(tiny):
+    """bits=4 capture/replay end-to-end through the flux forward: capture
+    must not perturb the prediction; replay approximates the exact forward
+    at int4 precision (looser than int8 but bounded)."""
+    cfg, params = tiny
+    batch = _batch(cfg)
+    pred0, _, _ = unigen_flux_forward(params, cfg, **batch)
+    pred4, _, outs = unigen_flux_forward(params, cfg, **batch,
+                                         return_control_residuals=True,
+                                         control_residuals_bits=4)
+    np.testing.assert_array_equal(np.asarray(pred0), np.asarray(pred4))
+    dbl, sgl = outs["control_residuals"]
+    bb = cfg.flux
+    b, s = batch["hidden"].shape[0], batch["hidden"].shape[1]
+    assert dbl["q4"].dtype == jnp.int8
+    assert dbl["q4"].shape == (bb.num_layers, b, s, bb.inner_dim // 2)
+    assert dbl["s"].shape == (bb.num_layers, b, s, 1)
+    rep, losses, _ = unigen_flux_forward(
+        params, cfg, **batch, control_residuals=(dbl, sgl))
+    assert float(losses["moe_loss"]) == 0.0
+    a, r = np.asarray(rep), np.asarray(pred0)
+    assert np.abs(a - r).max() > 0
+    rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-8)
+    assert rel < 0.35, f"int4 replay rel err {rel}"
+
+
 def test_flux_int8_capture_replay_close(tiny):
     """bits=8 capture: residual leaves become {"q","s"} dicts with the block
     axis leading both; replay at the same state approximates the exact
@@ -1535,7 +1604,7 @@ def test_pipeline_residual_bits8_control_cache():
             cond_pooled=jnp.zeros((1, flux.pooled_projection_dim)),
             control_pixels=jnp.zeros((1, 3, 16, 16)),
             height=16, width=16, num_inference_steps=4)
-        pipe.generate(**_gen_kw, residual_cache_bits=4)
+        pipe.generate(**_gen_kw, residual_cache_bits=2)
     with pytest.raises(ValueError, match="model cache"):
         pipe.generate(**_gen_kw, model_cache_interval=2,
                       residual_cache_bits=8)
@@ -1641,6 +1710,97 @@ def test_sd3_int8_capture_replay_close(tiny_sd3):
     a, r = np.asarray(brep), np.asarray(b0)
     rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-8)
     assert rel < 0.05, f"sd3 base int8 replay rel err {rel}"
+
+
+def test_sd3_int4_capture_replay_close(tiny_sd3):
+    """bits=4 through BOTH sd3 forwards — the interleaved tree-map replay
+    and the base variant's dict-detection path (which must size its Python
+    loop off the q4 leaf, not a hardcoded "q" key)."""
+    from unigen_tpu.models.unigen_sd3 import (init_unigen_sd3_params,
+                                              unigen_base_forward,
+                                              unigen_sd3_forward)
+    cfg, params = tiny_sd3
+    batch = _sd3_batch(cfg)
+    pred0, _, _ = unigen_sd3_forward(params, cfg, **batch)
+    _, _, outs = unigen_sd3_forward(params, cfg, **batch,
+                                    return_control_residuals=True,
+                                    control_residuals_bits=4)
+    res = outs["control_residuals"]
+    bb = cfg.sd3
+    s = (batch["hidden"].shape[2] // bb.patch_size) ** 2
+    assert res["q4"].dtype == jnp.int8
+    assert res["q4"].shape == (bb.num_layers, 2, s, bb.inner_dim // 2)
+    rep, _, _ = unigen_sd3_forward(params, cfg, **batch,
+                                   control_residuals=res)
+    a, r = np.asarray(rep), np.asarray(pred0)
+    rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-8)
+    assert 0 < rel < 0.35, f"sd3 int4 replay rel err {rel}"
+
+    bparams = init_unigen_sd3_params(jax.random.PRNGKey(2), cfg,
+                                     base_variant=True)
+    bctrl = dict(bparams["control"])
+    bctrl["add_blocks"] = _bump_adds(bctrl["add_blocks"], 0.5)
+    bparams = {"base": bparams["base"], "control": bctrl}
+    b0, _, _ = unigen_base_forward(bparams, cfg, **batch)
+    _, _, bouts = unigen_base_forward(bparams, cfg, **batch,
+                                      return_control_residuals=True,
+                                      control_residuals_bits=4)
+    bres = bouts["control_residuals"]
+    assert bres["q4"].dtype == jnp.int8
+    brep, _, _ = unigen_base_forward(bparams, cfg, **batch,
+                                     control_residuals=bres)
+    a, r = np.asarray(brep), np.asarray(b0)
+    rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-8)
+    assert 0 < rel < 0.35, f"sd3 base int4 replay rel err {rel}"
+
+
+def test_pipeline_residual_bits4_hybrid(tiny_sana):
+    """bits=4 through compiled pipeline programs: flux hybrid and sana
+    control-cache — drift vs the bf16-residual result stays bounded."""
+    pipe, flux = _tiny_pipe()
+    b, h, w = 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    kw = dict(
+        prompt_embeds=jax.random.normal(ks[0],
+                                        (b, 8, flux.joint_attention_dim)),
+        pooled=jax.random.normal(ks[1], (b, flux.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, flux.pooled_projection_dim)),
+        control_pixels=jax.random.normal(ks[3], (b, 3, h, w)),
+        height=h, width=w, num_inference_steps=4, seed=0)
+    ref = pipe.generate(**kw, control_cache_interval=4,
+                        model_cache_interval=2)
+    got = pipe.generate(**kw, control_cache_interval=4,
+                        model_cache_interval=2, residual_cache_bits=4)
+    assert got.shape == ref.shape
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.mean() < 16, f"int4 residual image drift {d.mean()}"
+
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+    cfg, params = tiny_sana
+    bb = cfg.sana
+    vae_cfg = vae_lib.tiny_vae_config(latent_channels=bb.in_channels)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    spipe = UniGenSanaPipeline(
+        cfg=cfg, params=params,
+        ae_encode=lambda px: vae_lib.vae_encode(vae_params, vae_cfg, px),
+        ae_decode=lambda lat: vae_lib.vae_decode(vae_params, vae_cfg, lat),
+        ae_downscale=vae_cfg.downscale)
+    res = 8 * vae_cfg.downscale
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    skw = dict(
+        prompt_embeds=jax.random.normal(ks[0], (b, 5, bb.caption_channels)),
+        prompt_mask=jnp.ones((b, 5), jnp.int32),
+        pooled=jax.random.normal(ks[1], (b, bb.pooled_projection_dim)),
+        cond_pooled=jax.random.normal(ks[2], (b, bb.pooled_projection_dim)),
+        control_pixels=np.random.default_rng(0).standard_normal(
+            (b, 3, res, res)).astype(np.float32) * 0.1,
+        height=res, width=res, num_inference_steps=4, seed=0)
+    sref = spipe.generate(**skw, control_cache_interval=2)
+    sgot = spipe.generate(**skw, control_cache_interval=2,
+                          residual_cache_bits=4)
+    d = np.abs(sgot.astype(int) - sref.astype(int))
+    assert d.mean() < 16, f"sana int4 residual image drift {d.mean()}"
 
 
 def test_sd3_pipeline_residual_bits8(tiny_sd3):

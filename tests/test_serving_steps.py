@@ -275,23 +275,25 @@ def test_sana_step_server_matches_pipeline(tiny_sana_world, knobs):
         assert diff.max() <= 1, f"max diff {diff.max()}"
 
 
-def test_step_server_int8_residuals_matches_pipeline(tiny_world):
-    """residual_cache_bits=8: the per-slot control-residual cache is stored
-    int8 (half HBM — the 1024² slot-count lever); per-request outputs must
-    still equal the one-shot pipeline at the SAME knobs (the quantization is
-    deterministic, so both paths compute identical math)."""
+@pytest.mark.parametrize("bits", [8, 4], ids=["int8", "int4"])
+def test_step_server_quantized_residuals_matches_pipeline(tiny_world, bits):
+    """residual_cache_bits<16: the per-slot control-residual cache is stored
+    int8 (half HBM) or nibble-packed int4 (quarter — the 1024² slot-count
+    lever); per-request outputs must still equal the one-shot pipeline at
+    the SAME knobs (the quantization is deterministic, so both paths
+    compute identical math)."""
     cfg, params, vae_cfg, vae_params = tiny_world
     steps = 5
     reqs = [_request(120 + i, cfg) for i in range(3)]
     refs = [_pipeline_reference(tiny_world, r, steps,
                                 control_cache_interval=4,
                                 model_cache_interval=2,
-                                residual_cache_bits=8) for r in reqs]
+                                residual_cache_bits=bits) for r in reqs]
 
     srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
                      num_inference_steps=steps, height=32, width=32,
                      control_cache_interval=4, model_cache_interval=2,
-                     residual_cache_bits=8, dtype=jnp.float32)
+                     residual_cache_bits=bits, dtype=jnp.float32)
     futs = [srv.submit(**r) for r in reqs]
     outs = [f.result(timeout=300) for f in futs]
     srv.close()
@@ -414,3 +416,104 @@ def test_step_server_sd3_default_negatives(tiny_sd3_world):
     srv.close()
     diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+# ------------------------------------------------ per-request serving knobs
+
+@pytest.fixture(scope="module")
+def tiny_guided_world():
+    """Flux with guidance embeddings ON (dev-style) so per-request
+    guidance_scale actually enters the math."""
+    flux = cfg_lib.tiny_flux_config(guidance_embeds=True)
+    cfg = cfg_lib.UniGenConfig(
+        family="flux", flux=flux, condition_types=("canny",),
+        control=cfg_lib.ControlConfig(
+            moe=cfg_lib.MoEConfig(batch_mode="per_sample")))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+    params["control"]["add_double"]["w"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), params["control"]["add_double"]["w"].shape)
+    vae_cfg = vae_lib.VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    return cfg, params, vae_cfg, vae_params
+
+
+@pytest.mark.parametrize("skw", [
+    {}, {"control_cache_interval": 4, "model_cache_interval": 2},
+], ids=["exact", "hybrid_4_2"])
+def test_step_server_per_request_knobs(tiny_guided_world, skw):
+    """One server, three concurrent requests with DIFFERENT step counts,
+    guidance scales, and control keep-windows: each request's output must
+    equal the one-shot pipeline run with ITS OWN knobs (the per-step values
+    ride host-side per slot; guidance is a traced per-row vector, so the
+    mix shares compiled programs)."""
+    cfg, params, vae_cfg, vae_params = tiny_guided_world
+    reqs = [_request(200 + i, cfg) for i in range(3)]
+    per_req = [
+        dict(num_inference_steps=3, guidance_scale=1.0),
+        dict(num_inference_steps=5, guidance_scale=7.0,
+             control_guidance_start=0.4),
+        dict(num_inference_steps=4, guidance_scale=3.5,
+             control_guidance_end=0.6),
+    ]
+    pipe = UniGenFluxPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                              vae_params=vae_params, dtype=jnp.float32)
+    refs = [pipe.generate(prompt_embeds=r["prompt_embeds"],
+                          pooled=r["pooled"], cond_pooled=r["cond_pooled"],
+                          control_pixels=r["control_pixels"],
+                          height=32, width=32, latents=r["latents"],
+                          **k, **skw)
+            for r, k in zip(reqs, per_req)]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=4, guidance_scale=2.0,
+                     height=32, width=32, dtype=jnp.float32, **skw)
+    futs = [srv.submit(**r, **k) for r, k in zip(reqs, per_req)]
+    outs = [f.result(timeout=300) for f in futs]
+    stats = srv.stats()
+    srv.close()
+    assert stats["submitted"] == 3 and stats["failed"] == 0
+    assert stats["ticks"] >= 5 and 0.0 < stats["mean_occupancy"] <= 1.0
+    for out, ref in zip(outs, refs):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_sd3_mixed_guidance(tiny_sd3_world):
+    """SD3: guidance_scale is the CFG combine coefficient — per-request
+    values must reproduce the one-shot pipeline per request, mixed with a
+    per-request step count, under the per-slot model cache."""
+    cfg, params, vae_cfg, vae_params = tiny_sd3_world
+    res = 4 * vae_cfg.downscale * 2
+    reqs = [_sd3_request(210 + i, cfg, vae_cfg) for i in range(2)]
+    per_req = [dict(num_inference_steps=3, guidance_scale=2.0),
+               dict(num_inference_steps=5, guidance_scale=6.5)]
+    refs = [_sd3_pipeline_ref(tiny_sd3_world, r,
+                              k["num_inference_steps"],
+                              g=k["guidance_scale"],
+                              model_cache_interval=2)
+            for r, k in zip(reqs, per_req)]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                     num_inference_steps=4, guidance_scale=3.0,
+                     model_cache_interval=2,
+                     height=res, width=res, dtype=jnp.float32)
+    futs = [srv.submit(**r, **k) for r, k in zip(reqs, per_req)]
+    outs = [f.result(timeout=300) for f in futs]
+    srv.close()
+    for out, ref in zip(outs, refs):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_sana_rejects_guidance(tiny_sana_world):
+    cfg, params, ae_encode, ae_decode, ds = tiny_sana_world
+    res = 4 * ds
+    srv = StepServer(cfg, params, ae_encode=ae_encode, ae_decode=ae_decode,
+                     ae_downscale=ds, batch_size=2, num_inference_steps=2,
+                     height=res, width=res, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="guidance"):
+        srv.submit(**_sana_request(50, cfg, ds), guidance_scale=2.0)
+    srv.close()

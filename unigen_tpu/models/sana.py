@@ -188,13 +188,15 @@ def sana_unigen_forward(params: dict, cfg: UniGenConfig,
     reuse = control_residuals is not None
     assert not (reuse and return_control_residuals), \
         "pass either control_residuals or return_control_residuals, not both"
-    assert control_residuals_bits in (8, 16)
-    # int8 residual capture/replay (same contract as unigen_flux_forward):
-    # capture quantizes per block inside the scan; replay auto-detects the
-    # {"q","s"} dict leaves and dequantizes per block
+    assert control_residuals_bits in (4, 8, 16)
+    # int8/int4 residual capture/replay (same contract as
+    # unigen_flux_forward): capture quantizes per block inside the scan;
+    # replay auto-detects the {"q"/"q4","s"} dict leaves per block
+    from functools import partial as _partial
     from unigen_tpu.ops import quant as quant_lib
-    _cap = (quant_lib.quantize_residual
-            if return_control_residuals and control_residuals_bits == 8
+    _cap = (_partial(quant_lib.quantize_residual,
+                     bits=control_residuals_bits)
+            if return_control_residuals and control_residuals_bits < 16
             else (lambda r: r))
     _deq = (lambda r: quant_lib.dequantize_residual(r, hidden.dtype)
             if isinstance(r, dict) else r)

@@ -304,13 +304,15 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
     reuse = control_residuals is not None
     assert not (reuse and return_control_residuals), \
         "pass either control_residuals or return_control_residuals, not both"
-    assert control_residuals_bits in (8, 16)
-    # int8 residual capture/replay (ops/quant.quantize_residual): capture
-    # quantizes per block INSIDE the scan (the bf16 stack never
-    # materialises); replay auto-detects the {"q","s"} dict leaves
+    assert control_residuals_bits in (4, 8, 16)
+    # int8/int4 residual capture/replay (ops/quant.quantize_residual):
+    # capture quantizes per block INSIDE the scan (the bf16 stack never
+    # materialises); replay auto-detects the {"q"/"q4","s"} dict leaves
+    from functools import partial as _partial
     from unigen_tpu.ops import quant as quant_lib
-    _cap = (quant_lib.quantize_residual
-            if return_control_residuals and control_residuals_bits == 8
+    _cap = (_partial(quant_lib.quantize_residual,
+                     bits=control_residuals_bits)
+            if return_control_residuals and control_residuals_bits < 16
             else (lambda r: r))
     _deq = (lambda r: quant_lib.dequantize_residual(r, hidden.dtype)
             if isinstance(r, dict) else r)

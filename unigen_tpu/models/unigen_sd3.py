@@ -287,13 +287,16 @@ def unigen_sd3_forward(params: dict, cfg: UniGenConfig,
     reuse = control_residuals is not None
     assert not (reuse and return_control_residuals), \
         "pass either control_residuals or return_control_residuals, not both"
-    assert control_residuals_bits in (8, 16)
-    # int8 residual capture/replay (same contract as unigen_flux_forward):
-    # capture quantizes per block ({"q","s"} leaves, ops/quant); replay
-    # auto-detects the dict structure and dequantizes per block
+    assert control_residuals_bits in (4, 8, 16)
+    # int8/int4 residual capture/replay (same contract as
+    # unigen_flux_forward): capture quantizes per block ({"q"/"q4","s"}
+    # leaves, ops/quant); replay auto-detects the dict structure and
+    # dequantizes per block
+    from functools import partial as _partial
     from unigen_tpu.ops import quant as quant_lib
-    _cap = (quant_lib.quantize_residual
-            if return_control_residuals and control_residuals_bits == 8
+    _cap = (_partial(quant_lib.quantize_residual,
+                     bits=control_residuals_bits)
+            if return_control_residuals and control_residuals_bits < 16
             else (lambda r: r))
     _q = isinstance(control_residuals, dict)
 
@@ -378,7 +381,7 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
     reuse = control_residuals is not None
     assert not (reuse and return_control_residuals), \
         "pass either control_residuals or return_control_residuals, not both"
-    assert control_residuals_bits in (8, 16)
+    assert control_residuals_bits in (4, 8, 16)
     if reuse:
         return _base_forward_with_residuals(
             params, cfg, hidden, encoder, pooled, timestep,
@@ -437,9 +440,11 @@ def unigen_base_forward(params: dict, cfg: UniGenConfig,
                          attn_impl=attn_impl)
     add_outputs: Dict[str, Any] = {"expert_counts": moe_out.expert_counts}
     if return_control_residuals:
+        from functools import partial as _partial
         from unigen_tpu.ops import quant as quant_lib
-        _cap = (quant_lib.quantize_residual
-                if control_residuals_bits == 8 else (lambda r: r))
+        _cap = (_partial(quant_lib.quantize_residual,
+                         bits=control_residuals_bits)
+                if control_residuals_bits < 16 else (lambda r: r))
         add_outputs["control_residuals"] = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[_cap(r) for r in residuals])
     return out, {"moe_loss": moe_out.aux_loss * cc.moe.aux_loss_weight}, \
@@ -485,11 +490,12 @@ def _base_forward_with_residuals(params, cfg, hidden, encoder, pooled,
                                  timestep, control_residuals, *,
                                  conditioning_scale, attn_impl):
     """Replay path of ``unigen_base_forward``: the whole control branch is
-    skipped; cached residuals drive the base pass. int8 caches ({"q","s"}
-    dict leaves, ops/quant.quantize_residual) are dequantized per index."""
+    skipped; cached residuals drive the base pass. Quantized caches
+    ({"q"/"q4","s"} dict leaves, ops/quant.quantize_residual) are
+    dequantized per index."""
     if isinstance(control_residuals, dict):
         from unigen_tpu.ops import quant as quant_lib
-        n = control_residuals["q"].shape[0]
+        n = next(iter(control_residuals.values())).shape[0]
         control_residuals = [
             quant_lib.dequantize_residual(
                 jax.tree.map(lambda r, i=i: r[i], control_residuals),

@@ -81,24 +81,65 @@ def _quantize_act(x: jnp.ndarray):
     return xq, xs
 
 
-def quantize_residual(r: jnp.ndarray) -> dict:
-    """Per-token symmetric int8 quantization of a cached activation residual
+def quantize_residual(r: jnp.ndarray, bits: int = 8) -> dict:
+    """Per-token symmetric quantization of a cached activation residual
     (the control-residual step cache, serving_steps.StepServer /
-    pipelines hybrid cache): ``{"q": int8 [..., D], "s": f32 [..., 1]}``.
-    Halves the HBM residency of the residual caches vs bf16 — the binding
-    constraint for StepServer slot count at full topology (0.47 GiB/slot
-    bf16 at 512², ~1.55 GiB/slot at 1024²). Values at the per-token amax
-    map to ±127 exactly, so no clip is needed."""
+    pipelines hybrid cache).
+
+    bits=8: ``{"q": int8 [..., D], "s": f32 [..., 1]}`` — halves the HBM
+    residency of the residual caches vs bf16 (the binding constraint for
+    StepServer slot count at full topology: 0.47 GiB/slot bf16 at 512²,
+    ~1.55 GiB/slot at 1024²). Values at the per-token amax map to ±127
+    exactly, so no clip is needed.
+
+    bits=4: ``{"q4": int8 [..., D/2], "s": f32 [..., 1]}`` — QUARTER the
+    bf16 residency. Codes in [-7, 7], nibble-packed along the feature axis
+    with the same half-pairing as :func:`pack_int4` (int8 carriers because
+    jnp.int4 arrays cannot cross a jit boundary on the axon backend)."""
     rf = r.astype(jnp.float32)
     amax = jnp.max(jnp.abs(rf), axis=-1, keepdims=True)
+    if bits == 4:
+        assert r.shape[-1] % 2 == 0, \
+            f"feature dim must be even to nibble-pack: {r.shape}"
+        s = jnp.maximum(amax, 1e-8) / 7.0
+        q = jnp.round(rf / s).astype(jnp.int8)
+        half = q.shape[-1] // 2
+        lo = q[..., :half] & jnp.int8(0x0F)
+        hi = jnp.left_shift(q[..., half:], 4)
+        return {"q4": (lo | hi).astype(jnp.int8), "s": s}
+    assert bits == 8, bits
     s = jnp.maximum(amax, 1e-8) / 127.0
     return {"q": jnp.round(rf / s).astype(jnp.int8), "s": s}
 
 
 def dequantize_residual(d: dict, dtype) -> jnp.ndarray:
     """Inverse of :func:`quantize_residual` (f32 multiply, cast to the
-    activation dtype)."""
+    activation dtype); dispatches on the leaf keys (int8 "q" / packed-int4
+    "q4")."""
+    if "q4" in d:
+        p = d["q4"]
+        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)   # sign-extend
+        hi = jnp.right_shift(p, 4)
+        q = jnp.concatenate([lo, hi], axis=-1)
+        return (q.astype(jnp.float32) * d["s"]).astype(dtype)
     return (d["q"].astype(jnp.float32) * d["s"]).astype(dtype)
+
+
+def residual_buffer(shape, bits: int, dtype) -> Any:
+    """A zeroed residual-cache buffer for one capture site: bf16/f32 array
+    (bits=16), int8 codes + per-token scales (bits=8), or packed-int4 codes
+    + scales (bits=4). The scale leaf keeps the token layout with a trailing
+    singleton, so slot/batch axes sit at the same positions in every leaf
+    (the StepServer gathers/scatters rely on that)."""
+    if bits == 16:
+        return jnp.zeros(shape, dtype)
+    if bits == 8:
+        return {"q": jnp.zeros(shape, jnp.int8),
+                "s": jnp.zeros(shape[:-1] + (1,), jnp.float32)}
+    assert bits == 4, bits
+    assert shape[-1] % 2 == 0, shape
+    return {"q4": jnp.zeros(shape[:-1] + (shape[-1] // 2,), jnp.int8),
+            "s": jnp.zeros(shape[:-1] + (1,), jnp.float32)}
 
 
 def _check_2d(w, name):

@@ -303,14 +303,11 @@ class UniGenFluxPipeline:
                     streams.append((neg_embeds, neg_pooled))
 
                 def zero_res():
+                    from unigen_tpu.ops import quant as quant_lib
                     shapes = ((bb_.num_layers, b, s_img, d),
                               (bb_.num_single_layers, b, s_stream, d))
-                    if residual_bits == 8:
-                        return tuple({"q": jnp.zeros(s, jnp.int8),
-                                      "s": jnp.zeros(s[:-1] + (1,),
-                                                     jnp.float32)}
-                                     for s in shapes)
-                    return tuple(jnp.zeros(s, self.dtype) for s in shapes)
+                    return tuple(quant_lib.residual_buffer(
+                        s, residual_bits, self.dtype) for s in shapes)
 
                 def combine(preds):
                     if do_cfg:
@@ -350,14 +347,11 @@ class UniGenFluxPipeline:
                 d = bb_.inner_dim
 
                 def zero_res():
+                    from unigen_tpu.ops import quant as quant_lib
                     shapes = ((bb_.num_layers, b, s_img, d),
                               (bb_.num_single_layers, b, s_stream, d))
-                    if residual_bits == 8:
-                        return tuple({"q": jnp.zeros(s, jnp.int8),
-                                      "s": jnp.zeros(s[:-1] + (1,),
-                                                     jnp.float32)}
-                                     for s in shapes)
-                    return tuple(jnp.zeros(s, self.dtype) for s in shapes)
+                    return tuple(quant_lib.residual_buffer(
+                        s, residual_bits, self.dtype) for s in shapes)
 
                 streams = [(prompt_embeds, pooled)]
                 if do_cfg:
@@ -629,12 +623,12 @@ class UniGenFluxPipeline:
             raise ValueError("cfg_cache requires control_cache_interval > 1 "
                              "or control_cache_threshold > 0 (it rides the "
                              "same refresh schedule)")
-        if residual_cache_bits not in (8, 16):
-            raise ValueError("residual_cache_bits must be 8 or 16, got "
+        if residual_cache_bits not in (4, 8, 16):
+            raise ValueError("residual_cache_bits must be 4, 8 or 16, got "
                              f"{residual_cache_bits}")
-        if residual_cache_bits == 8 and model_cache and not (
+        if residual_cache_bits < 16 and model_cache and not (
                 hybrid_model_interval > 1 or hybrid_adaptive):
-            raise ValueError("residual_cache_bits=8 quantizes the "
+            raise ValueError("residual_cache_bits<16 quantizes the "
                              "control-residual cache; the pure model cache "
                              "has none (use a control-cache or hybrid mode)")
         cache_key = (steps, height, width, true_cfg_scale > 1.0,

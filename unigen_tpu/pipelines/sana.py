@@ -33,6 +33,7 @@ from unigen_tpu.config import UniGenConfig
 from unigen_tpu.models.clip_text import CLIPTextConfig, clip_encode
 from unigen_tpu.models.gemma_text import GemmaConfig, gemma_encode
 from unigen_tpu.models.sana import sana_unigen_forward
+from unigen_tpu.ops import quant as quant_lib
 from unigen_tpu.pipelines import caching, scheduling
 
 
@@ -160,10 +161,8 @@ class UniGenSanaPipeline:
                 bb = cfg.sana
                 s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
                 shp = (bb.num_layers, b, s_tok, bb.inner_dim)
-                zero = ({"q": jnp.zeros(shp, jnp.int8),
-                         "s": jnp.zeros(shp[:-1] + (1,), jnp.float32)}
-                        if residual_bits == 8
-                        else jnp.zeros(shp, self.dtype))
+                zero = quant_lib.residual_buffer(shp, residual_bits,
+                                                 self.dtype)
 
                 def full_fwd_h(lat, i):
                     pred, outs = fwd(lat, i, return_control_residuals=True,
@@ -187,10 +186,8 @@ class UniGenSanaPipeline:
                 bb = cfg.sana
                 s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
                 shp = (bb.num_layers, b, s_tok, bb.inner_dim)
-                zero = ({"q": jnp.zeros(shp, jnp.int8),
-                         "s": jnp.zeros(shp[:-1] + (1,), jnp.float32)}
-                        if residual_bits == 8
-                        else jnp.zeros(shp, self.dtype))
+                zero = quant_lib.residual_buffer(shp, residual_bits,
+                                                 self.dtype)
 
                 def step(carry, i):
                     if adaptive:
@@ -339,12 +336,12 @@ class UniGenSanaPipeline:
             cache_threshold = (model_cache_threshold if model_cache
                                else control_cache_threshold)
         adaptive = cache_threshold > 0.0 and not hybrid_adaptive
-        if residual_cache_bits not in (8, 16):
-            raise ValueError("residual_cache_bits must be 8 or 16, got "
+        if residual_cache_bits not in (4, 8, 16):
+            raise ValueError("residual_cache_bits must be 4, 8 or 16, got "
                              f"{residual_cache_bits}")
-        if residual_cache_bits == 8 and model_cache and not (
+        if residual_cache_bits < 16 and model_cache and not (
                 hybrid_model_interval > 1 or hybrid_adaptive):
-            raise ValueError("residual_cache_bits=8 quantizes the "
+            raise ValueError("residual_cache_bits<16 quantizes the "
                              "control-residual cache; the pure model cache "
                              "has none (use a control-cache or hybrid mode)")
         key = (steps, height, width, schedule, cache_interval,

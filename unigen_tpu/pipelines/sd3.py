@@ -20,6 +20,7 @@ import numpy as np
 from unigen_tpu.config import UniGenConfig
 from unigen_tpu.models import vae as vae_lib
 from unigen_tpu.models.unigen_sd3 import unigen_sd3_forward
+from unigen_tpu.ops import quant as quant_lib
 from unigen_tpu.pipelines import caching, scheduling
 
 
@@ -226,10 +227,8 @@ class UniGenSD3Pipeline:
                 bc = latents.shape[0] * (2 if do_cfg else 1)
                 s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
                 shp = (bb.num_layers, bc, s_tok, bb.inner_dim)
-                zero = ({"q": jnp.zeros(shp, jnp.int8),
-                         "s": jnp.zeros(shp[:-1] + (1,), jnp.float32)}
-                        if residual_bits == 8
-                        else jnp.zeros(shp, self.dtype))
+                zero = quant_lib.residual_buffer(shp, residual_bits,
+                                                 self.dtype)
 
                 def full_fwd_h(lat, i):
                     pred, outs = fwd(lat, i, return_control_residuals=True,
@@ -256,10 +255,8 @@ class UniGenSD3Pipeline:
                 bc = latents.shape[0] * (2 if do_cfg else 1)
                 s_tok = (lh // bb.patch_size) * (lw // bb.patch_size)
                 shp = (bb.num_layers, bc, s_tok, bb.inner_dim)
-                zero = ({"q": jnp.zeros(shp, jnp.int8),
-                         "s": jnp.zeros(shp[:-1] + (1,), jnp.float32)}
-                        if residual_bits == 8
-                        else jnp.zeros(shp, self.dtype))
+                zero = quant_lib.residual_buffer(shp, residual_bits,
+                                                 self.dtype)
 
                 use_cfg_cache = cfg_cache and do_cfg
                 bsz = None  # bound below once latents' batch is known
@@ -478,12 +475,12 @@ class UniGenSD3Pipeline:
             raise ValueError("cfg_cache requires control_cache_interval > 1 "
                              "or control_cache_threshold > 0 (it rides the "
                              "same refresh schedule)")
-        if residual_cache_bits not in (8, 16):
-            raise ValueError("residual_cache_bits must be 8 or 16, got "
+        if residual_cache_bits not in (4, 8, 16):
+            raise ValueError("residual_cache_bits must be 4, 8 or 16, got "
                              f"{residual_cache_bits}")
-        if residual_cache_bits == 8 and model_cache and not (
+        if residual_cache_bits < 16 and model_cache and not (
                 hybrid_model_interval > 1 or hybrid_adaptive):
-            raise ValueError("residual_cache_bits=8 quantizes the "
+            raise ValueError("residual_cache_bits<16 quantizes the "
                              "control-residual cache; the pure model cache "
                              "has none (use a control-cache or hybrid mode)")
         cache_key = (steps, height, width, round(guidance_scale, 4),
