@@ -77,8 +77,14 @@ from unigen_tpu.pipelines import scheduling
 class _Slot:
     future: Optional[Future] = None
     step: int = 0                      # next step index to run
-    scale: float = 1.0
     payload: Optional[dict] = None     # admission rows, applied at tick start
+    # per-request knobs (host-side; every per-step value is gathered from
+    # the host each tick, so requests can mix schedules freely)
+    num_steps: int = 0
+    guidance: float = 0.0
+    sched: Any = None                  # [num_steps] conditioning-scale
+    sigmas: Any = None                 # [num_steps + 1]
+    timesteps: Any = None              # [num_steps]
 
     @property
     def free(self) -> bool:
@@ -106,10 +112,11 @@ class StepServer:
             "StepServer needs per-sample MoE routing (row independence)"
         assert model_cache_interval >= 1 and model_cache_order in (0, 1)
         assert control_cache_interval >= 1
-        assert residual_cache_bits in (8, 16), \
-            "residual_cache_bits: 16 (bf16 exact) or 8 (int8 per-token " \
+        assert residual_cache_bits in (4, 8, 16), \
+            "residual_cache_bits: 16 (bf16 exact), 8 (int8 per-token " \
             "quantized — HALF the per-slot residual-cache HBM; the slot-" \
-            "count constraint at full topology / 1024²)"
+            "count constraint at full topology / 1024²), or 4 " \
+            "(nibble-packed int4 — QUARTER the bf16 residency)"
         self.res_bits = residual_cache_bits
         if control_cache_interval > 1 and model_cache_interval > 1:
             # hybrid three-level schedule per slot (caching.hybrid_cache_scan
@@ -193,10 +200,13 @@ class StepServer:
                     lambda vp, px: _enc(px).astype(dtype))
                 self._decode = jax.jit(lambda vp, lat: jnp.clip(
                     _dec(lat.astype(jnp.float32)), -1, 1))
-        sig, tst = scheduling.inference_sigmas(sch, num_inference_steps,
-                                               image_seq_len=seq_for_sigmas)
-        self._sigmas = np.asarray(sig)          # [n+1]
-        self._timesteps = np.asarray(tst)       # [n]
+        # per-request schedules: requests may override num_inference_steps,
+        # so the (sigmas, timesteps) pair is derived per step count (the
+        # image_seq_len entering the dynamic shift is fixed by the server's
+        # resolution, so schedules are exact per-request pipeline matches)
+        self._sch, self._seq_for_sigmas = sch, seq_for_sigmas
+        self._sched_cache: Dict[int, tuple] = {}
+        self._sigmas, self._timesteps = self._schedule_for(num_inference_steps)
         self._guidance_scale = guidance_scale
 
         # device state: full-slot arrays (rows updated on admission)
@@ -241,6 +251,9 @@ class StepServer:
         self._replay_fn = None               # zero-refresh tick
         self._lock = threading.Lock()
         self._closed = False
+        self._stats = dict(submitted=0, retired=0, failed=0, ticks=0,
+                           ticks_replay=0, rows_full=0, rows_base=0,
+                           rows_refresh=0, rows_pad=0, active_row_steps=0)
         self._work = threading.Condition(self._lock)
         self._step_fn = None                    # built lazily (needs T)
         # retirement (VAE decode + d2h) runs on its OWN thread so the step
@@ -255,6 +268,27 @@ class StepServer:
         self._worker.start()
 
     # ------------------------------------------------------------ program
+
+    def _schedule_for(self, n_steps: int):
+        """(sigmas [n+1], timesteps [n]) for a request's step count (cached;
+        host numpy — cheap per admission)."""
+        if n_steps not in self._sched_cache:
+            sig, tst = scheduling.inference_sigmas(
+                self._sch, n_steps, image_seq_len=self._seq_for_sigmas)
+            self._sched_cache[n_steps] = (np.asarray(sig), np.asarray(tst))
+        return self._sched_cache[n_steps]
+
+    def stats(self) -> dict:
+        """Serving counters (snapshot): submitted/retired/failed requests,
+        ticks (ticks_replay = ticks that skipped the transformer entirely),
+        transformer rows by kind (full / base-with-control-replay / plain
+        refresh), rows_pad (gather padding waste), and mean_occupancy =
+        active_row_steps / (ticks * batch_size)."""
+        with self._lock:
+            s = dict(self._stats)
+        s["mean_occupancy"] = (s["active_row_steps"]
+                               / (s["ticks"] * self.B) if s["ticks"] else 0.0)
+        return s
 
     @staticmethod
     def _bsig(x, lat):
@@ -287,19 +321,21 @@ class StepServer:
         forward runs the duplicated 2m CFG batch and returns the GUIDED
         prediction (reference UniGenPipeline.py:286-290 duplication +
         :418-422 combine), so everything downstream (Euler, caches) sees
-        one prediction per slot like the other families."""
+        one prediction per slot like the other families. ``g`` is the
+        per-row guidance vector ([n_rows] f32, TRACED — mixed per-request
+        guidance never recompiles): flux feeds it to the guidance embedder,
+        sd3 uses it as the CFG combine coefficient, sana ignores it (no
+        guidance path)."""
         cfg, dtype = self.cfg, self.dtype
         if self.family == "flux":
             bb = cfg.flux
             txt_ids = jnp.zeros((t_len, 3))
             img_ids = self._img_ids
             use_guidance = bb.guidance_embeds
-            gs = self._guidance_scale
 
             def call(params, lat, cond, embeds, mask, pooled, cpool,
-                     t_now, scale, **kw):
-                guidance = (jnp.full((n_rows,), gs, dtype)
-                            if use_guidance else None)
+                     t_now, scale, g, **kw):
+                guidance = g.astype(dtype) if use_guidance else None
                 return unigen_flux_forward(
                     params, cfg, hidden=lat, condition=cond, encoder=embeds,
                     pooled=pooled, condition_pooled=cpool,
@@ -312,10 +348,9 @@ class StepServer:
                     **kw)
         elif self.family == "sd3":
             from unigen_tpu.models.unigen_sd3 import unigen_sd3_forward
-            g = float(self._guidance_scale)
 
             def call(params, lat, cond, embeds, mask, pooled, cpool,
-                     t_now, scale, **kw):
+                     t_now, scale, g, **kw):
                 # neg/pos duplication inside the program: embeds/pooled
                 # carry the stacked pair on axis 1, lat/cond/cond_pooled
                 # are shared by both halves
@@ -336,7 +371,8 @@ class StepServer:
                     conditioning_scale=sc2[:, None, None].astype(dtype),
                     **kw)
                 neg, pos = jnp.split(pred2, 2, axis=0)
-                pred = neg + jnp.asarray(g, pred2.dtype) * (pos - neg)
+                gb = g.reshape((-1,) + (1,) * (pred2.ndim - 1))
+                pred = neg + gb.astype(pred2.dtype) * (pos - neg)
                 if "control_residuals" in outs:
                     outs["control_residuals"] = self._res_pack(
                         outs["control_residuals"])
@@ -345,7 +381,7 @@ class StepServer:
             from unigen_tpu.models.sana import sana_unigen_forward
 
             def call(params, lat, cond, embeds, mask, pooled, cpool,
-                     t_now, scale, **kw):
+                     t_now, scale, g, **kw):
                 return sana_unigen_forward(
                     params, cfg, hidden=lat, condition=cond, encoder=embeds,
                     pooled=pooled, condition_pooled=cpool,
@@ -358,9 +394,9 @@ class StepServer:
         call = self._family_fwd(self.B, t_len)
 
         def step(params, lat, cond, embeds, mask, pooled, cond_pooled,
-                 t_now, s_now, s_next, scale):
+                 t_now, s_now, s_next, scale, g):
             pred, _, _ = call(params, lat, cond, embeds, mask, pooled,
-                              cond_pooled, t_now, scale)
+                              cond_pooled, t_now, scale, g)
             return scheduling.euler_step(lat, pred, self._bsig(s_now, lat),
                                          self._bsig(s_next, lat))
 
@@ -376,10 +412,10 @@ class StepServer:
         call = self._family_fwd(m, t_len)
 
         def fwd(params, lat, cond, embeds, mask, pooled, cond_pooled, idx,
-                t_now, scale):
+                t_now, scale, g):
             pred, _, _ = call(params, lat[idx], cond[idx], embeds[idx],
                               None if mask is None else mask[idx],
-                              pooled[idx], cond_pooled[idx], t_now, scale)
+                              pooled[idx], cond_pooled[idx], t_now, scale, g)
             return pred
 
         return jax.jit(fwd)
@@ -399,11 +435,11 @@ class StepServer:
         call = self._family_fwd(m, t_len)
 
         def fwd(params, lat, cond, embeds, mask, pooled, cond_pooled,
-                res, idx, t_now, scale):
+                res, idx, t_now, scale, g):
             pred, _, outs = call(params, lat[idx], cond[idx], embeds[idx],
                                  None if mask is None else mask[idx],
                                  pooled[idx], cond_pooled[idx], t_now, scale,
-                                 return_control_residuals=True,
+                                 g, return_control_residuals=True,
                                  control_residuals_bits=self.res_bits)
             new = outs["control_residuals"]
             res_n = jax.tree.map(lambda r, nw: r.at[:, idx].set(nw),
@@ -420,10 +456,10 @@ class StepServer:
         call = self._family_fwd(m, t_len)
 
         def fwd(params, lat, cond, embeds, mask, pooled, cond_pooled,
-                res, idx, t_now, scale):
+                res, idx, t_now, scale, g):
             pred, _, _ = call(params, lat[idx], cond[idx], embeds[idx],
                               None if mask is None else mask[idx],
-                              pooled[idx], cond_pooled[idx], t_now, scale,
+                              pooled[idx], cond_pooled[idx], t_now, scale, g,
                               control_residuals=jax.tree.map(
                                   lambda r: r[:, idx], res))
             return pred
@@ -465,7 +501,7 @@ class StepServer:
                                          bsig(s_next, lat))
         return jax.jit(upd)
 
-    def _prepare_cached_tick(self, active, s_now, s_next, scale):
+    def _prepare_cached_tick(self, active, s_now, s_next, scale, gvec):
         """Called under the lock: snapshot device/host state into a thunk
         that runs one cached tick outside the lock. A slot refreshes on its
         own step schedule (``step % k == 0``, so admissions always refresh
@@ -504,6 +540,7 @@ class StepServer:
             if self._replay_fn is None:
                 self._replay_fn = self._build_replay()
             replay = self._replay_fn
+            self._stats["ticks_replay"] += 1
 
             def tick():
                 new_lat = replay(lat, p1, p0, gap_j, dt_j, s_now_j, s_next_j)
@@ -516,9 +553,12 @@ class StepServer:
         # computes the identical prediction and its duplicate scatter
         # writes the same value
         idx = np.asarray((refresh + [refresh[0]] * m)[:m], np.int32)
-        t_r = np.asarray([self._timesteps[self._slots[i].step]
+        t_r = np.asarray([self._slots[i].timesteps[self._slots[i].step]
                           * self._t_fac for i in idx], np.float32)
         sc_r = scale[idx]
+        g_r = gvec[idx]
+        self._stats["rows_refresh"] += len(refresh)
+        self._stats["rows_pad"] += m - len(refresh)
         if m not in self._fwd_fns:
             self._fwd_fns[m] = self._build_fwd(
                 embeds.shape[2] if self.family == "sd3" else embeds.shape[1],
@@ -529,7 +569,8 @@ class StepServer:
 
         def tick():
             fresh = fwd(params, lat, cond, embeds, mask, pooled, cpool,
-                        idx_j, jnp.asarray(t_r), jnp.asarray(sc_r))
+                        idx_j, jnp.asarray(t_r), jnp.asarray(sc_r),
+                        jnp.asarray(g_r))
             new_lat, p1n, p0n = upd(lat, p1, p0, fresh, idx_j, gap_j, dt_j,
                                     s_now_j, s_next_j)
 
@@ -541,7 +582,7 @@ class StepServer:
 
         return tick
 
-    def _prepare_hybrid_tick(self, active, s_now, s_next, scale):
+    def _prepare_hybrid_tick(self, active, s_now, s_next, scale, gvec):
         """Per-slot three-level schedule (hybrid_cache_scan semantics): a
         slot runs FULL on its own c-boundary (or before its first refresh),
         BASE with control-residual replay on its k-boundary (every non-full
@@ -582,6 +623,7 @@ class StepServer:
             if self._replay_fn is None:
                 self._replay_fn = self._build_replay()
             replay = self._replay_fn
+            self._stats["ticks_replay"] += 1
 
             def tick():
                 new_lat = replay(lat, p1, p0, gap_j, dt_j, s_now_j, s_next_j)
@@ -589,15 +631,20 @@ class StepServer:
 
             return tick
 
+        self._stats["rows_full"] += len(full_l)
+        self._stats["rows_base"] += len(base_l)
+
         def _gathered(lst, fns, build):
             m = next(sz for sz in self._sizes if sz >= len(lst))
+            self._stats["rows_pad"] += m - len(lst)
             idx = np.asarray((lst + [lst[0]] * m)[:m], np.int32)
             t_r = jnp.asarray(
-                [self._timesteps[self._slots[i].step] * self._t_fac
+                [self._slots[i].timesteps[self._slots[i].step] * self._t_fac
                  for i in idx], jnp.float32)
             if m not in fns:
                 fns[m] = build(t_len, m)
-            return fns[m], jnp.asarray(idx), t_r, jnp.asarray(scale[idx]), m
+            return (fns[m], jnp.asarray(idx), t_r, jnp.asarray(scale[idx]),
+                    jnp.asarray(gvec[idx]))
 
         full_plan = (_gathered(full_l, self._full_fns, self._build_full_h)
                      if full_l else None)
@@ -619,15 +666,15 @@ class StepServer:
             # dispatch order gives the runtime the dependency
             fresh_b = None
             if base_plan is not None:
-                fn, idx_j, t_r, sc_r, _ = base_plan
+                fn, idx_j, t_r, sc_r, g_r = base_plan
                 fresh_b = fn(params, lat, cond, embeds, mask, pooled, cpool,
-                             res, idx_j, t_r, sc_r)
+                             res, idx_j, t_r, sc_r, g_r)
             res_n = res
             rows = []
             if full_plan is not None:
-                fn, idx_j, t_r, sc_r, _ = full_plan
+                fn, idx_j, t_r, sc_r, g_r = full_plan
                 fresh_f, res_n = fn(params, lat, cond, embeds, mask, pooled,
-                                    cpool, res, idx_j, t_r, sc_r)
+                                    cpool, res, idx_j, t_r, sc_r, g_r)
                 rows.append(fresh_f[:nf])
             if fresh_b is not None:
                 rows.append(fresh_b[:nb])
@@ -652,6 +699,10 @@ class StepServer:
     def submit(self, *, prompt_embeds, pooled, cond_pooled, control_pixels,
                prompt_mask=None, neg_embeds=None, neg_pooled=None,
                conditioning_scale: float = 1.0,
+               guidance_scale: Optional[float] = None,
+               num_inference_steps: Optional[int] = None,
+               control_guidance_start: float = 0.0,
+               control_guidance_end: float = 1.0,
                seed: int = 0, latents=None, wait: bool = False) -> Future:
         """Admit one request (leading dim 1 on every array). Returns a
         Future resolving to a uint8 image [1, H, W, 3]. wait=True blocks
@@ -660,8 +711,37 @@ class StepServer:
         never dips between admissions). ``prompt_mask`` [1, T] is the sana
         encoder mask (defaults to all-ones). ``neg_embeds``/``neg_pooled``
         are the sd3 negative stream (defaults to zeros, the one-shot
-        pipeline's default)."""
+        pipeline's default).
+
+        Per-request knobs (each defaults to the server-level value; every
+        per-step quantity is gathered from host state each tick, so one
+        server freely mixes requests with different settings and never
+        recompiles):
+          * ``guidance_scale`` — flux guidance embedding / sd3 CFG combine
+            coefficient (rides as a traced per-row vector). sana has no
+            guidance path; passing a value raises.
+          * ``num_inference_steps`` — the request's own denoise schedule
+            ((sigmas, timesteps) derived per step count exactly like the
+            one-shot pipeline; the slot retires at its own step count).
+          * ``control_guidance_start``/``end`` — the conditioning-scale
+            keep-window (reference UniGenPipeline.py:366-372): the control
+            branch is ON for steps with start <= i/n and (i+1)/n <= end,
+            folded into the per-step scale exactly like the pipeline."""
         fut: Future = Future()
+        if self.family == "sana" and guidance_scale is not None:
+            raise ValueError("sana denoises without guidance; "
+                             "guidance_scale is not a sana request knob")
+        n_steps = (self.num_steps if num_inference_steps is None
+                   else int(num_inference_steps))
+        assert n_steps >= 1
+        sig, tst = self._schedule_for(n_steps)
+        keep = np.array([
+            1.0 - float((i / n_steps < control_guidance_start)
+                        or ((i + 1) / n_steps > control_guidance_end))
+            for i in range(n_steps)], np.float32)
+        sched = np.float32(conditioning_scale) * keep
+        g = (self._guidance_scale if guidance_scale is None
+             else float(guidance_scale))
         embeds = jnp.asarray(prompt_embeds, self.dtype)
         assert embeds.shape[0] == 1, "one sample per request"
         pooled = jnp.asarray(pooled, self.dtype)
@@ -706,14 +786,14 @@ class StepServer:
                 if self.cache_c > 1 and self._res is None:
 
                     def _buf(shp):
-                        # res_bits=8: int8 codes + per-token f32 scales
-                        # (slot axis stays at position 1 in BOTH leaves, so
-                        # the tree.map gathers/scatters are unchanged)
-                        if self.res_bits == 8:
-                            return {"q": jnp.zeros(shp, jnp.int8),
-                                    "s": jnp.zeros(shp[:-1] + (1,),
-                                                   jnp.float32)}
-                        return jnp.zeros(shp, self.dtype)
+                        # res_bits<16: quantized codes + per-token f32
+                        # scales (slot axis stays at position 1 in ALL
+                        # leaves, so the tree.map gathers/scatters are
+                        # unchanged; the int4 layout packs only the
+                        # trailing feature axis)
+                        from unigen_tpu.ops import quant as quant_lib
+                        return quant_lib.residual_buffer(
+                            shp, self.res_bits, self.dtype)
 
                     if self.family == "flux":
                         bb = self.cfg.flux
@@ -749,8 +829,9 @@ class StepServer:
             if self.family == "sana":
                 payload["mask"] = prompt_mask[0]
             self._slots[idx] = _Slot(
-                future=fut, step=0, scale=float(conditioning_scale),
-                payload=payload)
+                future=fut, step=0, payload=payload, num_steps=n_steps,
+                guidance=g, sched=sched, sigmas=sig, timesteps=tst)
+            self._stats["submitted"] += 1
             self._work.notify()
         return fut
 
@@ -807,19 +888,25 @@ class StepServer:
                 s_now = np.zeros((self.B,), np.float32)
                 s_next = np.zeros((self.B,), np.float32)
                 scale = np.zeros((self.B,), np.float32)
+                gvec = np.zeros((self.B,), np.float32)
                 for i, s in active:
-                    t_now[i] = self._timesteps[s.step] * self._t_fac
-                    s_now[i] = self._sigmas[s.step]
-                    s_next[i] = self._sigmas[s.step + 1]
-                    scale[i] = s.scale
+                    t_now[i] = s.timesteps[s.step] * self._t_fac
+                    s_now[i] = s.sigmas[s.step]
+                    s_next[i] = s.sigmas[s.step + 1]
+                    scale[i] = s.sched[s.step]
+                    gvec[i] = s.guidance
+                self._stats["ticks"] += 1
+                self._stats["active_row_steps"] += len(active)
                 cached = self.cache_k > 1 or self.cache_c > 1
                 if self.cache_c > 1:
                     tick = self._prepare_hybrid_tick(active, s_now, s_next,
-                                                     scale)
+                                                     scale, gvec)
                 elif self.cache_k > 1:
                     tick = self._prepare_cached_tick(active, s_now, s_next,
-                                                     scale)
+                                                     scale, gvec)
                 else:
+                    self._stats["rows_refresh"] += len(active)
+                    self._stats["rows_pad"] += self.B - len(active)
                     step_fn = self._step_fn
                     args = (self.params, self._lat, self._cond, self._embeds,
                             self._mask, self._pooled, self._cond_pooled)
@@ -832,7 +919,7 @@ class StepServer:
                 else:
                     new_lat = step_fn(*args, jnp.asarray(t_now),
                                       jnp.asarray(s_now), jnp.asarray(s_next),
-                                      jnp.asarray(scale))
+                                      jnp.asarray(scale), jnp.asarray(gvec))
                     commit = None
             except Exception as e:
                 with self._work:
@@ -840,6 +927,7 @@ class StepServer:
                         if not s.future.done():
                             s.future.set_exception(e)
                         self._slots[i] = _Slot()
+                        self._stats["failed"] += 1
                     if self.cache_c > 1 and self._res is not None:
                         # the residual buffers may have been DONATED into a
                         # failed full program (invalidated) — rebuild them
@@ -866,12 +954,13 @@ class StepServer:
                     commit()
                 for i, s in active:
                     s.step += 1
-                    if s.step >= self.num_steps:
+                    if s.step >= s.num_steps:
                         # hand the finished ROW (a device slice of new_lat —
                         # immutable, so later ticks can't clobber it) to the
                         # retirement thread; the step loop moves straight on
                         self._retire_q.put((new_lat[i:i + 1], s.future))
                         self._slots[i] = _Slot()
+                        self._stats["retired"] += 1
                         self._work.notify_all()   # wake blocking submits
 
     def _retire_loop(self):
