@@ -134,7 +134,7 @@ def _demo(batch_size: int):
           f"out shape {outs[0].shape}")
 
 
-def _serve_steps(pipe, args):
+def _serve_steps(pipe, args, mesh=None):
     """Checkpoint-backed StepServer loop: same stdin JSON-lines protocol as
     the request-batched path, but each request is admitted into a free slot
     the moment one exists (blocking submit keeps occupancy at the slot
@@ -167,7 +167,7 @@ def _serve_steps(pipe, args):
                      model_cache_order=args.model_cache_order,
                      control_cache_interval=args.control_cache_interval,
                      residual_cache_bits=args.residual_cache_bits,
-                     **kw)
+                     mesh=mesh, **kw)
     print(f"# step-server ready: slots={args.batch_size} steps={args.steps} "
           f"res={args.resolution} quant={args.quant} "
           f"model_cache_interval={args.model_cache_interval} "
@@ -231,6 +231,16 @@ def _serve_steps(pipe, args):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS / UNIGEN_SERVE_PLATFORM before any backend touch —
+    # on the deployment image the env var alone does NOT steer JAX (a TPU
+    # plugin is force-registered via sitecustomize), so without this the
+    # checkpoint path silently serves on the TPU even when the caller asked
+    # for CPU (the demo paths already force it per-function)
+    want = os.environ.get("UNIGEN_SERVE_PLATFORM",
+                          os.environ.get("JAX_PLATFORMS", "")).strip()
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", help="diffusers checkpoint dir (family layout)")
     ap.add_argument("--family", default="flux", choices=["flux", "sd3", "sana"],
@@ -375,21 +385,29 @@ def main(argv=None):
             adapter_dir=args.adapter,
             quantize=None if args.quant == "bf16" else args.quant,
             clip_dir=args.clip_dir)
+    mesh = None
     if args.mesh_data * args.mesh_expert * args.mesh_model > 1:
-        if fam == "sana":
-            ap.error("--mesh-* multi-chip serving is wired for the flux and "
-                     "sd3 families (the SANA DC-AE codec rides in closures; "
-                     "shard() would not re-place it)")
-        if args.step_server:
-            ap.error("--step-server is single-chip; use the request-batched "
-                     "server for --mesh-*")
+        if fam == "sana" and not args.step_server:
+            ap.error("--mesh-* request-batched serving is wired for the flux "
+                     "and sd3 families (the SANA DC-AE codec rides in "
+                     "closures; shard() would not re-place it) — sana "
+                     "multi-chip serving goes through --step-server, which "
+                     "places the tree itself and runs the codec as separate "
+                     "single-chip programs")
         from unigen_tpu import config as cfg_lib
         from unigen_tpu.parallel.mesh import build_mesh
         mesh = build_mesh(cfg_lib.MeshConfig(
             data=args.mesh_data, expert=args.mesh_expert,
             sequence=1, model=args.mesh_model))
-        pipe.shard(mesh)
-        print(f"# sharded serving: mesh {dict(mesh.shape)}", file=sys.stderr)
+        if args.step_server:
+            # StepServer shards its own tree (mesh= below) — don't
+            # double-place through pipe.shard
+            print(f"# sharded step-server: mesh {dict(mesh.shape)}",
+                  file=sys.stderr)
+        else:
+            pipe.shard(mesh)
+            print(f"# sharded serving: mesh {dict(mesh.shape)}",
+                  file=sys.stderr)
     if args.prompt_cache > 0:
         from unigen_tpu.pipelines.caching import PromptLRU
         pipe.prompt_cache_size = args.prompt_cache
@@ -398,7 +416,7 @@ def main(argv=None):
         pipe._auto_switch(args.condition_types[0])
 
     if args.step_server:
-        return _serve_steps(pipe, args)
+        return _serve_steps(pipe, args, mesh=mesh)
 
     def run_batch(inputs):
         kw = dict(height=args.resolution, width=args.resolution,

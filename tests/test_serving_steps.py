@@ -517,3 +517,115 @@ def test_step_server_sana_rejects_guidance(tiny_sana_world):
     with pytest.raises(ValueError, match="guidance"):
         srv.submit(**_sana_request(50, cfg, ds), guidance_scale=2.0)
     srv.close()
+
+
+# ------------------------------------------------------- multi-chip serving
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 host-sim devices")
+@pytest.mark.parametrize("skw", [
+    {}, {"control_cache_interval": 4, "model_cache_interval": 2,
+         "residual_cache_bits": 8},
+], ids=["exact", "hybrid_int8"])
+def test_step_server_sharded_matches_pipeline(tiny_world, skw):
+    """StepServer(mesh=...): the serving tree is placed by the TP/EP rules
+    (same contract as pipe.shard / serve.py --step-server --mesh-*), slot
+    state replicates, and every tick's transformer partitions under GSPMD —
+    per-request outputs must equal the UNSHARDED one-shot pipeline at the
+    same knobs, including the hybrid per-slot residual cache whose donated
+    buffers must keep their replicated placement across ticks."""
+    from unigen_tpu.parallel.mesh import build_mesh
+    cfg, params, vae_cfg, vae_params = tiny_world
+    mesh = build_mesh(cfg_lib.MeshConfig(data=2, expert=2, sequence=1,
+                                         model=2))
+    steps = 5
+    reqs = [_request(300 + i, cfg) for i in range(3)]
+    refs = [_pipeline_reference(tiny_world, r, steps, **skw) for r in reqs]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=steps, height=32, width=32,
+                     mesh=mesh, dtype=jnp.float32, **skw)
+    # the weight tree actually engaged the TP rules on the mesh
+    specs = {str(getattr(l, "sharding", None) and l.sharding.spec)
+             for l in jax.tree.leaves(srv.params)}
+    assert any("model" in s for s in specs), f"no TP placement: {specs}"
+    futs = [srv.submit(**r) for r in reqs]
+    outs = [f.result(timeout=300) for f in futs]
+    # slot reuse under the mesh (cache reset + re-pinned admission writes)
+    again = srv.submit(**reqs[0]).result(timeout=300)
+    stats = srv.stats()
+    srv.close()
+    assert stats["failed"] == 0
+    for out, ref in zip(outs + [again], refs + [refs[0]]):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 host-sim devices")
+def test_step_server_sd3_sharded_matches_pipeline(tiny_sd3_world):
+    """SD3 StepServer over a mesh: the sharding rules cover the sd3 tree
+    (joint_blocks stacked axis, col/row TP linears), the CFG-pair slot
+    state replicates, and the hybrid int8 residual cache (heaviest
+    machinery: packed CFG axis + donated buffers) keeps its placement —
+    outputs == the unsharded one-shot pipeline at the same knobs."""
+    from unigen_tpu.parallel.mesh import build_mesh
+    cfg, params, vae_cfg, vae_params = tiny_sd3_world
+    mesh = build_mesh(cfg_lib.MeshConfig(data=2, expert=2, sequence=1,
+                                         model=2))
+    knobs = dict(control_cache_interval=4, model_cache_interval=2,
+                 residual_cache_bits=8)
+    steps = 5
+    res = 4 * vae_cfg.downscale * 2
+    reqs = [_sd3_request(340 + i, cfg, vae_cfg) for i in range(3)]
+    refs = [_sd3_pipeline_ref(tiny_sd3_world, r, steps, **knobs)
+            for r in reqs]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=steps, height=res, width=res,
+                     guidance_scale=3.0, mesh=mesh, dtype=jnp.float32,
+                     **knobs)
+    futs = [srv.submit(**r) for r in reqs]
+    outs = [f.result(timeout=300) for f in futs]
+    stats = srv.stats()
+    srv.close()
+    assert stats["failed"] == 0
+    for out, ref in zip(outs, refs):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 host-sim devices")
+def test_step_server_sana_sharded_matches_pipeline(tiny_sana_world):
+    """SANA StepServer over a mesh: the 'blocks' stacked axis engages the
+    rules, the DC-AE codec rides as separate single-program jits off the
+    mesh, and the NCHW latent slot state replicates — outputs == the
+    unsharded one-shot UniGenSanaPipeline."""
+    from unigen_tpu.parallel.mesh import build_mesh
+    from unigen_tpu.pipelines.sana import UniGenSanaPipeline
+    cfg, params, ae_encode, ae_decode, ds = tiny_sana_world
+    mesh = build_mesh(cfg_lib.MeshConfig(data=2, expert=2, sequence=1,
+                                         model=2))
+    steps = 5
+    res = 4 * ds
+    pipe = UniGenSanaPipeline(cfg=cfg, params=params, ae_encode=ae_encode,
+                              ae_decode=ae_decode, ae_downscale=ds,
+                              dtype=jnp.float32)
+    reqs = [_sana_request(360 + i, cfg, ds) for i in range(2)]
+    refs = [pipe.generate(height=res, width=res, num_inference_steps=steps,
+                          **r) for r in reqs]
+
+    srv = StepServer(cfg, params, ae_encode=ae_encode, ae_decode=ae_decode,
+                     ae_downscale=ds, batch_size=2,
+                     num_inference_steps=steps, height=res, width=res,
+                     scheduler=pipe.scheduler, mesh=mesh,
+                     dtype=jnp.float32)
+    futs = [srv.submit(**r) for r in reqs]
+    outs = [f.result(timeout=300) for f in futs]
+    stats = srv.stats()
+    srv.close()
+    assert stats["failed"] == 0
+    for out, ref in zip(outs, refs):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"

@@ -105,6 +105,7 @@ class StepServer:
                  model_cache_interval: int = 1, model_cache_order: int = 0,
                  control_cache_interval: int = 1,
                  residual_cache_bits: int = 16,
+                 mesh=None,
                  dtype=jnp.bfloat16):
         assert cfg.family in ("flux", "sana", "sd3"), \
             f"unknown family {cfg.family!r}"
@@ -209,9 +210,26 @@ class StepServer:
         self._sigmas, self._timesteps = self._schedule_for(num_inference_steps)
         self._guidance_scale = guidance_scale
 
+        # multi-chip: the weight tree is placed by the TP/EP/ZeRO rules
+        # (same contract as UniGenFluxPipeline.shard / Trainer(mesh=...));
+        # slot-state arrays replicate (they're MBs — the latents, caches
+        # and stream rows), so GSPMD partitions each tick's transformer
+        # over ICI while the gather/scatter slot bookkeeping stays local.
+        # Every loop-feedback program pins replicated out_shardings so the
+        # state arrays keep ONE placement across ticks (stable program
+        # keys + valid donation).
+        self.mesh = mesh
+        self._repl = None
+        if mesh is not None:
+            from unigen_tpu.parallel import sharding as shd
+            self.params = shd.shard_params(self.params, mesh)
+            self._repl = shd.replicated(mesh)
+            if self.vae_params is not None:
+                self.vae_params = jax.device_put(self.vae_params, self._repl)
+
         # device state: full-slot arrays (rows updated on admission)
-        self._lat = jnp.zeros(lat_shape, dtype)
-        self._cond = jnp.zeros(lat_shape, dtype)
+        self._lat = self._place(jnp.zeros(lat_shape, dtype))
+        self._cond = self._place(jnp.zeros(lat_shape, dtype))
         self._embeds = None                     # [B, T, D] set on first admit
         self._mask = None                       # [B, T] (sana encoder mask)
         # sd3 slots stack the (neg, pos) CFG pair on axis 1 of the stream
@@ -219,8 +237,9 @@ class StepServer:
         pool_shape = ((B, 2, bb.pooled_projection_dim)
                       if self.family == "sd3"
                       else (B, bb.pooled_projection_dim))
-        self._pooled = jnp.zeros(pool_shape, dtype)
-        self._cond_pooled = jnp.zeros((B, bb.pooled_projection_dim), dtype)
+        self._pooled = self._place(jnp.zeros(pool_shape, dtype))
+        self._cond_pooled = self._place(
+            jnp.zeros((B, bb.pooled_projection_dim), dtype))
         self._slots: List[_Slot] = [_Slot() for _ in range(B)]
         self.cache_k = int(model_cache_interval)
         self.cache_order = int(model_cache_order)
@@ -229,8 +248,8 @@ class StepServer:
             # per-slot prediction cache: p1 = latest refreshed prediction,
             # p0 = the one before (order-1 Taylor replay), refresh step
             # indices kept host-side (they drive the replay factor)
-            self._p1 = jnp.zeros(lat_shape, dtype)
-            self._p0 = jnp.zeros(lat_shape, dtype)
+            self._p1 = self._place(jnp.zeros(lat_shape, dtype))
+            self._p0 = self._place(jnp.zeros(lat_shape, dtype))
             self._i1 = np.full((B,), -1, np.int64)
             self._i0 = np.full((B,), -1, np.int64)
         if self.cache_c > 1:
@@ -268,6 +287,24 @@ class StepServer:
         self._worker.start()
 
     # ------------------------------------------------------------ program
+
+    def _place(self, tree):
+        """Replicate device state onto the mesh (no-op single-chip)."""
+        if self._repl is None:
+            return tree
+        return jax.device_put(tree, self._repl)
+
+    def _jit(self, f, **kw):
+        """``jax.jit`` that pins REPLICATED out_shardings when serving over
+        a mesh: every loop-feedback array (latents, prediction caches,
+        residual caches) keeps one placement across ticks — stable program
+        cache keys, and the donated residual buffers match their output
+        sharding so in-place donation stays valid. The transformer inside
+        still partitions over the mesh (GSPMD follows the sharded weight
+        tree); only the slot-state boundary is pinned."""
+        if self._repl is not None:
+            kw.setdefault("out_shardings", self._repl)
+        return jax.jit(f, **kw)
 
     def _schedule_for(self, n_steps: int):
         """(sigmas [n+1], timesteps [n]) for a request's step count (cached;
@@ -400,7 +437,7 @@ class StepServer:
             return scheduling.euler_step(lat, pred, self._bsig(s_now, lat),
                                          self._bsig(s_next, lat))
 
-        return jax.jit(step)
+        return self._jit(step)
 
     def _build_fwd(self, t_len: int, m: int):
         """Prediction forward for ``m`` refreshing slots: gathers rows
@@ -418,7 +455,7 @@ class StepServer:
                               pooled[idx], cond_pooled[idx], t_now, scale, g)
             return pred
 
-        return jax.jit(fwd)
+        return self._jit(fwd)
 
     def _build_full_h(self, t_len: int, m: int):
         """Hybrid FULL refresh for ``m`` gathered slots: the exact forward
@@ -446,7 +483,7 @@ class StepServer:
                                  res, new)
             return pred, res_n
 
-        return jax.jit(fwd, donate_argnums=(7,))
+        return self._jit(fwd, donate_argnums=(7,))
 
     def _build_base_h(self, t_len: int, m: int):
         """Hybrid BASE refresh: ``m`` gathered slots run the base
@@ -464,7 +501,7 @@ class StepServer:
                                   lambda r: r[:, idx], res))
             return pred
 
-        return jax.jit(fwd)
+        return self._jit(fwd)
 
     def _build_update(self, m: int):
         """Scatter ``m`` fresh predictions into the per-slot cache, form
@@ -487,7 +524,7 @@ class StepServer:
                                           bsig(s_next, lat))
             return lat_n, p1n, p0n
 
-        return jax.jit(upd)
+        return self._jit(upd)
 
     def _build_replay(self):
         """All-replay tick: no transformer at all, just the (extrapolated)
@@ -499,7 +536,7 @@ class StepServer:
             pred = p1 + bsig(gap, p1).astype(p1.dtype) * slope
             return scheduling.euler_step(lat, pred, bsig(s_now, lat),
                                          bsig(s_next, lat))
-        return jax.jit(upd)
+        return self._jit(upd)
 
     def _prepare_cached_tick(self, active, s_now, s_next, scale, gvec):
         """Called under the lock: snapshot device/host state into a thunk
@@ -775,11 +812,11 @@ class StepServer:
                 raise RuntimeError("server closed" if self._closed
                                    else "no free slot; back off and retry")
             if self._embeds is None:
-                self._embeds = jnp.zeros(
-                    (self.B,) + tuple(embeds.shape[1:]), self.dtype)
+                self._embeds = self._place(jnp.zeros(
+                    (self.B,) + tuple(embeds.shape[1:]), self.dtype))
                 if self.family == "sana":
-                    self._mask = jnp.zeros((self.B, embeds.shape[1]),
-                                           jnp.int32)
+                    self._mask = self._place(
+                        jnp.zeros((self.B, embeds.shape[1]), jnp.int32))
                 t_len = (embeds.shape[2] if self.family == "sd3"
                          else embeds.shape[1])
                 self._step_fn = self._build_step(t_len)
@@ -792,8 +829,8 @@ class StepServer:
                         # unchanged; the int4 layout packs only the
                         # trailing feature axis)
                         from unigen_tpu.ops import quant as quant_lib
-                        return quant_lib.residual_buffer(
-                            shp, self.res_bits, self.dtype)
+                        return self._place(quant_lib.residual_buffer(
+                            shp, self.res_bits, self.dtype))
 
                     if self.family == "flux":
                         bb = self.cfg.flux
@@ -871,14 +908,22 @@ class StepServer:
                 for i, s in enumerate(self._slots):
                     if s.payload is not None:
                         p = s.payload
-                        self._lat = self._lat.at[i].set(p["lat"])
-                        self._cond = self._cond.at[i].set(p["cond"])
-                        self._embeds = self._embeds.at[i].set(p["embeds"])
-                        self._pooled = self._pooled.at[i].set(p["pooled"])
-                        self._cond_pooled = self._cond_pooled.at[i].set(
-                            p["cond_pooled"])
+                        # _place re-pins the eager row writes: an unpinned
+                        # .at[].set result could drift off the replicated
+                        # placement (mesh mode) and churn tick program keys
+                        self._lat = self._place(
+                            self._lat.at[i].set(p["lat"]))
+                        self._cond = self._place(
+                            self._cond.at[i].set(p["cond"]))
+                        self._embeds = self._place(
+                            self._embeds.at[i].set(p["embeds"]))
+                        self._pooled = self._place(
+                            self._pooled.at[i].set(p["pooled"]))
+                        self._cond_pooled = self._place(
+                            self._cond_pooled.at[i].set(p["cond_pooled"]))
                         if "mask" in p:
-                            self._mask = self._mask.at[i].set(p["mask"])
+                            self._mask = self._place(
+                                self._mask.at[i].set(p["mask"]))
                         if self.cache_k > 1 or self.cache_c > 1:
                             self._i1[i] = self._i0[i] = -1
                         s.payload = None
@@ -935,7 +980,9 @@ class StepServer:
                         # (.shape/.dtype are aval metadata — valid even on
                         # a deleted array)
                         self._res = jax.tree.map(
-                            lambda r: jnp.zeros(r.shape, r.dtype), self._res)
+                            lambda r: self._place(jnp.zeros(r.shape,
+                                                            r.dtype)),
+                            self._res)
                         self._i1[:] = self._i0[:] = -1
                 continue
             # bounded async window: let the device pipeline 2 ticks, no more
