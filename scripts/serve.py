@@ -168,6 +168,17 @@ def _serve_steps(pipe, args, mesh=None):
                      control_cache_interval=args.control_cache_interval,
                      residual_cache_bits=args.residual_cache_bits,
                      mesh=mesh, **kw)
+    if args.warmup:
+        # pre-compile the whole program ladder before reading stdin: the
+        # deployment text length comes from encoding a dummy prompt through
+        # the same padded encode path real requests use
+        t0 = time.time()
+        we = pipe.encode_prompt("warmup")[0]
+        t_len = we.shape[2] if cfg.family == "sd3" and we.ndim == 4 \
+            else we.shape[1]
+        n = srv.warmup(int(t_len))
+        print(f"# warmup: {n} synthetic requests (t_len={t_len}) in "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
     print(f"# step-server ready: slots={args.batch_size} steps={args.steps} "
           f"res={args.resolution} quant={args.quant} "
           f"model_cache_interval={args.model_cache_interval} "
@@ -334,6 +345,12 @@ def main(argv=None):
                          "and --control-cache-interval (per-slot schedules); "
                          "adaptive thresholds / quality profiles need "
                          "MicroBatchServer")
+    ap.add_argument("--warmup", action="store_true",
+                    help="step-server only: pre-compile the whole gathered-"
+                         "program ladder with synthetic requests before "
+                         "reading stdin (StepServer.warmup) — otherwise the "
+                         "first real requests pay the compiles inside their "
+                         "latency")
     ap.add_argument("--demo", action="store_true",
                     help="tiny random model + synthetic load (no checkpoint)")
     args = ap.parse_args(argv)
@@ -346,6 +363,9 @@ def main(argv=None):
                  "(pure per-slot control cache), or both (hybrid three-level "
                  "per slot); adaptive thresholds / quality profiles need the "
                  "request-batched server")
+    if args.warmup and not args.step_server:
+        ap.error("--warmup is wired for --step-server (the request-batched "
+                 "server compiles each ladder size lazily on first use)")
     if args.demo or not args.ckpt:
         if args.step_server:
             return _demo_steps(args.batch_size, args.model_cache_interval,

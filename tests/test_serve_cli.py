@@ -59,6 +59,23 @@ def test_serve_cli_end_to_end(serve_world, tmp_path, mode):
     assert img.shape == (32, 32, 3)
 
 
+def test_serve_cli_step_server_warmup(serve_world, tmp_path):
+    """--warmup pre-compiles the program ladder via StepServer.warmup before
+    reading stdin (t_len derived by encoding a dummy prompt through the
+    deployment encode path); the real request after it still round-trips."""
+    root, ctrl = serve_world
+    out_png = str(tmp_path / "warmed.png")
+    rc, out, err = _run_serve(
+        ["--ckpt", root, "--quant", "bf16", "--batch-size", "2",
+         "--steps", "2", "--resolution", "32", "--prompt-cache", "0",
+         "--step-server", "--warmup"],
+        [{"prompt": "a cat", "condition": "canny",
+          "control": ctrl, "out": out_png}])
+    assert rc == 0, err[-2000:]
+    assert "# warmup: 4 synthetic requests" in err, err[-2000:]
+    assert os.path.exists(out_png), (out, err[-2000:])
+
+
 @pytest.fixture(scope="module")
 def sd3_serve_world(tmp_path_factory):
     import tests.test_from_pretrained as tfp

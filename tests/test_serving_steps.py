@@ -519,6 +519,43 @@ def test_step_server_sana_rejects_guidance(tiny_sana_world):
     srv.close()
 
 
+def test_step_server_warmup_then_serve(tiny_world):
+    """warmup(t_len) pre-compiles the program ladder with synthetic zero
+    requests and leaves the server indistinguishable from fresh: real
+    requests after warmup still equal the one-shot pipeline, and the
+    warmup traffic shows up in the stats counters."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 5
+    req = _request(420, cfg)
+    ref = _pipeline_reference(tiny_world, req, steps,
+                              control_cache_interval=4,
+                              model_cache_interval=2)
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                     num_inference_steps=steps, height=32, width=32,
+                     control_cache_interval=4, model_cache_interval=2,
+                     dtype=jnp.float32)
+    n = srv.warmup(req["prompt_embeds"].shape[1])
+    assert n == 2 * srv.B
+    st = srv.stats()
+    assert st["retired"] == n and st["failed"] == 0
+    out = srv.submit(**req).result(timeout=300)
+    srv.close()
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_warmup_sana(tiny_sana_world):
+    """Family-shape coverage for warmup: the sana path needs the encoder
+    mask row and caption-channel embeds."""
+    cfg, params, ae_encode, ae_decode, ds = tiny_sana_world
+    srv = StepServer(cfg, params, ae_encode=ae_encode, ae_decode=ae_decode,
+                     ae_downscale=ds, batch_size=2, num_inference_steps=3,
+                     height=4 * ds, width=4 * ds, dtype=jnp.float32)
+    assert srv.warmup(6, rounds=1) == 2
+    assert srv.stats()["failed"] == 0
+    srv.close()
+
+
 # ------------------------------------------------------- multi-chip serving
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 host-sim devices")

@@ -131,6 +131,7 @@ class StepServer:
         self.family = cfg.family
         self.B = batch_size
         self.num_steps = num_inference_steps
+        self.height, self.width = height, width
         self.dtype = dtype
         B = batch_size
         # timestep units differ per family: flux/sana forwards take 0..1
@@ -326,6 +327,40 @@ class StepServer:
         s["mean_occupancy"] = (s["active_row_steps"]
                                / (s["ticks"] * self.B) if s["ticks"] else 0.0)
         return s
+
+    def warmup(self, t_len: int, rounds: int = 2) -> int:
+        """Pre-compile the serving program ladder before accepting traffic.
+
+        Admits ``rounds * batch_size`` synthetic zero requests with blocking
+        admission — the staggered phases interleave the per-slot refresh
+        schedules, so every gathered program size the schedule can produce
+        (full-batch, tail subsets, the replay/update programs, both codec
+        programs) compiles now instead of inside a real request's latency
+        (minutes per program through a remote-compile path; the bench used
+        this exact recipe externally after a cold first run understated
+        sustained throughput 9×). ``t_len`` is the serving text length —
+        the padded length the deployment's encode path produces (flux 512,
+        sd3 77+256, sana 300), which fixes the program shapes. Outputs are
+        discarded; slot state is fully rewritten on admission, so a warmed
+        server serves exactly like a fresh one. Returns the number of
+        warmup requests run."""
+        bb = {"flux": self.cfg.flux, "sd3": self.cfg.sd3,
+              "sana": self.cfg.sana}[self.family]
+        emb_dim = (bb.caption_channels if self.family == "sana"
+                   else bb.joint_attention_dim)
+        req = dict(
+            prompt_embeds=np.zeros((1, t_len, emb_dim), np.float32),
+            pooled=np.zeros((1, bb.pooled_projection_dim), np.float32),
+            cond_pooled=np.zeros((1, bb.pooled_projection_dim), np.float32),
+            control_pixels=np.zeros((1, 3, self.height, self.width),
+                                    np.float32))
+        if self.family == "sana":
+            req["prompt_mask"] = np.ones((1, t_len), np.int32)
+        futs = [self.submit(**req, wait=True)
+                for _ in range(max(1, rounds) * self.B)]
+        for f in futs:
+            f.result()
+        return len(futs)
 
     @staticmethod
     def _bsig(x, lat):
