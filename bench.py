@@ -1785,6 +1785,8 @@ def bench_stepserver():
     fam = os.environ.get("UNIGEN_BENCH_STEP_FAMILY", "flux")
     if fam == "sana":
         return bench_stepserver_sana()
+    if fam == "sd3":
+        return bench_stepserver_sd3()
     res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
     B = int(os.environ.get("UNIGEN_BENCH_STEP_SLOTS", "4"))
     # UNIGEN_BENCH_STEP_CACHE=k composes the per-slot model cache with
@@ -2022,6 +2024,129 @@ def bench_stepserver_sana():
         json.dump(doc, f, indent=1)
     print(json.dumps({
         "metric": f"unigen_sana_stepserver{ctag}_{res}px_images_per_sec",
+        "value": round(sustained, 4), "unit": "images/sec/chip",
+        "vs_baseline": 0.0, "config": doc["config"]}))
+
+
+def bench_stepserver_sd3():
+    """UNIGEN_BENCH_STEPSERVER=1 UNIGEN_BENCH_STEP_FAMILY=sd3: step-level
+    continuous batching for the SD3 family (SD3.5-medium, 512², 28-step
+    CFG denoise, W8A8 — the measured SD3 serving dtype). CFG-aware slots:
+    each slot holds one latent + a stacked (neg, pos) stream pair, so a
+    tick's transformer batch is 2× the refreshing slot count. Knobs as the
+    flux rung: UNIGEN_BENCH_STEP_SLOTS / _STEP_CACHE / _STEP_HYBRID /
+    _STEP_RESBITS."""
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu import config as C, presets
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_sd3 import init_unigen_sd3_params
+    from unigen_tpu.ops.quant import quantize_tree, quantized_bytes
+    from unigen_tpu.serving_steps import StepServer
+
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
+    B = int(os.environ.get("UNIGEN_BENCH_STEP_SLOTS", "2"))
+    cache_k = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE", "1"))
+    cache_order = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE_ORDER", "0"))
+    cache_c = int(os.environ.get("UNIGEN_BENCH_STEP_HYBRID", "1"))
+    res_bits = int(os.environ.get("UNIGEN_BENCH_STEP_RESBITS", "16"))
+    num_steps = 28
+    t_len = 77 + 256                       # CLIP + T5 joint context
+    cfg_base = presets.sd35_medium()
+    cfg = C.replace(cfg_base, control=C.replace(
+        cfg_base.control, moe=C.replace(cfg_base.control.moe,
+                                        batch_mode="per_sample")))
+    bb = cfg.sd3
+    dtype = jnp.bfloat16
+
+    t0 = time.time()
+    params = direct_quantized_init(
+        jax.random.PRNGKey(0),
+        lambda k: quantize_tree(init_unigen_sd3_params(k, cfg, dtype=dtype)))
+    vae_cfg = vae_lib.VAEConfig(scaling_factor=1.5305, shift_factor=0.0609)
+    vae_params = jax.jit(lambda k: vae_lib.init_vae_params(k, vae_cfg))(
+        jax.random.PRNGKey(1))
+    jax.block_until_ready((params, vae_params))
+    print(f"# sd3 stepserver init {time.time()-t0:.1f}s resident="
+          f"{quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=B,
+                     num_inference_steps=num_steps, height=res, width=res,
+                     guidance_scale=7.0, model_cache_interval=cache_k,
+                     model_cache_order=cache_order,
+                     control_cache_interval=cache_c,
+                     residual_cache_bits=res_bits, dtype=dtype)
+
+    def request(i):
+        ks = jax.random.split(jax.random.PRNGKey(1000 + i), 5)
+        return dict(
+            prompt_embeds=jax.random.normal(
+                ks[0], (1, t_len, bb.joint_attention_dim), dtype),
+            neg_embeds=jax.random.normal(
+                ks[1], (1, t_len, bb.joint_attention_dim), dtype),
+            pooled=jax.random.normal(
+                ks[2], (1, bb.pooled_projection_dim), dtype),
+            neg_pooled=jax.random.normal(
+                ks[3], (1, bb.pooled_projection_dim), dtype),
+            cond_pooled=jnp.zeros((1, bb.pooled_projection_dim), dtype),
+            control_pixels=jax.random.normal(ks[4], (1, 3, res, res),
+                                             jnp.float32))
+
+    t0 = time.time()
+    srv.submit(**request(0)).result(timeout=3600)
+    cold_s = time.time() - t0
+    t0 = time.perf_counter()
+    srv.submit(**request(1)).result(timeout=600)
+    single_lat = time.perf_counter() - t0
+    print(f"# cold={cold_s:.1f}s warm single-request latency="
+          f"{single_lat*1000:.0f}ms", file=sys.stderr)
+
+    t0 = time.time()
+    wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
+    for f in wfuts:
+        f.result(timeout=3600)
+    print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
+
+    n_req = 4 * B
+    t0 = time.perf_counter()
+    futs = [srv.submit(**request(2 + i), wait=True) for i in range(n_req)]
+    for f in futs:
+        f.result(timeout=1200)
+    sustained = n_req / (time.perf_counter() - t0)
+    srv.close()
+    print(f"# sustained {sustained:.3f} img/s over {n_req} staggered "
+          f"requests ({B} slots)", file=sys.stderr)
+
+    ctag = f"_cache{cache_k}o{cache_order}" if cache_k > 1 else ""
+    if cache_c > 1:
+        ctag += f"_hybrid{cache_c}"
+        if res_bits != 16:
+            ctag += f"_res{res_bits}"
+    doc = {"config": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_"
+                     f"stepserver{B}slots{ctag}",
+           "res": res, "slots": B, "num_steps": num_steps,
+           "model_cache_interval": cache_k, "model_cache_order": cache_order,
+           "control_cache_interval": cache_c, "quant": "w8a8",
+           "residual_cache_bits": res_bits,
+           "warm_single_request_latency_ms": round(single_lat * 1000, 1),
+           "sustained_img_per_sec": round(sustained, 4),
+           "note": "SD3 CFG-aware slots: a tick's transformer batch is 2x "
+                   "the refreshing slot count (neg+pos streams in-program); "
+                   "sustained includes per-request VAE encode+decode "
+                   "on-stream"}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "STEPSERVE_SD3.json")
+    merged = {"rows": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        merged = prev if "rows" in prev else {"rows": {prev["config"]: prev}}
+    merged["rows"][doc["config"]] = doc
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps({
+        "metric": f"unigen_sd3_stepserver{ctag}_{res}px_images_per_sec",
         "value": round(sustained, 4), "unit": "images/sec/chip",
         "vs_baseline": 0.0, "config": doc["config"]}))
 

@@ -341,9 +341,10 @@ def main(argv=None):
                          "mid-denoise at their own step index — admission "
                          "latency bounded by ONE step; sd3 slots carry the "
                          "CFG pair (JSON key 'negative' sets the negative "
-                         "prompt). Supports --model-cache-interval/-order "
-                         "and --control-cache-interval (per-slot schedules); "
-                         "adaptive thresholds / quality profiles need "
+                         "prompt). Supports --model-cache-interval/-order, "
+                         "--control-cache-interval (per-slot schedules) and "
+                         "--quality-profile (fixed-interval operating "
+                         "points); adaptive thresholds need "
                          "MicroBatchServer")
     ap.add_argument("--warmup", action="store_true",
                     help="step-server only: pre-compile the whole gathered-"
@@ -356,13 +357,41 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.step_server and (args.control_cache_threshold > 0
-                             or args.model_cache_threshold > 0
-                             or args.quality_profile):
+                             or args.model_cache_threshold > 0):
         ap.error("--step-server runs fixed per-slot schedules only: "
                  "--model-cache-interval/-order, --control-cache-interval "
-                 "(pure per-slot control cache), or both (hybrid three-level "
-                 "per slot); adaptive thresholds / quality profiles need the "
-                 "request-batched server")
+                 "(pure per-slot control cache), both (hybrid three-level "
+                 "per slot), or --quality-profile; adaptive thresholds need "
+                 "the request-batched server")
+    if args.step_server and args.quality_profile:
+        # resolve the named operating point to the family's fixed per-slot
+        # intervals (every PROFILE_TABLES entry is fixed-interval, so the
+        # same measured points serve both serving modes); mixing the profile
+        # with raw knobs is rejected inside quality_profile_knobs
+        from unigen_tpu.pipelines import caching
+        knobs = caching.quality_profile_knobs(
+            args.quality_profile, caching.PROFILE_TABLES[args.family],
+            dict(control_cache_interval=args.control_cache_interval,
+                 model_cache_interval=args.model_cache_interval,
+                 model_cache_order=args.model_cache_order,
+                 residual_cache_bits=(args.residual_cache_bits
+                                      if args.residual_cache_bits != 16
+                                      else 0)))
+        args.control_cache_interval = knobs.get(
+            "control_cache_interval", args.control_cache_interval)
+        args.model_cache_interval = knobs.get(
+            "model_cache_interval", args.model_cache_interval)
+        args.model_cache_order = knobs.get(
+            "model_cache_order", args.model_cache_order)
+        args.residual_cache_bits = knobs.get(
+            "residual_cache_bits", args.residual_cache_bits)
+        print(f"# quality-profile {args.quality_profile} -> per-slot "
+              f"control_cache_interval={args.control_cache_interval} "
+              f"model_cache_interval={args.model_cache_interval} "
+              f"model_cache_order={args.model_cache_order} "
+              f"residual_cache_bits={args.residual_cache_bits}",
+              file=sys.stderr)
+        args.quality_profile = None      # consumed: StepServer takes knobs
     if args.warmup and not args.step_server:
         ap.error("--warmup is wired for --step-server (the request-batched "
                  "server compiles each ladder size lazily on first use)")

@@ -76,6 +76,31 @@ def test_serve_cli_step_server_warmup(serve_world, tmp_path):
     assert os.path.exists(out_png), (out, err[-2000:])
 
 
+def test_serve_cli_step_server_quality_profile(tmp_path):
+    """--step-server --quality-profile resolves the named operating point to
+    the family's fixed per-slot intervals (PROFILE_TABLES — the same measured
+    points the one-shot pipelines use) before building the server; mixing
+    the profile with raw cache knobs is rejected like the pipeline API."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "serve.py"),
+         "--demo", "--step-server", "--quality-profile", "balanced",
+         "--batch-size", "2"],
+        capture_output=True, text=True, env=ENV, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert ("# quality-profile balanced -> per-slot "
+            "control_cache_interval=4 model_cache_interval=2 "
+            "model_cache_order=0 residual_cache_bits=8") in proc.stderr, \
+        proc.stderr[-2000:]
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "serve.py"),
+         "--demo", "--step-server", "--quality-profile", "balanced",
+         "--model-cache-interval", "3"],
+        capture_output=True, text=True, env=ENV, timeout=600)
+    assert proc.returncode != 0
+    assert "quality_profile" in proc.stderr, proc.stderr[-2000:]
+
+
 @pytest.fixture(scope="module")
 def sd3_serve_world(tmp_path_factory):
     import tests.test_from_pretrained as tfp

@@ -221,6 +221,28 @@ def hybrid_cache_scan(full_fwd: Callable, base_fwd: Callable,
     return latents, n_full, n_base
 
 
+# Measured serving operating points per family (CACHE.json hybrid_rows /
+# model_rows, docs/SERVING.md). "balanced" = the hybrid three-level cache at
+# the family's measured-dominant (c, m); flux additionally carries int8
+# residuals (3.611 img/s vs 3.412 bf16 at the SAME SSIM 0.99957 — strictly
+# dominant). "fast" = full-model output cache interval 4 with order-1 Taylor
+# replay. All entries are FIXED intervals, so they apply to both serving
+# modes: the one-shot pipelines AND serving_steps.StepServer per-slot
+# schedules (scripts/serve.py --step-server --quality-profile).
+PROFILE_TABLES = {
+    "flux": {"balanced": dict(control_cache_interval=4,
+                              model_cache_interval=2,
+                              residual_cache_bits=8),
+             "fast": dict(model_cache_interval=4, model_cache_order=1)},
+    "sd3": {"balanced": dict(control_cache_interval=8,
+                             model_cache_interval=2),
+            "fast": dict(model_cache_interval=4, model_cache_order=1)},
+    "sana": {"balanced": dict(control_cache_interval=4,
+                              model_cache_interval=2),
+             "fast": dict(model_cache_interval=4, model_cache_order=1)},
+}
+
+
 def quality_profile_knobs(profile: Optional[str], table: dict,
                           explicit: dict) -> dict:
     """Map a named serving profile onto this pipeline's cache knobs.

@@ -526,15 +526,7 @@ class UniGenFluxPipeline:
         if residual_cache_bits != 16:
             explicit["residual_cache_bits"] = residual_cache_bits
         knobs = caching.quality_profile_knobs(
-            quality_profile,
-            # measured operating points: CACHE.json hybrid_rows / model_rows
-            # (balanced carries int8 residuals — 3.611 img/s vs 3.412 bf16
-            # at the SAME SSIM 0.99957, strictly dominant)
-            {"balanced": dict(control_cache_interval=4,
-                              model_cache_interval=2,
-                              residual_cache_bits=8),
-             "fast": dict(model_cache_interval=4, model_cache_order=1)},
-            explicit)
+            quality_profile, caching.PROFILE_TABLES["flux"], explicit)
         residual_cache_bits = knobs.get("residual_cache_bits",
                                         residual_cache_bits)
         control_cache_interval = knobs.get("control_cache_interval",

@@ -271,10 +271,7 @@ class UniGenSanaPipeline:
         residual_cache_bits=8 stores the control-residual cache int8 with
         per-token scales (half the cache HBM; see UniGenFluxPipeline)."""
         knobs = caching.quality_profile_knobs(
-            quality_profile,
-            {"balanced": dict(control_cache_interval=4,
-                              model_cache_interval=2),
-             "fast": dict(model_cache_interval=4, model_cache_order=1)},
+            quality_profile, caching.PROFILE_TABLES["sana"],
             dict(control_cache_interval=control_cache_interval,
                  control_cache_threshold=control_cache_threshold,
                  model_cache_interval=model_cache_interval,

@@ -391,10 +391,7 @@ class UniGenSD3Pipeline:
         control > model) enables the fully-ADAPTIVE hybrid (both traced,
         one compiled program); last_cache_refreshes = (n_full, n_base)."""
         knobs = caching.quality_profile_knobs(
-            quality_profile,
-            {"balanced": dict(control_cache_interval=8,
-                              model_cache_interval=2),
-             "fast": dict(model_cache_interval=4, model_cache_order=1)},
+            quality_profile, caching.PROFILE_TABLES["sd3"],
             dict(control_cache_interval=control_cache_interval,
                  control_cache_threshold=control_cache_threshold,
                  cfg_cache=cfg_cache,
