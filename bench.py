@@ -33,6 +33,11 @@ Env knobs:
                         control-residual cache int8 with per-token scales
                         (ops/quant.quantize_residual) — half the cache HBM,
                         the slot-count lever at full topology / 1024².
+  UNIGEN_BENCH_STEP_ADAPTIVE=<tc:tm>  flux StepServer rung only: adaptive
+                        per-slot drift thresholds instead of fixed
+                        intervals ("0.05:0.02" fully-adaptive hybrid,
+                        ":0.02" adaptive model cache, "0.05:" adaptive
+                        control cache) -> STEPSERVE_ADAPTIVE.json rows.
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
   value       — images/sec for the jitted 4-step denoise loop (text encode /
@@ -1802,6 +1807,16 @@ def bench_stepserver():
     # int8 with per-token scales (half the cache HBM — the slot-count lever:
     # bf16 residuals are 0.47 GiB/slot at 512², ~1.9 GiB/slot at 1024²)
     res_bits = int(os.environ.get("UNIGEN_BENCH_STEP_RESBITS", "16"))
+    # UNIGEN_BENCH_STEP_ADAPTIVE="tc:tm" replaces the fixed per-slot
+    # intervals with the adaptive drift thresholds (host-pulled per-slot
+    # drift vector; serving_steps docstring): "0.05:0.02" = fully-adaptive
+    # hybrid, ":0.02" = adaptive model cache, "0.05:" = adaptive control
+    # cache. Mutually exclusive with _STEP_CACHE/_STEP_HYBRID.
+    thr_spec = os.environ.get("UNIGEN_BENCH_STEP_ADAPTIVE", "")
+    thr_c = thr_m = 0.0
+    if thr_spec:
+        a, _, b = thr_spec.partition(":")
+        thr_c, thr_m = (float(a) if a else 0.0), (float(b) if b else 0.0)
     num_steps = 4
     preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
     cfg_base = {"full": presets.flux_full, "proxy": presets.flux_bench,
@@ -1835,6 +1850,8 @@ def bench_stepserver():
                      model_cache_interval=cache_k,
                      model_cache_order=cache_order,
                      control_cache_interval=cache_c,
+                     control_cache_threshold=thr_c,
+                     model_cache_threshold=thr_m,
                      residual_cache_bits=res_bits, dtype=dtype)
     t_len = 16 if preset == "tiny" else 512
 
@@ -1888,11 +1905,16 @@ def bench_stepserver():
         ctag += f"_hybrid{cache_c}"
         if res_bits == 8:
             ctag += "_res8"
+    if thr_spec:
+        ctag = f"_adaptive{thr_c:g}_{thr_m:g}"
+        if res_bits != 16 and thr_c > 0:
+            ctag += f"_res{res_bits}"
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
                      f"w{bb.inner_dim}_stepserver{B}slots{ctag}",
            "res": res, "slots": B, "num_steps": num_steps,
            "model_cache_interval": cache_k, "model_cache_order": cache_order,
            "control_cache_interval": cache_c,
+           "control_cache_threshold": thr_c, "model_cache_threshold": thr_m,
            "residual_cache_bits": res_bits,
            "warm_single_request_latency_ms": round(single_lat * 1000, 1),
            "sustained_img_per_sec": round(sustained, 4),
@@ -1902,11 +1924,22 @@ def bench_stepserver():
                    "stream, which the transformer-only headline excludes — "
                    "use MicroBatchServer when peak batch throughput beats "
                    "admission latency"}
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "STEPSERVE_HYBRID.json" if cache_c > 1
-                           else "STEPSERVE_CACHE.json" if cache_k > 1
-                           else "STEPSERVE.json"), "w") as f:
-        json.dump(doc, f, indent=1)
+    if thr_spec:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "STEPSERVE_ADAPTIVE.json")
+        merged = {"rows": {}}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged["rows"][doc["config"]] = doc
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+    else:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "STEPSERVE_HYBRID.json" if cache_c > 1
+                               else "STEPSERVE_CACHE.json" if cache_k > 1
+                               else "STEPSERVE.json"), "w") as f:
+            json.dump(doc, f, indent=1)
     print(json.dumps({
         "metric": f"unigen_flux_stepserver{ctag}_{res}px_images_per_sec",
         "value": round(sustained, 4), "unit": "images/sec/chip",

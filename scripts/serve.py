@@ -29,7 +29,8 @@ import numpy as np
 
 
 def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0,
-                cache_c: int = 1, res_bits: int = 16):
+                cache_c: int = 1, res_bits: int = 16,
+                thr_m: float = 0.0, thr_c: float = 0.0):
     """Tiny random-model StepServer demo (CPU-safe): full request lifecycle
     — VAE encode on admit, per-slot denoise ticks, VAE decode on retire —
     with staggered arrivals, optionally at a model-cache operating point."""
@@ -56,6 +57,8 @@ def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0,
                      height=32, width=32, model_cache_interval=cache_k,
                      model_cache_order=cache_order,
                      control_cache_interval=cache_c,
+                     model_cache_threshold=thr_m,
+                     control_cache_threshold=thr_c,
                      residual_cache_bits=res_bits, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     mk = lambda *shape: rng.standard_normal(shape).astype(np.float32)
@@ -166,6 +169,8 @@ def _serve_steps(pipe, args, mesh=None):
                      model_cache_interval=args.model_cache_interval,
                      model_cache_order=args.model_cache_order,
                      control_cache_interval=args.control_cache_interval,
+                     model_cache_threshold=args.model_cache_threshold,
+                     control_cache_threshold=args.control_cache_threshold,
                      residual_cache_bits=args.residual_cache_bits,
                      mesh=mesh, **kw)
     if args.warmup:
@@ -342,10 +347,10 @@ def main(argv=None):
                          "latency bounded by ONE step; sd3 slots carry the "
                          "CFG pair (JSON key 'negative' sets the negative "
                          "prompt). Supports --model-cache-interval/-order, "
-                         "--control-cache-interval (per-slot schedules) and "
+                         "--control-cache-interval (per-slot schedules), "
                          "--quality-profile (fixed-interval operating "
-                         "points); adaptive thresholds need "
-                         "MicroBatchServer")
+                         "points), and the adaptive --*-cache-threshold "
+                         "knobs (per-slot drift-triggered refresh)")
     ap.add_argument("--warmup", action="store_true",
                     help="step-server only: pre-compile the whole gathered-"
                          "program ladder with synthetic requests before "
@@ -356,13 +361,6 @@ def main(argv=None):
                     help="tiny random model + synthetic load (no checkpoint)")
     args = ap.parse_args(argv)
 
-    if args.step_server and (args.control_cache_threshold > 0
-                             or args.model_cache_threshold > 0):
-        ap.error("--step-server runs fixed per-slot schedules only: "
-                 "--model-cache-interval/-order, --control-cache-interval "
-                 "(pure per-slot control cache), both (hybrid three-level "
-                 "per slot), or --quality-profile; adaptive thresholds need "
-                 "the request-batched server")
     if args.step_server and args.quality_profile:
         # resolve the named operating point to the family's fixed per-slot
         # intervals (every PROFILE_TABLES entry is fixed-interval, so the
@@ -374,6 +372,8 @@ def main(argv=None):
             dict(control_cache_interval=args.control_cache_interval,
                  model_cache_interval=args.model_cache_interval,
                  model_cache_order=args.model_cache_order,
+                 control_cache_threshold=args.control_cache_threshold,
+                 model_cache_threshold=args.model_cache_threshold,
                  residual_cache_bits=(args.residual_cache_bits
                                       if args.residual_cache_bits != 16
                                       else 0)))
@@ -400,7 +400,9 @@ def main(argv=None):
             return _demo_steps(args.batch_size, args.model_cache_interval,
                                args.model_cache_order,
                                args.control_cache_interval,
-                               args.residual_cache_bits)
+                               args.residual_cache_bits,
+                               args.model_cache_threshold,
+                               args.control_cache_threshold)
         return _demo(args.batch_size)
 
     from PIL import Image

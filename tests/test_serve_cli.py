@@ -76,6 +76,19 @@ def test_serve_cli_step_server_warmup(serve_world, tmp_path):
     assert os.path.exists(out_png), (out, err[-2000:])
 
 
+def test_serve_cli_step_server_adaptive_demo(tmp_path):
+    """--step-server now accepts the adaptive drift thresholds (per-slot
+    refresh decisions from the host-pulled drift vector) — the demo rung
+    runs the fully-adaptive hybrid end-to-end through the CLI."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "serve.py"),
+         "--demo", "--step-server", "--control-cache-threshold", "0.05",
+         "--model-cache-threshold", "0.02", "--batch-size", "2"],
+        capture_output=True, text=True, env=ENV, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "step-server demo:" in proc.stdout, proc.stdout
+
+
 def test_serve_cli_step_server_quality_profile(tmp_path):
     """--step-server --quality-profile resolves the named operating point to
     the family's fixed per-slot intervals (PROFILE_TABLES — the same measured

@@ -161,6 +161,73 @@ def test_step_server_hybrid_cache_matches_pipeline(tiny_world, c, k):
         assert diff.max() <= 1, f"max diff {diff.max()}"
 
 
+@pytest.mark.parametrize("knobs", [
+    dict(model_cache_threshold=0.02),
+    dict(model_cache_threshold=0.02, model_cache_order=1),
+    dict(control_cache_threshold=0.03),
+    dict(control_cache_threshold=0.05, model_cache_threshold=0.02),
+], ids=["model_thr", "model_thr_o1", "control_thr", "hybrid_thr"])
+def test_step_server_adaptive_matches_pipeline(tiny_world, knobs):
+    """ADAPTIVE per-slot refresh: the drift predicate is computed on-device
+    per slot ([B] f32 rel-L1 since the slot's own last refresh) and pulled
+    to host, which picks the refresh sets exactly like the one-shot scan's
+    traced predicate — per-request outputs must equal the one-shot pipeline
+    at the same thresholds, across the adaptive model cache (orders 0/1),
+    the adaptive control cache (every non-full step runs base), and the
+    fully-adaptive hybrid, with staggered admissions mixing slot drift
+    phases inside one tick."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 6
+    reqs = [_request(440 + i, cfg) for i in range(3)]
+    refs = [_pipeline_reference(tiny_world, r, steps, **knobs) for r in reqs]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=steps, height=32, width=32,
+                     dtype=jnp.float32, **knobs)
+    futs = [srv.submit(**r) for r in reqs]
+    outs = [f.result(timeout=300) for f in futs]
+    # slot reuse resets the drift state (forced full at the slot's step 0)
+    out_again = srv.submit(**reqs[0]).result(timeout=300)
+    stats = srv.stats()
+    srv.close()
+    assert stats["failed"] == 0
+    for out, ref in zip(outs + [out_again], refs + [refs[0]]):
+        assert out.shape == ref.shape
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_adaptive_actually_skips(tiny_world):
+    """A loose threshold must actually produce replay/base work (the
+    adaptive machinery is pointless if every tick refreshes everything):
+    with a high model threshold the transformer row count stays well under
+    ticks x occupancy."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                     num_inference_steps=6, height=32, width=32,
+                     model_cache_threshold=10.0, dtype=jnp.float32)
+    srv.submit(**_request(470, cfg)).result(timeout=300)
+    stats = srv.stats()
+    srv.close()
+    # step 0 refreshes (forced), the rest replay at thr=10
+    assert stats["rows_refresh"] == 1, stats
+    assert stats["ticks_replay"] == 5, stats
+
+
+def test_step_server_adaptive_validation(tiny_world):
+    cfg, params, vae_cfg, vae_params = tiny_world
+    with pytest.raises(AssertionError, match="replace the fixed intervals"):
+        StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                   num_inference_steps=2, height=32, width=32,
+                   model_cache_interval=2, model_cache_threshold=0.02,
+                   dtype=jnp.float32)
+    with pytest.raises(AssertionError, match="control_cache_threshold >"):
+        StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                   num_inference_steps=2, height=32, width=32,
+                   control_cache_threshold=0.02, model_cache_threshold=0.05,
+                   dtype=jnp.float32)
+
+
 def test_step_server_hybrid_error_path_rebuilds_residuals(tiny_world):
     """A failed hybrid tick may have DONATED (invalidated) the residual
     buffers into the failing program — the error path must fail the

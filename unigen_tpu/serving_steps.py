@@ -48,6 +48,19 @@ throughput approaches k× the exact StepServer at the model cache's measured
 fidelity (CACHE.json model_rows). Per-request outputs remain IDENTICAL to
 the one-shot pipeline run with the same ``model_cache_interval`` (tests).
 
+``model_cache_threshold`` / ``control_cache_threshold`` replace the fixed
+per-slot intervals with the ADAPTIVE drift rules of the one-shot pipelines
+(pipelines/caching.py, TeaCache-style relative L1): each tick computes every
+slot's drift since its own last refresh on-device ([B] f32, one tiny d2h)
+and the host picks the refresh sets — the same decisions the scan's traced
+predicate makes, so per-request outputs equal the one-shot adaptive pipeline
+at the same thresholds (tests). Model threshold alone = adaptive full-model
+cache; control threshold alone = adaptive control cache (every non-full
+step runs base with residual replay); both (control > model) = the
+fully-adaptive hybrid. Thresholds are plain host floats here — tune by
+restarting the server (no recompiles either way: the gathered program
+ladder is threshold-independent).
+
 VAE encode (admission) and decode (retirement) run as separate jitted
 b=1 programs off the hot step loop.
 """
@@ -104,6 +117,8 @@ class StepServer:
                  scheduler: Optional[scheduling.FlowMatchConfig] = None,
                  model_cache_interval: int = 1, model_cache_order: int = 0,
                  control_cache_interval: int = 1,
+                 model_cache_threshold: float = 0.0,
+                 control_cache_threshold: float = 0.0,
                  residual_cache_bits: int = 16,
                  mesh=None,
                  dtype=jnp.bfloat16):
@@ -119,6 +134,30 @@ class StepServer:
             "count constraint at full topology / 1024²), or 4 " \
             "(nibble-packed int4 — QUARTER the bf16 residency)"
         self.res_bits = residual_cache_bits
+        # adaptive drift thresholds (the one-shot pipelines' adaptive rules,
+        # per SLOT): a slot refreshes when ITS latent has drifted more than
+        # the threshold since its last refresh (caching.rel_change, the
+        # TeaCache-style relative L1). The drift vector is computed
+        # on-device each tick ([B] f32) and pulled to host, which picks the
+        # refresh sets exactly like the scan's traced predicate — per-slot
+        # step 0 is always a full refresh (the _i1 < 0 sentinel), matching
+        # refresh_decision's i == 0 branch. The d2h read syncs the tick
+        # pipeline (~4 ms/tick through the axon tunnel — a few % of a
+        # full-topology tick).
+        self.thr_m = float(model_cache_threshold)
+        self.thr_c = float(control_cache_threshold)
+        self._adaptive = self.thr_m > 0.0 or self.thr_c > 0.0
+        assert self.thr_m >= 0.0 and self.thr_c >= 0.0
+        if self._adaptive:
+            # mirror the pipelines: thresholds REPLACE the fixed intervals
+            assert model_cache_interval == 1 and control_cache_interval == 1, \
+                "adaptive thresholds replace the fixed intervals (both " \
+                "intervals OR both thresholds, never a mix)"
+        if self.thr_m > 0.0 and self.thr_c > 0.0:
+            assert self.thr_c > self.thr_m, \
+                "adaptive hybrid needs control_cache_threshold > " \
+                "model_cache_threshold (below it, full refreshes fire " \
+                "before base ever would)"
         if control_cache_interval > 1 and model_cache_interval > 1:
             # hybrid three-level schedule per slot (caching.hybrid_cache_scan
             # semantics): every full step must fall on a base boundary
@@ -245,7 +284,16 @@ class StepServer:
         self.cache_k = int(model_cache_interval)
         self.cache_order = int(model_cache_order)
         self.cache_c = int(control_cache_interval)
-        if self.cache_k > 1 or self.cache_c > 1:
+        if self._adaptive:
+            # per-slot drift references (caching's lat_ref / lat_full_ref /
+            # lat_pred_ref, slot-axis batched): the INPUT latent of each
+            # slot's last refreshing step
+            self._ref_full = (self._place(jnp.zeros(lat_shape, dtype))
+                              if self.thr_c > 0 else None)
+            self._ref_pred = self._place(jnp.zeros(lat_shape, dtype))
+            self._drift_fn = None
+            self._refset_fns: Dict[int, Any] = {}   # m -> ref row scatter
+        if self.cache_k > 1 or self.cache_c > 1 or self._adaptive:
             # per-slot prediction cache: p1 = latest refreshed prediction,
             # p0 = the one before (order-1 Taylor replay), refresh step
             # indices kept host-side (they drive the replay factor)
@@ -253,7 +301,7 @@ class StepServer:
             self._p0 = self._place(jnp.zeros(lat_shape, dtype))
             self._i1 = np.full((B,), -1, np.int64)
             self._i0 = np.full((B,), -1, np.int64)
-        if self.cache_c > 1:
+        if self.cache_c > 1 or self.thr_c > 0:
             # per-slot control-residual cache (the hybrid's middle level):
             # a PYTREE with the slot axis at position 1, mirroring the
             # family forward's control_residuals structure — flux:
@@ -573,19 +621,49 @@ class StepServer:
                                          bsig(s_next, lat))
         return self._jit(upd)
 
-    def _prepare_cached_tick(self, active, s_now, s_next, scale, gvec):
+    def _build_drift(self):
+        """Per-slot relative L1 drift ([B] f32) — caching.rel_change row-wise
+        (same f32 arithmetic, so the host threshold comparison reproduces
+        the one-shot scan's traced predicate)."""
+        def drift(lat, ref):
+            a = lat.astype(jnp.float32)
+            b = ref.astype(jnp.float32)
+            ax = tuple(range(1, lat.ndim))
+            return (jnp.mean(jnp.abs(a - b), axis=ax)
+                    / (jnp.mean(jnp.abs(b), axis=ax) + 1e-8))
+        return self._jit(drift)
+
+    def _refset(self, m: int):
+        """Scatter the refreshing slots' INPUT latents into a drift-reference
+        buffer (adaptive modes only; pad duplicates write the same value)."""
+        if m not in self._refset_fns:
+            def setref(ref, lat, idx):
+                return ref.at[idx].set(lat[idx])
+            self._refset_fns[m] = self._jit(setref)
+        return self._refset_fns[m]
+
+    def _prepare_cached_tick(self, active, s_now, s_next, scale, gvec,
+                             drift=None):
         """Called under the lock: snapshot device/host state into a thunk
         that runs one cached tick outside the lock. A slot refreshes on its
         own step schedule (``step % k == 0``, so admissions always refresh
-        at step 0); refreshing slots are gathered into the smallest compiled
-        program size that fits. Returns a thunk yielding ``(new_lat,
-        commit)`` — ``commit`` (run under the lock only after the tick
-        dispatched cleanly) publishes the prediction cache and the
+        at step 0) — or, adaptive (``model_cache_threshold`` with ``drift``
+        the host-pulled per-slot drift vector), when its latent drifted past
+        the threshold since its last refresh (model_cache_scan's
+        refresh_decision per slot). Refreshing slots are gathered into the
+        smallest compiled program size that fits. Returns a thunk yielding
+        ``(new_lat, commit)`` — ``commit`` (run under the lock only after
+        the tick dispatched cleanly) publishes the prediction cache and the
         host-side refresh step indices, so a failed tick leaves the cache
         untouched."""
         k, order, B = self.cache_k, self.cache_order, self.B
-        refresh = [i for i, s in active
-                   if s.step % k == 0 or self._i1[i] < 0]
+        if drift is not None:
+            thr = np.float32(self.thr_m)
+            refresh = [i for i, s in active
+                       if self._i1[i] < 0 or drift[i] > thr]
+        else:
+            refresh = [i for i, s in active
+                       if s.step % k == 0 or self._i1[i] < 0]
         rset = set(refresh)
         # replay coefficients, per the model_cache_scan semantics: order-0
         # (or fewer than two refreshes) holds p1 (gap=0); order-1
@@ -638,6 +716,9 @@ class StepServer:
             self._upd_fns[m] = self._build_update(m)
         fwd, upd = self._fwd_fns[m], self._upd_fns[m]
         idx_j = jnp.asarray(idx)
+        adaptive = drift is not None
+        ref_pred = self._ref_pred if adaptive else None
+        refset = self._refset(m) if adaptive else None
 
         def tick():
             fresh = fwd(params, lat, cond, embeds, mask, pooled, cpool,
@@ -645,31 +726,55 @@ class StepServer:
                         jnp.asarray(g_r))
             new_lat, p1n, p0n = upd(lat, p1, p0, fresh, idx_j, gap_j, dt_j,
                                     s_now_j, s_next_j)
+            # adaptive: the drift reference tracks the INPUT latent of the
+            # refreshing step (model_cache_scan's lat_ref update)
+            ref_n = refset(ref_pred, lat, idx_j) if adaptive else None
 
             def commit():
                 self._p1, self._p0 = p1n, p0n
                 self._i1, self._i0 = i1n, i0n
+                if adaptive:
+                    self._ref_pred = ref_n
 
             return new_lat, commit
 
         return tick
 
-    def _prepare_hybrid_tick(self, active, s_now, s_next, scale, gvec):
+    def _prepare_hybrid_tick(self, active, s_now, s_next, scale, gvec,
+                             drift_full=None, drift_pred=None):
         """Per-slot three-level schedule (hybrid_cache_scan semantics): a
         slot runs FULL on its own c-boundary (or before its first refresh),
         BASE with control-residual replay on its k-boundary (every non-full
         step when k == 1 — the pure per-slot control cache), and prediction
-        replay otherwise. Full and base slots gather into their own smallest
-        compiled forward; the fresh predictions from both merge into one
-        scatter+Euler update. Same thunk/commit contract as
-        _prepare_cached_tick."""
+        replay otherwise. Adaptive (``control_cache_threshold``, with the
+        host-pulled per-slot drift vectors): FULL when the slot's latent
+        drifted past the control threshold since its last full step, then
+        BASE when it drifted past the model threshold since its last
+        prediction refresh (every non-full step when only the control
+        threshold is set — the adaptive pure control cache). Full and base
+        slots gather into their own smallest compiled forward; the fresh
+        predictions from both merge into one scatter+Euler update. Same
+        thunk/commit contract as _prepare_cached_tick."""
         c, k, order = self.cache_c, self.cache_k, self.cache_order
         B = self.B
-        full_l = [i for i, s in active
-                  if s.step % c == 0 or self._i1[i] < 0]
-        fset = set(full_l)
-        base_l = [i for i, s in active
-                  if i not in fset and (k == 1 or s.step % k == 0)]
+        adaptive = drift_full is not None
+        if adaptive:
+            thr_c = np.float32(self.thr_c)
+            full_l = [i for i, s in active
+                      if self._i1[i] < 0 or drift_full[i] > thr_c]
+            fset = set(full_l)
+            if self.thr_m > 0:
+                thr_m = np.float32(self.thr_m)
+                base_l = [i for i, s in active
+                          if i not in fset and drift_pred[i] > thr_m]
+            else:
+                base_l = [i for i, s in active if i not in fset]
+        else:
+            full_l = [i for i, s in active
+                      if s.step % c == 0 or self._i1[i] < 0]
+            fset = set(full_l)
+            base_l = [i for i, s in active
+                      if i not in fset and (k == 1 or s.step % k == 0)]
         gap = np.zeros((B,), np.float32)
         dt = np.ones((B,), np.float32)
         i1n, i0n = self._i1.copy(), self._i0.copy()
@@ -731,6 +836,11 @@ class StepServer:
             self._upd_fns[m_u] = self._build_update(m_u)
         upd = self._upd_fns[m_u]
         nf, nb = len(full_l), len(base_l)
+        ref_full_b = self._ref_full if adaptive else None
+        ref_pred_b = self._ref_pred if adaptive else None
+        refset_full = (self._refset(int(full_plan[1].shape[0]))
+                       if adaptive and full_plan is not None else None)
+        refset_pred = self._refset(m_u) if adaptive else None
 
         def tick():
             # base FIRST: it reads the old residual cache, which the full
@@ -756,11 +866,21 @@ class StepServer:
                     [fresh, jnp.repeat(fresh[:1], m_u - n_ref, 0)])
             new_lat, p1n, p0n = upd(lat, p1, p0, fresh, idx_u, gap_j, dt_j,
                                     s_now_j, s_next_j)
+            # adaptive: drift references track the INPUT latent of each
+            # refreshing step (hybrid_cache_scan's lat_full_ref /
+            # lat_pred_ref updates — pred ref on full OR base)
+            reff_n = (refset_full(ref_full_b, lat, full_plan[1])
+                      if refset_full is not None else ref_full_b)
+            refp_n = (refset_pred(ref_pred_b, lat, idx_u)
+                      if adaptive else None)
 
             def commit():
                 self._p1, self._p0 = p1n, p0n
                 self._i1, self._i0 = i1n, i0n
                 self._res = res_n
+                if adaptive:
+                    self._ref_full = reff_n
+                    self._ref_pred = refp_n
 
             return new_lat, commit
 
@@ -855,7 +975,7 @@ class StepServer:
                 t_len = (embeds.shape[2] if self.family == "sd3"
                          else embeds.shape[1])
                 self._step_fn = self._build_step(t_len)
-                if self.cache_c > 1 and self._res is None:
+                if (self.cache_c > 1 or self.thr_c > 0) and self._res is None:
 
                     def _buf(shp):
                         # res_bits<16: quantized codes + per-token f32
@@ -959,7 +1079,8 @@ class StepServer:
                         if "mask" in p:
                             self._mask = self._place(
                                 self._mask.at[i].set(p["mask"]))
-                        if self.cache_k > 1 or self.cache_c > 1:
+                        if (self.cache_k > 1 or self.cache_c > 1
+                                or self._adaptive):
                             self._i1[i] = self._i0[i] = -1
                         s.payload = None
                 active = [(i, s) for i, s in enumerate(self._slots)
@@ -977,13 +1098,29 @@ class StepServer:
                     gvec[i] = s.guidance
                 self._stats["ticks"] += 1
                 self._stats["active_row_steps"] += len(active)
-                cached = self.cache_k > 1 or self.cache_c > 1
-                if self.cache_c > 1:
+                cached = (self.cache_k > 1 or self.cache_c > 1
+                          or self._adaptive)
+                d_full = d_pred = None
+                if self._adaptive:
+                    # host-pulled per-slot drift — the adaptive refresh
+                    # predicate (syncs the tick pipeline: one tiny d2h)
+                    if self._drift_fn is None:
+                        self._drift_fn = self._build_drift()
+                    if self.thr_c > 0:
+                        d_full = np.asarray(
+                            self._drift_fn(self._lat, self._ref_full))
+                    if self.thr_m > 0:
+                        d_pred = np.asarray(
+                            self._drift_fn(self._lat, self._ref_pred))
+                if self.cache_c > 1 or self.thr_c > 0:
                     tick = self._prepare_hybrid_tick(active, s_now, s_next,
-                                                     scale, gvec)
-                elif self.cache_k > 1:
+                                                     scale, gvec,
+                                                     drift_full=d_full,
+                                                     drift_pred=d_pred)
+                elif self.cache_k > 1 or self.thr_m > 0:
                     tick = self._prepare_cached_tick(active, s_now, s_next,
-                                                     scale, gvec)
+                                                     scale, gvec,
+                                                     drift=d_pred)
                 else:
                     self._stats["rows_refresh"] += len(active)
                     self._stats["rows_pad"] += self.B - len(active)
@@ -1008,7 +1145,8 @@ class StepServer:
                             s.future.set_exception(e)
                         self._slots[i] = _Slot()
                         self._stats["failed"] += 1
-                    if self.cache_c > 1 and self._res is not None:
+                    if ((self.cache_c > 1 or self.thr_c > 0)
+                            and self._res is not None):
                         # the residual buffers may have been DONATED into a
                         # failed full program (invalidated) — rebuild them
                         # and force full refreshes on the next admissions
