@@ -62,6 +62,23 @@ def parse_args(argv=None):
                         "non-trainable weights, train.py:251); trainable "
                         "adapter params stay fp32 either way")
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--rank", type=int, default=0,
+                   help="LoRA rank (reference train.py:137 --rank; dormant "
+                        "there, first-class here): > 0 trains rank-r LoRA "
+                        "factors over the FROZEN control branch instead of "
+                        "the control modules, and exports the adapter in "
+                        "the reference per-adapter layout "
+                        "({work_dir}/lora_adapters/{name}/"
+                        "pytorch_lora_weights.safetensors, hook.py:29-45) "
+                        "at every checkpoint")
+    p.add_argument("--lora_targets", nargs="+", default=None,
+                   help="substring patterns over dotted param paths picking "
+                        "the LoRA-adapted linears (default: control-branch "
+                        "attn + ff, models/lora.DEFAULT_LORA_TARGETS)")
+    p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--lora_adapter_name", default=None,
+                   help="adapter directory name for the reference-format "
+                        "export (default: the joined condition types)")
     p.add_argument("--cn_config", type=str, default=None,
                    help="reference-format control config YAML/JSON "
                         "(unigen.yaml: params.control_params.* keys map "
@@ -200,7 +217,12 @@ def main(argv=None):
         mixed_precision=args.mixed_precision,
         adam_beta1=args.adam_beta1, adam_beta2=args.adam_beta2,
         adam_weight_decay=args.adam_weight_decay,
-        adam_epsilon=args.adam_epsilon)
+        adam_epsilon=args.adam_epsilon,
+        lora_rank=args.rank,
+        lora_targets=tuple(args.lora_targets or ()),
+        lora_scale=args.lora_scale,
+        lora_adapter_name=(args.lora_adapter_name
+                           or "_".join(args.condition_types)))
 
     def encode_text(prompts):
         embeds, pooled = pipe.encode_prompt(list(prompts),
@@ -213,10 +235,35 @@ def main(argv=None):
     def encode_images(px):
         return vae_encode_jit(jnp.asarray(px, jnp.float32))
 
-    trainer = Trainer(pipe.cfg, tcfg, base_params=pipe.params["base"],
-                      control_params=pipe.params["control"],
-                      encode_text=encode_text, encode_images=encode_images,
-                      work_dir=args.work_dir, mesh=mesh)
+    if args.rank > 0:
+        # LoRA fine-tuning: rank-r factors over the frozen control branch
+        # (reference --rank + PEFT hooks, dormant there). The adapter paths
+        # are rooted at the full {'base','control'} tree so they match the
+        # reference-format export/load maps directly.
+        from unigen_tpu.models.lora import (DEFAULT_LORA_TARGETS,
+                                            init_lora_adapters)
+        targets = list(tcfg.lora_targets or DEFAULT_LORA_TARGETS)
+        adapters = init_lora_adapters(
+            jax.random.PRNGKey(args.seed), pipe.params,
+            targets=targets, rank=args.rank,
+            adapter_names=[tcfg.lora_adapter_name])
+        lora = adapters[tcfg.lora_adapter_name]
+        if not lora:
+            raise SystemExit(f"--rank {args.rank}: no linear weights match "
+                             f"--lora_targets {targets}")
+        logger.info("LoRA mode: rank %d, %d target stacks, adapter '%s'",
+                    args.rank, len(lora), tcfg.lora_adapter_name)
+        trainer = Trainer(pipe.cfg, tcfg,
+                          base_params={"base": pipe.params["base"],
+                                       "control_frozen": pipe.params["control"]},
+                          control_params=lora,
+                          encode_text=encode_text, encode_images=encode_images,
+                          work_dir=args.work_dir, mesh=mesh)
+    else:
+        trainer = Trainer(pipe.cfg, tcfg, base_params=pipe.params["base"],
+                          control_params=pipe.params["control"],
+                          encode_text=encode_text, encode_images=encode_images,
+                          work_dir=args.work_dir, mesh=mesh)
     trainer.maybe_resume()
 
     def batch_stream():

@@ -217,6 +217,18 @@ class TrainConfig:
     mixed_precision: str = "bf16"
     checkpointing_steps: int = 1000
     remat: bool = True                     # activation rematerialisation
+    # LoRA fine-tuning mode (reference --rank, train.py:137; PEFT adapter
+    # save/load hooks hook.py:29-84 — dormant in the published v2, first-class
+    # here): rank > 0 trains rank-r {a, b} factors over the FROZEN control
+    # branch (quantized bases allowed — QLoRA-style dequant fold, see
+    # models/lora.fold_for_training) instead of the control modules
+    # themselves. targets = substring patterns over dotted param paths
+    # (() -> models/lora.DEFAULT_LORA_TARGETS); adapter_name names the
+    # exported reference-format adapter directory.
+    lora_rank: int = 0
+    lora_targets: tuple = ()
+    lora_scale: float = 1.0
+    lora_adapter_name: str = "default"
 
 
 def control_overrides_from_yaml(path: Optional[str]) -> dict:

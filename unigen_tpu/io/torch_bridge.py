@@ -354,6 +354,15 @@ _LORA_STACKS = {
     "control_transformer_blocks": [("control.joint_blocks", _LORA_SD3_SUB),
                                    ("control.blocks", _LORA_SANA_SUB)],
 }
+# torch stacked modules that ARE a bare linear per block (no within-block
+# tail): the zero-init ControlNet add gates (UniGenTransformer.py:118-123,
+# :755-773) — LoRA on these is what opens the control branch's gradient
+# path in LoRA training (the gates start at exactly 0, so factors inside
+# control blocks get zero grad until the gate moves)
+_LORA_STACK_LINEARS = {
+    "controlnet_add_joint_blocks": "control.add_double",
+    "controlnet_add_single_blocks": "control.add_single",
+}
 # torch non-stacked module prefix -> (jax path prefix, within map or None)
 _LORA_FLAT = {
     "shared_expert.0": ("control.shared_expert.weave_cond", _LORA_DOUBLE_SUB),
@@ -390,6 +399,11 @@ def _lora_torch_to_jax(module: str, params=None):
                 for stack, sub in options:
                     if tail in sub:
                         candidates.append((f"{stack}.{sub[tail]}", int(idx)))
+    for prefix, stack in _LORA_STACK_LINEARS.items():
+        if module.startswith(prefix + "."):
+            idx = module[len(prefix) + 1:]
+            if idx.isdigit():
+                candidates.append((stack, int(idx)))
     for prefix, (jax_path, sub) in _LORA_FLAT.items():
         if module == prefix and sub is None:
             candidates.append((jax_path, None))
@@ -530,7 +544,11 @@ def export_lora_adapters_reference(adapters: Dict[str, Dict[str, dict]],
         else:
             inv_flat[jax_path] = (prefix, {j: t for t, j in sub.items()})
 
+    inv_stack_linears = {v: k for k, v in _LORA_STACK_LINEARS.items()}
+
     def torch_module(jax_path, idx):
+        if jax_path in inv_stack_linears:
+            return f"{inv_stack_linears[jax_path]}.{idx}"
         for stack, (tprefix, inv) in inv_stacks.items():
             if jax_path.startswith(stack + "."):
                 tail = jax_path[len(stack) + 1:]

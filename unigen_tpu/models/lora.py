@@ -76,6 +76,25 @@ def init_lora_adapters(key, params, targets: Sequence[str], rank: int,
     return adapters
 
 
+# Default trainable surface for LoRA fine-tuning (scripts/train.py --rank):
+# attention + feed-forward linears of the CONTROL branch only — the reference
+# trains control modules (train.py:349 requires_grad filter) and its dormant
+# PEFT path targets attn/mlp projections; 'control.' anchors keep base-branch
+# leaves frozen. Patterns are substring matches against dotted paths.
+#
+# The add gates MUST be in the surface: they are zero-init (ControlNet-style,
+# UniGenTransformer.py:118-123), so at init the whole control branch
+# contributes nothing to the output and every factor INSIDE control blocks
+# receives exactly zero gradient — the gates' own factors are the only ones
+# with live grads at step 0, and the interior path opens as they move.
+DEFAULT_LORA_TARGETS = (
+    "control.add_double", "control.add_single",
+    "control.double_blocks.attn", "control.double_blocks.ff",
+    "control.single_blocks.attn", "control.single_blocks.proj_mlp",
+    "control.single_blocks.proj_out",
+)
+
+
 def _delta(ab: dict, scale: float) -> jnp.ndarray:
     return scale * jnp.einsum("...ir,...ro->...io",
                               ab["a"].astype(jnp.float32),
@@ -123,6 +142,50 @@ def fold_adapter(params, adapters: Dict[str, Dict[str, dict]], name: str,
         return node
 
     return _walk(params, ())
+
+
+def fold_for_training(params, lora: Dict[str, dict], scale: float = 1.0):
+    """Differentiable fold for LoRA TRAINING (the QLoRA recipe): return
+    ``params`` with every targeted linear replaced by a plain floating
+    ``w = W_frozen + scale * (A @ B)`` node. Quantized leaves are
+    DEQUANTIZED, never requantized — the requantization round is not
+    differentiable; serving refolds (fold_adapter / LoraSwitcher) keep the
+    int path. Gradients flow to the 'a'/'b' factors only; the frozen weight
+    enters as a constant.
+
+    Reference: train.py:349 builds the optimizer over requires_grad (LoRA)
+    params while the transformer rides frozen in weight_dtype; hook.py:29-84
+    saves/loads the resulting per-adapter weights.
+
+    ``lora`` paths are rooted at the same tree as ``params`` (for UniGen
+    training: the full {'base','control'} tree with 'control.*' targets).
+    Untouched subtrees are shared, not copied."""
+    from unigen_tpu.ops import quant
+
+    def _fold(node, ab):
+        out = {k: v for k, v in node.items()
+               if k not in ("w_q", "w_q4", "w_scale")}
+        if "w" in node:
+            w = node["w"].astype(jnp.float32)
+            out_dtype = node["w"].dtype
+        elif "w_q" in node:
+            w = node["w_q"].astype(jnp.float32) * node["w_scale"]
+            out_dtype = (node["b"].dtype if hasattr(node.get("b"), "dtype")
+                         else jnp.bfloat16)
+        elif "w_q4" in node:
+            w = (quant.unpack_int4(node["w_q4"]).astype(jnp.float32)
+                 * node["w_scale"])
+            out_dtype = (node["b"].dtype if hasattr(node.get("b"), "dtype")
+                         else jnp.bfloat16)
+        else:
+            raise ValueError(f"not a linear param dict: {sorted(node)}")
+        out["w"] = (w + _delta(ab, scale)).astype(out_dtype)
+        return out
+
+    folded = params
+    for path, ab in lora.items():
+        folded = tree_set(folded, path, _fold(tree_get(folded, path), ab))
+    return folded
 
 
 def fold_condition_experts(params, adapters, condition_type: str,

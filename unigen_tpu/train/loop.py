@@ -21,6 +21,7 @@ axis (single-process: the same call just places the shards locally).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Sequence
 
@@ -190,4 +191,17 @@ class Trainer:
             return
         ckpt_lib.save_train_state(self.work_dir, self.global_step,
                                   self.state.control, self.state.opt_state)
+        if self.tcfg.lora_rank > 0:
+            # LoRA mode: state.control IS the adapter dict — also export it
+            # in the reference per-adapter layout every checkpoint
+            # (hook.py:29-45 save_model_hook -> FluxPipeline.save_lora_weights
+            # into {dir}/{adapter_name}/), so the artifact is loadable by
+            # load_lora_adapters / the reference pipeline at any point
+            from unigen_tpu.io.torch_bridge import \
+                export_lora_adapters_reference
+            out = os.path.join(self.work_dir, "lora_adapters")
+            export_lora_adapters_reference(
+                {self.tcfg.lora_adapter_name: self.state.control}, out)
+            logger.info("exported LoRA adapter '%s' to %s",
+                        self.tcfg.lora_adapter_name, out)
         logger.info("saved checkpoint at step %d", self.global_step)

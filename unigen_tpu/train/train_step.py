@@ -121,7 +121,17 @@ def make_train_step(ucfg: UniGenConfig, tcfg: TrainConfig, *,
     only the fp trainable subset and the quantized control leaves ride along
     frozen — gradients flow through their straight-through VJPs but stop at
     the int weights.
+
+    LoRA mode (tcfg.lora_rank > 0, reference --rank train.py:137):
+    base_params must be {"base": ..., "control_frozen": ...} with the FULL
+    frozen control tree (fp or quantized), and state.control holds a
+    models/lora adapter dict {dotted_path: {'a', 'b'}} rooted at the full
+    {'base','control'} tree. The step folds the factors into the frozen
+    weights inside the program (models/lora.fold_for_training — dequant
+    fold, differentiable w.r.t. a/b only), so the optimizer/checkpoint
+    state is just the rank-r factors.
     """
+    lora_mode = tcfg.lora_rank > 0
     tx = make_optimizer(tcfg)
     sigma_table = jnp.asarray(scheduling.training_sigmas(
         scheduling.FlowMatchConfig(shift=1.0)))
@@ -157,15 +167,29 @@ def make_train_step(ucfg: UniGenConfig, tcfg: TrainConfig, *,
         guidance = (jnp.full((b,), tcfg.guidance_scale, latents.dtype)
                     if use_guidance else None)
 
-        split = isinstance(base_params, dict) and "control_frozen" in base_params
-        base = base_params["base"] if split else base_params
+        has_frozen = (isinstance(base_params, dict)
+                      and "control_frozen" in base_params)
+        split = has_frozen and not lora_mode
+        base = base_params["base"] if has_frozen else base_params
+        if lora_mode:
+            assert has_frozen, ("LoRA mode (tcfg.lora_rank > 0) needs "
+                                "base_params={'base', 'control_frozen'}")
 
         def loss_fn(control):
             if split:
                 from unigen_tpu.ops.quant import merge_split
                 control = merge_split(control, base_params["control_frozen"])
+            if lora_mode:
+                from unigen_tpu.models.lora import fold_for_training
+                folded = fold_for_training(
+                    {"base": base,
+                     "control": base_params["control_frozen"]},
+                    control, scale=tcfg.lora_scale)
+                base_t, control = folded["base"], folded["control"]
+            else:
+                base_t = base
             pred, add_losses, add_outputs = unigen_flux_forward(
-                {"base": base, "control": control}, ucfg,
+                {"base": base_t, "control": control}, ucfg,
                 hidden=packed_noisy, condition=packed_cond,
                 encoder=batch["prompt_embeds"], pooled=batch["pooled"],
                 condition_pooled=batch["condition_pooled"],
