@@ -33,6 +33,10 @@ Env knobs:
                         control-residual cache int8 with per-token scales
                         (ops/quant.quantize_residual) — half the cache HBM,
                         the slot-count lever at full topology / 1024².
+  UNIGEN_BENCH_TRAIN_LORA=<rank>  with UNIGEN_BENCH_TRAIN=1: LoRA fine-tune
+                        rung at full topology — rank-r factors over the
+                        FROZEN W4A8 tree (TrainConfig.lora_rank; surface
+                        ladder shrinks on OOM) -> TRAIN_LORA.json rows.
   UNIGEN_BENCH_STEP_ADAPTIVE=<tc:tm>  flux StepServer rung only: adaptive
                         per-slot drift thresholds instead of fixed
                         intervals ("0.05:0.02" fully-adaptive hybrid,
@@ -808,7 +812,138 @@ def bench_train():
                       f"globalbatch{b * accum}",
         }))
 
+    def run_lora(rank: int, accum: int):
+        """LoRA fine-tune at FULL topology (TrainConfig.lora_rank — the
+        reference's dormant --rank made first-class): serving-quantized
+        W4A8 tree resident and FROZEN, trainable = rank-r {a,b} factors
+        folded into the frozen weights inside the step
+        (models/lora.fold_for_training, QLoRA dequant fold). HBM note: each
+        folded target stack materialises a bf16 transient AND its
+        scan-carried gradient, so the rung ladder shrinks the surface until
+        it fits — default (attn+ff+gates, ~7 GiB of transients at 19/38),
+        gates + double attn (~4 GiB), zero-init gates only (~1 GiB; the
+        gates are the grad gateway anyway, models/lora.DEFAULT_LORA_TARGETS
+        docstring). Records TRAIN_LORA.json rows keyed by surface."""
+        from unigen_tpu.models.lora import (DEFAULT_LORA_TARGETS,
+                                            init_lora_adapters)
+        from unigen_tpu.ops.quant import quantize_unigen_serving
+        cfg = presets.flux_full()
+        bb = cfg.flux
+        t0 = time.time()
+
+        def _init(k):
+            return quantize_unigen_serving(
+                init_unigen_flux_params(k, cfg, dtype=dtype))
+
+        params = direct_quantized_init(jax.random.PRNGKey(0), _init)
+        jax.block_until_ready(params)
+        frozen_arg = {"base": params["base"],
+                      "control_frozen": params["control"]}
+        # factor shapes come from the fp tree's SHAPES only (eval_shape —
+        # the bf16 tree never materialises; quantized trees have no 'w'
+        # leaves for init_lora_adapters to match)
+        shapes = jax.eval_shape(
+            lambda k: init_unigen_flux_params(k, cfg, dtype=dtype),
+            jax.random.PRNGKey(0))
+        print(f"# train-lora init {time.time()-t0:.1f}s rank={rank} "
+              f"resident={quantized_bytes(params)/2**30:.2f}GiB",
+              file=sys.stderr)
+
+        ks = jax.random.split(jax.random.PRNGKey(1), 5)
+        batch = {
+            "latents": jax.random.normal(ks[0], (b, 16, lat_hw, lat_hw), dtype),
+            "condition_latents": jax.random.normal(
+                ks[1], (b, 16, lat_hw, lat_hw), dtype),
+            "prompt_embeds": jax.random.normal(
+                ks[2], (b, t_len, bb.joint_attention_dim), dtype),
+            "pooled": jax.random.normal(ks[3], (b, bb.pooled_projection_dim),
+                                        dtype),
+            "condition_pooled": jax.random.normal(
+                ks[4], (b, bb.pooled_projection_dim), dtype),
+        }
+        surfaces = [
+            ("default", list(DEFAULT_LORA_TARGETS)),
+            ("gates_dblattn", ["control.add_double", "control.add_single",
+                               "control.double_blocks.attn"]),
+            ("gates", ["control.add_double", "control.add_single"]),
+        ]
+        for tag, targets in surfaces:
+            try:
+                tcfg_l = C.TrainConfig(train_batch_size=b, remat=True,
+                                       gradient_accumulation_steps=accum,
+                                       lora_rank=rank,
+                                       lora_targets=tuple(targets))
+                adapters = init_lora_adapters(
+                    jax.random.PRNGKey(3), shapes, targets=targets,
+                    rank=rank, adapter_names=["bench"])
+                lora = adapters["bench"]
+                n_fac = sum(int(x.size) for x in jax.tree.leaves(lora))
+                state = jax.jit(
+                    lambda c: ts.init_train_state(c, tcfg_l))(lora)
+                jax.block_until_ready(state)
+                step_fn = jax.jit(
+                    ts.make_train_step(cfg, tcfg_l, attn_impl="auto"),
+                    donate_argnums=(0,))
+                t0 = time.time()
+                state2, metrics = step_fn(state, frozen_arg, batch,
+                                          jax.random.PRNGKey(2))
+                loss0 = float(metrics["step_loss"])
+                compile_s = time.time() - t0
+                K = 4
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(K):
+                        state2, metrics = step_fn(state2, frozen_arg, batch,
+                                                  jax.random.PRNGKey(2))
+                    _ = float(metrics["step_loss"])
+                    times.append((time.perf_counter() - t0) / K)
+                dt = min(times)
+                sps = b / dt
+                flops_image = 3 * model_flops_per_forward(
+                    cfg, (res // 16) ** 2, t_len, (res // 16) ** 2)
+                est_ref_a100 = 312e12 * 0.35 / flops_image
+                print(f"# train-lora[{tag}] rank={rank} b={b}x{accum} "
+                      f"factors={n_fac/1e6:.1f}M compile={compile_s:.1f}s "
+                      f"step={dt*1000:.1f}ms loss0={loss0:.3f} "
+                      f"mfu={flops_image*sps/394e12:.3f} (int8 peak)",
+                      file=sys.stderr)
+                doc = {"surface": tag, "targets": targets, "rank": rank,
+                       "factors_M": round(n_fac / 1e6, 2),
+                       "samples_per_sec": round(sps, 4),
+                       "step_ms": round(dt * 1000, 1),
+                       "global_batch": b * accum,
+                       "compile_s": round(compile_s, 1)}
+                path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "TRAIN_LORA.json")
+                merged = {"rows": {}}
+                if os.path.exists(path):
+                    with open(path) as f:
+                        merged = json.load(f)
+                merged["rows"][f"{tag}_r{rank}"] = doc
+                with open(path, "w") as f:
+                    json.dump(merged, f, indent=1)
+                print(json.dumps({
+                    "metric": f"unigen_flux_train_lora_step_{res}px_"
+                              "samples_per_sec",
+                    "value": round(sps, 4), "unit": "samples/sec/chip",
+                    "vs_baseline": round(sps / est_ref_a100, 3),
+                    "config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}"
+                              f"sgl_w{bb.inner_dim}_w4a8frozen_lora_r{rank}_"
+                              f"{tag}_globalbatch{b * accum}",
+                }))
+                return
+            except Exception as e:
+                print(f"# train-lora[{tag}] failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr)
+                gc.collect()
+                time.sleep(30)
+        raise RuntimeError("all LoRA surfaces failed")
+
     accum = int(os.environ.get("UNIGEN_BENCH_TRAIN_ACCUM", "16"))
+    lora_rank = int(os.environ.get("UNIGEN_BENCH_TRAIN_LORA", "0"))
+    if lora_rank > 0:
+        return run_lora(lora_rank, accum)
     rungs = [lambda: run_full(accum), lambda: run(True), lambda: run(False)]
     if os.environ.get("UNIGEN_BENCH_TRAIN_PRESET") == "reduced":
         rungs = rungs[1:]
