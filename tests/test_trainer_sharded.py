@@ -103,6 +103,53 @@ def test_trainer_sharded_matches_single_device():
     assert np.isfinite(float(m2["step_loss"]))
 
 
+def test_trainer_sharded_lora_mode_matches_single_device():
+    """LoRA training under a mesh: the frozen {'base','control_frozen'} tree
+    places by the sharding rules (extra root key is transparent to the
+    path-based rules), the rank-r factor dict rides replicated (its dotted-
+    string keys match no rule — correct for MB-scale factors), and one step
+    through the production path equals single-device."""
+    from unigen_tpu.models.lora import init_lora_adapters
+
+    cfg = _cfg()
+    targets = ["control.add_double", "control.add_single",
+               "control.double_blocks.attn.to_q"]
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+    tcfg = C.TrainConfig(train_batch_size=2, max_train_steps=10,
+                         lr_warmup_steps=0, remat=False, seed=7,
+                         lora_rank=2, lora_targets=tuple(targets))
+    adapters = init_lora_adapters(jax.random.PRNGKey(1), params,
+                                  targets=targets, rank=2,
+                                  adapter_names=["canny"])
+    et, ei = _stub_encoders(cfg)
+
+    def make(mesh):
+        # fresh factor copies per trainer: the jitted step donates its state,
+        # and the f32->f32 upcast in Trainer.__init__ is a no-op that would
+        # otherwise alias both trainers onto the same (donated) buffers
+        fresh = jax.tree.map(jnp.array, adapters["canny"])
+        return Trainer(cfg, tcfg,
+                       base_params={"base": params["base"],
+                                    "control_frozen": params["control"]},
+                       control_params=fresh,
+                       encode_text=et, encode_images=ei, mesh=mesh)
+
+    m_single = make(None).step(_batch())
+    t_mesh = make(build_mesh(C.MeshConfig(data=2, expert=2, sequence=1,
+                                          model=2)))
+    # frozen tree actually sharded under the extra root key
+    frozen_specs = [l.sharding.spec for l in
+                    jax.tree.leaves(t_mesh.base_params["control_frozen"])
+                    if getattr(l.sharding, "spec", None)]
+    assert any(any(p for p in s) for s in frozen_specs)
+    m_mesh = t_mesh.step(_batch())
+    np.testing.assert_allclose(float(m_mesh["step_loss"]),
+                               float(m_single["step_loss"]),
+                               rtol=2e-4, atol=2e-5)
+    m2 = t_mesh.step(_batch())
+    assert np.isfinite(float(m2["step_loss"]))
+
+
 def test_trainer_global_batch_sharding():
     cfg = _cfg()
     mesh = build_mesh(C.MeshConfig(data=4, expert=1, sequence=1, model=2))
