@@ -56,3 +56,15 @@ def test_blur_runs(imgs):
     assert out.shape == imgs.shape
     # blur reduces variance
     assert out.astype(np.float32).var() < imgs.astype(np.float32).var()
+
+
+def test_to_model_range_uses_native_and_matches_numpy(imgs):
+    """conditions.to_model_range is the native pipeline's real consumer
+    (every dataset __getitem__): the native route must equal the numpy
+    formula within float32 rounding."""
+    from unigen_tpu.data import conditions as C
+    img = imgs[0]
+    got = C.to_model_range(img)
+    ref = (img.astype(np.float32) / 127.5 - 1.0).transpose(2, 0, 1)
+    np.testing.assert_allclose(got, ref, atol=2e-7)
+    assert got.shape == (3, 24, 40) and got.dtype == np.float32

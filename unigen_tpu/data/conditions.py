@@ -30,7 +30,17 @@ CONDITION_TYPE_IDS: Dict[str, int] = {
 
 
 def to_model_range(img_u8: np.ndarray) -> np.ndarray:
-    """uint8 HWC -> float32 CHW in [-1, 1]."""
+    """uint8 HWC -> float32 CHW in [-1, 1].
+
+    The hot per-sample conversion in every dataset __getitem__
+    (datasets.py): routed through the native C++ pipeline
+    (native/image_pipeline.cpp via data/native.normalize_chw — one fused
+    pass instead of numpy's cast+scale+transpose copies; equal to the numpy
+    path within float32 rounding, pinned by tests) and falling back to
+    numpy when the .so is unavailable."""
+    from unigen_tpu.data import native
+    if native.available():
+        return native.normalize_chw(np.ascontiguousarray(img_u8)[None])[0]
     x = img_u8.astype(np.float32) / 127.5 - 1.0
     return x.transpose(2, 0, 1)
 
