@@ -200,3 +200,63 @@ def test_sana_block_and_adaln_golden():
     np.testing.assert_allclose(np.asarray(out_j),
                                out_t.to(torch.float32).numpy(),
                                atol=2e-3, rtol=2e-3)
+
+
+# ------------------------------------------------- full base-model e2e
+
+def _sana_forward_t(sd, x_img, enc_raw, t):
+    """Torch oracle of the whole SanaTransformer2DModel forward (patch 1):
+    conv patch embed, AdaLayerNormSingle, PixArtAlphaTextProjection at its
+    DEFAULT gelu-tanh activation + RMS caption norm (eps 1e-5), the block,
+    scale-shift-table output norm, proj_out, unpatchify."""
+    b, c, h, w = x_img.shape
+    tokens = x_img.permute(0, 2, 3, 1).reshape(b, h * w, c)
+    hdn = _lin_t(sd, "patch_embed.proj", tokens)          # 1x1 conv == linear
+    temb6, emb = _adaln_single_t(sd, t)
+    enc = _lin_t(sd, "caption_projection.linear_2",
+                 torch.nn.functional.gelu(
+                     _lin_t(sd, "caption_projection.linear_1", enc_raw),
+                     approximate="tanh"))
+    wn = torch.tensor(sd["caption_norm.weight"], dtype=T)
+    enc = enc * torch.rsqrt(enc.pow(2).mean(-1, keepdim=True) + 1e-5) * wn
+    hdn = _sana_block_t(sd, "transformer_blocks.0", hdn, enc, temb6)
+    table = torch.tensor(sd["scale_shift_table"], dtype=T)
+    mods = table[None] + emb[:, None]
+    shift, scale = mods[:, 0][:, None], mods[:, 1][:, None]
+    hdn = torch.nn.functional.layer_norm(hdn, (DIM,), eps=1e-6) \
+        * (1 + scale) + shift
+    hdn = _lin_t(sd, "proj_out", hdn)
+    return hdn.reshape(b, h, w, -1).permute(0, 3, 1, 2)   # patch-1 unpatchify
+
+
+def test_sana_forward_e2e_golden():
+    """Full models/sana.sana_forward == the torch oracle through the bridge.
+
+    Adjudicates the caption-projection activation: diffusers'
+    PixArtAlphaTextProjection defaults to act_fn='gelu_tanh' (the silu
+    variant is only what flux/sd3 pooled-text embedders request) — a silu
+    caption projection fails this golden."""
+    from unigen_tpu.models.sana import sana_forward
+
+    rs = np.random.RandomState(7)
+    sd = _make_sd(rs)
+    cfg = SanaBackboneConfig(
+        in_channels=4, out_channels=4, num_layers=1, attention_head_dim=HD,
+        num_attention_heads=HEADS, num_cross_attention_heads=XHEADS,
+        cross_attention_head_dim=XHD, cross_attention_dim=DIM,
+        caption_channels=24, mlp_ratio=2.5, patch_size=1, sample_size=H)
+    tree = tbs.load_sana_transformer(sd, cfg, dtype=jnp.float32)
+
+    b = 2
+    x_np = rs.normal(size=(b, 4, H, W)).astype(np.float32)
+    enc_np = rs.normal(size=(b, 6, 24)).astype(np.float32)
+    t_np = np.asarray([307.0, 841.0], np.float32)
+
+    out_t = _sana_forward_t(sd, torch.tensor(x_np, dtype=T),
+                            torch.tensor(enc_np, dtype=T),
+                            torch.tensor(t_np))
+    out_j = sana_forward(tree, cfg, jnp.asarray(x_np), jnp.asarray(enc_np),
+                         jnp.asarray(t_np))
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.to(torch.float32).numpy(),
+                               atol=2e-3, rtol=2e-3)

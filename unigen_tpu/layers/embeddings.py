@@ -40,6 +40,16 @@ def timestep_embedder(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return linear(p["fc2"], jax.nn.silu(linear(p["fc1"], x)))
 
 
+def pixart_text_projection(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """diffusers ``PixArtAlphaTextProjection`` at its DEFAULT
+    ``act_fn='gelu_tanh'`` — what ``SanaTransformer2DModel`` builds for
+    ``caption_projection`` (the reference's SANAUniGen applies it at
+    UniGenTransformer.py:2066). NOT ``timestep_embedder``: the silu variant
+    is only what ``CombinedTimestepTextProjEmbeddings`` passes explicitly
+    for the flux/sd3 pooled-text embedders (act_fn='silu')."""
+    return linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=True))
+
+
 def init_combined_time_text(key, dim: int, pooled_dim: int, *,
                             guidance: bool = False, dtype=jnp.float32) -> dict:
     """CombinedTimestep(Guidance)TextProjEmbeddings."""

@@ -29,7 +29,7 @@ from unigen_tpu.layers.blocks_sana import (adaln_single, init_adaln_single,
                                            init_sana_block, sana_block)
 from unigen_tpu.layers.core import (init_linear, init_rms_norm, layer_norm,
                                     linear, rms_norm)
-from unigen_tpu.layers.embeddings import timestep_embedder
+from unigen_tpu.layers.embeddings import pixart_text_projection
 from unigen_tpu.models import moe as moe_lib
 from unigen_tpu.ops.packing import patchify, unpatchify
 from unigen_tpu.utils import index_params, init_stacked
@@ -62,7 +62,10 @@ def sana_embed_inputs(params, cfg: SanaBackboneConfig, hidden, encoder, timestep
     h = linear(params["patch_embed"], patchify(hidden, cfg.patch_size))
     proj_t, embedded_t = adaln_single(params["time_embed"], timestep,
                                       dtype=h.dtype)
-    enc = timestep_embedder(params["caption_projection"], encoder)
+    # PixArtAlphaTextProjection default act: GELU(tanh), not silu —
+    # pinned by the torch e2e golden (reference applies the diffusers
+    # class at UniGenTransformer.py:2066)
+    enc = pixart_text_projection(params["caption_projection"], encoder)
     enc = rms_norm(params["caption_norm"], enc, eps=1e-5)
     return h, enc, proj_t, embedded_t
 
