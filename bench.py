@@ -37,11 +37,12 @@ Env knobs:
                         rung at full topology — rank-r factors over the
                         FROZEN W4A8 tree (TrainConfig.lora_rank; surface
                         ladder shrinks on OOM) -> TRAIN_LORA.json rows.
-  UNIGEN_BENCH_STEP_ADAPTIVE=<tc:tm>  flux StepServer rung only: adaptive
-                        per-slot drift thresholds instead of fixed
+  UNIGEN_BENCH_STEP_ADAPTIVE=<tc:tm[:lag]>  flux StepServer rung only:
+                        adaptive per-slot drift thresholds instead of fixed
                         intervals ("0.05:0.02" fully-adaptive hybrid,
                         ":0.02" adaptive model cache, "0.05:" adaptive
-                        control cache) -> STEPSERVE_ADAPTIVE.json rows.
+                        control cache; third field 1 = pipelined one-tick-
+                        stale decisions) -> STEPSERVE_ADAPTIVE.json rows.
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline", "config"}.
   value       — images/sec for the jitted 4-step denoise loop (text encode /
@@ -1942,16 +1943,21 @@ def bench_stepserver():
     # int8 with per-token scales (half the cache HBM — the slot-count lever:
     # bf16 residuals are 0.47 GiB/slot at 512², ~1.9 GiB/slot at 1024²)
     res_bits = int(os.environ.get("UNIGEN_BENCH_STEP_RESBITS", "16"))
-    # UNIGEN_BENCH_STEP_ADAPTIVE="tc:tm" replaces the fixed per-slot
+    # UNIGEN_BENCH_STEP_ADAPTIVE="tc:tm[:lag]" replaces the fixed per-slot
     # intervals with the adaptive drift thresholds (host-pulled per-slot
     # drift vector; serving_steps docstring): "0.05:0.02" = fully-adaptive
     # hybrid, ":0.02" = adaptive model cache, "0.05:" = adaptive control
-    # cache. Mutually exclusive with _STEP_CACHE/_STEP_HYBRID.
+    # cache. Optional third field 1 = adaptive_lag (pipelined one-tick-stale
+    # drift decisions — the pull no longer serializes ticks).
+    # Mutually exclusive with _STEP_CACHE/_STEP_HYBRID.
     thr_spec = os.environ.get("UNIGEN_BENCH_STEP_ADAPTIVE", "")
     thr_c = thr_m = 0.0
+    adaptive_lag = 0
     if thr_spec:
-        a, _, b = thr_spec.partition(":")
-        thr_c, thr_m = (float(a) if a else 0.0), (float(b) if b else 0.0)
+        parts = thr_spec.split(":")
+        thr_c = float(parts[0]) if parts[0] else 0.0
+        thr_m = float(parts[1]) if len(parts) > 1 and parts[1] else 0.0
+        adaptive_lag = int(parts[2]) if len(parts) > 2 and parts[2] else 0
     num_steps = 4
     preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
     cfg_base = {"full": presets.flux_full, "proxy": presets.flux_bench,
@@ -1987,6 +1993,7 @@ def bench_stepserver():
                      control_cache_interval=cache_c,
                      control_cache_threshold=thr_c,
                      model_cache_threshold=thr_m,
+                     adaptive_lag=adaptive_lag,
                      residual_cache_bits=res_bits, dtype=dtype)
     t_len = 16 if preset == "tiny" else 512
 
@@ -2042,6 +2049,8 @@ def bench_stepserver():
             ctag += "_res8"
     if thr_spec:
         ctag = f"_adaptive{thr_c:g}_{thr_m:g}"
+        if adaptive_lag:
+            ctag += "_lag1"
         if res_bits != 16 and thr_c > 0:
             ctag += f"_res{res_bits}"
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
@@ -2050,6 +2059,7 @@ def bench_stepserver():
            "model_cache_interval": cache_k, "model_cache_order": cache_order,
            "control_cache_interval": cache_c,
            "control_cache_threshold": thr_c, "model_cache_threshold": thr_m,
+           "adaptive_lag": adaptive_lag,
            "residual_cache_bits": res_bits,
            "warm_single_request_latency_ms": round(single_lat * 1000, 1),
            "sustained_img_per_sec": round(sustained, 4),

@@ -30,7 +30,8 @@ import numpy as np
 
 def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0,
                 cache_c: int = 1, res_bits: int = 16,
-                thr_m: float = 0.0, thr_c: float = 0.0):
+                thr_m: float = 0.0, thr_c: float = 0.0,
+                adaptive_lag: int = 0):
     """Tiny random-model StepServer demo (CPU-safe): full request lifecycle
     — VAE encode on admit, per-slot denoise ticks, VAE decode on retire —
     with staggered arrivals, optionally at a model-cache operating point."""
@@ -59,6 +60,7 @@ def _demo_steps(batch_size: int, cache_k: int = 1, cache_order: int = 0,
                      control_cache_interval=cache_c,
                      model_cache_threshold=thr_m,
                      control_cache_threshold=thr_c,
+                     adaptive_lag=adaptive_lag,
                      residual_cache_bits=res_bits, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     mk = lambda *shape: rng.standard_normal(shape).astype(np.float32)
@@ -171,6 +173,7 @@ def _serve_steps(pipe, args, mesh=None):
                      control_cache_interval=args.control_cache_interval,
                      model_cache_threshold=args.model_cache_threshold,
                      control_cache_threshold=args.control_cache_threshold,
+                     adaptive_lag=args.adaptive_lag,
                      residual_cache_bits=args.residual_cache_bits,
                      mesh=mesh, **kw)
     if args.warmup:
@@ -300,6 +303,11 @@ def main(argv=None):
                          "rung 3c)")
     ap.add_argument("--model-cache-threshold", type=float, default=0.0,
                     help="adaptive variant of --model-cache-interval")
+    ap.add_argument("--adaptive-lag", type=int, default=0, choices=[0, 1],
+                    help="step-server adaptive modes only: 1 = pipelined "
+                         "drift decisions (one tick stale — the per-tick "
+                         "drift pull no longer serializes ticks; "
+                         "serving_steps.StepServer docstring)")
     ap.add_argument("--model-cache-order", type=int, default=0,
                     choices=[0, 1],
                     help="0 = zero-order hold, 1 = first-order Taylor "
@@ -361,6 +369,13 @@ def main(argv=None):
                     help="tiny random model + synthetic load (no checkpoint)")
     args = ap.parse_args(argv)
 
+    if args.adaptive_lag and not (args.step_server and (
+            args.model_cache_threshold > 0 or args.control_cache_threshold > 0)):
+        ap.error("--adaptive-lag 1 needs --step-server with an adaptive "
+                 "--*-cache-threshold (it pipelines the per-tick drift "
+                 "decision; one-shot pipelines trace the drift rule inside "
+                 "the scan and have no host sync to hide)")
+
     if args.step_server and args.quality_profile:
         # resolve the named operating point to the family's fixed per-slot
         # intervals (every PROFILE_TABLES entry is fixed-interval, so the
@@ -402,7 +417,8 @@ def main(argv=None):
                                args.control_cache_interval,
                                args.residual_cache_bits,
                                args.model_cache_threshold,
-                               args.control_cache_threshold)
+                               args.control_cache_threshold,
+                               args.adaptive_lag)
         return _demo(args.batch_size)
 
     from PIL import Image

@@ -214,6 +214,94 @@ def test_step_server_adaptive_actually_skips(tiny_world):
     assert stats["ticks_replay"] == 5, stats
 
 
+def test_step_server_adaptive_lag_two_steps_equals_exact(tiny_world):
+    """adaptive_lag=1 with a 2-step schedule refreshes every step (step 0 =
+    sentinel, step 1 = no valid stale handle yet → forced refresh), so the
+    output must equal the exact one-shot pipeline — pins the full value
+    path (encode → lagged ticks → decode) of the pipelined mode. Covers the
+    model-threshold and hybrid-threshold program families."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    for knobs in (dict(model_cache_threshold=1e-6),
+                  dict(control_cache_threshold=1e-6)):
+        req = _request(520, cfg)
+        ref = _pipeline_reference(tiny_world, req, 2)   # exact
+        srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                         num_inference_steps=2, height=32, width=32,
+                         adaptive_lag=1, dtype=jnp.float32, **knobs)
+        out = srv.submit(**req).result(timeout=300)
+        stats = srv.stats()
+        srv.close()
+        assert stats["failed"] == 0
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"{knobs}: max diff {diff.max()}"
+
+
+def test_step_server_adaptive_lag_refresh_accounting(tiny_world):
+    """The lag-1 decision rule, pinned by exact per-kind row counts on a
+    deterministic single-request-at-a-time load (loose threshold — drift
+    never crosses): each request refreshes at its step 0 (sentinel) AND its
+    step 1 (the handle dispatched before its admission is invalid → forced
+    refresh), then replays — one extra refresh vs the synchronous adaptive
+    mode's single step-0 refresh; the suppression rule (refreshed after the
+    handle → replay) prevents the stale pre-refresh drift from firing a
+    third time at step 2."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 6
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=1,
+                     num_inference_steps=steps, height=32, width=32,
+                     model_cache_threshold=10.0, adaptive_lag=1,
+                     dtype=jnp.float32)
+    srv.submit(**_request(530, cfg)).result(timeout=300)
+    s1 = srv.stats()
+    assert s1["rows_refresh"] == 2, s1
+    assert s1["ticks_replay"] == steps - 2, s1
+    # slot reuse: the new occupant's admit_seq invalidates the pending
+    # handles for its rows — same 2-refresh pattern, no stale carryover
+    srv.submit(**_request(531, cfg)).result(timeout=300)
+    s2 = srv.stats()
+    srv.close()
+    assert s2["failed"] == 0
+    assert s2["rows_refresh"] == 4, s2
+    assert s2["ticks_replay"] == 2 * (steps - 2), s2
+
+
+def test_step_server_adaptive_lag_hybrid_accounting(tiny_world):
+    """Control-threshold lag accounting: FULL at step 0 and step 1 (forced),
+    BASE with residual replay on every later step (pure adaptive control
+    cache — non-full active slots always run base)."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 5
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                     num_inference_steps=steps, height=32, width=32,
+                     control_cache_threshold=10.0, adaptive_lag=1,
+                     dtype=jnp.float32)
+    srv.submit(**_request(540, cfg)).result(timeout=300)
+    stats = srv.stats()
+    srv.close()
+    assert stats["failed"] == 0
+    assert stats["rows_full"] == 2, stats
+    assert stats["rows_base"] == steps - 2, stats
+
+
+def test_step_server_adaptive_lag_concurrent_smoke(tiny_world):
+    """Staggered concurrent admissions under lag-1 at a mid threshold: all
+    requests complete, nothing fails, and outputs stay in range (decisions
+    are load-dependent here, so no value pin — the deterministic pins live
+    in the accounting tests)."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=6, height=32, width=32,
+                     control_cache_threshold=0.05, model_cache_threshold=0.02,
+                     adaptive_lag=1, dtype=jnp.float32)
+    futs = [srv.submit(**_request(550 + i, cfg), wait=True) for i in range(5)]
+    outs = [f.result(timeout=300) for f in futs]
+    stats = srv.stats()
+    srv.close()
+    assert stats["failed"] == 0 and stats["retired"] == 5
+    for out in outs:
+        assert out.dtype == np.uint8 and out.shape == (1, 32, 32, 3)
+
+
 def test_step_server_adaptive_validation(tiny_world):
     cfg, params, vae_cfg, vae_params = tiny_world
     with pytest.raises(AssertionError, match="replace the fixed intervals"):
@@ -226,6 +314,10 @@ def test_step_server_adaptive_validation(tiny_world):
                    num_inference_steps=2, height=32, width=32,
                    control_cache_threshold=0.02, model_cache_threshold=0.05,
                    dtype=jnp.float32)
+    with pytest.raises(AssertionError, match="adaptive_lag needs"):
+        StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                   num_inference_steps=2, height=32, width=32,
+                   adaptive_lag=1, dtype=jnp.float32)
 
 
 def test_step_server_hybrid_error_path_rebuilds_residuals(tiny_world):

@@ -61,6 +61,16 @@ fully-adaptive hybrid. Thresholds are plain host floats here — tune by
 restarting the server (no recompiles either way: the gathered program
 ladder is threshold-independent).
 
+The synchronous drift pull serializes ticks (the d2h must wait for the
+previous tick to retire — measured ~20% under the fixed-interval hybrid at
+the same slot count). ``adaptive_lag=1`` pipelines the adaptive mode: tick
+T decides from the drift handle dispatched after tick T-2 (one step stale;
+by pull time that tick has retired, so ticks overlap 2-deep like the fixed
+schedules). Stale rows resolve conservatively — no measurement yet →
+refresh; refreshed since the handle → replay — so each request pays one
+extra full at its step 1 and decisions otherwise follow the one-shot
+adaptive rule evaluated one step late.
+
 VAE encode (admission) and decode (retirement) run as separate jitted
 b=1 programs off the hot step loop.
 """
@@ -98,6 +108,7 @@ class _Slot:
     sched: Any = None                  # [num_steps] conditioning-scale
     sigmas: Any = None                 # [num_steps + 1]
     timesteps: Any = None              # [num_steps]
+    admit_seq: int = 0                 # tick seq of admission (adaptive_lag)
 
     @property
     def free(self) -> bool:
@@ -119,6 +130,7 @@ class StepServer:
                  control_cache_interval: int = 1,
                  model_cache_threshold: float = 0.0,
                  control_cache_threshold: float = 0.0,
+                 adaptive_lag: int = 0,
                  residual_cache_bits: int = 16,
                  mesh=None,
                  dtype=jnp.bfloat16):
@@ -148,6 +160,22 @@ class StepServer:
         self.thr_c = float(control_cache_threshold)
         self._adaptive = self.thr_m > 0.0 or self.thr_c > 0.0
         assert self.thr_m >= 0.0 and self.thr_c >= 0.0
+        # adaptive_lag=1: PIPELINED adaptive mode. The synchronous drift
+        # pull (lag 0) must wait for the immediately preceding tick, which
+        # serializes ticks (measured ~20% under the fixed-interval hybrid at
+        # the same slots). Lag 1 decides tick T from the drift handle
+        # dispatched after tick T-2 — one step stale, so the pull only
+        # waits on a tick that already retired and ticks pipeline 2-deep
+        # like the fixed schedules. Staleness is handled conservatively:
+        # rows with no valid measurement (startup, or an occupant admitted
+        # after the handle was dispatched) are forced to refresh (+inf
+        # drift — one extra full per request at its step 1); rows that
+        # refreshed AFTER the handle was dispatched are forced to replay
+        # (0 drift — the stale pre-refresh drift would double-fire).
+        self.adaptive_lag = int(adaptive_lag)
+        assert self.adaptive_lag in (0, 1)
+        assert self.adaptive_lag == 0 or self._adaptive, \
+            "adaptive_lag needs an adaptive threshold"
         if self._adaptive:
             # mirror the pipelines: thresholds REPLACE the fixed intervals
             assert model_cache_interval == 1 and control_cache_interval == 1, \
@@ -293,6 +321,16 @@ class StepServer:
             self._ref_pred = self._place(jnp.zeros(lat_shape, dtype))
             self._drift_fn = None
             self._refset_fns: Dict[int, Any] = {}   # m -> ref row scatter
+            if self.adaptive_lag:
+                import collections as _collections
+                # (tick_seq, d_full_dev, d_pred_dev) handles dispatched
+                # after each tick's commit; pulled two ticks later
+                self._pending_drift = _collections.deque()
+                self._tick_seq = 0
+                # tick seq of each slot's last full / pred refresh (the
+                # stale-handle suppression above)
+                self._seq_full = np.full((B,), -1, np.int64)
+                self._seq_pred = np.full((B,), -1, np.int64)
         if self.cache_k > 1 or self.cache_c > 1 or self._adaptive:
             # per-slot prediction cache: p1 = latest refreshed prediction,
             # p0 = the one before (order-1 Taylor replay), refresh step
@@ -633,6 +671,40 @@ class StepServer:
                     / (jnp.mean(jnp.abs(b), axis=ax) + 1e-8))
         return self._jit(drift)
 
+    def _lagged_drift(self, active):
+        """Pipelined adaptive decision inputs (``adaptive_lag=1``): pull the
+        drift handle dispatched after tick T-2 — by now that tick has
+        retired, so the pull never stalls on the in-flight tick T-1 and
+        ticks pipeline like the fixed schedules. Rows without a valid
+        stale measurement are forced conservatively: +inf (refresh) when
+        there is no handle yet or the slot's occupant was admitted after
+        the handle was dispatched; 0 (replay) when the slot refreshed
+        after the handle was dispatched (its stale pre-refresh drift
+        would double-fire)."""
+        hseq, hf, hp = -1, None, None
+        if len(self._pending_drift) >= 2:
+            hseq, hf, hp = self._pending_drift.popleft()
+        inf = np.float32(np.inf)
+        d_full = d_pred = None
+        if self.thr_c > 0:
+            d_full = (np.array(hf, np.float32) if hf is not None
+                      else np.full((self.B,), inf, np.float32))
+        if self.thr_m > 0:
+            d_pred = (np.array(hp, np.float32) if hp is not None
+                      else np.full((self.B,), inf, np.float32))
+        for i, s in active:
+            if s.admit_seq > hseq:
+                if d_full is not None:
+                    d_full[i] = inf
+                if d_pred is not None:
+                    d_pred[i] = inf
+            else:
+                if d_full is not None and self._seq_full[i] > hseq:
+                    d_full[i] = 0.0
+                if d_pred is not None and self._seq_pred[i] > hseq:
+                    d_pred[i] = 0.0
+        return d_full, d_pred
+
     def _refset(self, m: int):
         """Scatter the refreshing slots' INPUT latents into a drift-reference
         buffer (adaptive modes only; pad duplicates write the same value)."""
@@ -719,6 +791,8 @@ class StepServer:
         adaptive = drift is not None
         ref_pred = self._ref_pred if adaptive else None
         refset = self._refset(m) if adaptive else None
+        seq = (self._tick_seq if adaptive and self.adaptive_lag else None)
+        refresh_arr = np.asarray(refresh, np.int64)
 
         def tick():
             fresh = fwd(params, lat, cond, embeds, mask, pooled, cpool,
@@ -735,6 +809,8 @@ class StepServer:
                 self._i1, self._i0 = i1n, i0n
                 if adaptive:
                     self._ref_pred = ref_n
+                if seq is not None:
+                    self._seq_pred[refresh_arr] = seq
 
             return new_lat, commit
 
@@ -836,6 +912,9 @@ class StepServer:
             self._upd_fns[m_u] = self._build_update(m_u)
         upd = self._upd_fns[m_u]
         nf, nb = len(full_l), len(base_l)
+        seq = (self._tick_seq if adaptive and self.adaptive_lag else None)
+        full_arr = np.asarray(full_l, np.int64)
+        comb_arr = np.asarray(comb, np.int64)
         ref_full_b = self._ref_full if adaptive else None
         ref_pred_b = self._ref_pred if adaptive else None
         refset_full = (self._refset(int(full_plan[1].shape[0]))
@@ -881,6 +960,10 @@ class StepServer:
                 if adaptive:
                     self._ref_full = reff_n
                     self._ref_pred = refp_n
+                if seq is not None:
+                    if full_arr.size:
+                        self._seq_full[full_arr] = seq
+                    self._seq_pred[comb_arr] = seq
 
             return new_lat, commit
 
@@ -1082,6 +1165,9 @@ class StepServer:
                         if (self.cache_k > 1 or self.cache_c > 1
                                 or self._adaptive):
                             self._i1[i] = self._i0[i] = -1
+                        if self._adaptive and self.adaptive_lag:
+                            s.admit_seq = self._tick_seq
+                            self._seq_full[i] = self._seq_pred[i] = -1
                         s.payload = None
                 active = [(i, s) for i, s in enumerate(self._slots)
                           if not s.free]
@@ -1102,16 +1188,22 @@ class StepServer:
                           or self._adaptive)
                 d_full = d_pred = None
                 if self._adaptive:
-                    # host-pulled per-slot drift — the adaptive refresh
-                    # predicate (syncs the tick pipeline: one tiny d2h)
                     if self._drift_fn is None:
                         self._drift_fn = self._build_drift()
-                    if self.thr_c > 0:
-                        d_full = np.asarray(
-                            self._drift_fn(self._lat, self._ref_full))
-                    if self.thr_m > 0:
-                        d_pred = np.asarray(
-                            self._drift_fn(self._lat, self._ref_pred))
+                    if self.adaptive_lag:
+                        # pipelined: one-tick-stale handle (never waits on
+                        # the in-flight tick — see _lagged_drift)
+                        d_full, d_pred = self._lagged_drift(active)
+                    else:
+                        # host-pulled per-slot drift — the adaptive refresh
+                        # predicate (syncs the tick pipeline: the d2h must
+                        # wait for the previous tick to retire)
+                        if self.thr_c > 0:
+                            d_full = np.asarray(
+                                self._drift_fn(self._lat, self._ref_full))
+                        if self.thr_m > 0:
+                            d_pred = np.asarray(
+                                self._drift_fn(self._lat, self._ref_pred))
                 if self.cache_c > 1 or self.thr_c > 0:
                     tick = self._prepare_hybrid_tick(active, s_now, s_next,
                                                      scale, gvec,
@@ -1145,6 +1237,11 @@ class StepServer:
                             s.future.set_exception(e)
                         self._slots[i] = _Slot()
                         self._stats["failed"] += 1
+                    if self._adaptive and self.adaptive_lag:
+                        # pending handles reference pre-failure state; drop
+                        # them (the next two decisions force refreshes)
+                        self._pending_drift.clear()
+                        self._seq_full[:] = self._seq_pred[:] = -1
                     if ((self.cache_c > 1 or self.thr_c > 0)
                             and self._res is not None):
                         # the residual buffers may have been DONATED into a
@@ -1172,6 +1269,15 @@ class StepServer:
                 self._lat = new_lat
                 if commit is not None:
                     commit()
+                if self._adaptive and self.adaptive_lag:
+                    # dispatch (don't pull) this tick's drift handle against
+                    # the POST-commit references — consumed two ticks later
+                    hf = (self._drift_fn(self._lat, self._ref_full)
+                          if self.thr_c > 0 else None)
+                    hp = (self._drift_fn(self._lat, self._ref_pred)
+                          if self.thr_m > 0 else None)
+                    self._pending_drift.append((self._tick_seq, hf, hp))
+                    self._tick_seq += 1
                 for i, s in active:
                     s.step += 1
                     if s.step >= s.num_steps:
