@@ -89,6 +89,25 @@ def test_serve_cli_step_server_adaptive_demo(tmp_path):
     assert "step-server demo:" in proc.stdout, proc.stdout
 
 
+def test_serve_cli_adaptive_lag_demo_and_validation(tmp_path):
+    """--adaptive-lag 1 (pipelined one-tick-stale drift decisions) drives
+    the demo rung; without an adaptive threshold it is rejected at the
+    argparse level."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "serve.py"),
+         "--demo", "--step-server", "--model-cache-threshold", "0.02",
+         "--adaptive-lag", "1", "--batch-size", "2"],
+        capture_output=True, text=True, env=ENV, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "step-server demo:" in proc.stdout, proc.stdout
+    bad = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "serve.py"),
+         "--demo", "--step-server", "--adaptive-lag", "1"],
+        capture_output=True, text=True, env=ENV, timeout=120)
+    assert bad.returncode != 0
+    assert "--adaptive-lag 1 needs" in bad.stderr, bad.stderr[-1000:]
+
+
 def test_serve_cli_step_server_quality_profile(tmp_path):
     """--step-server --quality-profile resolves the named operating point to
     the family's fixed per-slot intervals (PROFILE_TABLES — the same measured
