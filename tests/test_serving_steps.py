@@ -214,37 +214,46 @@ def test_step_server_adaptive_actually_skips(tiny_world):
     assert stats["ticks_replay"] == 5, stats
 
 
-def test_step_server_adaptive_lag_two_steps_equals_exact(tiny_world):
-    """adaptive_lag=1 with a 2-step schedule refreshes every step (step 0 =
-    sentinel, step 1 = no valid stale handle yet → forced refresh), so the
-    output must equal the exact one-shot pipeline — pins the full value
-    path (encode → lagged ticks → decode) of the pipelined mode. Covers the
-    model-threshold and hybrid-threshold program families."""
+def test_step_server_adaptive_lag_tight_equals_interval_2(tiny_world):
+    """A TIGHT threshold under adaptive_lag=1 degenerates to the fixed
+    per-slot interval 2: every measured decision refreshes, and every
+    refresh suppresses the next decision (the one-tick-stale handle
+    predates it), so slots alternate refresh/replay from step 0 — exactly
+    the one-shot pipeline at model_cache_interval=2 (resp. the hybrid
+    (c=2, k=1) for the control threshold). Pins the full lagged value path
+    (encode → lagged ticks → decode) against the one-shot pipelines,
+    including slot reuse (a second request on the same server)."""
     cfg, params, vae_cfg, vae_params = tiny_world
-    for knobs in (dict(model_cache_threshold=1e-6),
-                  dict(control_cache_threshold=1e-6)):
-        req = _request(520, cfg)
-        ref = _pipeline_reference(tiny_world, req, 2)   # exact
-        srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
-                         num_inference_steps=2, height=32, width=32,
+    steps = 5
+    for knobs, ref_knobs in (
+            (dict(model_cache_threshold=1e-6),
+             dict(model_cache_interval=2)),
+            (dict(control_cache_threshold=1e-6),
+             dict(control_cache_interval=2, model_cache_interval=1))):
+        reqs = [_request(520 + i, cfg) for i in range(2)]
+        refs = [_pipeline_reference(tiny_world, r, steps, **ref_knobs)
+                for r in reqs]
+        srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=1,
+                         num_inference_steps=steps, height=32, width=32,
                          adaptive_lag=1, dtype=jnp.float32, **knobs)
-        out = srv.submit(**req).result(timeout=300)
+        outs = [srv.submit(**r).result(timeout=300) for r in reqs]
         stats = srv.stats()
         srv.close()
         assert stats["failed"] == 0
-        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
-        assert diff.max() <= 1, f"{knobs}: max diff {diff.max()}"
+        for out, ref in zip(outs, refs):
+            diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+            assert diff.max() <= 1, f"{knobs}: max diff {diff.max()}"
 
 
 def test_step_server_adaptive_lag_refresh_accounting(tiny_world):
-    """The lag-1 decision rule, pinned by exact per-kind row counts on a
-    deterministic single-request-at-a-time load (loose threshold — drift
-    never crosses): each request refreshes at its step 0 (sentinel) AND its
-    step 1 (the handle dispatched before its admission is invalid → forced
-    refresh), then replays — one extra refresh vs the synchronous adaptive
-    mode's single step-0 refresh; the suppression rule (refreshed after the
-    handle → replay) prevents the stale pre-refresh drift from firing a
-    third time at step 2."""
+    """Lag-1 pays NO extra refreshes (the earlier conservative design
+    forced a full at every request's step 1 — a measured 25% tax on short
+    schedules): with a loose threshold (drift never crosses) each request
+    refreshes exactly once, at its sentinel step 0 — the same count as the
+    synchronous adaptive mode — and the suppression rule turns every other
+    tick into replay, including the fresh occupant after slot reuse (whose
+    step-0 full stamps its refresh seq ahead of all pending handles, so the
+    previous occupant's drift rows can't leak in)."""
     cfg, params, vae_cfg, vae_params = tiny_world
     steps = 6
     srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=1,
@@ -253,22 +262,21 @@ def test_step_server_adaptive_lag_refresh_accounting(tiny_world):
                      dtype=jnp.float32)
     srv.submit(**_request(530, cfg)).result(timeout=300)
     s1 = srv.stats()
-    assert s1["rows_refresh"] == 2, s1
-    assert s1["ticks_replay"] == steps - 2, s1
-    # slot reuse: the new occupant's admit_seq invalidates the pending
-    # handles for its rows — same 2-refresh pattern, no stale carryover
+    assert s1["rows_refresh"] == 1, s1
+    assert s1["ticks_replay"] == steps - 1, s1
     srv.submit(**_request(531, cfg)).result(timeout=300)
     s2 = srv.stats()
     srv.close()
     assert s2["failed"] == 0
-    assert s2["rows_refresh"] == 4, s2
-    assert s2["ticks_replay"] == 2 * (steps - 2), s2
+    assert s2["rows_refresh"] == 2, s2
+    assert s2["ticks_replay"] == 2 * (steps - 1), s2
 
 
 def test_step_server_adaptive_lag_hybrid_accounting(tiny_world):
-    """Control-threshold lag accounting: FULL at step 0 and step 1 (forced),
-    BASE with residual replay on every later step (pure adaptive control
-    cache — non-full active slots always run base)."""
+    """Control-threshold lag accounting at a loose threshold: FULL only at
+    the sentinel step 0, BASE with residual replay on every later step
+    (pure adaptive control cache — non-full active slots always run
+    base)."""
     cfg, params, vae_cfg, vae_params = tiny_world
     steps = 5
     srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
@@ -279,8 +287,8 @@ def test_step_server_adaptive_lag_hybrid_accounting(tiny_world):
     stats = srv.stats()
     srv.close()
     assert stats["failed"] == 0
-    assert stats["rows_full"] == 2, stats
-    assert stats["rows_base"] == steps - 2, stats
+    assert stats["rows_full"] == 1, stats
+    assert stats["rows_base"] == steps - 1, stats
 
 
 def test_step_server_adaptive_lag_concurrent_smoke(tiny_world):

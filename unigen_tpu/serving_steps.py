@@ -66,10 +66,13 @@ previous tick to retire — measured ~20% under the fixed-interval hybrid at
 the same slot count). ``adaptive_lag=1`` pipelines the adaptive mode: tick
 T decides from the drift handle dispatched after tick T-2 (one step stale;
 by pull time that tick has retired, so ticks overlap 2-deep like the fixed
-schedules). Stale rows resolve conservatively — no measurement yet →
-refresh; refreshed since the handle → replay — so each request pays one
-extra full at its step 1 and decisions otherwise follow the one-shot
-adaptive rule evaluated one step late.
+schedules). A row that refreshed after the handle was dispatched is forced
+to replay (its stale pre-refresh drift would double-fire) — that rule alone
+also covers startup and fresh admissions, because the step-0 sentinel full
+stamps a slot's refresh seq ahead of every older handle. Decisions are the
+one-shot adaptive rule evaluated one step late, with no extra refreshes; a
+tight threshold degenerates to the fixed per-slot interval 2 (pinned by
+test against the one-shot interval-2 pipelines).
 
 VAE encode (admission) and decode (retirement) run as separate jitted
 b=1 programs off the hot step loop.
@@ -108,7 +111,6 @@ class _Slot:
     sched: Any = None                  # [num_steps] conditioning-scale
     sigmas: Any = None                 # [num_steps + 1]
     timesteps: Any = None              # [num_steps]
-    admit_seq: int = 0                 # tick seq of admission (adaptive_lag)
 
     @property
     def free(self) -> bool:
@@ -166,12 +168,15 @@ class StepServer:
         # the same slots). Lag 1 decides tick T from the drift handle
         # dispatched after tick T-2 — one step stale, so the pull only
         # waits on a tick that already retired and ticks pipeline 2-deep
-        # like the fixed schedules. Staleness is handled conservatively:
-        # rows with no valid measurement (startup, or an occupant admitted
-        # after the handle was dispatched) are forced to refresh (+inf
-        # drift — one extra full per request at its step 1); rows that
-        # refreshed AFTER the handle was dispatched are forced to replay
-        # (0 drift — the stale pre-refresh drift would double-fire).
+        # like the fixed schedules. Rows that refreshed after the handle
+        # was dispatched are forced to replay (0 drift — the stale
+        # pre-refresh value would double-fire); that rule alone covers
+        # startup and new occupants too (the step-0 sentinel full stamps
+        # their refresh seq ahead of every older handle), so decisions are
+        # the one-shot adaptive rule evaluated one step late with no extra
+        # refreshes. A tight threshold therefore degenerates to the fixed
+        # per-slot interval 2 (refresh, suppressed, refresh, ...) — pinned
+        # by test against the one-shot interval-2 pipelines.
         self.adaptive_lag = int(adaptive_lag)
         assert self.adaptive_lag in (0, 1)
         assert self.adaptive_lag == 0 or self._adaptive, \
@@ -675,12 +680,17 @@ class StepServer:
         """Pipelined adaptive decision inputs (``adaptive_lag=1``): pull the
         drift handle dispatched after tick T-2 — by now that tick has
         retired, so the pull never stalls on the in-flight tick T-1 and
-        ticks pipeline like the fixed schedules. Rows without a valid
-        stale measurement are forced conservatively: +inf (refresh) when
-        there is no handle yet or the slot's occupant was admitted after
-        the handle was dispatched; 0 (replay) when the slot refreshed
-        after the handle was dispatched (its stale pre-refresh drift
-        would double-fire)."""
+        ticks pipeline like the fixed schedules. A row whose slot refreshed
+        AFTER the handle was dispatched has a stale pre-refresh drift that
+        would double-fire — force it to 0 (replay/base). That suppression
+        alone also covers new occupants and startup: every admission runs a
+        forced full at its step 0 (the _i1 < 0 sentinel), which stamps
+        seq_full/seq_pred ahead of every older handle, so a previous
+        occupant's drift row can never leak into a decision. Net semantics:
+        the one-shot adaptive rule evaluated one step late, with NO extra
+        refreshes (an earlier conservative +inf fallback forced a full at
+        every request's step 1 — a measured 25% throughput tax on the
+        4-step schedule that swamped the pipelining win)."""
         hseq, hf, hp = -1, None, None
         if len(self._pending_drift) >= 2:
             hseq, hf, hp = self._pending_drift.popleft()
@@ -693,16 +703,10 @@ class StepServer:
             d_pred = (np.array(hp, np.float32) if hp is not None
                       else np.full((self.B,), inf, np.float32))
         for i, s in active:
-            if s.admit_seq > hseq:
-                if d_full is not None:
-                    d_full[i] = inf
-                if d_pred is not None:
-                    d_pred[i] = inf
-            else:
-                if d_full is not None and self._seq_full[i] > hseq:
-                    d_full[i] = 0.0
-                if d_pred is not None and self._seq_pred[i] > hseq:
-                    d_pred[i] = 0.0
+            if d_full is not None and self._seq_full[i] > hseq:
+                d_full[i] = 0.0
+            if d_pred is not None and self._seq_pred[i] > hseq:
+                d_pred[i] = 0.0
         return d_full, d_pred
 
     def _refset(self, m: int):
@@ -1166,7 +1170,6 @@ class StepServer:
                                 or self._adaptive):
                             self._i1[i] = self._i0[i] = -1
                         if self._adaptive and self.adaptive_lag:
-                            s.admit_seq = self._tick_seq
                             self._seq_full[i] = self._seq_pred[i] = -1
                         s.payload = None
                 active = [(i, s) for i, s in enumerate(self._slots)
