@@ -40,6 +40,10 @@ def parse_args(argv=None):
                         "transformer tree (ops/quant streaming walk; the "
                         "same knob serve.py uses). Default keeps the load "
                         "dtype")
+    p.add_argument("--quantize_text", default=None,
+                   choices=["w8a8", "w4a8"],
+                   help="serving quantization for the prompt-encoder towers "
+                        "(T5/CLIP/Gemma). Default keeps the load dtype")
     p.add_argument("--num_inference_steps", type=int, default=28)
     p.add_argument("--guidance_scale", type=float, default=3.5)
     p.add_argument("--true_cfg_scale", type=float, default=1.0)
@@ -134,18 +138,21 @@ def main(argv=None):
                                   adapter_dir=args.ckpt_path,
                                   lora_dir=args.lora_dir,
                                   quantize=args.quantize,
+                                  quantize_text=args.quantize_text,
                                   control_overrides=control_overrides)
     elif family == "sd3":
         pipe = load_sd3_pipeline(args.pretrained_model_name_or_path,
                                  condition_types=args.condition_types,
                                  adapter_dir=args.ckpt_path,
                                  quantize=quantize,
+                                 quantize_text=args.quantize_text,
                                  control_overrides=control_overrides)
     else:
         pipe = load_sana_pipeline(args.pretrained_model_name_or_path,
                                   condition_types=args.condition_types,
                                   adapter_dir=args.ckpt_path,
                                   quantize=quantize,
+                                  quantize_text=args.quantize_text,
                                   control_overrides=control_overrides,
                                   clip_dir=args.clip_dir)
     if args.lora_dir and family != "flux":

@@ -342,6 +342,12 @@ def main(argv=None):
                          "the denoise program over ICI")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--quant", default="w4a8", choices=["w4a8", "w8a8", "bf16"])
+    ap.add_argument("--quant-text", default=None, choices=["w8a8", "w4a8"],
+                    help="serving quantization for the prompt-encoder towers "
+                         "(T5/CLIP/Gemma; ops/quant.quantize_text_tower). "
+                         "bf16 T5-XXL alone is ~9.4 GiB — this is what makes "
+                         "the full flux prompt->image stack single-chip "
+                         "resident. Default keeps the load dtype")
     ap.add_argument("--serving-cache", default=None,
                     help="directory for the persisted QUANTIZED transformer "
                          "tree (io/serving_cache.py): restarts read the "
@@ -439,18 +445,21 @@ def main(argv=None):
                                   condition_types=args.condition_types,
                                   adapter_dir=args.adapter,
                                   quantize=args.quant,
+                                  quantize_text=args.quant_text,
                                   lora_dir=args.lora_dir,
                                   serving_cache=args.serving_cache)
     elif fam == "sd3":
         pipe = load_sd3_pipeline(
             args.ckpt, condition_types=args.condition_types,
             adapter_dir=args.adapter,
-            quantize=None if args.quant == "bf16" else args.quant)
+            quantize=None if args.quant == "bf16" else args.quant,
+            quantize_text=args.quant_text)
     else:
         pipe = load_sana_pipeline(
             args.ckpt, condition_types=args.condition_types,
             adapter_dir=args.adapter,
             quantize=None if args.quant == "bf16" else args.quant,
+            quantize_text=args.quant_text,
             clip_dir=args.clip_dir)
     mesh = None
     if args.mesh_data * args.mesh_expert * args.mesh_model > 1:

@@ -23,6 +23,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from unigen_tpu.layers.core import linear
+
 
 @dataclass(frozen=True)
 class GemmaConfig:
@@ -72,7 +74,8 @@ def _attention(p, cfg: GemmaConfig, x, cos, sin, mask):
     h, kvh, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     def proj(name, nh):
-        return (x @ p[name]["w"]).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        # linear() dispatches the quantized {w_q,w_scale} serving leaves too
+        return linear(p[name], x).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
     q, k, v = proj("q", h), proj("k", kvh), proj("v", kvh)
     q = q * cos + _rotate_half(q) * sin
@@ -89,7 +92,7 @@ def _attention(p, cfg: GemmaConfig, x, cos, sin, mask):
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
-    return out @ p["o"]["w"]
+    return linear(p["o"], out)
 
 
 def _layer(p, cfg: GemmaConfig, x, cos, sin, mask):
@@ -97,8 +100,8 @@ def _layer(p, cfg: GemmaConfig, x, cos, sin, mask):
     h = _attention(p["attn"], cfg, h, cos, sin, mask)
     x = x + _rms(p["post_attn_ln"], h, cfg.rms_norm_eps)
     h = _rms(p["pre_ff_ln"], x, cfg.rms_norm_eps)
-    gate = jax.nn.gelu(h @ p["gate"]["w"], approximate=True)
-    h = (gate * (h @ p["up"]["w"])) @ p["down"]["w"]
+    gate = jax.nn.gelu(linear(p["gate"], h), approximate=True)
+    h = linear(p["down"], gate * linear(p["up"], h))
     return x + _rms(p["post_ff_ln"], h, cfg.rms_norm_eps)
 
 

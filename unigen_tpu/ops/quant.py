@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -280,6 +280,31 @@ def quantize_tree(params: Any, *, min_dim: int = 512,
             return type(node)(_walk(v, path) for v in node)
         return node
     return _walk(params, ())
+
+
+#: min(in,out) below which a text-tower linear stays fp. Module-level so
+#: tests can exercise the loader wiring at tiny widths.
+TEXT_QUANT_MIN_DIM = 512
+
+
+def quantize_text_tower(params: Any, *, bits: int = 8,
+                        min_dim: Optional[int] = None,
+                        donate: bool = True) -> Any:
+    """Serving quantization for prompt-encoder towers (T5/CLIP/Gemma).
+
+    The reference serves every text encoder bf16 (infer.py:115-149) — on one
+    v5e that makes T5-XXL (~9.4 GiB bf16) the single biggest tenant, bigger
+    than the W4A8 12B transformer itself. int8 halves it (int4 quarters it)
+    and every tower already routes its matmuls through ``layers.core.linear``,
+    which dispatches the {w_q,w_scale}/{w_q4,w_scale} leaves.
+
+    skip=() on purpose: text towers have no MoE router — Gemma's MLP "gate"
+    is a real [d, ff] matmul (the default skip list is for UniGen control
+    trees). Embedding tables / norms / rel-bias stay fp (raw arrays, no 'w'
+    dict)."""
+    md = TEXT_QUANT_MIN_DIM if min_dim is None else min_dim
+    return quantize_tree_streaming(params, bits=bits, skip=(), min_dim=md,
+                                   donate=donate)
 
 
 def quantize_unigen_serving(params: dict, *, base_bits: int = 4,

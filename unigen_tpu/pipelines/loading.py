@@ -37,6 +37,7 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
                        adapter_dir: Optional[str] = None,
                        dtype=jnp.bfloat16, control_overrides: Optional[dict] = None,
                        quantize: Optional[str] = None,
+                       quantize_text: Optional[str] = None,
                        lora_dir: Optional[str] = None,
                        lora_adapter_names: Optional[Sequence[str]] = None,
                        serving_cache: Optional[str] = None):
@@ -158,6 +159,8 @@ def load_flux_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
     t5_params = tb.load_t5_encoder(
         tb.read_checkpoint_dir(os.path.join(root, "text_encoder_2")),
         t5_cfg.num_layers, dtype=dtype)
+    clip_params = _quantize_text(clip_params, quantize_text)
+    t5_params = _quantize_text(t5_params, quantize_text)
 
     sch_raw = _subcfg(root, "scheduler") or {}
     scheduler = scheduling.FlowMatchConfig(
@@ -258,6 +261,22 @@ def _load_clip_bundle(root: str, sub: str, tok_sub: str):
     return params, ccfg, tokenizer
 
 
+def _quantize_text(params, quantize_text: Optional[str]):
+    """Apply the text-tower serving policy (ops/quant.quantize_text_tower)
+    to a loaded encoder tree. 'w8a8' -> int8, 'w4a8' -> int4 nibble-packed.
+    The reference serves all text encoders bf16 (infer.py:115-149); on one
+    v5e the bf16 T5-XXL alone (~9.4 GiB) cannot co-reside with the W4A8
+    transformer — this knob is what makes the full prompt->image stack
+    single-chip resident."""
+    if params is None or quantize_text is None:
+        return params
+    if quantize_text not in ("w8a8", "w4a8"):
+        raise ValueError(f"quantize_text must be 'w8a8'/'w4a8', got {quantize_text!r}")
+    from unigen_tpu.ops import quant
+    return quant.quantize_text_tower(
+        params, bits=4 if quantize_text == "w4a8" else 8)
+
+
 def _quantize_unigen_tree(base, control, quantize: Optional[str]):
     """Apply the serving quantization policy to a loaded sd3/sana
     {base, control} pair. 'w8a8' -> int8 everywhere eligible; 'w4a8' ->
@@ -277,7 +296,8 @@ def _quantize_unigen_tree(base, control, quantize: Optional[str]):
 def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),
                       adapter_dir: Optional[str] = None,
                       dtype=jnp.float32, control_overrides: Optional[dict] = None,
-                      quantize: Optional[str] = None):
+                      quantize: Optional[str] = None,
+                      quantize_text: Optional[str] = None):
     """Build a UniGenSD3Pipeline from an SD3.5 HF directory (reference
     train.py:259-307 asset loading for the SD3 family). Text encoders load
     from the SD3 triple-encoder layout (text_encoder=CLIP-L,
@@ -335,7 +355,10 @@ def load_sd3_pipeline(root: str, *, condition_types: Sequence[str] = ("depth",),
                     os.path.join(root, "tokenizer_3"))
             except Exception:
                 pass
-            t5 = (t5_params, t5_cfg, tok3)
+            t5 = (_quantize_text(t5_params, quantize_text), t5_cfg, tok3)
+        if quantize_text:
+            clip_l = (_quantize_text(clip_l[0], quantize_text),) + clip_l[1:]
+            clip_g = (_quantize_text(clip_g[0], quantize_text),) + clip_g[1:]
         text_encoders = {"clip_l": clip_l, "clip_g": clip_g, "t5": t5}
 
     vcfg_raw = _subcfg(root, "vae")
@@ -382,6 +405,7 @@ def load_sana_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
                        adapter_dir: Optional[str] = None,
                        dtype=jnp.float32, control_overrides: Optional[dict] = None,
                        quantize: Optional[str] = None,
+                       quantize_text: Optional[str] = None,
                        dcae_dir: Optional[str] = None,
                        clip_dir: Optional[str] = None):
     """Build a UniGenSanaPipeline from a SANA HF directory (reference
@@ -444,6 +468,7 @@ def load_sana_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
         gemma_cfg = gemma_config_from_json(_subcfg(root, "text_encoder"))
         gemma_params = tb.load_gemma_text(tb.read_checkpoint_dir(enc_dir),
                                           gemma_cfg.num_layers, dtype=dtype)
+        gemma_params = _quantize_text(gemma_params, quantize_text)
         try:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(
@@ -461,6 +486,7 @@ def load_sana_pipeline(root: str, *, condition_types: Sequence[str] = ("canny",)
         clip_cfg = _clip_cfg_from_json(raw)
         clip_params = tb.load_clip_text(tb.read_checkpoint_dir(clip_dir),
                                         clip_cfg.num_layers, dtype=jnp.float32)
+        clip_params = _quantize_text(clip_params, quantize_text)
         try:
             from transformers import CLIPTokenizer
             tokenizer_clip = CLIPTokenizer.from_pretrained(clip_dir)
