@@ -9,6 +9,9 @@ Requests arrive as JSON lines on stdin, images leave as PNGs:
   {"prompt": "a cat", "condition": "canny", "control": "path/in.png",
    "out": "path/out.png"}
 
+Under --step-server, {"cancel": "path/out.png"} abandons that in-flight
+request (its slot stops consuming step compute at the next tick).
+
 The reference ships only a dataset-loop infer script (infer.py:115-219);
 this is the deployment-shaped equivalent for a TPU serving box. Demo mode:
 
@@ -205,11 +208,22 @@ def _serve_steps(pipe, args, mesh=None):
             print(out_path, flush=True)
         return cb
 
+    pending = {}                  # out path -> in-flight Future
     for line in sys.stdin:
         line = line.strip()
         if not line:
             continue
         req = json.loads(line)
+        if "cancel" in req:
+            # {"cancel": "<out path>"}: abandon an in-flight request — its
+            # slot stops consuming step compute at the next tick boundary
+            # (StepServer sweeps cancelled futures). Best-effort: a request
+            # whose image already landed refuses the cancel.
+            f = pending.get(req["cancel"])
+            ok = bool(f is not None and f.cancel())
+            print(f"# cancel {req['cancel']}: "
+                  f"{'ok' if ok else 'not pending'}", file=sys.stderr)
+            continue
         pil = Image.open(req["control"]).convert("RGB").resize(
             (res, res), Image.LANCZOS)
         img = (np.asarray(pil, np.float32) / 127.5 - 1.0
@@ -242,7 +256,9 @@ def _serve_steps(pipe, args, mesh=None):
                          pooled=np.asarray(pooled),
                          cond_pooled=np.asarray(cond_pooled),
                          control_pixels=img, wait=True, **extra)
+        pending[req["out"]] = fut
         fut.add_done_callback(_save(req["out"]))
+        fut.add_done_callback(lambda _f, k=req["out"]: pending.pop(k, None))
     srv.drain()
     st = srv.stats()
     srv.close()

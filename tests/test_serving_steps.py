@@ -328,6 +328,63 @@ def test_step_server_adaptive_validation(tiny_world):
                    adaptive_lag=1, dtype=jnp.float32)
 
 
+def test_step_server_cancel_frees_slot(tiny_world):
+    """Standard Future.cancel() is the abandonment API: a cancelled request's
+    slot must be reclaimed at the next tick boundary (a blocked submit on a
+    full server unblocks), the cancelled future must raise CancelledError,
+    and later occupants of the slot must still equal the one-shot pipeline."""
+    import concurrent.futures as cf
+    cfg, params, vae_cfg, vae_params = tiny_world
+    req_a, req_b = _request(700, cfg), _request(701, cfg)
+    ref_b = _pipeline_reference(tiny_world, req_b, steps=3)
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=1,
+                     num_inference_steps=40, height=32, width=32,
+                     dtype=jnp.float32)
+    fa = srv.submit(**req_a)
+    assert fa.cancel()          # never marked running -> always cancellable
+    # the server is "full" (slot held by the cancelled request until the
+    # sweep); wait=True must unblock once the sweep reclaims it
+    fb = srv.submit(**req_b, num_inference_steps=3, wait=True)
+    out_b = fb.result(timeout=300)
+    stats = srv.stats()
+    srv.close()
+    with pytest.raises(cf.CancelledError):
+        fa.result(timeout=0)
+    assert stats["cancelled"] == 1 and stats["failed"] == 0
+    assert stats["retired"] == 1
+    diff = np.abs(out_b.astype(np.int32) - ref_b.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_cancel_row_independence(tiny_world):
+    """Cancelling one in-flight request must not perturb its tick-mates:
+    survivors' outputs stay identical to the one-shot pipeline (here with a
+    per-slot model cache, so the swept slot's cache indices must not leak
+    into a later occupant either)."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps, k = 5, 2
+    reqs = [_request(710 + i, cfg) for i in range(3)]
+    refs = [_pipeline_reference(tiny_world, r, steps, model_cache_interval=k)
+            for r in reqs]
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=4,
+                     num_inference_steps=steps, height=32, width=32,
+                     model_cache_interval=k, dtype=jnp.float32)
+    futs = [srv.submit(**r) for r in reqs]
+    assert futs[1].cancel()
+    outs = [futs[0].result(timeout=300), futs[2].result(timeout=300)]
+    # reuse of the swept slot: fresh occupant must start at step 0
+    f_again = srv.submit(**reqs[1], wait=True)
+    out_again = f_again.result(timeout=300)
+    stats = srv.stats()
+    srv.close()
+    assert stats["cancelled"] == 1 and stats["failed"] == 0
+    # cancel() on an already-retired future is a no-op refusal
+    assert not futs[0].cancel()
+    for out, ref in zip(outs + [out_again], [refs[0], refs[2], refs[1]]):
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
 def test_step_server_hybrid_error_path_rebuilds_residuals(tiny_world):
     """A failed hybrid tick may have DONATED (invalidated) the residual
     buffers into the failing program — the error path must fail the

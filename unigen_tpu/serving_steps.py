@@ -362,8 +362,8 @@ class StepServer:
         self._replay_fn = None               # zero-refresh tick
         self._lock = threading.Lock()
         self._closed = False
-        self._stats = dict(submitted=0, retired=0, failed=0, ticks=0,
-                           ticks_replay=0, rows_full=0, rows_base=0,
+        self._stats = dict(submitted=0, retired=0, failed=0, cancelled=0,
+                           ticks=0, ticks_replay=0, rows_full=0, rows_base=0,
                            rows_refresh=0, rows_pad=0, active_row_steps=0)
         self._work = threading.Condition(self._lock)
         self._step_fn = None                    # built lazily (needs T)
@@ -1114,6 +1114,22 @@ class StepServer:
             self._work.notify()
         return fut
 
+    def _sweep_cancelled(self):
+        """Free slots whose future was cancelled (lock held). Standard
+        ``Future.cancel()`` is the cancellation API: the server never marks
+        futures running, so a cancel succeeds any time before the result
+        lands, and the slot is reclaimed at the next tick boundary —
+        abandoned requests (client disconnects) stop consuming step compute
+        within one tick."""
+        freed = False
+        for i, s in enumerate(self._slots):
+            if s.future is not None and s.future.cancelled():
+                self._slots[i] = _Slot()
+                self._stats["cancelled"] += 1
+                freed = True
+        if freed:
+            self._work.notify_all()   # wake blocking submits
+
     def close(self):
         with self._work:
             self._closed = True
@@ -1128,7 +1144,7 @@ class StepServer:
         for f in futs:
             try:
                 f.result()
-            except Exception:
+            except BaseException:   # incl. CancelledError (not an Exception)
                 pass
 
     # ------------------------------------------------------------ worker
@@ -1142,8 +1158,10 @@ class StepServer:
         inflight = collections.deque()   # recent tick outputs; bounded window
         while True:
             with self._work:
+                self._sweep_cancelled()
                 while not self._closed and all(s.free for s in self._slots):
                     self._work.wait()
+                    self._sweep_cancelled()
                 if self._closed and all(s.free for s in self._slots):
                     return
                 # apply deferred admissions (no tick is in flight here)
