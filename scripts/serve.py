@@ -166,19 +166,34 @@ def _serve_steps(pipe, args, mesh=None):
         kw["guidance_scale"] = args.guidance_scale
     elif cfg.family == "sd3":
         kw["guidance_scale"] = 7.0       # the sd3 pipeline default
-    srv = StepServer(cfg, pipe.params,
-                     batch_size=args.batch_size,
-                     num_inference_steps=args.steps,
-                     height=args.resolution, width=args.resolution,
-                     scheduler=pipe.scheduler,
-                     model_cache_interval=args.model_cache_interval,
-                     model_cache_order=args.model_cache_order,
-                     control_cache_interval=args.control_cache_interval,
-                     model_cache_threshold=args.model_cache_threshold,
-                     control_cache_threshold=args.control_cache_threshold,
-                     adaptive_lag=args.adaptive_lag,
-                     residual_cache_bits=args.residual_cache_bits,
-                     mesh=mesh, **kw)
+    common = dict(batch_size=args.batch_size,
+                  num_inference_steps=args.steps,
+                  scheduler=pipe.scheduler,
+                  model_cache_interval=args.model_cache_interval,
+                  model_cache_order=args.model_cache_order,
+                  control_cache_interval=args.control_cache_interval,
+                  model_cache_threshold=args.model_cache_threshold,
+                  control_cache_threshold=args.control_cache_threshold,
+                  adaptive_lag=args.adaptive_lag,
+                  residual_cache_bits=args.residual_cache_bits,
+                  mesh=mesh, **kw)
+    if args.resolutions:
+        # mixed-resolution serving: one shared weight tree, a StepServer
+        # bucket per resolution; per-request routing below by the JSON
+        # "resolution" key (default --resolution)
+        from unigen_tpu.serving_steps import MultiResolutionStepServer
+        buckets = {}
+        for part in args.resolutions.split(","):
+            r, _, s = part.partition(":")
+            buckets[int(r)] = dict(batch_size=int(s)) if s else {}
+        if args.resolution not in buckets:
+            buckets[args.resolution] = {}
+        srv = MultiResolutionStepServer(cfg, pipe.params, buckets=buckets,
+                                        **common)
+    else:
+        srv = StepServer(cfg, pipe.params,
+                         height=args.resolution, width=args.resolution,
+                         **common)
     if args.warmup:
         # pre-compile the whole program ladder before reading stdin: the
         # deployment text length comes from encoding a dummy prompt through
@@ -224,8 +239,11 @@ def _serve_steps(pipe, args, mesh=None):
             print(f"# cancel {req['cancel']}: "
                   f"{'ok' if ok else 'not pending'}", file=sys.stderr)
             continue
+        # per-request resolution (multi-resolution server: the router picks
+        # the bucket from the control image's [..., H, W] shape)
+        r = int(req.get("resolution", res))
         pil = Image.open(req["control"]).convert("RGB").resize(
-            (res, res), Image.LANCZOS)
+            (r, r), Image.LANCZOS)
         img = (np.asarray(pil, np.float32) / 127.5 - 1.0
                ).transpose(2, 0, 1)[None]
         cond_name = req.get("condition", args.condition_types[0])
@@ -381,6 +399,16 @@ def main(argv=None):
                          "--quality-profile (fixed-interval operating "
                          "points), and the adaptive --*-cache-threshold "
                          "knobs (per-slot drift-triggered refresh)")
+    ap.add_argument("--resolutions", default=None,
+                    help="step-server only: comma-separated 'res[:slots]' "
+                         "list (e.g. '512:4,1024:2') — serve MIXED "
+                         "resolutions from ONE weight tree, a StepServer "
+                         "bucket per resolution (serving_steps."
+                         "MultiResolutionStepServer); requests route by the "
+                         "JSON 'resolution' key (default --resolution). "
+                         "Unlisted knobs are shared; per-bucket ':slots' "
+                         "overrides --batch-size (fewer, bigger slots at "
+                         "high resolutions)")
     ap.add_argument("--warmup", action="store_true",
                     help="step-server only: pre-compile the whole gathered-"
                          "program ladder with synthetic requests before "
@@ -432,6 +460,10 @@ def main(argv=None):
     if args.warmup and not args.step_server:
         ap.error("--warmup is wired for --step-server (the request-batched "
                  "server compiles each ladder size lazily on first use)")
+    if args.resolutions and not args.step_server:
+        ap.error("--resolutions (mixed-resolution buckets) is wired for "
+                 "--step-server; the request-batched server is single-"
+                 "resolution (--resolution)")
     if args.demo or not args.ckpt:
         if args.step_server:
             return _demo_steps(args.batch_size, args.model_cache_interval,

@@ -133,6 +133,34 @@ def test_serve_cli_step_server_quality_profile(tmp_path):
     assert "quality_profile" in proc.stderr, proc.stderr[-2000:]
 
 
+def test_serve_cli_multi_resolution(serve_world, tmp_path):
+    """--resolutions serves MIXED resolutions from one weight tree
+    (serving_steps.MultiResolutionStepServer): requests route by the JSON
+    'resolution' key (default --resolution) and each lands at its own output
+    size; --resolutions without --step-server is rejected."""
+    root, ctrl = serve_world
+    out32 = str(tmp_path / "r32.png")
+    out64 = str(tmp_path / "r64.png")
+    rc, out, err = _run_serve(
+        ["--ckpt", root, "--quant", "bf16", "--batch-size", "1",
+         "--steps", "2", "--resolution", "32", "--prompt-cache", "0",
+         "--step-server", "--resolutions", "32,64:1"],
+        [{"prompt": "a cat", "condition": "canny",
+          "control": ctrl, "out": out32},
+         {"prompt": "a dog", "condition": "canny", "resolution": 64,
+          "control": ctrl, "out": out64}])
+    assert rc == 0, err[-2000:]
+    for path, h in ((out32, 32), (out64, 64)):
+        assert os.path.exists(path), (out, err[-2000:])
+        assert np.asarray(Image.open(path)).shape == (h, h, 3)
+    bad = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "serve.py"),
+         "--demo", "--resolutions", "32,64"],
+        capture_output=True, text=True, env=ENV, timeout=120)
+    assert bad.returncode != 0
+    assert "--resolutions" in bad.stderr, bad.stderr[-1000:]
+
+
 @pytest.fixture(scope="module")
 def sd3_serve_world(tmp_path_factory):
     import tests.test_from_pretrained as tfp

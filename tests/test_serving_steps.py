@@ -12,7 +12,7 @@ from unigen_tpu import config as cfg_lib
 from unigen_tpu.models import vae as vae_lib
 from unigen_tpu.models.unigen_flux import init_unigen_flux_params
 from unigen_tpu.pipelines.flux import UniGenFluxPipeline
-from unigen_tpu.serving_steps import StepServer
+from unigen_tpu.serving_steps import MultiResolutionStepServer, StepServer
 
 
 @pytest.fixture(scope="module")
@@ -383,6 +383,56 @@ def test_step_server_cancel_row_independence(tiny_world):
     for out, ref in zip(outs + [out_again], [refs[0], refs[2], refs[1]]):
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_multires_step_server_routes_and_matches_pipeline(tiny_world):
+    """MultiResolutionStepServer: one shared weight tree, one bucket per
+    resolution. Requests route by explicit resolution= or by the control
+    image's [..., H, W] shape; each bucket's outputs must equal the one-shot
+    pipeline at that resolution; stats aggregate per bucket + total; an
+    unserved resolution is rejected with the bucket list."""
+    cfg, params, vae_cfg, vae_params = tiny_world
+    pipe = UniGenFluxPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                              vae_params=vae_params, dtype=jnp.float32)
+
+    def req(i, h):
+        ks = jax.random.split(jax.random.PRNGKey(900 + i), 4)
+        s_img = (h // 4) ** 2          # tiny VAE downscale 2, patch pack 2
+        return dict(
+            prompt_embeds=jax.random.normal(
+                ks[0], (1, 8, cfg.flux.joint_attention_dim), jnp.float32),
+            pooled=jax.random.normal(
+                ks[1], (1, cfg.flux.pooled_projection_dim), jnp.float32),
+            cond_pooled=jax.random.normal(
+                ks[2], (1, cfg.flux.pooled_projection_dim), jnp.float32),
+            control_pixels=jax.random.normal(ks[3], (1, 3, h, h),
+                                             jnp.float32),
+            latents=jax.random.normal(
+                jax.random.PRNGKey(950 + i),
+                (1, s_img, cfg.flux.in_channels), jnp.float32))
+
+    steps = 2
+    r_small, r_big = req(0, 32), req(1, 64)
+    refs = [pipe.generate(height=h, width=h, num_inference_steps=steps, **r)
+            for h, r in ((32, r_small), (64, r_big))]
+
+    srv = MultiResolutionStepServer(
+        cfg, params, vae_cfg, vae_params,
+        buckets={32: dict(batch_size=2), (64, 64): dict(batch_size=1)},
+        num_inference_steps=steps, dtype=jnp.float32)
+    f_small = srv.submit(**r_small)             # inferred from control shape
+    f_big = srv.submit(resolution=64, **r_big)  # explicit square int
+    outs = [f_small.result(timeout=300), f_big.result(timeout=300)]
+    with pytest.raises(KeyError, match="no bucket for resolution"):
+        srv.submit(resolution=128, **r_small)
+    st = srv.stats()
+    srv.close()
+    for out, ref, h in zip(outs, refs, (32, 64)):
+        assert out.shape == (1, h, h, 3)
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"{h}px max diff {diff.max()}"
+    assert st["32x32"]["retired"] == 1 and st["64x64"]["retired"] == 1
+    assert st["total"]["retired"] == 2 and st["total"]["failed"] == 0
 
 
 def test_step_server_hybrid_error_path_rebuilds_residuals(tiny_world):

@@ -1325,3 +1325,108 @@ class StepServer:
             except Exception as e:
                 if not fut.done():
                     fut.set_exception(e)
+
+
+class MultiResolutionStepServer:
+    """Mixed-resolution step serving: one weight tree, one StepServer
+    bucket per output resolution.
+
+    A production box serves 512² and 1024² requests from the same model,
+    but every compiled program is shape-static on TPU — so each resolution
+    needs its own tick programs and slot state. The expensive tenant is the
+    WEIGHT tree (GBs); per-bucket slot state (latents, stream rows,
+    prediction/residual caches) is MBs-to-hundreds-of-MBs. This router
+    therefore shares ONE placed params/vae tree across all buckets (the
+    buckets' jitted programs close over nothing — params ride as arguments,
+    so the same device buffers serve every program) and routes each request
+    to the bucket matching its resolution. Bucket step loops dispatch
+    asynchronously and the device interleaves their programs; each keeps
+    its own bounded in-flight window.
+
+    ``buckets`` maps a resolution — an int (square) or an ``(h, w)`` pair —
+    to per-bucket ``StepServer`` overrides (``batch_size`` is the usual one:
+    fewer, bigger slots at high resolutions). All other keyword arguments
+    are shared server defaults. ``submit`` routes by ``resolution=`` (int or
+    pair); when omitted, the bucket is inferred from ``control_pixels``'
+    trailing [..., H, W] shape — the control image is resized to the output
+    resolution by every calling path, so its shape IS the request's
+    resolution.
+
+    The reference serves one fixed resolution per process
+    (infer.py:50-62 argparse height/width); this is beyond-parity serving
+    capability, same as StepServer itself."""
+
+    def __init__(self, cfg: UniGenConfig, params, vae_cfg=None,
+                 vae_params=None, *, buckets, mesh=None, **common):
+        assert buckets, "need at least one resolution bucket"
+        if mesh is not None:
+            # place the shared tree ONCE here (StepServer re-placement of
+            # already-placed leaves is a no-op, but doing it up front makes
+            # the sharing explicit and keeps bucket construction cheap)
+            from unigen_tpu.parallel import sharding as shd
+            params = shd.shard_params(params, mesh)
+            if vae_params is not None:
+                vae_params = jax.device_put(vae_params, shd.replicated(mesh))
+        self.servers: Dict[tuple, StepServer] = {}
+        for key in sorted(buckets, key=self._norm):
+            h, w = self._norm(key)
+            kw = dict(common)
+            kw.update(buckets[key] or {})
+            self.servers[(h, w)] = StepServer(
+                cfg, params, vae_cfg, vae_params, height=h, width=w,
+                mesh=mesh, **kw)
+
+    @staticmethod
+    def _norm(key) -> tuple:
+        return (key, key) if isinstance(key, int) else tuple(key)
+
+    def _bucket(self, resolution, control_pixels) -> StepServer:
+        if resolution is None:
+            shape = getattr(control_pixels, "shape", None)
+            assert shape is not None and len(shape) >= 2, \
+                "cannot infer the resolution bucket without control_pixels"
+            resolution = (int(shape[-2]), int(shape[-1]))
+        key = self._norm(resolution)
+        if key not in self.servers:
+            raise KeyError(
+                f"no bucket for resolution {key}; serving "
+                f"{sorted(self.servers)} — resize the control image to a "
+                f"served resolution or add the bucket")
+        return self.servers[key]
+
+    def submit(self, *, resolution=None, **request) -> Future:
+        """Admit one request into the bucket for ``resolution`` (int or
+        (h, w); inferred from ``control_pixels`` when omitted). All other
+        keywords are ``StepServer.submit`` keywords — per-request knobs
+        (steps, guidance, keep-windows, seeds) mix freely per bucket."""
+        srv = self._bucket(resolution, request.get("control_pixels"))
+        return srv.submit(**request)
+
+    def warmup(self, t_len: int, rounds: int = 2) -> int:
+        """Pre-compile every bucket's program ladder (StepServer.warmup),
+        sequentially — concurrent warmups would contend for the compiler.
+        Returns the total number of synthetic requests run."""
+        return sum(srv.warmup(t_len, rounds=rounds)
+                   for srv in self.servers.values())
+
+    def stats(self) -> dict:
+        """Per-bucket counter snapshots keyed '<h>x<w>' plus a 'total' row
+        summing the count fields across buckets."""
+        out: Dict[str, Any] = {}
+        total: Dict[str, float] = {}
+        for (h, w), srv in self.servers.items():
+            s = srv.stats()
+            out[f"{h}x{w}"] = s
+            for k, v in s.items():
+                if k != "mean_occupancy":
+                    total[k] = total.get(k, 0) + v
+        out["total"] = total
+        return out
+
+    def drain(self):
+        for srv in self.servers.values():
+            srv.drain()
+
+    def close(self):
+        for srv in self.servers.values():
+            srv.close()
