@@ -37,6 +37,13 @@ Env knobs:
                         rung at full topology — rank-r factors over the
                         FROZEN W4A8 tree (TrainConfig.lora_rank; surface
                         ladder shrinks on OOM) -> TRAIN_LORA.json rows.
+  UNIGEN_BENCH_STEP_MULTIRES=<res[:slots[:resbits]],...>  flux StepServer
+                        rung only: MIXED-resolution serving — one weight
+                        tree, a StepServer bucket per resolution
+                        (MultiResolutionStepServer), saturating load fed
+                        concurrently to every bucket; per-slot hybrid cache
+                        from _STEP_CACHE/_STEP_HYBRID (defaults 2/4)
+                        -> STEPSERVE_MULTIRES.json.
   UNIGEN_BENCH_STEP_ADAPTIVE=<tc:tm[:lag]>  flux StepServer rung only:
                         adaptive per-slot drift thresholds instead of fixed
                         intervals ("0.05:0.02" fully-adaptive hybrid,
@@ -1928,6 +1935,8 @@ def bench_stepserver():
         return bench_stepserver_sana()
     if fam == "sd3":
         return bench_stepserver_sd3()
+    if os.environ.get("UNIGEN_BENCH_STEP_MULTIRES"):
+        return bench_stepserver_multires()
     res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
     B = int(os.environ.get("UNIGEN_BENCH_STEP_SLOTS", "4"))
     # UNIGEN_BENCH_STEP_CACHE=k composes the per-slot model cache with
@@ -2088,6 +2097,184 @@ def bench_stepserver():
     print(json.dumps({
         "metric": f"unigen_flux_stepserver{ctag}_{res}px_images_per_sec",
         "value": round(sustained, 4), "unit": "images/sec/chip",
+        "vs_baseline": 0.0, "config": doc["config"]}))
+
+
+def bench_stepserver_multires():
+    """UNIGEN_BENCH_STEPSERVER=1 UNIGEN_BENCH_STEP_MULTIRES=
+    "res[:slots[:resbits]],..." (e.g. "512:2:8,1024:1:4"): MIXED-resolution
+    step serving — ONE full-topology W4A8 weight tree, a StepServer bucket
+    per resolution (serving_steps.MultiResolutionStepServer), saturating
+    load fed CONCURRENTLY to every bucket (one feeder thread per bucket —
+    a blocking submit on one bucket must not starve the others). Per-slot
+    hybrid cache from UNIGEN_BENCH_STEP_CACHE / _STEP_HYBRID (defaults
+    (4, 2) — the measured record schedule); per-bucket ':resbits' overrides
+    the residual-cache dtype (int4 is the 1024² residency lever). Measures
+    per-bucket warm single-request latency + per-bucket AND aggregate
+    sustained under co-residency. Writes STEPSERVE_MULTIRES.json."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu import config as C, presets
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.ops.quant import quantize_unigen_serving, quantized_bytes
+    from unigen_tpu.serving_steps import MultiResolutionStepServer
+
+    spec = os.environ["UNIGEN_BENCH_STEP_MULTIRES"]
+    cache_k = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE", "2"))
+    cache_c = int(os.environ.get("UNIGEN_BENCH_STEP_HYBRID", "4"))
+    res_bits = int(os.environ.get("UNIGEN_BENCH_STEP_RESBITS", "8"))
+    num_steps = 4
+    preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
+    cfg_base = {"full": presets.flux_full, "proxy": presets.flux_bench,
+                "tiny": presets.tiny}[preset]()
+    cfg = C.replace(cfg_base, control=C.replace(
+        cfg_base.control, moe=C.replace(cfg_base.control.moe,
+                                        batch_mode="per_sample")))
+    bb = cfg.flux
+    dtype = jnp.bfloat16
+
+    buckets = {}
+    for part in spec.split(","):
+        fields = part.split(":")
+        r, kw = int(fields[0]), {}
+        if len(fields) > 1 and fields[1]:
+            kw["batch_size"] = int(fields[1])
+        if len(fields) > 2 and fields[2]:
+            kw["residual_cache_bits"] = int(fields[2])
+        buckets[r] = kw
+
+    def _init(k):
+        p = init_unigen_flux_params(k, cfg, dtype=dtype)
+        return quantize_unigen_serving(p) if preset != "tiny" else p
+
+    t0 = time.time()
+    params = (direct_quantized_init(jax.random.PRNGKey(0), _init)
+              if preset != "tiny" else jax.jit(_init)(jax.random.PRNGKey(0)))
+    jax.block_until_ready(params)
+    print(f"# multires init {time.time()-t0:.1f}s resident="
+          f"{quantized_bytes(params)/2**30:.2f}GiB buckets={buckets}",
+          file=sys.stderr)
+
+    vae_cfg = (vae_lib.tiny_vae_config(latent_channels=bb.in_channels // 4)
+               if preset == "tiny" else vae_lib.VAEConfig())
+    vae_params = jax.jit(lambda k: vae_lib.init_vae_params(k, vae_cfg))(
+        jax.random.PRNGKey(1))
+    srv = MultiResolutionStepServer(
+        cfg, params, vae_cfg, vae_params, buckets=buckets,
+        num_inference_steps=num_steps,
+        model_cache_interval=cache_k, control_cache_interval=cache_c,
+        residual_cache_bits=res_bits, dtype=dtype)
+    t_len = 16 if preset == "tiny" else 512
+
+    def request(i, r):
+        ks = jax.random.split(jax.random.PRNGKey(1000 + i), 4)
+        return dict(
+            prompt_embeds=jax.random.normal(
+                ks[0], (1, t_len, bb.joint_attention_dim), dtype),
+            pooled=jax.random.normal(
+                ks[1], (1, bb.pooled_projection_dim), dtype),
+            cond_pooled=jax.random.normal(
+                ks[2], (1, bb.pooled_projection_dim), dtype),
+            control_pixels=jax.random.normal(ks[3], (1, 3, r, r),
+                                             jnp.float32))
+
+    # per bucket, sequentially: cold request (compiles), warm single-request
+    # latency, then full-occupancy warmup so every gathered program size the
+    # schedule can hit is compiled before the timed mixed window
+    rows = {}
+    for bi, ((h, w), bucket) in enumerate(srv.servers.items()):
+        t0 = time.time()
+        srv.submit(resolution=(h, w), **request(bi * 100, h)).result(
+            timeout=3600)
+        cold_s = time.time() - t0
+        t0 = time.perf_counter()
+        srv.submit(resolution=(h, w), **request(bi * 100 + 1, h)).result(
+            timeout=600)
+        lat = time.perf_counter() - t0
+        t0 = time.time()
+        wf = [srv.submit(resolution=(h, w), wait=True,
+                         **request(bi * 100 + 2 + j, h))
+              for j in range(2 * bucket.B)]
+        for f in wf:
+            f.result(timeout=3600)
+        print(f"# bucket {h}x{w}: cold={cold_s:.1f}s warm latency="
+              f"{lat*1000:.0f}ms, warmup {2*bucket.B} reqs "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+        rows[f"{h}x{w}"] = {"slots": bucket.B,
+                            "residual_cache_bits": bucket.res_bits,
+                            "warm_single_request_latency_ms":
+                                round(lat * 1000, 1)}
+
+    # sustained MIXED load: one feeder per bucket so each bucket's blocking
+    # admission holds ITS occupancy at the slot count while the others run —
+    # the device interleaves the buckets' tick programs
+    n_per = {k: 4 * b.B for k, b in srv.servers.items()}
+    done, errs = {}, []
+    barrier = threading.Barrier(len(srv.servers) + 1)
+
+    def feeder(hw_key):
+        h, w = hw_key
+        try:
+            barrier.wait()
+            futs = [srv.submit(resolution=hw_key, wait=True,
+                               **request(5000 + hash(hw_key) % 97 + j, h))
+                    for j in range(n_per[hw_key])]
+            for f in futs:
+                f.result(timeout=600)
+            done[hw_key] = time.perf_counter()
+        except Exception as e:              # pragma: no cover - bench path
+            errs.append(e)
+
+    threads = [threading.Thread(target=feeder, args=(k,), daemon=True)
+               for k in srv.servers]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    wall = time.perf_counter() - t0
+    st = srv.stats()
+    srv.close()
+    agg = sum(n_per.values()) / wall
+    for k, n in n_per.items():
+        key = f"{k[0]}x{k[1]}"
+        # per-bucket rate over ITS OWN completion window (feeders start
+        # together; a bucket that finishes early would otherwise understate)
+        rows[key]["sustained_img_per_sec"] = round(
+            n / (done[k] - t0), 4)
+        rows[key]["requests"] = n
+        print(f"# bucket {key}: {rows[key]['sustained_img_per_sec']} img/s "
+              f"({n} reqs co-resident)", file=sys.stderr)
+    print(f"# aggregate {agg:.3f} img/s over {sum(n_per.values())} mixed "
+          f"requests in {wall:.1f}s", file=sys.stderr)
+
+    doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                     f"w{bb.inner_dim}_multires_{spec.replace(',', '_')}"
+                     f"_hybrid{cache_c}k{cache_k}",
+           "buckets": rows, "num_steps": num_steps,
+           "model_cache_interval": cache_k,
+           "control_cache_interval": cache_c,
+           "residual_cache_bits_default": res_bits,
+           "aggregate_img_per_sec": round(agg, 4),
+           "stats": st,
+           "note": "mixed-resolution serving from ONE weight tree; "
+                   "per-bucket sustained is measured CO-RESIDENT (all "
+                   "buckets under saturating load simultaneously) — compare "
+                   "against the single-resolution STEPSERVE_* records to "
+                   "read the interleaving cost"}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "STEPSERVE_MULTIRES.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({
+        "metric": f"unigen_flux_stepserver_multires_{spec.replace(',', '_')}"
+                  f"_images_per_sec",
+        "value": round(agg, 4), "unit": "images/sec/chip",
         "vs_baseline": 0.0, "config": doc["config"]}))
 
 
