@@ -267,6 +267,7 @@ def _serve_steps(pipe, args, mesh=None):
                                  ("control_start", "control_guidance_start"),
                                  ("control_end", "control_guidance_end"),
                                  ("conditioning_scale", "conditioning_scale"),
+                                 ("priority", "priority"),
                                  ("seed", "seed")):
             if json_key in req:
                 extra[kw_key] = req[json_key]

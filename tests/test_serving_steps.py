@@ -435,6 +435,65 @@ def test_multires_step_server_routes_and_matches_pipeline(tiny_world):
     assert st["total"]["retired"] == 2 and st["total"]["failed"] == 0
 
 
+def test_step_server_priority_admission(tiny_world):
+    """Admission priority: when every slot is busy, a freed slot goes to
+    the highest-priority WAITER, not arrival order (FIFO within a
+    priority). A 1-slot server runs r0; a low-priority submit queues
+    first, a high-priority submit queues second — the high one must admit
+    (and therefore retire) first. In-flight work is never preempted, and
+    every request still produces its own correct image."""
+    import threading
+    import time
+
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 3
+    reqs = [_request(40 + i, cfg) for i in range(3)]
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=1,
+                     num_inference_steps=steps, height=32, width=32,
+                     dtype=jnp.float32)
+    # occupy the only slot with a request long enough that it is still in
+    # flight while both waiters register; cancelling it afterwards frees
+    # the slot DETERMINISTICALLY (at the next tick boundary)
+    f0 = srv.submit(**reqs[0], num_inference_steps=500)
+    retired = []
+    futs = {}
+
+    def blocked_submit(name, req, prio):
+        f = srv.submit(**req, wait=True, priority=prio)
+        futs[name] = f
+        f.add_done_callback(lambda _: retired.append(name))
+
+    def wait_for_heap(n):
+        for _ in range(3000):
+            with srv._work:
+                if len(srv._wait_heap) == n:
+                    return
+            time.sleep(0.01)
+        raise AssertionError(f"waiter {n} never queued")
+
+    t_low = threading.Thread(target=blocked_submit,
+                             args=("low", reqs[1], 0), daemon=True)
+    t_low.start()
+    # the low-priority waiter must be REGISTERED before high arrives
+    wait_for_heap(1)
+    t_high = threading.Thread(target=blocked_submit,
+                              args=("high", reqs[2], 5), daemon=True)
+    t_high.start()
+    wait_for_heap(2)
+    assert f0.cancel()
+    t_low.join(timeout=300)
+    t_high.join(timeout=300)
+    for f in futs.values():
+        f.result(timeout=300)
+    srv.close()
+    assert retired == ["high", "low"], retired
+    # value check: priority changes WHO admits first, never the math
+    ref = _pipeline_reference(tiny_world, reqs[2], steps)
+    diff = np.abs(futs["high"].result().astype(np.int32)
+                  - ref.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
 def test_step_server_hybrid_error_path_rebuilds_residuals(tiny_world):
     """A failed hybrid tick may have DONATED (invalidated) the residual
     buffers into the failing program — the error path must fail the

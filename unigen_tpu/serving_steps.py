@@ -80,6 +80,8 @@ b=1 programs off the hot step loop.
 
 from __future__ import annotations
 
+import heapq
+import itertools
 import threading
 from concurrent.futures import Future
 from dataclasses import dataclass
@@ -366,6 +368,11 @@ class StepServer:
                            ticks=0, ticks_replay=0, rows_full=0, rows_base=0,
                            rows_refresh=0, rows_pad=0, active_row_steps=0)
         self._work = threading.Condition(self._lock)
+        # priority admission: submitters contending for a slot register a
+        # (-priority, arrival_seq) ticket; a free slot goes to the heap top
+        # (highest priority, FIFO within a priority). Guarded by _work.
+        self._wait_heap: List[tuple] = []
+        self._ticket_seq = itertools.count()
         self._step_fn = None                    # built lazily (needs T)
         # retirement (VAE decode + d2h) runs on its OWN thread so the step
         # loop never waits on a host pull — ticks stay back-to-back async
@@ -982,7 +989,8 @@ class StepServer:
                num_inference_steps: Optional[int] = None,
                control_guidance_start: float = 0.0,
                control_guidance_end: float = 1.0,
-               seed: int = 0, latents=None, wait: bool = False) -> Future:
+               seed: int = 0, latents=None, wait: bool = False,
+               priority: int = 0) -> Future:
         """Admit one request (leading dim 1 on every array). Returns a
         Future resolving to a uint8 image [1, H, W, 3]. wait=True blocks
         until a slot frees instead of raising — the saturating-load mode
@@ -1005,7 +1013,17 @@ class StepServer:
           * ``control_guidance_start``/``end`` — the conditioning-scale
             keep-window (reference UniGenPipeline.py:366-372): the control
             branch is ON for steps with start <= i/n and (i+1)/n <= end,
-            folded into the per-step scale exactly like the pipeline."""
+            folded into the per-step scale exactly like the pipeline.
+          * ``priority`` — admission priority under contention (higher
+            wins; FIFO within a priority). When every slot is busy,
+            submitters queue on a priority heap and a freed slot goes to
+            the highest-priority waiter, NOT arrival order — an
+            interactive request jumps a backlog of batch work without
+            preempting anything in flight (admission-level priority only:
+            slots already running are never evicted; worst-case jump-in
+            latency is one request's remaining steps). A ``wait=False``
+            submit also respects the queue: it raises rather than
+            overtaking a waiting higher-or-equal-priority request."""
         fut: Future = Future()
         if self.family == "sana" and guidance_scale is not None:
             raise ValueError("sana denoises without guidance; "
@@ -1045,11 +1063,31 @@ class StepServer:
         with self._work:
             if self._closed:
                 raise RuntimeError("server is closed")
-            idx = next((i for i, s in enumerate(self._slots) if s.free), None)
-            while idx is None and wait and not self._closed:
-                self._work.wait()
-                idx = next((i for i, s in enumerate(self._slots) if s.free),
-                           None)
+            # priority admission: every submitter holds a ticket while it
+            # contends; a free slot may only be taken by the heap top
+            ticket = (-int(priority), next(self._ticket_seq))
+            heapq.heappush(self._wait_heap, ticket)
+            idx = None
+            try:
+                while not self._closed:
+                    idx = next((i for i, s in enumerate(self._slots)
+                                if s.free), None)
+                    if idx is not None and self._wait_heap[0] == ticket:
+                        break
+                    idx = None
+                    if not wait:
+                        break
+                    self._work.wait()
+            finally:
+                if self._wait_heap[0] == ticket:
+                    heapq.heappop(self._wait_heap)
+                else:
+                    self._wait_heap.remove(ticket)
+                    heapq.heapify(self._wait_heap)
+                if self._wait_heap:
+                    # the new heap top may be eligible for another free
+                    # slot while it sleeps — have every waiter re-check
+                    self._work.notify_all()
             if idx is None:
                 raise RuntimeError("server closed" if self._closed
                                    else "no free slot; back off and retry")
