@@ -72,7 +72,11 @@ def test_step_server_matches_pipeline(tiny_world):
     f1 = srv.submit(**reqs[1])
     f2 = srv.submit(**reqs[2])
     outs = [f.result(timeout=300) for f in (f0, f1, f2)]
+    st = srv.stats()
     srv.close()
+    # end-to-end latency percentiles (submit -> image) ride the stats
+    assert st["latency_ms"]["n"] == 3, st
+    assert 0 < st["latency_ms"]["p50"] <= st["latency_ms"]["max"], st
     for out, ref in zip(outs, refs):
         assert out.shape == ref.shape
         # same math modulo fp32 reduction-order noise -> allow ±1 uint8 step

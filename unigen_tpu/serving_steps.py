@@ -80,9 +80,11 @@ b=1 programs off the hot step loop.
 
 from __future__ import annotations
 
+import collections
 import heapq
 import itertools
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass
 from functools import partial
@@ -113,6 +115,7 @@ class _Slot:
     sched: Any = None                  # [num_steps] conditioning-scale
     sigmas: Any = None                 # [num_steps + 1]
     timesteps: Any = None              # [num_steps]
+    t_submit: float = 0.0              # admission wall clock (latency stats)
 
     @property
     def free(self) -> bool:
@@ -373,6 +376,9 @@ class StepServer:
         # (highest priority, FIFO within a priority). Guarded by _work.
         self._wait_heap: List[tuple] = []
         self._ticket_seq = itertools.count()
+        # end-to-end request latencies (admission -> image; incl. any
+        # slot-queue wait), bounded window for percentile stats
+        self._lat_samples: collections.deque = collections.deque(maxlen=2048)
         self._step_fn = None                    # built lazily (needs T)
         # retirement (VAE decode + d2h) runs on its OWN thread so the step
         # loop never waits on a host pull — ticks stay back-to-back async
@@ -418,12 +424,22 @@ class StepServer:
         """Serving counters (snapshot): submitted/retired/failed requests,
         ticks (ticks_replay = ticks that skipped the transformer entirely),
         transformer rows by kind (full / base-with-control-replay / plain
-        refresh), rows_pad (gather padding waste), and mean_occupancy =
-        active_row_steps / (ticks * batch_size)."""
+        refresh), rows_pad (gather padding waste), mean_occupancy =
+        active_row_steps / (ticks * batch_size), and latency_ms —
+        end-to-end request latency percentiles (submit -> image, including
+        any slot-queue wait; sliding window of the last 2048 requests)."""
         with self._lock:
             s = dict(self._stats)
+            samples = list(self._lat_samples)
         s["mean_occupancy"] = (s["active_row_steps"]
                                / (s["ticks"] * self.B) if s["ticks"] else 0.0)
+        if samples:
+            arr = np.sort(np.asarray(samples, np.float64))
+            s["latency_ms"] = {
+                "n": int(arr.size),
+                "p50": round(float(np.percentile(arr, 50)), 1),
+                "p95": round(float(np.percentile(arr, 95)), 1),
+                "max": round(float(arr[-1]), 1)}
         return s
 
     def warmup(self, t_len: int, rounds: int = 2) -> int:
@@ -1147,7 +1163,8 @@ class StepServer:
                 payload["mask"] = prompt_mask[0]
             self._slots[idx] = _Slot(
                 future=fut, step=0, payload=payload, num_steps=n_steps,
-                guidance=g, sched=sched, sigmas=sig, timesteps=tst)
+                guidance=g, sched=sched, sigmas=sig, timesteps=tst,
+                t_submit=time.perf_counter())
             self._stats["submitted"] += 1
             self._work.notify()
         return fut
@@ -1343,7 +1360,8 @@ class StepServer:
                         # hand the finished ROW (a device slice of new_lat —
                         # immutable, so later ticks can't clobber it) to the
                         # retirement thread; the step loop moves straight on
-                        self._retire_q.put((new_lat[i:i + 1], s.future))
+                        self._retire_q.put((new_lat[i:i + 1], s.future,
+                                            s.t_submit))
                         self._slots[i] = _Slot()
                         self._stats["retired"] += 1
                         self._work.notify_all()   # wake blocking submits
@@ -1353,13 +1371,16 @@ class StepServer:
             item = self._retire_q.get()
             if item is None:
                 return
-            lat_row, fut = item
+            lat_row, fut, t_sub = item
             try:
                 px = self._decode(self.vae_params, lat_row)
                 img = ((np.asarray(px, np.float32).transpose(0, 2, 3, 1)
                         + 1) * 127.5).round().astype(np.uint8)
                 if not fut.done():
                     fut.set_result(img)
+                    dt_ms = (time.perf_counter() - t_sub) * 1000.0
+                    with self._lock:
+                        self._lat_samples.append(dt_ms)
             except Exception as e:
                 if not fut.done():
                     fut.set_exception(e)
@@ -1449,14 +1470,15 @@ class MultiResolutionStepServer:
 
     def stats(self) -> dict:
         """Per-bucket counter snapshots keyed '<h>x<w>' plus a 'total' row
-        summing the count fields across buckets."""
+        summing the count fields across buckets (per-bucket distributions —
+        mean_occupancy, latency_ms — don't sum and stay per-bucket)."""
         out: Dict[str, Any] = {}
         total: Dict[str, float] = {}
         for (h, w), srv in self.servers.items():
             s = srv.stats()
             out[f"{h}x{w}"] = s
             for k, v in s.items():
-                if k != "mean_occupancy":
+                if k != "mean_occupancy" and isinstance(v, (int, float)):
                     total[k] = total.get(k, 0) + v
         out["total"] = total
         return out
