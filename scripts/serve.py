@@ -176,6 +176,7 @@ def _serve_steps(pipe, args, mesh=None):
                   control_cache_threshold=args.control_cache_threshold,
                   adaptive_lag=args.adaptive_lag,
                   residual_cache_bits=args.residual_cache_bits,
+                  max_waiters=args.max_waiters,
                   mesh=mesh, **kw)
     if args.resolutions:
         # mixed-resolution serving: one shared weight tree, a StepServer
@@ -212,6 +213,9 @@ def _serve_steps(pipe, args, mesh=None):
           f"JSON lines on stdin", file=sys.stderr)
     res = args.resolution
 
+    import itertools as _it
+    _done_seq = _it.count(1)
+
     def _save(out_path):
         def cb(fut):
             if fut.cancelled() or fut.exception() is not None:
@@ -221,6 +225,10 @@ def _serve_steps(pipe, args, mesh=None):
                 return
             Image.fromarray(fut.result()[0]).save(out_path)
             print(out_path, flush=True)
+            # live observability: periodic counter/latency/throughput
+            # snapshot to stderr every N completed requests
+            if args.stats_every and next(_done_seq) % args.stats_every == 0:
+                print(f"# stats: {json.dumps(srv.stats())}", file=sys.stderr)
         return cb
 
     pending = {}                  # out path -> in-flight Future
@@ -268,13 +276,20 @@ def _serve_steps(pipe, args, mesh=None):
                                  ("control_end", "control_guidance_end"),
                                  ("conditioning_scale", "conditioning_scale"),
                                  ("priority", "priority"),
+                                 ("timeout", "timeout"),
                                  ("seed", "seed")):
             if json_key in req:
                 extra[kw_key] = req[json_key]
-        fut = srv.submit(prompt_embeds=np.asarray(embeds),
-                         pooled=np.asarray(pooled),
-                         cond_pooled=np.asarray(cond_pooled),
-                         control_pixels=img, wait=True, **extra)
+        try:
+            fut = srv.submit(prompt_embeds=np.asarray(embeds),
+                             pooled=np.asarray(pooled),
+                             cond_pooled=np.asarray(cond_pooled),
+                             control_pixels=img, wait=True, **extra)
+        except (TimeoutError, RuntimeError) as e:
+            # admission timeout / backpressure rejection: shed this request
+            # and keep serving (the caller sees the reason on stderr)
+            print(f"# {req['out']}: rejected ({e})", file=sys.stderr)
+            continue
         pending[req["out"]] = fut
         fut.add_done_callback(_save(req["out"]))
         fut.add_done_callback(lambda _f, k=req["out"]: pending.pop(k, None))
@@ -410,6 +425,13 @@ def main(argv=None):
                          "Unlisted knobs are shared; per-bucket ':slots' "
                          "overrides --batch-size (fewer, bigger slots at "
                          "high resolutions)")
+    ap.add_argument("--stats-every", type=int, default=0,
+                    help="step-server: print a stats() snapshot to stderr "
+                         "every N completed requests (0 = only at drain)")
+    ap.add_argument("--max-waiters", type=int, default=None,
+                    help="step-server backpressure: reject wait=True "
+                         "admissions beyond this many queued waiters "
+                         "(stats()['rejected']); default unbounded")
     ap.add_argument("--warmup", action="store_true",
                     help="step-server only: pre-compile the whole gathered-"
                          "program ladder with synthetic requests before "

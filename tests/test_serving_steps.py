@@ -1003,3 +1003,61 @@ def test_step_server_sana_sharded_matches_pipeline(tiny_sana_world):
         assert out.shape == ref.shape
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_step_server_admission_timeout_and_backpressure(tiny_world):
+    """Load shedding at the admission boundary: a wait=True submit with a
+    ``timeout`` raises TimeoutError once the window passes with no slot
+    (its ticket leaves the queue), and with ``max_waiters`` set, submits
+    beyond the queued-waiter cap are rejected immediately. In-flight work
+    is untouched and the server keeps serving afterwards."""
+    import threading
+    import time
+
+    cfg, params, vae_cfg, vae_params = tiny_world
+    reqs = [_request(60 + i, cfg) for i in range(4)]
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=1,
+                     num_inference_steps=3, height=32, width=32,
+                     max_waiters=1, dtype=jnp.float32)
+    # occupy the only slot with a long-running request
+    f0 = srv.submit(**reqs[0], num_inference_steps=500)
+
+    # 1) admission timeout: no slot frees in the window -> TimeoutError,
+    #    and the expired ticket must leave the queue
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError, match="admission window"):
+        srv.submit(**reqs[1], wait=True, timeout=0.3)
+    assert time.monotonic() - t0 >= 0.3
+    with srv._work:
+        assert not srv._wait_heap
+
+    # 2) backpressure: one waiter fills the max_waiters=1 queue; the next
+    #    wait=True submit is rejected immediately (no blocking)
+    fut_holder = {}
+
+    def blocked_submit():
+        fut_holder["f"] = srv.submit(**reqs[2], wait=True)
+
+    t = threading.Thread(target=blocked_submit, daemon=True)
+    t.start()
+    for _ in range(3000):
+        with srv._work:
+            if len(srv._wait_heap) == 1:
+                break
+        time.sleep(0.01)
+    else:
+        raise AssertionError("waiter never queued")
+    t1 = time.monotonic()
+    with pytest.raises(RuntimeError, match="admission queue full"):
+        srv.submit(**reqs[3], wait=True)
+    assert time.monotonic() - t1 < 0.3     # rejected, not blocked
+
+    # 3) freeing the slot admits the surviving waiter; it completes
+    assert f0.cancel()
+    t.join(timeout=300)
+    out = fut_holder["f"].result(timeout=300)
+    assert out.shape == (1, 32, 32, 3)
+    st = srv.stats()
+    srv.close()
+    assert st["timed_out"] == 1 and st["rejected"] == 1
+    assert st["retired"] == 1 and st["cancelled"] == 1

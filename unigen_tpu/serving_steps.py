@@ -139,6 +139,7 @@ class StepServer:
                  control_cache_threshold: float = 0.0,
                  adaptive_lag: int = 0,
                  residual_cache_bits: int = 16,
+                 max_waiters: Optional[int] = None,
                  mesh=None,
                  dtype=jnp.bfloat16):
         assert cfg.family in ("flux", "sana", "sd3"), \
@@ -368,8 +369,15 @@ class StepServer:
         self._lock = threading.Lock()
         self._closed = False
         self._stats = dict(submitted=0, retired=0, failed=0, cancelled=0,
+                           rejected=0, timed_out=0,
                            ticks=0, ticks_replay=0, rows_full=0, rows_base=0,
                            rows_refresh=0, rows_pad=0, active_row_steps=0)
+        # backpressure: with wait=True, at most this many submitters may
+        # queue for admission; beyond it submit() raises immediately so a
+        # load spike surfaces as fast rejections the caller can shed/retry
+        # instead of an unbounded heap of blocked threads (None = unbounded)
+        self.max_waiters = None if max_waiters is None else int(max_waiters)
+        assert self.max_waiters is None or self.max_waiters >= 1
         self._work = threading.Condition(self._lock)
         # priority admission: submitters contending for a slot register a
         # (-priority, arrival_seq) ticket; a free slot goes to the heap top
@@ -379,6 +387,9 @@ class StepServer:
         # end-to-end request latencies (admission -> image; incl. any
         # slot-queue wait), bounded window for percentile stats
         self._lat_samples: collections.deque = collections.deque(maxlen=2048)
+        # retirement timestamps over the same window: stats() derives a
+        # sustained-throughput gauge (img/s across the window span)
+        self._retire_times: collections.deque = collections.deque(maxlen=2048)
         self._step_fn = None                    # built lazily (needs T)
         # retirement (VAE decode + d2h) runs on its OWN thread so the step
         # loop never waits on a host pull — ticks stay back-to-back async
@@ -425,12 +436,17 @@ class StepServer:
         ticks (ticks_replay = ticks that skipped the transformer entirely),
         transformer rows by kind (full / base-with-control-replay / plain
         refresh), rows_pad (gather padding waste), mean_occupancy =
-        active_row_steps / (ticks * batch_size), and latency_ms —
+        active_row_steps / (ticks * batch_size), latency_ms —
         end-to-end request latency percentiles (submit -> image, including
-        any slot-queue wait; sliding window of the last 2048 requests)."""
+        any slot-queue wait; sliding window of the last 2048 requests) —
+        and throughput_img_s, the sustained retire rate over that same
+        window (live gauge). Load-shedding counters: ``timed_out``
+        (admission-timeout expiries) and ``rejected`` (max_waiters
+        rejections)."""
         with self._lock:
             s = dict(self._stats)
             samples = list(self._lat_samples)
+            times = list(self._retire_times)
         s["mean_occupancy"] = (s["active_row_steps"]
                                / (s["ticks"] * self.B) if s["ticks"] else 0.0)
         if samples:
@@ -440,6 +456,12 @@ class StepServer:
                 "p50": round(float(np.percentile(arr, 50)), 1),
                 "p95": round(float(np.percentile(arr, 95)), 1),
                 "max": round(float(arr[-1]), 1)}
+        if len(times) >= 2 and times[-1] > times[0]:
+            # sustained rate across the retire window: (n-1) inter-retire
+            # gaps over the window span (same 2048-request window as the
+            # latency percentiles; a live gauge, not a controlled bench)
+            s["throughput_img_s"] = round(
+                (len(times) - 1) / (times[-1] - times[0]), 3)
         return s
 
     def warmup(self, t_len: int, rounds: int = 2) -> int:
@@ -1006,7 +1028,8 @@ class StepServer:
                control_guidance_start: float = 0.0,
                control_guidance_end: float = 1.0,
                seed: int = 0, latents=None, wait: bool = False,
-               priority: int = 0) -> Future:
+               priority: int = 0,
+               timeout: Optional[float] = None) -> Future:
         """Admit one request (leading dim 1 on every array). Returns a
         Future resolving to a uint8 image [1, H, W, 3]. wait=True blocks
         until a slot frees instead of raising — the saturating-load mode
@@ -1039,7 +1062,16 @@ class StepServer:
             slots already running are never evicted; worst-case jump-in
             latency is one request's remaining steps). A ``wait=False``
             submit also respects the queue: it raises rather than
-            overtaking a waiting higher-or-equal-priority request."""
+            overtaking a waiting higher-or-equal-priority request.
+          * ``timeout`` — admission deadline in seconds for ``wait=True``:
+            if no slot frees (for this ticket's priority rank) within the
+            window, the submit raises ``TimeoutError`` and its ticket
+            leaves the queue — load shedding at the SLA boundary instead
+            of a blocked-forever caller. In-flight work is unaffected.
+            The server-level ``max_waiters`` cap is the companion knob:
+            beyond that many queued waiters, submits are rejected
+            immediately (counted in ``stats()['rejected']``; timeouts in
+            ``stats()['timed_out']``)."""
         fut: Future = Future()
         if self.family == "sana" and guidance_scale is not None:
             raise ValueError("sana denoises without guidance; "
@@ -1079,11 +1111,20 @@ class StepServer:
         with self._work:
             if self._closed:
                 raise RuntimeError("server is closed")
+            if (wait and self.max_waiters is not None
+                    and len(self._wait_heap) >= self.max_waiters):
+                self._stats["rejected"] += 1
+                raise RuntimeError(
+                    f"admission queue full ({self.max_waiters} waiters); "
+                    "back off and retry")
             # priority admission: every submitter holds a ticket while it
             # contends; a free slot may only be taken by the heap top
             ticket = (-int(priority), next(self._ticket_seq))
             heapq.heappush(self._wait_heap, ticket)
             idx = None
+            deadline = (None if timeout is None
+                        else time.monotonic() + float(timeout))
+            expired = False
             try:
                 while not self._closed:
                     idx = next((i for i, s in enumerate(self._slots)
@@ -1093,7 +1134,14 @@ class StepServer:
                     idx = None
                     if not wait:
                         break
-                    self._work.wait()
+                    if deadline is None:
+                        self._work.wait()
+                    else:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            expired = True
+                            break
+                        self._work.wait(remaining)
             finally:
                 if self._wait_heap[0] == ticket:
                     heapq.heappop(self._wait_heap)
@@ -1105,8 +1153,13 @@ class StepServer:
                     # slot while it sleeps — have every waiter re-check
                     self._work.notify_all()
             if idx is None:
-                raise RuntimeError("server closed" if self._closed
-                                   else "no free slot; back off and retry")
+                if self._closed:
+                    raise RuntimeError("server closed")
+                if expired:
+                    self._stats["timed_out"] += 1
+                    raise TimeoutError(
+                        f"no slot freed within {timeout}s admission window")
+                raise RuntimeError("no free slot; back off and retry")
             if self._embeds is None:
                 self._embeds = self._place(jnp.zeros(
                     (self.B,) + tuple(embeds.shape[1:]), self.dtype))
@@ -1378,9 +1431,10 @@ class StepServer:
                         + 1) * 127.5).round().astype(np.uint8)
                 if not fut.done():
                     fut.set_result(img)
-                    dt_ms = (time.perf_counter() - t_sub) * 1000.0
+                    now = time.perf_counter()
                     with self._lock:
-                        self._lat_samples.append(dt_ms)
+                        self._lat_samples.append((now - t_sub) * 1000.0)
+                        self._retire_times.append(now)
             except Exception as e:
                 if not fut.done():
                     fut.set_exception(e)
