@@ -1840,6 +1840,16 @@ def bench_cache():
         doc["config"] = (f"flux_{bb.num_layers}dbl_{bb.num_single_layers}"
                          f"sgl_w{bb.inner_dim}_w4a8_ctrlcache")
     doc["num_steps"] = num_steps
+    # honesty label: every fidelity/threshold operating point in this file
+    # was measured on randomly initialized weights (no released checkpoint
+    # reachable here). Post-step-0 drift on random weights is only ~2-5%;
+    # real-weight drift sits higher, so adaptive thresholds need a retune
+    # (cheap: thresholds are traced scalars, no recompile) — see
+    # scripts/validate_real_ckpt.py checklist.
+    doc["weights"] = "random"
+    doc["weights_note"] = ("adaptive thresholds tuned on random-weight "
+                           "drift; retune on real checkpoints via "
+                           "scripts/validate_real_ckpt.py")
     doc.setdefault("res", 512)             # runs.b{N} rows are 512² ones;
     runs = doc.setdefault("runs", {})      # other resolutions get their own
     rk = f"b{b}" if res == doc["res"] else f"b{b}_r{res}"   # res-tagged key
@@ -2079,6 +2089,10 @@ def bench_stepserver():
                    "use MicroBatchServer when peak batch throughput beats "
                    "admission latency"}
     if thr_spec:
+        # honesty label: the recorded thresholds were chosen on
+        # random-weight drift (~2-5% post step 0); real weights drift more,
+        # so retune (traced scalars, no recompile) on a real checkpoint
+        doc["weights"] = "random"
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "STEPSERVE_ADAPTIVE.json")
         merged = {"rows": {}}
@@ -2766,30 +2780,95 @@ def main():
     else:
         ladder = [("full", "w4a8"), ("proxy", "w8a8"), ("proxy", "bf16")]
 
-    # Two passes with growing backoff: zombie HBM buffers from crashed
-    # sessions self-release after idle time (CLAUDE.md), so a rung that
-    # RESOURCE_EXHAUSTs can succeed minutes later. Pass 1 backs off 30 s,
-    # pass 2 waits 5 min first — keeps worst-case runtime bounded while
-    # never recording zero just because the relay was momentarily full.
+    # Per-rung retry with tunnel-health probing (round-3 lesson: a single
+    # transient remote-compile failure — "read body: response body closed" —
+    # dropped the driver artifact from the full 19/38 topology to the proxy
+    # preset even though a ~15 s cached retry would have succeeded). Policy:
+    #  * before each attempt, probe the tunnel with a tiny matmul (bounded
+    #    by a watchdog thread — a WEDGED tunnel hangs rather than erroring);
+    #    on a failed probe, idle in 3-min slices up to ~24 min (CLAUDE.md:
+    #    wedges self-recover in 10-40 min) before burning the attempt;
+    #  * a rung that fails with a TRANSIENT error (remote-compile/relay
+    #    hiccup, RESOURCE_EXHAUSTED zombie buffers, timeouts) retries up to
+    #    3x with growing backoff — the persistent compile cache makes a
+    #    retry ~15 s — before the ladder descends;
+    #  * a deterministic error (shape/type bugs) descends immediately;
+    #  * the attempt history and any fallback are recorded in the JSON.
+    TRANSIENT_PAT = ("remote_compile", "read body", "resource_exhausted",
+                     "deadline", "timed out", "timeout", "unavailable",
+                     "connection", "internal", "aborted", "socket",
+                     "response body", "eof")
+
+    def _is_transient(e: Exception) -> bool:
+        s = f"{type(e).__name__}: {e}".lower()
+        return any(p in s for p in TRANSIENT_PAT)
+
+    def _tunnel_probe(timeout_s: float = 120.0) -> bool:
+        """True iff a tiny matmul round-trips (incl. d2h) within the
+        window. Runs on a watchdog thread because a wedged tunnel HANGS
+        trivial ops for tens of minutes instead of erroring."""
+        import threading
+        got: list = []
+
+        def work():
+            try:
+                x = jnp.ones((8, 8), jnp.bfloat16)
+                got.append(abs(float(jnp.sum(x @ x)) - 512.0) < 1.0)
+            except Exception as e:
+                print(f"# tunnel probe error: {type(e).__name__}: "
+                      f"{str(e)[:120]}", file=sys.stderr)
+                got.append(False)
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        return bool(got and got[0])
+
+    def _wait_for_tunnel() -> None:
+        for i in range(8):                    # <= ~24 min of 3-min slices
+            if _tunnel_probe():
+                return
+            print(f"# tunnel unhealthy (probe {i}); idling 180s for the "
+                  "relay to recover", file=sys.stderr)
+            time.sleep(180)
+
     results, config_desc, est_ref = {}, "none", 1.0
-    for backoff, pre_sleep in ((30, 0), (90, 300)):
-        if pre_sleep:
-            print(f"# ladder pass failed everywhere; idling {pre_sleep}s for "
-                  "the relay to release zombie buffers", file=sys.stderr)
-            time.sleep(pre_sleep)
-        for preset, quant in ladder:
+    attempt_log: list = []
+    fell_back = False
+    for ri, (preset, quant) in enumerate(ladder):
+        rung_ok = False
+        for attempt in range(1, 4):
+            _wait_for_tunnel()
             try:
                 results, config_desc, est_ref = run_preset(preset, quant)
             except Exception as e:
-                print(f"# rung ({preset},{quant}) failed: {type(e).__name__}: "
-                      f"{str(e)[:200]}", file=sys.stderr)
+                msg = f"{type(e).__name__}: {str(e)[:200]}"
+                transient = _is_transient(e)
+                attempt_log.append({"rung": f"{preset},{quant}",
+                                    "attempt": attempt, "error": msg,
+                                    "transient": transient})
+                print(f"# rung ({preset},{quant}) attempt {attempt} failed "
+                      f"({'transient' if transient else 'deterministic'}): "
+                      f"{msg}", file=sys.stderr)
                 gc.collect()
-                time.sleep(backoff)
-                continue
+                if transient and attempt < 3:
+                    time.sleep(60 * attempt)
+                    continue
+                break                          # descend the ladder
             if results:
+                rung_ok = True
                 break
+            # no exception but zero batches measured: per-batch failures
+            # inside measure() — treat as one more transient attempt
+            attempt_log.append({"rung": f"{preset},{quant}",
+                                "attempt": attempt,
+                                "error": "no batch completed",
+                                "transient": True})
             gc.collect()
-        if results:
+            if attempt < 3:
+                time.sleep(60 * attempt)
+        if rung_ok:
+            fell_back = ri > 0
             break
 
     if not results:
@@ -2797,7 +2876,8 @@ def main():
                           "unigen_flux_bench_512px_4step_denoise_images_per_sec",
                           "value": 0.0, "unit": "images/sec/chip",
                           "vs_baseline": 0.0, "config": config_desc,
-                          "error": "all rungs failed"}))
+                          "error": "all rungs failed",
+                          "attempts": attempt_log}))
         return
     best_b = max(results, key=results.get)
     images_per_sec = results[best_b]
@@ -2808,6 +2888,10 @@ def main():
         "vs_baseline": round(images_per_sec / est_ref, 3),
         "config": config_desc,
     }
+    if attempt_log:
+        line["attempts"] = attempt_log
+    if fell_back:
+        line["fallback"] = True
     # the headline stays the EXACT denoise (same math as the reference);
     # surface the best recorded approximate serving rung (control cache,
     # CACHE.json — measured on this chip with its SSIM-vs-exact gate) as an

@@ -150,7 +150,7 @@ def _serve_steps(pipe, args, mesh=None):
     from PIL import Image
 
     from unigen_tpu import config as C
-    from unigen_tpu.serving_steps import StepServer
+    from unigen_tpu.serving_steps import AdmissionRejected, StepServer
 
     # StepServer requires row-independent routing; retrace-only change
     cfg = C.replace(pipe.cfg, control=C.replace(
@@ -285,9 +285,10 @@ def _serve_steps(pipe, args, mesh=None):
                              pooled=np.asarray(pooled),
                              cond_pooled=np.asarray(cond_pooled),
                              control_pixels=img, wait=True, **extra)
-        except (TimeoutError, RuntimeError) as e:
+        except (TimeoutError, AdmissionRejected) as e:
             # admission timeout / backpressure rejection: shed this request
-            # and keep serving (the caller sees the reason on stderr)
+            # and keep serving (the caller sees the reason on stderr).
+            # Other RuntimeErrors (server closed, internal faults) surface.
             print(f"# {req['out']}: rejected ({e})", file=sys.stderr)
             continue
         pending[req["out"]] = fut

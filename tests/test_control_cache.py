@@ -1384,9 +1384,23 @@ def test_quality_profiles_map_to_measured_knobs():
         pipe.generate(**kw, quality_profile="balanced"),
         pipe.generate(**kw, control_cache_interval=4, model_cache_interval=2,
                       residual_cache_bits=8))
+    # "fast" is schedule-aware (VERDICT r3 #5): below min_steps=8 the
+    # aggressive point fails the 0.99 absolute-SSIM gate (flux 4-step SSIM
+    # 0.98532, FIDELITY_FLUX_FAST.json), so selection degrades to
+    # "balanced" with a warning instead of silently shipping sub-gate
+    # output...
+    with pytest.warns(UserWarning, match="degrading to 'balanced'"):
+        fast4 = pipe.generate(**kw, quality_profile="fast")
     np.testing.assert_array_equal(
-        pipe.generate(**kw, quality_profile="fast"),
-        pipe.generate(**kw, model_cache_interval=4, model_cache_order=1))
+        fast4,
+        pipe.generate(**kw, control_cache_interval=4, model_cache_interval=2,
+                      residual_cache_bits=8))
+    # ...while schedules long enough for >= 2 model refreshes still get the
+    # aggressive measured point
+    kw8 = dict(kw, num_inference_steps=8)
+    np.testing.assert_array_equal(
+        pipe.generate(**kw8, quality_profile="fast"),
+        pipe.generate(**kw8, model_cache_interval=4, model_cache_order=1))
     with pytest.raises(ValueError):
         pipe.generate(**kw, quality_profile="balanced",
                       control_cache_interval=2)
@@ -1423,10 +1437,17 @@ def test_sd3_sana_quality_profiles(tiny_sd3, tiny_sana):
         cond_pooled=jax.random.normal(ks[2], (1, bb.pooled_projection_dim)),
         control_pixels=np.random.default_rng(0).standard_normal(
             (1, 3, res, res)).astype(np.float32) * 0.1,
-        height=res, width=res, num_inference_steps=4, seed=0)
+        height=res, width=res, num_inference_steps=8, seed=0)
     np.testing.assert_array_equal(
         spipe.generate(**skw, quality_profile="fast"),
         spipe.generate(**skw, model_cache_interval=4, model_cache_order=1))
+    # below min_steps the sana "fast" profile degrades to balanced too
+    skw4 = dict(skw, num_inference_steps=4)
+    with pytest.warns(UserWarning, match="degrading to 'balanced'"):
+        fast4 = spipe.generate(**skw4, quality_profile="fast")
+    np.testing.assert_array_equal(
+        fast4, spipe.generate(**skw4, control_cache_interval=4,
+                              model_cache_interval=2))
 
 
 # ------------------------------------------------- int8 residual cache

@@ -24,6 +24,44 @@ def test_build_mesh_shapes():
     assert mesh_all.shape["data"] == 8
 
 
+def test_hybrid_mesh_keeps_data_outermost_across_slices():
+    """Multi-slice (DCN) jobs: `build_mesh` must factor the data axis
+    slices-outermost so only data-parallel traffic crosses DCN — every
+    expert/sequence/model neighbour pair must live on ONE slice. Mocked
+    two-slice device list (real multi-slice hardware is not reachable in
+    tests); exercises the manual grouping fallback in
+    `_hybrid_device_array`."""
+    from unigen_tpu.parallel.mesh import _hybrid_device_array, _slice_count
+
+    class FakeDev:
+        def __init__(self, i, s):
+            self.id, self.slice_index = i, s
+
+        def __repr__(self):
+            return f"d{self.id}s{self.slice_index}"
+
+    devs = [FakeDev(i, i // 4) for i in range(8)]     # 2 slices x 4 devices
+    assert _slice_count(devs) == 2
+    arr = _hybrid_device_array((4, 1, 1, 2), devs, 2)
+    assert arr.shape == (4, 1, 1, 2)
+    # data axis: first half slice 0, second half slice 1 (slices outermost)
+    for di in range(4):
+        for mi in range(2):
+            assert arr[di, 0, 0, mi].slice_index == di // 2
+    # every model-axis (ICI) pair is intra-slice
+    for di in range(4):
+        assert arr[di, 0, 0, 0].slice_index == arr[di, 0, 0, 1].slice_index
+    # non-divisible data axis is a loud error, not a silent DCN-spanning mesh
+    with pytest.raises(ValueError, match="divisible"):
+        _hybrid_device_array((1, 1, 4, 2), devs, 2)
+    # single-slice lists (e.g. CPU host-sim) take the ordinary path
+    assert _slice_count(jax.devices()) == 1
+    mesh = build_mesh(cfg_lib.MeshConfig(data=4, expert=1, sequence=1,
+                                         model=2))
+    assert dict(mesh.shape) == {"data": 4, "expert": 1, "sequence": 1,
+                                "model": 2}
+
+
 def test_param_sharding_rules():
     mesh = build_mesh(cfg_lib.MeshConfig(data=2, expert=2, sequence=1, model=2))
     from unigen_tpu.models.unigen_flux import init_unigen_flux_params

@@ -12,7 +12,8 @@ from unigen_tpu import config as cfg_lib
 from unigen_tpu.models import vae as vae_lib
 from unigen_tpu.models.unigen_flux import init_unigen_flux_params
 from unigen_tpu.pipelines.flux import UniGenFluxPipeline
-from unigen_tpu.serving_steps import MultiResolutionStepServer, StepServer
+from unigen_tpu.serving_steps import (AdmissionRejected,
+                                      MultiResolutionStepServer, StepServer)
 
 
 @pytest.fixture(scope="module")
@@ -1048,9 +1049,20 @@ def test_step_server_admission_timeout_and_backpressure(tiny_world):
     else:
         raise AssertionError("waiter never queued")
     t1 = time.monotonic()
-    with pytest.raises(RuntimeError, match="admission queue full"):
+    with pytest.raises(AdmissionRejected, match="admission queue full"):
         srv.submit(**reqs[3], wait=True)
     assert time.monotonic() - t1 < 0.3     # rejected, not blocked
+
+    # 2b) the cap is priority-AWARE: a request that strictly beats every
+    #     queued waiter still enqueues (here it then times out — proving
+    #     it got past the cap into the queue, not rejected)
+    with pytest.raises(TimeoutError, match="admission window"):
+        srv.submit(**reqs[3], wait=True, priority=5, timeout=0.2)
+
+    # 2c) timeout= is a wait=True knob; with wait=False it would be
+    #     silently meaningless, so it raises
+    with pytest.raises(ValueError, match="wait=True"):
+        srv.submit(**reqs[3], wait=False, timeout=1.0)
 
     # 3) freeing the slot admits the surviving waiter; it completes
     assert f0.cancel()
@@ -1059,5 +1071,5 @@ def test_step_server_admission_timeout_and_backpressure(tiny_world):
     assert out.shape == (1, 32, 32, 3)
     st = srv.stats()
     srv.close()
-    assert st["timed_out"] == 1 and st["rejected"] == 1
+    assert st["timed_out"] == 2 and st["rejected"] == 1
     assert st["retired"] == 1 and st["cancelled"] == 1

@@ -230,21 +230,32 @@ def hybrid_cache_scan(full_fwd: Callable, base_fwd: Callable,
 # modes: the one-shot pipelines AND serving_steps.StepServer per-slot
 # schedules (scripts/serve.py --step-server --quality-profile).
 PROFILE_TABLES = {
+    # "min_steps" guards the aggressive points: a full-model cache with
+    # interval k needs >= 2 refreshes to stay above the 0.99 absolute-SSIM
+    # gate (measured: flux 4-step "fast" = 0.98532, FIDELITY_FLUX_FAST.json
+    # — k=4 over 4 steps leaves ONE model forward; SD3 28-step / SANA
+    # 20-step "fast" pass at 0.9973 / 0.99889). Below min_steps the profile
+    # degrades to "balanced" with a warning instead of silently shipping
+    # sub-gate output.
     "flux": {"balanced": dict(control_cache_interval=4,
                               model_cache_interval=2,
                               residual_cache_bits=8),
-             "fast": dict(model_cache_interval=4, model_cache_order=1)},
+             "fast": dict(model_cache_interval=4, model_cache_order=1,
+                          min_steps=8)},
     "sd3": {"balanced": dict(control_cache_interval=8,
                              model_cache_interval=2),
-            "fast": dict(model_cache_interval=4, model_cache_order=1)},
+            "fast": dict(model_cache_interval=4, model_cache_order=1,
+                         min_steps=8)},
     "sana": {"balanced": dict(control_cache_interval=4,
                               model_cache_interval=2),
-             "fast": dict(model_cache_interval=4, model_cache_order=1)},
+             "fast": dict(model_cache_interval=4, model_cache_order=1,
+                          min_steps=8)},
 }
 
 
 def quality_profile_knobs(profile: Optional[str], table: dict,
-                          explicit: dict) -> dict:
+                          explicit: dict,
+                          num_steps: Optional[int] = None) -> dict:
     """Map a named serving profile onto this pipeline's cache knobs.
 
     ``table`` is the pipeline's measured operating points (CACHE.json /
@@ -253,6 +264,13 @@ def quality_profile_knobs(profile: Optional[str], table: dict,
     valid and maps to no caching. ``explicit`` holds the caller's raw cache
     kwargs — mixing a profile with explicit knobs is an error (the profile
     IS the knob setting).
+
+    Profiles are schedule-aware: an entry's ``min_steps`` marks the
+    shortest denoise schedule on which it holds the 0.99 absolute-SSIM
+    gate; with ``num_steps`` below it, the selection DEGRADES to
+    "balanced" and warns — a named profile must never silently produce
+    sub-gate output (flux 4-step "fast" measured 0.98532,
+    FIDELITY_FLUX_FAST.json).
 
     Returns the knob dict to apply ({} for exact/None).
     """
@@ -268,7 +286,19 @@ def quality_profile_knobs(profile: Optional[str], table: dict,
     if profile not in table:
         raise ValueError(f"unknown quality_profile {profile!r}; expected "
                          f"one of {['exact'] + sorted(table)}")
-    return dict(table[profile])
+    knobs = dict(table[profile])
+    min_steps = knobs.pop("min_steps", 0)
+    if num_steps is not None and num_steps < min_steps:
+        import warnings
+        fallback = dict(table["balanced"])
+        fallback.pop("min_steps", None)
+        warnings.warn(
+            f"quality_profile={profile!r} needs >= {min_steps} denoise "
+            f"steps to hold the 0.99 SSIM gate (got {num_steps}); "
+            "degrading to 'balanced' — pass explicit cache knobs to "
+            "override", stacklevel=3)
+        return fallback
+    return knobs
 
 
 class PromptLRU:

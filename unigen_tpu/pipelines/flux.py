@@ -478,11 +478,12 @@ class UniGenFluxPipeline:
         measured with bf16 residuals — the int8 residual delta is below
         image-level resolution at this config); "fast" —
         full-model cache interval 4 with first-order Taylor replay,
-        5.304 img/s. CAUTION: "fast" fails the absolute 0.99 gate on the
-        4-step schnell schedule (SSIM 0.985 — k=4 over 4 steps leaves one
-        model forward; FIDELITY_FLUX_FAST.json); use "balanced" there —
-        "fast" suits schedules long enough for several refreshes. Mixing a
-        profile with explicit cache knobs is an error.
+        5.304 img/s. "fast" is schedule-aware: on schedules shorter than 8
+        steps it would fail the absolute 0.99 gate (4-step SSIM 0.985 —
+        k=4 over 4 steps leaves one model forward;
+        FIDELITY_FLUX_FAST.json), so the selection degrades to "balanced"
+        with a warning; pass explicit cache knobs to force the aggressive
+        point. Mixing a profile with explicit cache knobs is an error.
 
         control_cache_interval > 1 enables the control-residual step cache
         (recompute the control branch + MoE preprocess every k-th denoise
@@ -526,7 +527,8 @@ class UniGenFluxPipeline:
         if residual_cache_bits != 16:
             explicit["residual_cache_bits"] = residual_cache_bits
         knobs = caching.quality_profile_knobs(
-            quality_profile, caching.PROFILE_TABLES["flux"], explicit)
+            quality_profile, caching.PROFILE_TABLES["flux"], explicit,
+            num_steps=num_inference_steps)
         residual_cache_bits = knobs.get("residual_cache_bits",
                                         residual_cache_bits)
         control_cache_interval = knobs.get("control_cache_interval",

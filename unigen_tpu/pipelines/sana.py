@@ -276,7 +276,8 @@ class UniGenSanaPipeline:
                  control_cache_threshold=control_cache_threshold,
                  model_cache_interval=model_cache_interval,
                  model_cache_threshold=model_cache_threshold,
-                 model_cache_order=model_cache_order))
+                 model_cache_order=model_cache_order),
+            num_steps=num_inference_steps)
         control_cache_interval = knobs.get("control_cache_interval",
                                            control_cache_interval)
         model_cache_interval = knobs.get("model_cache_interval",

@@ -103,6 +103,15 @@ from unigen_tpu.ops.packing import (pack_latents, prepare_latent_image_ids,
 from unigen_tpu.pipelines import scheduling
 
 
+class AdmissionRejected(RuntimeError):
+    """Raised by :meth:`StepServer.submit` when admission control sheds the
+    request (queue full under ``max_waiters``, or ``wait=False`` with no
+    free slot). Subclasses ``RuntimeError`` for backwards compatibility;
+    callers implementing load shedding should catch THIS (plus
+    ``TimeoutError`` for admission-window expiry) rather than bare
+    ``RuntimeError``, so genuine server faults still surface."""
+
+
 @dataclass
 class _Slot:
     future: Optional[Future] = None
@@ -1069,13 +1078,24 @@ class StepServer:
             leaves the queue — load shedding at the SLA boundary instead
             of a blocked-forever caller. In-flight work is unaffected.
             The server-level ``max_waiters`` cap is the companion knob:
-            beyond that many queued waiters, submits are rejected
-            immediately (counted in ``stats()['rejected']``; timeouts in
-            ``stats()['timed_out']``)."""
+            beyond that many queued waiters, submits raise
+            ``AdmissionRejected`` immediately (counted in
+            ``stats()['rejected']``; timeouts in ``stats()['timed_out']``)
+            — UNLESS the new request's priority strictly beats every
+            queued waiter's, in which case it may still enqueue (the cap
+            bounds low-priority backlog without inverting priority
+            admission). ``timeout`` requires ``wait=True`` (a wait=False
+            submit returns immediately; passing a timeout with it raises
+            ``ValueError``)."""
         fut: Future = Future()
         if self.family == "sana" and guidance_scale is not None:
             raise ValueError("sana denoises without guidance; "
                              "guidance_scale is not a sana request knob")
+        if timeout is not None and not wait:
+            raise ValueError("timeout= only bounds the wait=True admission "
+                             "window; a wait=False submit returns (or "
+                             "sheds) immediately, so a timeout would be "
+                             "silently meaningless")
         n_steps = (self.num_steps if num_inference_steps is None
                    else int(num_inference_steps))
         assert n_steps >= 1
@@ -1112,9 +1132,15 @@ class StepServer:
             if self._closed:
                 raise RuntimeError("server is closed")
             if (wait and self.max_waiters is not None
-                    and len(self._wait_heap) >= self.max_waiters):
+                    and len(self._wait_heap) >= self.max_waiters
+                    # priority-aware shedding: a request that strictly
+                    # beats the best queued waiter may still enqueue (the
+                    # cap bounds LOW-priority backlog, not an interactive
+                    # request's jump-in) — heap entries are (-prio, seq)
+                    and not (self._wait_heap
+                             and -int(priority) < self._wait_heap[0][0])):
                 self._stats["rejected"] += 1
-                raise RuntimeError(
+                raise AdmissionRejected(
                     f"admission queue full ({self.max_waiters} waiters); "
                     "back off and retry")
             # priority admission: every submitter holds a ticket while it
@@ -1159,7 +1185,7 @@ class StepServer:
                     self._stats["timed_out"] += 1
                     raise TimeoutError(
                         f"no slot freed within {timeout}s admission window")
-                raise RuntimeError("no free slot; back off and retry")
+                raise AdmissionRejected("no free slot; back off and retry")
             if self._embeds is None:
                 self._embeds = self._place(jnp.zeros(
                     (self.B,) + tuple(embeds.shape[1:]), self.dtype))
@@ -1524,15 +1550,20 @@ class MultiResolutionStepServer:
 
     def stats(self) -> dict:
         """Per-bucket counter snapshots keyed '<h>x<w>' plus a 'total' row
-        summing the count fields across buckets (per-bucket distributions —
-        mean_occupancy, latency_ms — don't sum and stay per-bucket)."""
+        summing the count fields across buckets. Per-bucket distribution /
+        rate fields — mean_occupancy, latency_ms percentiles, and
+        throughput_img_s (each bucket's gauge covers its OWN sliding
+        2048-retire window, so a long-idle bucket's stale rate would
+        inflate a summed 'current' total) — don't sum and stay
+        per-bucket."""
         out: Dict[str, Any] = {}
         total: Dict[str, float] = {}
         for (h, w), srv in self.servers.items():
             s = srv.stats()
             out[f"{h}x{w}"] = s
             for k, v in s.items():
-                if k != "mean_occupancy" and isinstance(v, (int, float)):
+                if (k not in ("mean_occupancy", "throughput_img_s")
+                        and isinstance(v, (int, float))):
                     total[k] = total.get(k, 0) + v
         out["total"] = total
         return out
