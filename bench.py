@@ -1147,6 +1147,180 @@ def bench_suite():
         "config": suite["config"]}))
 
 
+def bench_subject():
+    """UNIGEN_BENCH_SUBJECT=1: BASELINE config #5's GENERATION half —
+    subject-driven generation on Subjects-200K-style inputs. The subject
+    condition image is NOT spatially aligned with the target, so the
+    reference separates the two token streams in RoPE space by offsetting
+    the condition ids' width coordinate by w/2 (reference
+    src/condition.py:107-135; data/conditions.condition_id_offset).
+
+    Drives the FULL UniGenFluxPipeline.generate — VAE encode of the subject
+    pixels, id-offset denoise, VAE decode, uint8 images — at the serving
+    topology (full 19/38 W4A8 by default), 4-step 512². At the smallest
+    batch it also runs the same inputs WITHOUT the offset and asserts the
+    images differ (proof the subject path actually engages in the compiled
+    program, not just in the id helper). Writes SUBJECT.json + the JSON
+    line. The fidelity half lives in scripts/measure_fidelity.py --subject
+    (proxy-preset bf16 vs W8A8/W4A8 SSIM -> FIDELITY_SUBJECT.json).
+
+    Env: UNIGEN_BENCH_PRESET (full|proxy|tiny), UNIGEN_BENCH_RES (512),
+    UNIGEN_BENCH_BATCHES (default "1,2")."""
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu import presets
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.ops.quant import quantize_unigen_serving, quantized_bytes
+    from unigen_tpu.pipelines.flux import UniGenFluxPipeline
+
+    res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
+    batches = [int(x) for x in
+               os.environ.get("UNIGEN_BENCH_BATCHES", "1,2").split(",")]
+    num_steps = 4
+    preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
+    cfg = {"full": presets.flux_full, "proxy": presets.flux_bench,
+           "tiny": presets.tiny}[preset]()
+    bb = cfg.flux
+    dtype = jnp.bfloat16
+    t_len = 512
+    if preset == "tiny":
+        res, t_len = 64, 8
+
+    def _init(k):
+        p = init_unigen_flux_params(k, cfg, dtype=dtype)
+        return quantize_unigen_serving(p) if preset != "tiny" else p
+
+    t0 = time.time()
+    params = (direct_quantized_init(jax.random.PRNGKey(0), _init)
+              if preset != "tiny" else jax.jit(_init)(jax.random.PRNGKey(0)))
+    jax.block_until_ready(params)
+    if preset == "tiny":
+        # fresh init zeroes the ControlNet-style gates (add_double/add_single,
+        # layers/core.init_linear(zero=True)) which nulls the whole control
+        # branch — the subject-offset engage-check below would trivially
+        # pass/fail on nothing. Trained adapters have non-zero gates, and
+        # direct_quantized_init fills them randomly on the full/proxy rungs;
+        # mirror that here with small noise.
+        kf = jax.random.PRNGKey(9)
+        for name in ("add_double", "add_single"):
+            if name in params["control"]:
+                kf, ku = jax.random.split(kf)
+                params["control"][name] = jax.tree.map(
+                    lambda x: 0.02 * jax.random.normal(
+                        ku, x.shape, jnp.float32).astype(x.dtype),
+                    params["control"][name])
+    print(f"# subject init {time.time()-t0:.1f}s resident="
+          f"{quantized_bytes(params)/2**30:.2f}GiB", file=sys.stderr)
+
+    vae_cfg = (vae_lib.tiny_vae_config(latent_channels=bb.in_channels // 4)
+               if preset == "tiny" else vae_lib.VAEConfig())
+    vae_params = jax.jit(lambda k: vae_lib.init_vae_params(k, vae_cfg))(
+        jax.random.PRNGKey(1))
+    pipe = UniGenFluxPipeline(cfg=cfg, params=params, vae_cfg=vae_cfg,
+                              vae_params=vae_params, dtype=dtype)
+
+    s_img = (res // 16) ** 2
+    flops_image = model_flops_per_forward(cfg, s_img, t_len, s_img) * num_steps
+    est_ref = 312e12 * 0.35 / flops_image
+
+    def gen(b, subject: bool, seed=7):
+        ks = jax.random.split(jax.random.PRNGKey(2), 4)
+        # Subjects-200K-style sample: a normalized subject crop in [-1, 1]
+        # (data/datasets.Subjects200K emits exactly this layout)
+        subj_px = np.asarray(jax.random.uniform(
+            ks[3], (b, 3, res, res), minval=-1, maxval=1), np.float32)
+        return pipe.generate(
+            prompt_embeds=jax.random.normal(
+                ks[0], (b, t_len, bb.joint_attention_dim), dtype),
+            pooled=jax.random.normal(ks[1], (b, bb.pooled_projection_dim),
+                                     dtype),
+            cond_pooled=jax.random.normal(
+                ks[2], (b, bb.pooled_projection_dim), dtype),
+            control_pixels=subj_px, height=res, width=res,
+            num_inference_steps=num_steps, seed=seed,
+            subject_offset=subject)
+
+    rows = []
+    for bi, b in enumerate(batches):
+        try:
+            t0 = time.time()
+            img = gen(b, True)          # compile + warm
+            compile_s = time.time() - t0
+            if bi == 0:
+                # the offset must CHANGE the model's prediction: one jitted
+                # forward with the ids as a traced argument, run with and
+                # without the w/2 offset (the uint8 image delta can round to
+                # zero at random-weight gate magnitudes, so the check lives
+                # at the prediction level where it is exact)
+                from unigen_tpu.models.unigen_flux import unigen_flux_forward
+                from unigen_tpu.ops.packing import prepare_latent_image_ids
+                hw_l = res // 16
+                kc = jax.random.split(jax.random.PRNGKey(5), 6)
+                fb = dict(
+                    hidden=jax.random.normal(
+                        kc[0], (b, hw_l * hw_l, bb.in_channels), dtype),
+                    condition=jax.random.normal(
+                        kc[1], (b, hw_l * hw_l, bb.in_channels), dtype),
+                    encoder=jax.random.normal(
+                        kc[2], (b, t_len, bb.joint_attention_dim), dtype),
+                    pooled=jax.random.normal(
+                        kc[3], (b, bb.pooled_projection_dim), dtype),
+                    condition_pooled=jax.random.normal(
+                        kc[4], (b, bb.pooled_projection_dim), dtype),
+                    timestep=jnp.full((b,), 0.5, dtype),
+                    img_ids=jnp.asarray(
+                        np.asarray(prepare_latent_image_ids(hw_l, hw_l))),
+                    txt_ids=jnp.zeros((t_len, 3)))
+                jf = jax.jit(lambda p, ids, fb: unigen_flux_forward(
+                    p, cfg, condition_ids=ids, **fb)[0])
+                ids0 = prepare_latent_image_ids(hw_l, hw_l)
+                ids1 = prepare_latent_image_ids(hw_l, hw_l, hw_l / 2.0)
+                delta = float(jnp.max(jnp.abs(
+                    jf(params, ids1, fb).astype(jnp.float32)
+                    - jf(params, ids0, fb).astype(jnp.float32))))
+                assert delta > 0, \
+                    "subject id-offset did not change the model prediction"
+                print(f"# subject-offset engaged (pred max delta {delta:.2e})",
+                      file=sys.stderr)
+            K = max(1, 2 // b)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    out = gen(b, True)
+                times.append((time.perf_counter() - t0) / K)
+            dt = min(times)   # generate() returns host uint8 — already synced
+            rows.append({"batch": b, "ips": round(b / dt, 4),
+                         "latency_ms": round(dt * 1000, 1)})
+            print(f"# subject b={b} compile={compile_s:.1f}s "
+                  f"ips={b/dt:.3f} lat={dt*1000:.0f}ms", file=sys.stderr)
+        except Exception as e:
+            print(f"# subject b={b} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+    if not rows:
+        print(json.dumps({"metric": "unigen_flux_subject_images_per_sec",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0, "error": "all batches failed"}))
+        return
+    best = max(rows, key=lambda r: r["ips"])
+    sub = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                     f"w{bb.inner_dim}_{'w4a8' if preset != 'tiny' else 'fp32'}"
+                     f"_subject",
+           "res": res, "steps": num_steps, "weights": "random",
+           "e2e": "VAE encode + id-offset denoise + VAE decode (pipeline)",
+           "rows": rows}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SUBJECT.json"), "w") as f:
+        json.dump(sub, f, indent=1)
+    print(json.dumps({
+        "metric": f"unigen_flux_subject_{res}px_images_per_sec",
+        "value": best["ips"], "unit": "images/sec/chip",
+        "vs_baseline": round(best["ips"] / est_ref, 3),
+        "config": sub["config"]}))
+
+
 def bench_multi():
     """UNIGEN_BENCH_MULTI=<K>: BASELINE config #4 — K-condition joint
     control (depth+canny+openpose style) at FULL 19/38 topology, W4A8, 512²
@@ -2579,6 +2753,8 @@ def main():
         return bench_train()
     if os.environ.get("UNIGEN_BENCH_SUITE") == "1":
         return bench_suite()
+    if os.environ.get("UNIGEN_BENCH_SUBJECT") == "1":
+        return bench_subject()
     if os.environ.get("UNIGEN_BENCH_MULTI"):
         return bench_multi()
     if os.environ.get("UNIGEN_BENCH_STEPSERVER") == "1":

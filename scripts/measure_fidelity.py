@@ -627,6 +627,12 @@ def main(argv=None):
                         "steps between, prediction replay otherwise "
                         "(caching.hybrid_cache_scan; must divide "
                         "--cache-interval; fixed intervals only)")
+    p.add_argument("--subject", action="store_true",
+                   help="subject-driven conditioning (flux only): offset the "
+                        "condition position ids by w/2 — the Subjects-200K "
+                        "spatial-separation trick (reference "
+                        "src/condition.py:107-135) — so the fidelity rows "
+                        "cover BASELINE config #5's generation path")
     p.add_argument("--routing", default=None,
                    choices=["per_sample", "global"],
                    help="override MoE batch_mode: 'global' measures fidelity "
@@ -640,6 +646,8 @@ def main(argv=None):
             p.error("--hybrid-model-interval requires a larger "
                     "--cache-interval it divides, and no "
                     "--cache-threshold/--model-cache/--cfg-cache")
+    if args.subject and args.family != "flux":
+        p.error("--subject is a flux-family path (Subjects-200K)")
     if args.family in ("sd3", "sana"):
         return main_sd3(args) if args.family == "sd3" else main_sana(args)
 
@@ -757,6 +765,12 @@ def main(argv=None):
         txt_ids=np.zeros((t_len, 3), np.float32),
         condition_ids=np.asarray(prepare_latent_image_ids(hw, hw)),
     )
+    if args.subject:
+        # subject-driven generation: condition tokens sit BESIDE the image
+        # grid (cond_ids[:, 2] += w/2, reference src/condition.py:118-121)
+        from unigen_tpu.data.conditions import condition_id_offset
+        batch["condition_ids"] = np.asarray(prepare_latent_image_ids(
+            hw, hw, condition_id_offset("subject", hw)))
 
     def _cast(batch):
         return {k: jnp.asarray(v, dtype if k in _FP else None)
@@ -927,6 +941,8 @@ def main(argv=None):
         out["model_cache"] = True
     if getattr(args, "hybrid_model_interval", 1) > 1:
         out["hybrid_model_interval"] = args.hybrid_model_interval
+    if args.subject:
+        out["condition"] = "subject"
     for name in ("w8a8", "w4a8_serving"):
         rel, cos = fidelity(host[name]["fwd"], host["bf16"]["fwd"])
         out[name] = {"rel_err": round(rel, 5), "cosine": round(cos, 6)}
