@@ -20,6 +20,14 @@ early (CLAUDE.md).
 
 Usage: UNIGEN_BENCH_PRESET=proxy|full UNIGEN_PROFILE_BATCH=2 python
 scripts/profile_forward.py
+
+Batch-scaling attribution (VERDICT r3 #2): UNIGEN_PROFILE_BATCHES=1,2,4,8
+sweeps batch sizes in one process (tree initialised once) and reports every
+phase per batch PLUS per-image normalisation (ms/img = ms/b) and an isolated
+"attn" phase (the fused attention kernel alone at the stream length, scanned
+over the layer count) — per-image time that RISES with batch localises the
+negative batch scaling to a phase. UNIGEN_PROFILE_OUT=<path> writes the
+sweep JSON there too.
 """
 
 from __future__ import annotations
@@ -53,7 +61,9 @@ def main():
 
     preset = os.environ.get("UNIGEN_BENCH_PRESET", "proxy")
     quant = os.environ.get("UNIGEN_BENCH_QUANT", "bf16")
-    b = int(os.environ.get("UNIGEN_PROFILE_BATCH", "2"))
+    bs_env = os.environ.get("UNIGEN_PROFILE_BATCHES", "")
+    batches = ([int(x) for x in bs_env.split(",")] if bs_env
+               else [int(os.environ.get("UNIGEN_PROFILE_BATCH", "2"))])
     res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
     cfg = {"full": presets.flux_full, "tiny": presets.tiny}.get(
         preset, presets.flux_bench)()
@@ -85,14 +95,6 @@ def main():
         import bench as B
         params = B.direct_quantized_init(jax.random.PRNGKey(0), _init)
     jax.block_until_ready(params)
-
-    ks = jax.random.split(jax.random.PRNGKey(1), 6)
-    hidden = jax.random.normal(ks[0], (b, s_img, bb.in_channels), dtype)
-    condition = jax.random.normal(ks[1], (b, s_img, bb.in_channels), dtype)
-    encoder = jax.random.normal(ks[2], (b, t_len, bb.joint_attention_dim), dtype)
-    pooled = jax.random.normal(ks[3], (b, bb.pooled_projection_dim), dtype)
-    cond_pooled = jax.random.normal(ks[4], (b, bb.pooled_projection_dim), dtype)
-    timestep = jnp.full((b,), 0.5, dtype)
 
     n_base, n_single = bb.num_layers, bb.num_single_layers
     n_cn = n_base // cc.single_control_dev
@@ -204,59 +206,120 @@ def main():
             condition_ids=jnp.asarray(img_ids), attn_impl="auto")
         return pred
 
-    phases = {
-        "embed": (embed_phase, (params, hidden, encoder, pooled, timestep)),
-        "double": (double_phase, (params, hidden, encoder, pooled, timestep)),
-        "double_cn": (double_cn_phase, (params, hidden, condition, encoder,
-                                        pooled, cond_pooled, timestep)),
-        "moe": (moe_phase, (params, hidden, condition, encoder, pooled,
-                            cond_pooled, timestep)),
-        "single": (single_phase, (params, hidden, encoder, pooled, timestep)),
-        "single_cn": (single_cn_phase, (params, hidden, encoder, pooled,
-                                        timestep)),
-        "full": (full_phase, (params, hidden, condition, encoder, pooled,
-                              cond_pooled, timestep)),
-    }
+    def attn_phase(params, q, k, v):
+        """The attention kernel ALONE at the stream length, scanned over the
+        full layer count (n_base + n_single) — isolates kernel-grid /
+        batch-tiling effects from the surrounding matmuls. RoPE tables fused
+        the way the real blocks fuse them."""
+        from unigen_tpu.ops.attention import sdpa
+        rope = flux_rope(bb, jnp.concatenate(
+            [jnp.asarray(txt_ids), jnp.asarray(img_ids)], axis=0))
+
+        def body(x, _):
+            # real carry dependence (a *0 term would let XLA hoist the sdpa
+            # out of the scan and time one call instead of N)
+            q_i = q + jnp.asarray(1e-6, q.dtype) * x[:, None]
+            out = sdpa(q_i, k, v, impl="auto", rope=rope)
+            return out.mean(axis=1), None
+        x0 = jnp.zeros((q.shape[0], q.shape[2], q.shape[3]), q.dtype)
+        x, _ = jax.lax.scan(body, x0, jnp.arange(n_base + n_single))
+        return x
 
     def sync(out):
         leaf = jax.tree.leaves(out)[0]
         return float(jnp.sum(leaf.astype(jnp.float32)))
 
-    report = {}
-    for name, (fn, args) in phases.items():
-        jfn = jax.jit(fn)
-        t0 = time.time()
-        try:
-            out = jfn(*args)
-            _ = sync(out)
-        except Exception as e:
-            print(f"# {name} failed: {type(e).__name__}: {str(e)[:200]}",
-                  file=sys.stderr)
-            continue
-        compile_s = time.time() - t0
-        K = 4
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(K):
-                out = jfn(*args)
-            _ = sync(out)
-            times.append((time.perf_counter() - t0) / K)
-        ms = min(times) * 1000
-        report[name] = round(ms, 2)
-        print(f"# {name:10s} {ms:8.2f} ms  (compile {compile_s:.1f}s)",
-              file=sys.stderr)
+    def run_batch(b):
+        ks = jax.random.split(jax.random.PRNGKey(1), 8)
+        hidden = jax.random.normal(ks[0], (b, s_img, bb.in_channels), dtype)
+        condition = jax.random.normal(ks[1], (b, s_img, bb.in_channels), dtype)
+        encoder = jax.random.normal(ks[2], (b, t_len, bb.joint_attention_dim),
+                                    dtype)
+        pooled = jax.random.normal(ks[3], (b, bb.pooled_projection_dim), dtype)
+        cond_pooled = jax.random.normal(ks[4], (b, bb.pooled_projection_dim),
+                                        dtype)
+        timestep = jnp.full((b,), 0.5, dtype)
+        s_tot = t_len + s_img
+        hd = bb.attention_head_dim
+        q = jax.random.normal(ks[5], (b, heads, s_tot, hd), dtype)
+        k = jax.random.normal(ks[6], (b, heads, s_tot, hd), dtype)
+        v = jax.random.normal(ks[7], (b, heads, s_tot, hd), dtype)
 
-    if "full" in report:
-        attributed = {
-            "control_double_ms": round(report.get("double_cn", 0)
-                                       - report.get("double", 0), 2),
-            "control_single_ms": round(report.get("single_cn", 0)
-                                       - report.get("single", 0), 2),
+        phases = {
+            "embed": (embed_phase, (params, hidden, encoder, pooled, timestep)),
+            "attn": (attn_phase, (params, q, k, v)),
+            "double": (double_phase, (params, hidden, encoder, pooled,
+                                      timestep)),
+            "double_cn": (double_cn_phase, (params, hidden, condition, encoder,
+                                            pooled, cond_pooled, timestep)),
+            "moe": (moe_phase, (params, hidden, condition, encoder, pooled,
+                                cond_pooled, timestep)),
+            "single": (single_phase, (params, hidden, encoder, pooled,
+                                      timestep)),
+            "single_cn": (single_cn_phase, (params, hidden, encoder, pooled,
+                                            timestep)),
+            "full": (full_phase, (params, hidden, condition, encoder, pooled,
+                                  cond_pooled, timestep)),
         }
-        report.update(attributed)
-    print(json.dumps({"preset": preset, "quant": quant, "batch": b,
-                      "res": res, "phase_ms": report}))
+
+        report = {}
+        for name, (fn, args) in phases.items():
+            jfn = jax.jit(fn)
+            t0 = time.time()
+            try:
+                out = jfn(*args)
+                _ = sync(out)
+            except Exception as e:
+                print(f"# b={b} {name} failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr)
+                continue
+            compile_s = time.time() - t0
+            K = 4
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    out = jfn(*args)
+                _ = sync(out)
+                times.append((time.perf_counter() - t0) / K)
+            ms = min(times) * 1000
+            report[name] = round(ms, 2)
+            print(f"# b={b} {name:10s} {ms:8.2f} ms  {ms/b:8.2f} ms/img  "
+                  f"(compile {compile_s:.1f}s)", file=sys.stderr)
+
+        if "full" in report:
+            report["control_double_ms"] = round(
+                report.get("double_cn", 0) - report.get("double", 0), 2)
+            report["control_single_ms"] = round(
+                report.get("single_cn", 0) - report.get("single", 0), 2)
+        return report
+
+    sweep = []
+    for b in batches:
+        report = run_batch(b)
+        sweep.append({"batch": b, "phase_ms": report,
+                      "phase_ms_per_img": {k2: round(v / b, 2)
+                                           for k2, v in report.items()}})
+
+    out = {"preset": preset, "quant": quant, "res": res, "batches": batches,
+           "weights": "random"}
+    if len(sweep) == 1:
+        out.update({"batch": batches[0], "phase_ms": sweep[0]["phase_ms"]})
+    else:
+        out["sweep"] = sweep
+        # per-image scaling of each phase, largest/smallest batch — the
+        # negative-batch-scaling attribution in one number per phase
+        lo, hi = sweep[0], sweep[-1]
+        out["per_img_scaling"] = {
+            k2: round(hi["phase_ms_per_img"][k2] / lo["phase_ms_per_img"][k2], 3)
+            for k2 in hi["phase_ms_per_img"]
+            if k2 in lo["phase_ms_per_img"] and lo["phase_ms_per_img"][k2] > 0}
+    line = json.dumps(out)
+    print(line)
+    dest = os.environ.get("UNIGEN_PROFILE_OUT")
+    if dest:
+        with open(dest, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
