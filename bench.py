@@ -677,8 +677,15 @@ def bench_train():
 
     res = int(os.environ.get("UNIGEN_BENCH_RES", "512"))
     b = int(os.environ.get("UNIGEN_BENCH_TRAIN_BATCH", "1"))
+    # UNIGEN_BENCH_TRAIN_REMAT=full|dots|none: rematerialisation policy
+    # (utils.remat_wrap). "dots" saves the weight-matmul outputs and
+    # recomputes only attention/elementwise in backward - the MFU option
+    # when the activation memory fits (VERDICT r3 #3)
+    remat = os.environ.get("UNIGEN_BENCH_TRAIN_REMAT", "full")
+    remat = {"full": "full", "dots": "dots", "none": "none",
+             "1": "full", "0": "none"}[remat]
     lat_hw, t_len = res // 8, 512
-    tcfg = C.TrainConfig(train_batch_size=b, remat=True)
+    tcfg = C.TrainConfig(train_batch_size=b, remat=remat)
     dtype = jnp.bfloat16
 
     def run(shared_expert: bool):
@@ -756,7 +763,7 @@ def bench_train():
                                           split_trainable)
         cfg = presets.flux_full()
         bb = cfg.flux
-        tcfg_f = C.TrainConfig(train_batch_size=b, remat=True,
+        tcfg_f = C.TrainConfig(train_batch_size=b, remat=remat,
                                gradient_accumulation_steps=accum)
         t0 = time.time()
 
@@ -817,7 +824,8 @@ def bench_train():
             "vs_baseline": round(sps / est_ref_a100, 3),
             "config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
                       f"w{bb.inner_dim}_w4a8frozen_fp_subset_train_"
-                      f"globalbatch{b * accum}",
+                      f"globalbatch{b * accum}"
+                      + ("" if remat == "full" else f"_remat_{remat}"),
         }))
 
     def run_lora(rank: int, accum: int):
@@ -877,7 +885,7 @@ def bench_train():
         ]
         for tag, targets in surfaces:
             try:
-                tcfg_l = C.TrainConfig(train_batch_size=b, remat=True,
+                tcfg_l = C.TrainConfig(train_batch_size=b, remat=remat,
                                        gradient_accumulation_steps=accum,
                                        lora_rank=rank,
                                        lora_targets=tuple(targets))

@@ -38,6 +38,51 @@ def test_grad_accumulation_updates_at_boundary():
     assert not np.array_equal(w1, w2)      # boundary: params move
 
 
+def test_remat_policy_equivalence():
+    """utils.remat_wrap policies never change VALUES — the train step under
+    remat=False, remat='full' (blanket checkpoint) and remat='dots'
+    (save-weight-matmuls policy, the MFU option) produces identical loss,
+    grad norm and updated params on the same inputs."""
+    import pytest
+    flux = cfg_lib.tiny_flux_config()
+    ucfg = cfg_lib.UniGenConfig(family="flux", flux=flux,
+                                condition_types=("canny",))
+    params = init_unigen_flux_params(jax.random.PRNGKey(0), ucfg)
+    rng = np.random.default_rng(0)
+    c = flux.in_channels // 4
+    batch = dict(
+        latents=jnp.asarray(rng.normal(size=(1, c, 8, 8)).astype(np.float32)),
+        condition_latents=jnp.asarray(
+            rng.normal(size=(1, c, 8, 8)).astype(np.float32)),
+        prompt_embeds=jnp.asarray(
+            rng.normal(size=(1, 6, flux.joint_attention_dim)).astype(np.float32)),
+        pooled=jnp.asarray(
+            rng.normal(size=(1, flux.pooled_projection_dim)).astype(np.float32)),
+        condition_pooled=jnp.asarray(
+            rng.normal(size=(1, flux.pooled_projection_dim)).astype(np.float32)),
+    )
+
+    outs = {}
+    for remat in (False, "full", "dots"):
+        tcfg = cfg_lib.TrainConfig(max_train_steps=10, remat=remat,
+                                   train_batch_size=1, lr_warmup_steps=0)
+        state = init_train_state(params["control"], tcfg)
+        step = jax.jit(make_train_step(ucfg, tcfg))
+        state1, m = step(state, params["base"], batch, jax.random.PRNGKey(1))
+        outs[remat] = (float(m["step_loss"]), float(m["grad_norm"]),
+                       np.asarray(state1.control["context_embedder"]["w"]))
+    ref = outs[False]
+    for remat in ("full", "dots"):
+        got = outs[remat]
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-6)
+        np.testing.assert_allclose(got[1], ref[1], rtol=1e-5)
+        np.testing.assert_allclose(got[2], ref[2], rtol=1e-6, atol=1e-7)
+
+    with pytest.raises(ValueError):
+        from unigen_tpu.utils import remat_wrap
+        remat_wrap(lambda x: x, "bogus")
+
+
 def test_split_trainable_roundtrip_and_split_train_step():
     """ops/quant.split_trainable: complementary-None split/merge round-trip,
     and a train step where the quantized control leaves ride frozen while

@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field, fields
-from typing import Any, Optional, Tuple
+from typing import Any, Optional, Tuple, Union
 
 
 # The twelve MultiGen-20M spatial condition types plus subject-driven
@@ -216,7 +216,10 @@ class TrainConfig:
     seed: int = 12443
     mixed_precision: str = "bf16"
     checkpointing_steps: int = 1000
-    remat: bool = True                     # activation rematerialisation
+    # activation rematerialisation: True/"full" (blanket checkpoint — memory
+    # floor), "dots" (save weight-matmul outputs, recompute attention +
+    # elementwise — the MFU option), False/"none" (utils.remat_wrap)
+    remat: Union[bool, str] = True
     # LoRA fine-tuning mode (reference --rank, train.py:137; PEFT adapter
     # save/load hooks hook.py:29-84 — dormant in the published v2, first-class
     # here): rank > 0 trains rank-r {a, b} factors over the FROZEN control

@@ -96,9 +96,9 @@ def flux_forward(params: dict, cfg: FluxBackboneConfig,
         return flux_single_block(block_p, carry, temb, rope, heads=heads,
                                  attn_impl=attn_impl), None
 
-    if remat:
-        double_body = jax.checkpoint(double_body)
-        single_body = jax.checkpoint(single_body)
+    from unigen_tpu.utils import remat_wrap
+    double_body = remat_wrap(double_body, remat)
+    single_body = remat_wrap(single_body, remat)
 
     (h, enc), _ = jax.lax.scan(double_body, (h, enc), params["double_blocks"])
     stream = jnp.concatenate([enc, h], axis=1)

@@ -44,7 +44,7 @@ from unigen_tpu.layers.core import init_linear, linear
 from unigen_tpu.layers.embeddings import combined_time_text, init_combined_time_text
 from unigen_tpu.models import moe as moe_lib
 from unigen_tpu.models.flux import flux_embed_inputs, flux_rope, init_flux_params
-from unigen_tpu.utils import index_params, init_stacked
+from unigen_tpu.utils import index_params, remat_wrap, init_stacked
 
 
 def control_block_index_table(n_base: int, n_control: int) -> list:
@@ -354,7 +354,7 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
             h = h + _deq(res) * scale
             return (h, enc), None
 
-        body = jax.checkpoint(double_body) if remat else double_body
+        body = remat_wrap(double_body, remat)
         (h, enc), _ = jax.lax.scan(body, (h, enc),
                                    (jnp.arange(1, n_base),
                                     _res_rest(dbl_res_in)))
@@ -374,7 +374,7 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
             h = h + res * scale
             return (h, enc), (_cap(res) if return_control_residuals else None)
 
-        body = jax.checkpoint(double_body) if remat else double_body
+        body = remat_wrap(double_body, remat)
         (h, enc), dbl_ys = jax.lax.scan(body, (h, enc), jnp.arange(1, n_base))
 
     # ---- single blocks over [txt | img]
@@ -401,7 +401,7 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
                                            heads=heads, attn_impl=attn_impl)
                 return _apply_single_add(stream, _deq(res) * scale), None
 
-            sbody = jax.checkpoint(single_body) if remat else single_body
+            sbody = remat_wrap(single_body, remat)
             stream, _ = jax.lax.scan(sbody, stream,
                                      (base["single_blocks"], sgl_res_in))
         else:
@@ -419,14 +419,14 @@ def unigen_flux_forward(params: dict, cfg: UniGenConfig,
                 return stream, (_cap(res) if return_control_residuals
                                 else None)
 
-            sbody = jax.checkpoint(single_body) if remat else single_body
+            sbody = remat_wrap(single_body, remat)
             stream, sgl_ys = jax.lax.scan(sbody, stream,
                                           (base["single_blocks"], cn_s_table))
     else:
         def single_body_plain(stream, block_p):
             return flux_single_block(block_p, stream, temb, rope_base,
                                      heads=heads, attn_impl=attn_impl), None
-        sbody = jax.checkpoint(single_body_plain) if remat else single_body_plain
+        sbody = remat_wrap(single_body_plain, remat)
         stream, _ = jax.lax.scan(sbody, stream, base["single_blocks"])
 
     h = stream[:, enc_len:]

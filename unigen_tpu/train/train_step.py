@@ -103,44 +103,22 @@ def flow_matching_loss(pred_packed: jnp.ndarray, latents: jnp.ndarray,
     return jnp.mean(per_sample)
 
 
-def make_train_step(ucfg: UniGenConfig, tcfg: TrainConfig, *,
-                    guidance_embeds: Optional[bool] = None,
-                    attn_impl: str = "auto"):
-    """Returns train_step(state, base_params, batch, rng) -> (state, metrics).
-
-    batch (all device arrays):
-      latents            [B, C, H, W]   VAE-encoded targets
-      condition_latents  [B, C, H, W] or [K, B, C, H, W]
-      prompt_embeds      [B, T, joint_dim]
-      pooled             [B, pooled_dim]
-      condition_pooled   [B, pooled_dim] or [K, B, pooled_dim]
-
-    base_params is either the frozen base tree, or a dict
-    {"base": ..., "control_frozen": ...} for the single-chip full-topology
-    fine-tune split (ops/quant.split_trainable): state.control then holds
-    only the fp trainable subset and the quantized control leaves ride along
-    frozen — gradients flow through their straight-through VJPs but stop at
-    the int weights.
-
-    LoRA mode (tcfg.lora_rank > 0, reference --rank train.py:137):
-    base_params must be {"base": ..., "control_frozen": ...} with the FULL
-    frozen control tree (fp or quantized), and state.control holds a
-    models/lora adapter dict {dotted_path: {'a', 'b'}} rooted at the full
-    {'base','control'} tree. The step folds the factors into the frozen
-    weights inside the program (models/lora.fold_for_training — dequant
-    fold, differentiable w.r.t. a/b only), so the optimizer/checkpoint
-    state is just the rank-r factors.
-    """
+def make_loss_builder(ucfg: UniGenConfig, tcfg: TrainConfig, *,
+                      guidance_embeds: Optional[bool] = None,
+                      attn_impl: str = "auto"):
+    """Returns ``build(base_params, batch, rng) -> loss_fn(control)`` — the
+    EXACT closure make_train_step differentiates (noise/timestep sampling,
+    packing, forward, weighted flow loss). Exposed separately so
+    scripts/profile_train.py can time forward / forward+backward on the
+    production loss without duplicating it."""
     lora_mode = tcfg.lora_rank > 0
-    tx = make_optimizer(tcfg)
     sigma_table = jnp.asarray(scheduling.training_sigmas(
         scheduling.FlowMatchConfig(shift=1.0)))
     n_train = sigma_table.shape[0]
     use_guidance = (ucfg.flux.guidance_embeds if guidance_embeds is None
                     else guidance_embeds)
 
-    def train_step(state: TrainState, base_params, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def build(base_params, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         latents = batch["latents"]
         b, c, h, w = latents.shape
         r_noise, r_t, r_moe = jax.random.split(rng, 3)
@@ -203,6 +181,47 @@ def make_train_step(ucfg: UniGenConfig, tcfg: TrainConfig, *,
             return total, {"flow_loss": flow, **add_losses,
                            "expert_counts": add_outputs["expert_counts"]}
 
+        return loss_fn
+
+    return build
+
+
+def make_train_step(ucfg: UniGenConfig, tcfg: TrainConfig, *,
+                    guidance_embeds: Optional[bool] = None,
+                    attn_impl: str = "auto"):
+    """Returns train_step(state, base_params, batch, rng) -> (state, metrics).
+
+    batch (all device arrays):
+      latents            [B, C, H, W]   VAE-encoded targets
+      condition_latents  [B, C, H, W] or [K, B, C, H, W]
+      prompt_embeds      [B, T, joint_dim]
+      pooled             [B, pooled_dim]
+      condition_pooled   [B, pooled_dim] or [K, B, pooled_dim]
+
+    base_params is either the frozen base tree, or a dict
+    {"base": ..., "control_frozen": ...} for the single-chip full-topology
+    fine-tune split (ops/quant.split_trainable): state.control then holds
+    only the fp trainable subset and the quantized control leaves ride along
+    frozen — gradients flow through their straight-through VJPs but stop at
+    the int weights.
+
+    LoRA mode (tcfg.lora_rank > 0, reference --rank train.py:137):
+    base_params must be {"base": ..., "control_frozen": ...} with the FULL
+    frozen control tree (fp or quantized), and state.control holds a
+    models/lora adapter dict {dotted_path: {'a', 'b'}} rooted at the full
+    {'base','control'} tree. The step folds the factors into the frozen
+    weights inside the program (models/lora.fold_for_training — dequant
+    fold, differentiable w.r.t. a/b only), so the optimizer/checkpoint
+    state is just the rank-r factors.
+    """
+    tx = make_optimizer(tcfg)
+    loss_builder = make_loss_builder(ucfg, tcfg,
+                                     guidance_embeds=guidance_embeds,
+                                     attn_impl=attn_impl)
+
+    def train_step(state: TrainState, base_params, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        loss_fn = loss_builder(base_params, batch, rng)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.control)
         updates, opt_state = tx.update(grads, state.opt_state, state.control)
         control = optax.apply_updates(state.control, updates)
