@@ -2159,6 +2159,10 @@ def bench_stepserver():
         thr_c = float(parts[0]) if parts[0] else 0.0
         thr_m = float(parts[1]) if len(parts) > 1 and parts[1] else 0.0
         adaptive_lag = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+    # UNIGEN_BENCH_STEP_MULTITICK=K (exact schedule only): fuse up to K
+    # consecutive full-occupancy ticks into one device program - sustained
+    # throughput decouples from host scheduling jitter (1-core box)
+    multi_tick = int(os.environ.get("UNIGEN_BENCH_STEP_MULTITICK", "1"))
     num_steps = 4
     preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
     cfg_base = {"full": presets.flux_full, "proxy": presets.flux_bench,
@@ -2195,7 +2199,8 @@ def bench_stepserver():
                      control_cache_threshold=thr_c,
                      model_cache_threshold=thr_m,
                      adaptive_lag=adaptive_lag,
-                     residual_cache_bits=res_bits, dtype=dtype)
+                     residual_cache_bits=res_bits,
+                     multi_tick=multi_tick, dtype=dtype)
     t_len = 16 if preset == "tiny" else 512
 
     def request(i):
@@ -2229,6 +2234,18 @@ def bench_stepserver():
     wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
     for f in wfuts:
         f.result(timeout=3600)
+    if multi_tick > 1:
+        # compile every fused-window size up front (the staggered warmup
+        # admissions above may never hit full occupancy with no waiters)
+        for K in range(2, multi_tick + 1):
+            if K not in srv._multi_fns:
+                fn = srv._build_multi_step(srv._t_len, K)
+                srv._multi_fns[K] = fn
+                z = jnp.zeros((K, B), jnp.float32)
+                jax.block_until_ready(fn(
+                    srv.params, srv._lat, srv._cond, srv._embeds, srv._mask,
+                    srv._pooled, srv._cond_pooled, z, z, z, z,
+                    jnp.zeros((B,), jnp.float32)))
     print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
 
     # sustained saturating load: blocking submit refills a slot the moment
@@ -2254,6 +2271,8 @@ def bench_stepserver():
             ctag += "_lag1"
         if res_bits != 16 and thr_c > 0:
             ctag += f"_res{res_bits}"
+    if multi_tick > 1:
+        ctag += f"_mt{multi_tick}"
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
                      f"w{bb.inner_dim}_stepserver{B}slots{ctag}",
            "res": res, "slots": B, "num_steps": num_steps,
@@ -2262,6 +2281,7 @@ def bench_stepserver():
            "control_cache_threshold": thr_c, "model_cache_threshold": thr_m,
            "adaptive_lag": adaptive_lag,
            "residual_cache_bits": res_bits,
+           "multi_tick": multi_tick,
            "warm_single_request_latency_ms": round(single_lat * 1000, 1),
            "sustained_img_per_sec": round(sustained, 4),
            "note": "admission latency bounded by ONE denoise step (vs a full "
@@ -2495,6 +2515,7 @@ def bench_stepserver_sana():
     cache_order = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE_ORDER", "0"))
     cache_c = int(os.environ.get("UNIGEN_BENCH_STEP_HYBRID", "1"))
     res_bits = int(os.environ.get("UNIGEN_BENCH_STEP_RESBITS", "16"))
+    multi_tick = int(os.environ.get("UNIGEN_BENCH_STEP_MULTITICK", "1"))
     num_steps = 20
     cfg = C.UniGenConfig(
         family="sana", sana=C.SanaBackboneConfig(),
@@ -2524,7 +2545,7 @@ def bench_stepserver_sana():
         batch_size=B, num_inference_steps=num_steps,
         height=res, width=res, model_cache_interval=cache_k,
         model_cache_order=cache_order, control_cache_interval=cache_c,
-        residual_cache_bits=res_bits, dtype=dtype)
+        residual_cache_bits=res_bits, multi_tick=multi_tick, dtype=dtype)
     t_len = 300
 
     def request(i):
@@ -2552,6 +2573,18 @@ def bench_stepserver_sana():
     wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
     for f in wfuts:
         f.result(timeout=3600)
+    if multi_tick > 1:
+        # compile every fused-window size up front (the staggered warmup
+        # admissions above may never hit full occupancy with no waiters)
+        for K in range(2, multi_tick + 1):
+            if K not in srv._multi_fns:
+                fn = srv._build_multi_step(srv._t_len, K)
+                srv._multi_fns[K] = fn
+                z = jnp.zeros((K, B), jnp.float32)
+                jax.block_until_ready(fn(
+                    srv.params, srv._lat, srv._cond, srv._embeds, srv._mask,
+                    srv._pooled, srv._cond_pooled, z, z, z, z,
+                    jnp.zeros((B,), jnp.float32)))
     print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
 
     n_req = 4 * B
@@ -2569,6 +2602,8 @@ def bench_stepserver_sana():
         ctag += f"_hybrid{cache_c}"
         if res_bits == 8:
             ctag += "_res8"
+    if multi_tick > 1:
+        ctag += f"_mt{multi_tick}"
     doc = {"config": f"sana_{bb.num_layers}blk_w{bb.inner_dim}_"
                      f"stepserver{B}slots{ctag}",
            "res": res, "slots": B, "num_steps": num_steps,
@@ -2612,6 +2647,7 @@ def bench_stepserver_sd3():
     cache_order = int(os.environ.get("UNIGEN_BENCH_STEP_CACHE_ORDER", "0"))
     cache_c = int(os.environ.get("UNIGEN_BENCH_STEP_HYBRID", "1"))
     res_bits = int(os.environ.get("UNIGEN_BENCH_STEP_RESBITS", "16"))
+    multi_tick = int(os.environ.get("UNIGEN_BENCH_STEP_MULTITICK", "1"))
     num_steps = 28
     t_len = 77 + 256                       # CLIP + T5 joint context
     cfg_base = presets.sd35_medium()
@@ -2637,7 +2673,8 @@ def bench_stepserver_sd3():
                      guidance_scale=7.0, model_cache_interval=cache_k,
                      model_cache_order=cache_order,
                      control_cache_interval=cache_c,
-                     residual_cache_bits=res_bits, dtype=dtype)
+                     residual_cache_bits=res_bits,
+                     multi_tick=multi_tick, dtype=dtype)
 
     def request(i):
         ks = jax.random.split(jax.random.PRNGKey(1000 + i), 5)
@@ -2667,6 +2704,18 @@ def bench_stepserver_sd3():
     wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
     for f in wfuts:
         f.result(timeout=3600)
+    if multi_tick > 1:
+        # compile every fused-window size up front (the staggered warmup
+        # admissions above may never hit full occupancy with no waiters)
+        for K in range(2, multi_tick + 1):
+            if K not in srv._multi_fns:
+                fn = srv._build_multi_step(srv._t_len, K)
+                srv._multi_fns[K] = fn
+                z = jnp.zeros((K, B), jnp.float32)
+                jax.block_until_ready(fn(
+                    srv.params, srv._lat, srv._cond, srv._embeds, srv._mask,
+                    srv._pooled, srv._cond_pooled, z, z, z, z,
+                    jnp.zeros((B,), jnp.float32)))
     print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
 
     n_req = 4 * B
@@ -2684,6 +2733,8 @@ def bench_stepserver_sd3():
         ctag += f"_hybrid{cache_c}"
         if res_bits != 16:
             ctag += f"_res{res_bits}"
+    if multi_tick > 1:
+        ctag += f"_mt{multi_tick}"
     doc = {"config": f"sd35m_{bb.num_layers}blk_w{bb.inner_dim}_"
                      f"stepserver{B}slots{ctag}",
            "res": res, "slots": B, "num_steps": num_steps,

@@ -177,6 +177,7 @@ def _serve_steps(pipe, args, mesh=None):
                   adaptive_lag=args.adaptive_lag,
                   residual_cache_bits=args.residual_cache_bits,
                   max_waiters=args.max_waiters,
+                  multi_tick=args.multi_tick,
                   mesh=mesh, **kw)
     if args.resolutions:
         # mixed-resolution serving: one shared weight tree, a StepServer
@@ -433,6 +434,14 @@ def main(argv=None):
                     help="step-server backpressure: reject wait=True "
                          "admissions beyond this many queued waiters "
                          "(stats()['rejected']); default unbounded")
+    ap.add_argument("--multi-tick", type=int, default=1,
+                    help="step-server, exact schedule only: fuse up to K "
+                         "consecutive ticks into one device program when "
+                         "every slot is busy (lax.scan window; never "
+                         "crosses a retirement, so admission latency is "
+                         "unchanged) - sustained throughput stops "
+                         "depending on host scheduling jitter; "
+                         "incompatible with cache/adaptive knobs")
     ap.add_argument("--warmup", action="store_true",
                     help="step-server only: pre-compile the whole gathered-"
                          "program ladder with synthetic requests before "

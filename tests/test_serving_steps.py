@@ -85,6 +85,51 @@ def test_step_server_matches_pipeline(tiny_world):
         assert diff.max() <= 1, f"max diff {diff.max()}"
 
 
+def test_step_server_multi_tick_matches_pipeline(tiny_world):
+    """multi_tick=K fuses consecutive full-occupancy exact ticks into one
+    lax.scan program; per-request outputs must equal single-tick serving
+    (== the one-shot pipeline), retirements must land at window boundaries,
+    and at least one fused window must actually run (stats()). Saturating
+    load pattern: 2 slots, 5 queued requests via blocking submits from
+    worker threads — the bench's sustained-load shape."""
+    import threading
+
+    cfg, params, vae_cfg, vae_params = tiny_world
+    steps = 4
+    reqs = [_request(60 + i, cfg) for i in range(5)]
+    refs = [_pipeline_reference(tiny_world, r, steps) for r in reqs]
+
+    srv = StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                     num_inference_steps=steps, height=32, width=32,
+                     multi_tick=3, dtype=jnp.float32)
+    futs = [None] * len(reqs)
+    def feed(i):
+        futs[i] = srv.submit(**reqs[i], wait=True)
+    threads = []
+    for i in range(len(reqs)):
+        t = threading.Thread(target=feed, args=(i,))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join(timeout=300)
+    outs = [f.result(timeout=300) for f in futs]
+    st = srv.stats()
+    srv.close()
+    assert st["ticks_fused"] >= 1, st
+    assert st["retired"] == len(reqs), st
+    # thread start order != admission order is fine: compare as a whole by
+    # matching each output to its own request's reference
+    for out, ref in zip(outs, refs):
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+    # config guard: fusion excludes cache/adaptive schedules
+    with pytest.raises(AssertionError):
+        StepServer(cfg, params, vae_cfg, vae_params, batch_size=2,
+                   num_inference_steps=steps, height=32, width=32,
+                   model_cache_interval=2, multi_tick=2, dtype=jnp.float32)
+
+
 @pytest.mark.parametrize("order", [0, 1])
 def test_step_server_model_cache_matches_pipeline(tiny_world, order):
     """model_cache_interval composed with continuous batching: each slot

@@ -149,6 +149,7 @@ class StepServer:
                  adaptive_lag: int = 0,
                  residual_cache_bits: int = 16,
                  max_waiters: Optional[int] = None,
+                 multi_tick: int = 1,
                  mesh=None,
                  dtype=jnp.bfloat16):
         assert cfg.family in ("flux", "sana", "sd3"), \
@@ -379,7 +380,8 @@ class StepServer:
         self._closed = False
         self._stats = dict(submitted=0, retired=0, failed=0, cancelled=0,
                            rejected=0, timed_out=0,
-                           ticks=0, ticks_replay=0, rows_full=0, rows_base=0,
+                           ticks=0, ticks_replay=0, ticks_fused=0,
+                           rows_full=0, rows_base=0,
                            rows_refresh=0, rows_pad=0, active_row_steps=0)
         # backpressure: with wait=True, at most this many submitters may
         # queue for admission; beyond it submit() raises immediately so a
@@ -400,6 +402,29 @@ class StepServer:
         # sustained-throughput gauge (img/s across the window span)
         self._retire_times: collections.deque = collections.deque(maxlen=2048)
         self._step_fn = None                    # built lazily (needs T)
+        # multi_tick=K (exact mode only): when EVERY slot is busy, fuse up
+        # to K consecutive ticks into ONE device program (lax.scan over
+        # per-tick scalar rows). The host drops out of the loop for K
+        # steps, so sustained throughput decouples from host scheduling
+        # jitter (the measured 8x collapse under concurrent CPU work on a
+        # 1-core box — CLAUDE.md). The window never crosses a retirement (K
+        # is capped by the minimum remaining steps), so queued waiters
+        # admit at the same tick index they would under single ticks;
+        # partial occupancy runs single ticks (an idle slot stays instantly
+        # admittable); cancellation is swept at window boundaries (a cancel
+        # mid-window frees its slot up to K-1 ticks late — the rows compute
+        # harmlessly into a dropped future). Cache/adaptive schedules pick
+        # per-tick row subsets on the host, so fusion applies to the exact
+        # path only.
+        self.multi_tick = int(multi_tick)
+        assert self.multi_tick >= 1
+        if self.multi_tick > 1:
+            assert not (self.cache_k > 1 or self.cache_c > 1
+                        or self._adaptive), \
+                "multi_tick fuses EXACT ticks only (cache/adaptive " \
+                "schedules decide per-tick row subsets on the host)"
+        self._multi_fns: Dict[int, Any] = {}    # K -> fused K-tick program
+        self._t_len = None
         # retirement (VAE decode + d2h) runs on its OWN thread so the step
         # loop never waits on a host pull — ticks stay back-to-back async
         # dispatches and the device pipelines them (measured: inline
@@ -505,6 +530,21 @@ class StepServer:
                 for _ in range(max(1, rounds) * self.B)]
         for f in futs:
             f.result()
+        if self.multi_tick > 1:
+            # fused-window programs engage only at full occupancy with no
+            # waiters — a pattern the blocking warmup admissions may never
+            # produce; build + run every possible K here (outputs discarded,
+            # state untouched: the programs are functional)
+            for K in range(2, self.multi_tick + 1):
+                if K in self._multi_fns:
+                    continue
+                fn = self._build_multi_step(self._t_len, K)
+                self._multi_fns[K] = fn
+                zeros = jnp.zeros((K, self.B), jnp.float32)
+                jax.block_until_ready(fn(
+                    self.params, self._lat, self._cond, self._embeds,
+                    self._mask, self._pooled, self._cond_pooled, zeros,
+                    zeros, zeros, zeros, jnp.zeros((self.B,), jnp.float32)))
         return len(futs)
 
     @staticmethod
@@ -618,6 +658,29 @@ class StepServer:
                                          self._bsig(s_next, lat))
 
         return self._jit(step)
+
+    def _build_multi_step(self, t_len: int, K: int):
+        """K consecutive exact ticks fused into one program: lax.scan over
+        per-tick scalar rows ([K, B] timesteps/sigmas/scales built on host
+        from the slots' schedules — every slot's future steps are known).
+        Values are IDENTICAL to K sequential _build_step calls (pinned by
+        test); the host just stops participating between them."""
+        call = self._family_fwd(self.B, t_len)
+
+        def multi(params, lat, cond, embeds, mask, pooled, cond_pooled,
+                  t_mat, s_mat, sn_mat, sc_mat, g):
+            def body(lat, xs):
+                t_now, s_now, s_next, scale = xs
+                pred, _, _ = call(params, lat, cond, embeds, mask, pooled,
+                                  cond_pooled, t_now, scale, g)
+                return scheduling.euler_step(
+                    lat, pred, self._bsig(s_now, lat),
+                    self._bsig(s_next, lat)), None
+
+            lat, _ = jax.lax.scan(body, lat, (t_mat, s_mat, sn_mat, sc_mat))
+            return lat
+
+        return self._jit(multi)
 
     def _build_fwd(self, t_len: int, m: int):
         """Prediction forward for ``m`` refreshing slots: gathers rows
@@ -1194,6 +1257,7 @@ class StepServer:
                         jnp.zeros((self.B, embeds.shape[1]), jnp.int32))
                 t_len = (embeds.shape[2] if self.family == "sd3"
                          else embeds.shape[1])
+                self._t_len = t_len
                 self._step_fn = self._build_step(t_len)
                 if (self.cache_c > 1 or self.thr_c > 0) and self._res is None:
 
@@ -1337,10 +1401,23 @@ class StepServer:
                     s_next[i] = s.sigmas[s.step + 1]
                     scale[i] = s.sched[s.step]
                     gvec[i] = s.guidance
-                self._stats["ticks"] += 1
-                self._stats["active_row_steps"] += len(active)
                 cached = (self.cache_k > 1 or self.cache_c > 1
                           or self._adaptive)
+                # exact-mode multi-tick window: full occupancy, never
+                # crossing a retirement. Queued waiters do NOT disable the
+                # window — a slot only frees at a retirement and K never
+                # crosses one, so a waiter admits at the same tick index
+                # either way (only a mid-schedule CANCEL frees a slot up to
+                # K-1 ticks later than single-tick mode would).
+                multi_k = 1
+                if (not cached and self.multi_tick > 1
+                        and len(active) == self.B):
+                    rem = min(s.num_steps - s.step for _, s in active)
+                    multi_k = max(1, min(self.multi_tick, rem))
+                    if multi_k > 1:
+                        self._stats["ticks_fused"] += 1
+                self._stats["ticks"] += multi_k
+                self._stats["active_row_steps"] += len(active) * multi_k
                 d_full = d_pred = None
                 if self._adaptive:
                     if self._drift_fn is None:
@@ -1369,11 +1446,38 @@ class StepServer:
                                                      scale, gvec,
                                                      drift=d_pred)
                 else:
-                    self._stats["rows_refresh"] += len(active)
-                    self._stats["rows_pad"] += self.B - len(active)
-                    step_fn = self._step_fn
-                    args = (self.params, self._lat, self._cond, self._embeds,
-                            self._mask, self._pooled, self._cond_pooled)
+                    self._stats["rows_refresh"] += len(active) * multi_k
+                    self._stats["rows_pad"] += (self.B - len(active)) * multi_k
+                    if multi_k > 1:
+                        # per-tick scalar rows [K, B] from the slots' known
+                        # schedules; one fused program runs the whole window
+                        tmat = np.zeros((multi_k, self.B), np.float32)
+                        smat = np.zeros((multi_k, self.B), np.float32)
+                        snmat = np.zeros((multi_k, self.B), np.float32)
+                        scmat = np.zeros((multi_k, self.B), np.float32)
+                        for i, s in active:
+                            for j in range(multi_k):
+                                tmat[j, i] = (s.timesteps[s.step + j]
+                                              * self._t_fac)
+                                smat[j, i] = s.sigmas[s.step + j]
+                                snmat[j, i] = s.sigmas[s.step + j + 1]
+                                scmat[j, i] = s.sched[s.step + j]
+                        if multi_k not in self._multi_fns:
+                            self._multi_fns[multi_k] = self._build_multi_step(
+                                self._t_len, multi_k)
+                        step_fn = self._multi_fns[multi_k]
+                        args = (self.params, self._lat, self._cond,
+                                self._embeds, self._mask, self._pooled,
+                                self._cond_pooled, jnp.asarray(tmat),
+                                jnp.asarray(smat), jnp.asarray(snmat),
+                                jnp.asarray(scmat), jnp.asarray(gvec))
+                    else:
+                        step_fn = self._step_fn
+                        args = (self.params, self._lat, self._cond,
+                                self._embeds, self._mask, self._pooled,
+                                self._cond_pooled, jnp.asarray(t_now),
+                                jnp.asarray(s_now), jnp.asarray(s_next),
+                                jnp.asarray(scale), jnp.asarray(gvec))
             # ---- run the tick OUTSIDE the lock (submissions may land
             # between ticks; they only touch rows whose slots are free)
             t_tick = _time.perf_counter() if debug else 0.0
@@ -1381,9 +1485,7 @@ class StepServer:
                 if cached:
                     new_lat, commit = tick()
                 else:
-                    new_lat = step_fn(*args, jnp.asarray(t_now),
-                                      jnp.asarray(s_now), jnp.asarray(s_next),
-                                      jnp.asarray(scale), jnp.asarray(gvec))
+                    new_lat = step_fn(*args)
                     commit = None
             except Exception as e:
                 with self._work:
@@ -1417,7 +1519,8 @@ class StepServer:
                 jax.block_until_ready(inflight.popleft())
             if debug:
                 steps = [s.step for _, s in active]
-                print(f"# tick {len(active)}act steps={steps} "
+                kmark = f" x{multi_k}" if multi_k > 1 else ""
+                print(f"# tick{kmark} {len(active)}act steps={steps} "
                       f"{(_time.perf_counter()-t_tick)*1000:.0f}ms",
                       file=sys.stderr, flush=True)
             with self._work:
@@ -1434,7 +1537,7 @@ class StepServer:
                     self._pending_drift.append((self._tick_seq, hf, hp))
                     self._tick_seq += 1
                 for i, s in active:
-                    s.step += 1
+                    s.step += multi_k
                     if s.step >= s.num_steps:
                         # hand the finished ROW (a device slice of new_lat —
                         # immutable, so later ticks can't clobber it) to the
