@@ -262,6 +262,11 @@ def main():
                                   cond_pooled, timestep)),
         }
 
+        want = os.environ.get("UNIGEN_PROFILE_PHASES", "")
+        if want:
+            keep = [w.strip() for w in want.split(",")]
+            phases = {k2: v for k2, v in phases.items() if k2 in keep}
+
         report = {}
         for name, (fn, args) in phases.items():
             jfn = jax.jit(fn)
