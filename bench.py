@@ -1257,39 +1257,62 @@ def bench_subject():
             img = gen(b, True)          # compile + warm
             compile_s = time.time() - t0
             if bi == 0:
-                # the offset must CHANGE the model's prediction: one jitted
-                # forward with the ids as a traced argument, run with and
-                # without the w/2 offset (the uint8 image delta can round to
-                # zero at random-weight gate magnitudes, so the check lives
-                # at the prediction level where it is exact)
-                from unigen_tpu.models.unigen_flux import unigen_flux_forward
+                # WIRING proof on a tiny real-init tree (same code path as
+                # the serving topology): the offset must change the
+                # prediction through one jitted forward with the ids as a
+                # traced argument. The check cannot run on the serving tree
+                # itself: direct_quantized_init's random magnitudes explode
+                # activations ~1e28 by the single blocks and the final
+                # LayerNorm's variance overflows, saturating BOTH runs to
+                # the same output (measured: moe_hidden delta 36 -> pred
+                # delta 0.0 at full topology) - fine for timing, blind for
+                # values. Real init keeps magnitudes sane; the zero-init
+                # ControlNet gates are perturbed (trained gates are live).
+                from unigen_tpu import config as _C
+                from unigen_tpu.models.unigen_flux import (
+                    init_unigen_flux_params, unigen_flux_forward)
                 from unigen_tpu.ops.packing import prepare_latent_image_ids
-                hw_l = res // 16
+                tcfg_chk = _C.UniGenConfig(
+                    family="flux", flux=_C.tiny_flux_config(),
+                    condition_types=("subject",))
+                tparams = init_unigen_flux_params(jax.random.PRNGKey(0),
+                                                  tcfg_chk)
+                kf = jax.random.PRNGKey(9)
+                for gname in ("add_double", "add_single"):
+                    if gname in tparams["control"]:
+                        kf, ku = jax.random.split(kf)
+                        tparams["control"][gname] = jax.tree.map(
+                            lambda x: 0.02 * jax.random.normal(
+                                ku, x.shape, jnp.float32).astype(x.dtype),
+                            tparams["control"][gname])
+                tb_ = tcfg_chk.flux
+                hw_c, t_c = 4, 8
                 kc = jax.random.split(jax.random.PRNGKey(5), 6)
                 fb = dict(
                     hidden=jax.random.normal(
-                        kc[0], (b, hw_l * hw_l, bb.in_channels), dtype),
+                        kc[0], (1, hw_c * hw_c, tb_.in_channels)),
                     condition=jax.random.normal(
-                        kc[1], (b, hw_l * hw_l, bb.in_channels), dtype),
+                        kc[1], (1, hw_c * hw_c, tb_.in_channels)),
                     encoder=jax.random.normal(
-                        kc[2], (b, t_len, bb.joint_attention_dim), dtype),
+                        kc[2], (1, t_c, tb_.joint_attention_dim)),
                     pooled=jax.random.normal(
-                        kc[3], (b, bb.pooled_projection_dim), dtype),
+                        kc[3], (1, tb_.pooled_projection_dim)),
                     condition_pooled=jax.random.normal(
-                        kc[4], (b, bb.pooled_projection_dim), dtype),
-                    timestep=jnp.full((b,), 0.5, dtype),
+                        kc[4], (1, tb_.pooled_projection_dim)),
+                    timestep=jnp.full((1,), 0.5),
                     img_ids=jnp.asarray(
-                        np.asarray(prepare_latent_image_ids(hw_l, hw_l))),
-                    txt_ids=jnp.zeros((t_len, 3)))
+                        np.asarray(prepare_latent_image_ids(hw_c, hw_c))),
+                    txt_ids=jnp.zeros((t_c, 3)))
                 jf = jax.jit(lambda p, ids, fb: unigen_flux_forward(
-                    p, cfg, condition_ids=ids, **fb)[0])
-                ids0 = prepare_latent_image_ids(hw_l, hw_l)
-                ids1 = prepare_latent_image_ids(hw_l, hw_l, hw_l / 2.0)
+                    p, tcfg_chk, condition_ids=ids, **fb)[0])
+                ids0 = prepare_latent_image_ids(hw_c, hw_c)
+                ids1 = prepare_latent_image_ids(hw_c, hw_c, hw_c / 2.0)
                 delta = float(jnp.max(jnp.abs(
-                    jf(params, ids1, fb).astype(jnp.float32)
-                    - jf(params, ids0, fb).astype(jnp.float32))))
-                assert delta > 0, \
-                    "subject id-offset did not change the model prediction"
+                    jf(tparams, ids1, fb).astype(jnp.float32)
+                    - jf(tparams, ids0, fb).astype(jnp.float32))))
+                del tparams
+                assert delta > 0, (
+                    "subject id-offset did not change the model prediction")
                 print(f"# subject-offset engaged (pred max delta {delta:.2e})",
                       file=sys.stderr)
             K = max(1, 2 // b)

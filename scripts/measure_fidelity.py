@@ -63,6 +63,29 @@ def _fidelity(a, r):
     return rel, cos
 
 
+
+def _liven_gates(params):
+    """Fresh random init zeroes the ControlNet-style gate linears
+    (add_double/add_single/add_blocks — layers/core.init_linear(zero=True)),
+    which nulls the ENTIRE control branch: a zero-gate fidelity run never
+    sees control-path quantization error, and --subject measures nothing
+    (the condition ids reach the output only through the control adds).
+    Give the gates small random weights BEFORE each path quantizes the tree,
+    so bf16/w8a8/w4a8 all see the same live control branch. --ckpt paths
+    never pass through here (trained gates are already live)."""
+    import jax
+    import jax.numpy as jnp
+    ctrl = dict(params["control"])
+    key = jax.random.PRNGKey(77)
+    for name in ("add_double", "add_single", "add_blocks"):
+        if name in ctrl:
+            key, ku = jax.random.split(key)
+            ctrl[name] = jax.tree.map(
+                lambda x: (0.02 * jax.random.normal(
+                    ku, x.shape, jnp.float32)).astype(x.dtype),
+                ctrl[name])
+    return {**params, "control": ctrl}
+
 def main_sd3(args):
     """--family sd3: W8A8 vs bf16 on the FULL SD3.5-medium UniGen stack
     (bf16 fits one chip, so no proxy is needed; trees run one at a time
@@ -111,7 +134,8 @@ def main_sd3(args):
     else:
         cfg = presets.sd35_medium()
         bb = cfg.sd3
-        init_fn = jax.jit(lambda k: init_unigen_sd3_params(k, cfg, dtype=dtype))
+        init_fn = jax.jit(lambda k: _liven_gates(
+            init_unigen_sd3_params(k, cfg, dtype=dtype)))
     res = args.res
     lat, t_len, b = res // 8, 77 + 256, 1
 
@@ -304,6 +328,7 @@ def main_sd3(args):
     out = {"family": "sd3",
            "topology": f"sd3_{bb.num_layers}blk_w{bb.inner_dim}",
            "weights": "real-ckpt" if args.ckpt else "random-init",
+           "control_gates": "trained" if args.ckpt else "live-N(0,0.02)",
            "res": res}
     if args.cache_interval > 1:
         out["cache_interval"] = args.cache_interval
@@ -382,7 +407,8 @@ def main_sana(args):
             family="sana", sana=C.SanaBackboneConfig(),
             control=C.ControlConfig(moe=C.MoEConfig(batch_mode="per_sample")),
             condition_types=("canny",))
-        init_fn = jax.jit(lambda k: init_sana_unigen_params(k, cfg, dtype=dtype))
+        init_fn = jax.jit(lambda k: _liven_gates(
+            init_sana_unigen_params(k, cfg, dtype=dtype)))
     bb = cfg.sana
     res = args.res if args.res != 256 else 512
     lat, t_len, b = res // 32, 300, 1
@@ -542,6 +568,7 @@ def main_sana(args):
            "topology": f"sana_{bb.num_layers}blk_w{bb.inner_dim}",
            "weights": "real-ckpt" if args.ckpt else "random-init",
            "res": res,
+           "control_gates": "trained" if args.ckpt else "live-N(0,0.02)",
            "w8a8": {"rel_err": round(rel, 5), "cosine": round(cos, 6)}}
     if args.cache_interval > 1:
         out["cache_interval"] = args.cache_interval
@@ -730,7 +757,8 @@ def main(argv=None):
                                                    dtype=dtype, base_params=base)
             return {"base": base, "control": control}
     else:
-        init_fn = jax.jit(lambda k: init_unigen_flux_params(k, cfg, dtype=dtype))
+        init_fn = jax.jit(lambda k: _liven_gates(
+            init_unigen_flux_params(k, cfg, dtype=dtype)))
     quantizers = {"bf16": None, "w8a8": quantize_tree_streaming,
                   "w4a8_serving": quantize_unigen_serving_streaming}
 
@@ -932,7 +960,8 @@ def main(argv=None):
                 else "proxy_topology")
     out = {topo_key:
            f"{bb.num_layers}dbl_{bb.num_single_layers}sgl_w{bb.inner_dim}",
-           "res": res}
+           "res": res,
+           "control_gates": "trained" if args.ckpt else "live-N(0,0.02)"}
     if args.cache_interval > 1:
         out["cache_interval"] = args.cache_interval
     if args.cache_threshold > 0:
