@@ -292,11 +292,12 @@ def main():
             print(f"# b={b} {name:10s} {ms:8.2f} ms  {ms/b:8.2f} ms/img  "
                   f"(compile {compile_s:.1f}s)", file=sys.stderr)
 
-        if "full" in report:
+        if "double_cn" in report and "double" in report:
             report["control_double_ms"] = round(
-                report.get("double_cn", 0) - report.get("double", 0), 2)
+                report["double_cn"] - report["double"], 2)
+        if "single_cn" in report and "single" in report:
             report["control_single_ms"] = round(
-                report.get("single_cn", 0) - report.get("single", 0), 2)
+                report["single_cn"] - report["single"], 2)
         return report
 
     sweep = []

@@ -55,6 +55,12 @@ def _pick_bq(sq: int, skv_pad: int, d: int = 128) -> int:
     # admits twice the logits bytes of any verified point.
     kv_rows_eq = skv_pad * d // 128          # d-normalised KV rows
     cap = DEFAULT_BQ if (kv_rows_eq <= 2048 and skv_pad <= 2048) else 512
+    import os
+    override = os.environ.get("UNIGEN_PALLAS_BQ")
+    if override:
+        # experiment knob (batch-sweep tuning): forces the q-block size but
+        # never past the device-verified VMEM cap for this shape
+        return min(sq128, cap, int(override))
     return min(sq128, cap)
 
 
