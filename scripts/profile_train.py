@@ -195,6 +195,14 @@ def main():
             row["error"] = f"{type(e).__name__}: {str(e)[:300]}"
             print(f"# {policy} failed: {row['error']}", file=sys.stderr)
         rows[policy] = row
+        # free this policy's state/programs before the next one: leftover
+        # donated-state chains and compiled executables stack up and a later
+        # policy can RESOURCE_EXHAUST spuriously (observed at trainbench
+        # after a failed full-topology run left zombie buffers)
+        import gc
+        state = step_fn = None
+        gc.collect()
+        jax.clear_caches()
 
     out = {"preset": preset, "res": res, "batch": b, "accum": accum,
            "weights": "random", "flops_step_model": flops_step,
