@@ -2186,7 +2186,10 @@ def bench_stepserver():
     # consecutive full-occupancy ticks into one device program - sustained
     # throughput decouples from host scheduling jitter (1-core box)
     multi_tick = int(os.environ.get("UNIGEN_BENCH_STEP_MULTITICK", "1"))
-    num_steps = 4
+    # UNIGEN_BENCH_STEP_NUMSTEPS: longer schedules make the multi-tick
+    # window engage under per-tick staggering (4-step staggered slots pin
+    # min-remaining-steps to 1, so K never exceeds 1 in steady state)
+    num_steps = int(os.environ.get("UNIGEN_BENCH_STEP_NUMSTEPS", "4"))
     preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
     cfg_base = {"full": presets.flux_full, "proxy": presets.flux_bench,
                 "tiny": presets.tiny}[preset]()
@@ -2272,16 +2275,32 @@ def bench_stepserver():
     print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
 
     # sustained saturating load: blocking submit refills a slot the moment
-    # one retires, so occupancy holds at B
+    # one retires, so occupancy holds at B.
+    # UNIGEN_BENCH_STEP_CPUHOG=1: spin a competing CPU process during the
+    # window - the host-robustness A/B for multi_tick (StepServer sustained
+    # collapses ~8x under concurrent CPU work when every tick round-trips
+    # the host; fused windows keep the device fed)
+    hog = None
+    if os.environ.get("UNIGEN_BENCH_STEP_CPUHOG") == "1":
+        import subprocess
+        hog = subprocess.Popen(
+            [sys.executable, "-c",
+             "while True:\n sum(i*i for i in range(10000))"])
+        print(f"# cpu hog pid={hog.pid}", file=sys.stderr)
     n_req = 4 * B
-    t0 = time.perf_counter()
-    futs = [srv.submit(**request(2 + i), wait=True) for i in range(n_req)]
-    for f in futs:
-        f.result(timeout=600)
-    sustained = n_req / (time.perf_counter() - t0)
+    try:
+        t0 = time.perf_counter()
+        futs = [srv.submit(**request(2 + i), wait=True) for i in range(n_req)]
+        for f in futs:
+            f.result(timeout=600)
+        sustained = n_req / (time.perf_counter() - t0)
+    finally:
+        if hog is not None:
+            hog.kill()
+            hog.wait()
     srv.close()
     print(f"# sustained {sustained:.3f} img/s over {n_req} staggered requests "
-          f"({B} slots)", file=sys.stderr)
+          f"({B} slots)" + (" [cpu-hogged]" if hog else ""), file=sys.stderr)
 
     ctag = f"_cache{cache_k}o{cache_order}" if cache_k > 1 else ""
     if cache_c > 1:
@@ -2296,6 +2315,10 @@ def bench_stepserver():
             ctag += f"_res{res_bits}"
     if multi_tick > 1:
         ctag += f"_mt{multi_tick}"
+    if os.environ.get("UNIGEN_BENCH_STEP_CPUHOG") == "1":
+        ctag += "_cpuhog"
+    if num_steps != 4:
+        ctag += f"_steps{num_steps}"
     doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
                      f"w{bb.inner_dim}_stepserver{B}slots{ctag}",
            "res": res, "slots": B, "num_steps": num_steps,
