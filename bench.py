@@ -682,8 +682,13 @@ def bench_train():
     # recomputes only attention/elementwise in backward - the MFU option
     # when the activation memory fits (VERDICT r3 #3)
     remat = os.environ.get("UNIGEN_BENCH_TRAIN_REMAT", "full")
-    remat = {"full": "full", "dots": "dots", "none": "none",
-             "1": "full", "0": "none"}[remat]
+    try:
+        remat = {"full": "full", "dots": "dots", "none": "none",
+                 "1": "full", "0": "none"}[remat]
+    except KeyError:
+        raise ValueError(
+            f"UNIGEN_BENCH_TRAIN_REMAT={remat!r}: expected full|dots|none"
+            " (or 1|0)") from None
     lat_hw, t_len = res // 8, 512
     tcfg = C.TrainConfig(train_batch_size=b, remat=remat)
     dtype = jnp.bfloat16
@@ -1165,12 +1170,17 @@ def bench_subject():
 
     Drives the FULL UniGenFluxPipeline.generate — VAE encode of the subject
     pixels, id-offset denoise, VAE decode, uint8 images — at the serving
-    topology (full 19/38 W4A8 by default), 4-step 512². At the smallest
-    batch it also runs the same inputs WITHOUT the offset and asserts the
-    images differ (proof the subject path actually engages in the compiled
-    program, not just in the id helper). Writes SUBJECT.json + the JSON
-    line. The fidelity half lives in scripts/measure_fidelity.py --subject
-    (proxy-preset bf16 vs W8A8/W4A8 SSIM -> FIDELITY_SUBJECT.json).
+    topology (full 19/38 W4A8 by default), 4-step 512². Before timing it
+    runs an ENGAGE PROOF on a tiny real-init tree: one jitted forward with
+    the condition ids as a traced argument must change its prediction under
+    the w/2 offset (the serving tree itself is value-blind —
+    direct_quantized_init's random magnitudes saturate the final LayerNorm;
+    see the inline comment). The pipeline-level wiring
+    (generate(subject_offset=True) changes the image) is pinned separately
+    by tests/test_entry_contract.py::test_pipeline_true_cfg_and_subject_offset.
+    Writes SUBJECT.json + the JSON line. The fidelity half lives in
+    scripts/measure_fidelity.py --subject (proxy-preset live-gates bf16 vs
+    W8A8/W4A8 SSIM -> FIDELITY_SUBJECT.json).
 
     Env: UNIGEN_BENCH_PRESET (full|proxy|tiny), UNIGEN_BENCH_RES (512),
     UNIGEN_BENCH_BATCHES (default "1,2")."""
@@ -2260,18 +2270,7 @@ def bench_stepserver():
     wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
     for f in wfuts:
         f.result(timeout=3600)
-    if multi_tick > 1:
-        # compile every fused-window size up front (the staggered warmup
-        # admissions above may never hit full occupancy with no waiters)
-        for K in range(2, multi_tick + 1):
-            if K not in srv._multi_fns:
-                fn = srv._build_multi_step(srv._t_len, K)
-                srv._multi_fns[K] = fn
-                z = jnp.zeros((K, B), jnp.float32)
-                jax.block_until_ready(fn(
-                    srv.params, srv._lat, srv._cond, srv._embeds, srv._mask,
-                    srv._pooled, srv._cond_pooled, z, z, z, z,
-                    jnp.zeros((B,), jnp.float32)))
+    srv.prewarm_multi_tick()   # fused-window programs (no-op at multi_tick 1)
     print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
 
     # sustained saturating load: blocking submit refills a slot the moment
@@ -2351,11 +2350,31 @@ def bench_stepserver():
         with open(path, "w") as f:
             json.dump(merged, f, indent=1)
     else:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "STEPSERVE_HYBRID.json" if cache_c > 1
-                               else "STEPSERVE_CACHE.json" if cache_k > 1
-                               else "STEPSERVE.json"), "w") as f:
-            json.dump(doc, f, indent=1)
+        # EXPERIMENT configs (multi-tick, cpu-hog, non-default schedule or
+        # preset) must not clobber the canonical baseline artifacts the docs
+        # cite — they merge into STEPSERVE_MT.json keyed by config instead
+        # (this bit us: an mt4_cpuhog_steps16 run overwrote the 1.008
+        # STEPSERVE.json baseline)
+        experiment = (multi_tick > 1 or num_steps != 4 or preset != "full"
+                      or os.environ.get("UNIGEN_BENCH_STEP_CPUHOG") == "1")
+        if preset == "tiny":
+            pass                      # CPU smoke: no artifact
+        elif experiment:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "STEPSERVE_MT.json")
+            merged = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    merged = json.load(f)
+            merged.setdefault("runs", {})[doc["config"]] = doc
+            with open(path, "w") as f:
+                json.dump(merged, f, indent=1)
+        else:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "STEPSERVE_HYBRID.json" if cache_c > 1
+                                   else "STEPSERVE_CACHE.json" if cache_k > 1
+                                   else "STEPSERVE.json"), "w") as f:
+                json.dump(doc, f, indent=1)
     print(json.dumps({
         "metric": f"unigen_flux_stepserver{ctag}_{res}px_images_per_sec",
         "value": round(sustained, 4), "unit": "images/sec/chip",
@@ -2619,18 +2638,7 @@ def bench_stepserver_sana():
     wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
     for f in wfuts:
         f.result(timeout=3600)
-    if multi_tick > 1:
-        # compile every fused-window size up front (the staggered warmup
-        # admissions above may never hit full occupancy with no waiters)
-        for K in range(2, multi_tick + 1):
-            if K not in srv._multi_fns:
-                fn = srv._build_multi_step(srv._t_len, K)
-                srv._multi_fns[K] = fn
-                z = jnp.zeros((K, B), jnp.float32)
-                jax.block_until_ready(fn(
-                    srv.params, srv._lat, srv._cond, srv._embeds, srv._mask,
-                    srv._pooled, srv._cond_pooled, z, z, z, z,
-                    jnp.zeros((B,), jnp.float32)))
+    srv.prewarm_multi_tick()   # fused-window programs (no-op at multi_tick 1)
     print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
 
     n_req = 4 * B
@@ -2750,18 +2758,7 @@ def bench_stepserver_sd3():
     wfuts = [srv.submit(**request(500 + i), wait=True) for i in range(2 * B)]
     for f in wfuts:
         f.result(timeout=3600)
-    if multi_tick > 1:
-        # compile every fused-window size up front (the staggered warmup
-        # admissions above may never hit full occupancy with no waiters)
-        for K in range(2, multi_tick + 1):
-            if K not in srv._multi_fns:
-                fn = srv._build_multi_step(srv._t_len, K)
-                srv._multi_fns[K] = fn
-                z = jnp.zeros((K, B), jnp.float32)
-                jax.block_until_ready(fn(
-                    srv.params, srv._lat, srv._cond, srv._embeds, srv._mask,
-                    srv._pooled, srv._cond_pooled, z, z, z, z,
-                    jnp.zeros((B,), jnp.float32)))
+    srv.prewarm_multi_tick()   # fused-window programs (no-op at multi_tick 1)
     print(f"# warmup {2*B} requests {time.time()-t0:.1f}s", file=sys.stderr)
 
     n_req = 4 * B
@@ -3075,14 +3072,22 @@ def main():
     #    retry ~15 s — before the ladder descends;
     #  * a deterministic error (shape/type bugs) descends immediately;
     #  * the attempt history and any fallback are recorded in the JSON.
-    TRANSIENT_PAT = ("remote_compile", "read body", "resource_exhausted",
+    # STRONG transients (relay plumbing: retry the full budget) vs WEAK ones
+    # ('remote_compile'/'internal' HTTP 500s can be DETERMINISTIC — a
+    # program the compile helper can never build fails identically every
+    # time and each retry burns a multi-minute failing compile; one retry
+    # distinguishes a wedge from a real compile failure)
+    TRANSIENT_PAT = ("read body", "resource_exhausted",
                      "deadline", "timed out", "timeout", "unavailable",
-                     "connection", "internal", "aborted", "socket",
+                     "connection", "aborted", "socket",
                      "response body", "eof")
+    WEAK_TRANSIENT_PAT = ("remote_compile", "internal")
 
-    def _is_transient(e: Exception) -> bool:
+    def _is_transient(e: Exception, attempt: int = 1) -> bool:
         s = f"{type(e).__name__}: {e}".lower()
-        return any(p in s for p in TRANSIENT_PAT)
+        if any(p in s for p in TRANSIENT_PAT):
+            return True
+        return attempt < 2 and any(p in s for p in WEAK_TRANSIENT_PAT)
 
     def _tunnel_probe(timeout_s: float = 120.0) -> bool:
         """True iff a tiny matmul round-trips (incl. d2h) within the
@@ -3124,7 +3129,7 @@ def main():
                 results, config_desc, est_ref = run_preset(preset, quant)
             except Exception as e:
                 msg = f"{type(e).__name__}: {str(e)[:200]}"
-                transient = _is_transient(e)
+                transient = _is_transient(e, attempt)
                 attempt_log.append({"rung": f"{preset},{quant}",
                                     "attempt": attempt, "error": msg,
                                     "transient": transient})

@@ -474,7 +474,11 @@ def main(argv=None):
                  model_cache_threshold=args.model_cache_threshold,
                  residual_cache_bits=(args.residual_cache_bits
                                       if args.residual_cache_bits != 16
-                                      else 0)))
+                                      else 0)),
+            # schedule-aware selection: without this, "fast" on the default
+            # 4-step schedule resolves to the sub-0.99-SSIM operating point
+            # the min_steps gate exists to block
+            num_steps=args.steps)
         args.control_cache_interval = knobs.get(
             "control_cache_interval", args.control_cache_interval)
         args.model_cache_interval = knobs.get(
@@ -490,6 +494,19 @@ def main(argv=None):
               f"residual_cache_bits={args.residual_cache_bits}",
               file=sys.stderr)
         args.quality_profile = None      # consumed: StepServer takes knobs
+    if args.multi_tick > 1:
+        # validate BEFORE model load (the StepServer constructor assertion
+        # would otherwise fire after minutes of quantized-tree init); note
+        # the check runs after profile resolution so a cache-mapping
+        # --quality-profile is caught too
+        if not args.step_server:
+            ap.error("--multi-tick is wired for --step-server")
+        if (args.model_cache_interval > 1 or args.control_cache_interval > 1
+                or args.model_cache_threshold > 0
+                or args.control_cache_threshold > 0):
+            ap.error("--multi-tick fuses EXACT ticks only; drop the "
+                     "cache/adaptive knobs (or a --quality-profile that "
+                     "maps to them)")
     if args.warmup and not args.step_server:
         ap.error("--warmup is wired for --step-server (the request-batched "
                  "server compiles each ladder size lazily on first use)")

@@ -98,6 +98,22 @@ def pytest_collection_modifyitems(config, items):
         key = (item.path.name, item.name.split("[")[0])
         if key in _HEAVY:
             item.add_marker(pytest.mark.heavy)
+    # Default-tier deselection applies ONLY to whole-suite runs: an
+    # explicit -m wins, and targeted file/node-id invocations keep their
+    # heavy tests (an addopts-based -m filter silently deselected
+    # explicitly-named tests — `pytest tests/test_serving_steps.py` ran
+    # nothing of the equivalence suite while looking green).
+    if config.getoption("-m"):
+        return
+    targeted = any(
+        "::" in str(a) or str(a).rstrip("/").endswith(".py")
+        for a in config.invocation_params.args)
+    if targeted:
+        return
+    deselected = [it for it in items if it.get_closest_marker("heavy")]
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = [it for it in items if not it.get_closest_marker("heavy")]
 
 # The environment force-registers the axon TPU plugin (JAX_PLATFORMS=axon via
 # sitecustomize); the env var alone does not stick — set the config directly.

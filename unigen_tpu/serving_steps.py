@@ -530,22 +530,34 @@ class StepServer:
                 for _ in range(max(1, rounds) * self.B)]
         for f in futs:
             f.result()
-        if self.multi_tick > 1:
-            # fused-window programs engage only at full occupancy with no
-            # waiters — a pattern the blocking warmup admissions may never
-            # produce; build + run every possible K here (outputs discarded,
-            # state untouched: the programs are functional)
-            for K in range(2, self.multi_tick + 1):
-                if K in self._multi_fns:
-                    continue
-                fn = self._build_multi_step(self._t_len, K)
-                self._multi_fns[K] = fn
-                zeros = jnp.zeros((K, self.B), jnp.float32)
-                jax.block_until_ready(fn(
-                    self.params, self._lat, self._cond, self._embeds,
-                    self._mask, self._pooled, self._cond_pooled, zeros,
-                    zeros, zeros, zeros, jnp.zeros((self.B,), jnp.float32)))
+        self.prewarm_multi_tick()
         return len(futs)
+
+    def prewarm_multi_tick(self) -> int:
+        """Build + run every fused-window program (K = 2..multi_tick).
+
+        Fused windows engage only at full occupancy — a pattern blocking
+        warmup admissions may never produce, so their programs would
+        otherwise compile inside real traffic (minutes each through a
+        remote-compile path). Outputs are discarded and state untouched
+        (the programs are functional). No-op before the first admission
+        (program shapes need the text length) or when multi_tick <= 1.
+        Returns the number of programs built. Called by :meth:`warmup`."""
+        if self.multi_tick <= 1 or self._t_len is None:
+            return 0
+        built = 0
+        for K in range(2, self.multi_tick + 1):
+            if K in self._multi_fns:
+                continue
+            fn = self._build_multi_step(self._t_len, K)
+            self._multi_fns[K] = fn
+            zeros = jnp.zeros((K, self.B), jnp.float32)
+            jax.block_until_ready(fn(
+                self.params, self._lat, self._cond, self._embeds,
+                self._mask, self._pooled, self._cond_pooled, zeros,
+                zeros, zeros, zeros, jnp.zeros((self.B,), jnp.float32)))
+            built += 1
+        return built
 
     @staticmethod
     def _bsig(x, lat):
