@@ -132,6 +132,19 @@ def test_serve_cli_step_server_quality_profile(tmp_path):
     assert proc.returncode != 0
     assert "quality_profile" in proc.stderr, proc.stderr[-2000:]
 
+    # schedule-aware gate ON THE SERVING PATH: "fast" over the default
+    # 4-step schedule must degrade to "balanced" (sub-0.99-SSIM point) —
+    # serve.py must pass num_steps into quality_profile_knobs
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "serve.py"),
+         "--demo", "--step-server", "--quality-profile", "fast",
+         "--batch-size", "2"],
+        capture_output=True, text=True, env=ENV, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "degrading to 'balanced'" in proc.stderr, proc.stderr[-2000:]
+    assert ("control_cache_interval=4 model_cache_interval=2"
+            in proc.stderr), proc.stderr[-2000:]
+
 
 def test_serve_cli_multi_resolution(serve_world, tmp_path):
     """--resolutions serves MIXED resolutions from one weight tree
