@@ -1352,9 +1352,22 @@ def bench_subject():
            "res": res, "steps": num_steps, "weights": "random",
            "e2e": "VAE encode + id-offset denoise + VAE decode (pipeline)",
            "rows": rows}
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "SUBJECT.json"), "w") as f:
-        json.dump(sub, f, indent=1)
+    # merge by resolution so a 1024^2 run doesn't clobber the 512^2 rows
+    # (tiny CPU smokes skip the artifact)
+    if preset != "tiny":
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SUBJECT.json")
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                old_doc = json.load(f)
+            if "runs" in old_doc:
+                merged = old_doc
+            elif "res" in old_doc:       # migrate the single-run layout
+                merged = {"runs": {f"res_{old_doc['res']}": old_doc}}
+        merged.setdefault("runs", {})[f"res_{res}"] = sub
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
     print(json.dumps({
         "metric": f"unigen_flux_subject_{res}px_images_per_sec",
         "value": best["ips"], "unit": "images/sec/chip",
