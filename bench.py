@@ -1315,8 +1315,12 @@ def bench_subject():
                     txt_ids=jnp.zeros((t_c, 3)))
                 jf = jax.jit(lambda p, ids, fb: unigen_flux_forward(
                     p, tcfg_chk, condition_ids=ids, **fb)[0])
+                from unigen_tpu.data.conditions import condition_id_offset
                 ids0 = prepare_latent_image_ids(hw_c, hw_c)
-                ids1 = prepare_latent_image_ids(hw_c, hw_c, hw_c / 2.0)
+                # full packed-width separation, same as the serving path
+                # (latent width = 2*hw_c)
+                ids1 = prepare_latent_image_ids(
+                    hw_c, hw_c, condition_id_offset("subject", 2 * hw_c))
                 delta = float(jnp.max(jnp.abs(
                     jf(tparams, ids1, fb).astype(jnp.float32)
                     - jf(tparams, ids0, fb).astype(jnp.float32))))
@@ -2379,6 +2383,12 @@ def bench_stepserver():
             if os.path.exists(path):
                 with open(path) as f:
                     merged = json.load(f)
+            if merged and "runs" not in merged:
+                # migrate the legacy flat single-document A/B summary under
+                # runs[config] (same discipline as the SUBJECT.json merge)
+                # instead of setdefault-ing beside its stale flat keys
+                legacy_key = merged.get("config", "legacy_flat")
+                merged = {"runs": {legacy_key: merged}}
             merged.setdefault("runs", {})[doc["config"]] = doc
             with open(path, "w") as f:
                 json.dump(merged, f, indent=1)

@@ -797,8 +797,10 @@ def main(argv=None):
         # subject-driven generation: condition tokens sit BESIDE the image
         # grid (cond_ids[:, 2] += w/2, reference src/condition.py:118-121)
         from unigen_tpu.data.conditions import condition_id_offset
+        # hw is the PACKED grid width; the offset takes the LATENT width
+        # (2*hw) and returns the full packed width, like the serving path
         batch["condition_ids"] = np.asarray(prepare_latent_image_ids(
-            hw, hw, condition_id_offset("subject", hw)))
+            hw, hw, condition_id_offset("subject", 2 * hw)))
 
     def _cast(batch):
         return {k: jnp.asarray(v, dtype if k in _FP else None)

@@ -98,12 +98,12 @@ def pytest_collection_modifyitems(config, items):
         key = (item.path.name, item.name.split("[")[0])
         if key in _HEAVY:
             item.add_marker(pytest.mark.heavy)
-    # Default-tier deselection applies ONLY to whole-suite runs: an
-    # explicit -m wins, and targeted file/node-id invocations keep their
-    # heavy tests (an addopts-based -m filter silently deselected
-    # explicitly-named tests — `pytest tests/test_serving_steps.py` ran
-    # nothing of the equivalence suite while looking green).
-    if config.getoption("-m"):
+    # Default-tier deselection applies ONLY to whole-suite runs: explicit
+    # -m/-k win, and targeted file/node-id invocations keep their heavy
+    # tests (an earlier filter silently deselected explicitly-named tests —
+    # `pytest tests/test_serving_steps.py` ran nothing of the equivalence
+    # suite while looking green; same failure mode for -k <heavy-test>).
+    if config.getoption("-m") or config.getoption("-k"):
         return
     targeted = any(
         "::" in str(a) or str(a).rstrip("/").endswith(".py")

@@ -54,8 +54,10 @@ def test_condition_synthesis():
     chw = C.to_model_range(img)
     assert chw.shape == (3, 32, 32) and chw.min() >= -1 and chw.max() <= 1
     np.testing.assert_array_equal(C.from_model_range(chw), img)
-    assert C.condition_id_offset("subject", 16) == 8.0
-    assert C.condition_id_offset("canny", 16) == 0.0
+    # latent width 32 -> full packed width 16, matching pipelines/flux.py
+    # lw/2 (advisor r4: passing the packed width halved the separation)
+    assert C.condition_id_offset("subject", 32) == 16.0
+    assert C.condition_id_offset("canny", 32) == 0.0
 
 
 def test_fill_and_inpaint_masks():

@@ -147,7 +147,13 @@ def synthesize(condition_type: str, img_u8: np.ndarray,
     return fn(img_u8, **kw)
 
 
-def condition_id_offset(condition_type: str, packed_width: int) -> float:
+def condition_id_offset(condition_type: str, latent_width: int) -> float:
     """Subject-driven generation places condition tokens beside (not on top
-    of) the image grid: cond_ids[:, 2] += w/2 (condition.py:118-121)."""
-    return packed_width / 2.0 if condition_type == "subject" else 0.0
+    of) the image grid: cond_ids[:, 2] += latent_w/2 (condition.py:118-121).
+
+    ``latent_width`` is the LATENT grid width (res // vae_factor, e.g.
+    res // 8 for flux) — the returned offset equals the FULL packed-grid
+    width (latent_width / 2), matching the serving path
+    (pipelines/flux.py ``lw / 2.0``). Passing the packed width here would
+    halve the separation (advisor round-4 finding)."""
+    return latent_width / 2.0 if condition_type == "subject" else 0.0
