@@ -77,3 +77,115 @@ def image_metrics(a: np.ndarray, b: np.ndarray) -> dict:
     bt = jnp.asarray(b.transpose(0, 3, 1, 2), jnp.float32)
     return {"ssim": float(ssim(at, bt)), "psnr": float(psnr(at, bt)),
             "mae": float(jnp.mean(jnp.abs(at - bt)))}
+
+
+# --------------------------------------------------------------- FID / DISTS
+#
+# The reference ships pytorch-fid / dists-pytorch / torchmetrics in
+# environment.yaml but never calls them (SURVEY.md §4). This is the runnable
+# metric plumbing (VERDICT r4 next-round #8): distribution-level Fréchet
+# distance over ANY feature extractor (classic FID = InceptionV3 pool3;
+# FD-VGG / FD-DINOv2 are the same statistic over a different tower —
+# arXiv:2306.04675 recommends DINOv2, which this repo already implements
+# with HF parity for the depth condition, models/depth.py), plus the DISTS
+# perceptual score (Ding et al., arXiv:2004.07728) over the VGG16 tower
+# (models/vgg.py). Feature weights are environment-blocked like every real
+# checkpoint; scripts/eval.py wires --fid/--dists with a 'test' extractor so
+# the pipeline is exercised end-to-end today.
+
+
+class FeatureStats:
+    """Streaming mean/covariance accumulator for Fréchet-distance features.
+
+    Accumulates on host in float64 (FID is numerically touchy at 2048-dim;
+    the matrix sqrt wants the extra mantissa). Feed [N, D] batches."""
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self._sum = np.zeros((dim,), np.float64)
+        self._outer = np.zeros((dim, dim), np.float64)
+
+    def update(self, feats) -> None:
+        f = np.asarray(feats, np.float64)
+        assert f.ndim == 2 and f.shape[1] == self._sum.shape[0], f.shape
+        self.n += f.shape[0]
+        self._sum += f.sum(axis=0)
+        self._outer += f.T @ f
+
+    def finalize(self):
+        """-> (mu [D], sigma [D, D]) with the sample-covariance 1/(n-1)
+        normalization (np.cov / pytorch-fid convention)."""
+        assert self.n >= 2, "need >= 2 samples for a covariance"
+        mu = self._sum / self.n
+        sigma = (self._outer - self.n * np.outer(mu, mu)) / (self.n - 1)
+        return mu, sigma
+
+
+def _sqrtm_psd(a: np.ndarray) -> np.ndarray:
+    w, v = np.linalg.eigh((a + a.T) / 2.0)
+    return (v * np.sqrt(np.clip(w, 0.0, None))) @ v.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, *, eps: float = 1e-6) -> float:
+    """||mu1-mu2||² + tr(S1 + S2 - 2·sqrtm(S1·S2)).
+
+    tr(sqrtm(S1·S2)) is computed symmetrically as
+    tr(sqrtm(sqrtm(S1)·S2·sqrtm(S1))) via eigh — S1·S2 itself is not
+    symmetric and scipy's generic sqrtm is unstable on near-singular
+    products (pytorch-fid adds eps·I for the same reason)."""
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    s1 = np.asarray(sigma1, np.float64) + eps * np.eye(mu1.shape[0])
+    s2 = np.asarray(sigma2, np.float64) + eps * np.eye(mu2.shape[0])
+    s1h = _sqrtm_psd(s1)
+    tr_covmean = np.sum(np.sqrt(np.clip(
+        np.linalg.eigvalsh((s1h @ s2 @ s1h + (s1h @ s2 @ s1h).T) / 2.0),
+        0.0, None)))
+    diff = mu1 - mu2
+    return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * tr_covmean)
+
+
+def fid(features_a: np.ndarray, features_b: np.ndarray) -> float:
+    """Fréchet distance between two [N, D] feature sets (one-shot helper;
+    use FeatureStats for streaming over large sets)."""
+    fa, fb = np.asarray(features_a), np.asarray(features_b)
+    sa, sb = FeatureStats(fa.shape[1]), FeatureStats(fb.shape[1])
+    sa.update(fa)
+    sb.update(fb)
+    return frechet_distance(*sa.finalize(), *sb.finalize())
+
+
+def dists(vgg_params, a: jnp.ndarray, b: jnp.ndarray,
+          weights=None) -> jnp.ndarray:
+    """DISTS (Deep Image Structure and Texture Similarity, arXiv:2004.07728)
+    between image batches a, b in [B, 3, H, W], values in [0, 1].
+
+    Feature stack = raw input + the 5 VGG16 relu stages under L2 pooling
+    (models/vgg.vgg16_stages(pool="l2")). Per channel: a texture (mean) term
+    and a structure (covariance) term over the spatial map; the official
+    score weights channels with LEARNED alpha/beta (weights-blocked here like
+    the VGG weights themselves) — ``weights=(alpha_list, beta_list)`` slots
+    them in; default is the uniform prior (alpha=beta=1/(2·C_total)).
+    Returns the DISTANCE (0 = identical, like the official repo)."""
+    from unigen_tpu.models.vgg import vgg16_stages
+    c1 = c2 = 1e-6
+    feats_a = [a] + vgg16_stages(vgg_params, a, pool="l2")
+    feats_b = [b] + vgg16_stages(vgg_params, b, pool="l2")
+    n_ch = sum(int(f.shape[1]) for f in feats_a)
+    score = jnp.zeros((a.shape[0],), jnp.float32)
+    for j, (fa, fb) in enumerate(zip(feats_a, feats_b)):
+        mu_a = jnp.mean(fa, axis=(2, 3))
+        mu_b = jnp.mean(fb, axis=(2, 3))
+        var_a = jnp.var(fa, axis=(2, 3))
+        var_b = jnp.var(fb, axis=(2, 3))
+        cov = jnp.mean(fa * fb, axis=(2, 3)) - mu_a * mu_b
+        texture = (2 * mu_a * mu_b + c1) / (mu_a ** 2 + mu_b ** 2 + c1)
+        structure = (2 * cov + c2) / (var_a + var_b + c2)
+        if weights is None:
+            alpha = beta = 1.0 / (2.0 * n_ch)
+            score = score + alpha * jnp.sum(texture, axis=1) \
+                + beta * jnp.sum(structure, axis=1)
+        else:
+            alpha, beta = weights[0][j], weights[1][j]
+            score = score + jnp.sum(alpha * texture, axis=1) \
+                + jnp.sum(beta * structure, axis=1)
+    return 1.0 - score

@@ -230,6 +230,19 @@ def depth_forward(params: dict, cfg: DepthAnythingConfig,
     return d[:, 0]
 
 
+def dinov2_features(params: dict, cfg: DepthAnythingConfig,
+                    pixels: jnp.ndarray) -> jnp.ndarray:
+    """[B, 3, H, W] (ImageNet-normalized) -> final-layer CLS embedding
+    [B, hidden] — the FD-DINOv2 feature vector (arXiv:2306.04675 recommends
+    DINOv2 features over InceptionV3 for generative-model Fréchet
+    distances). Reuses the depth tower's HF-parity backbone
+    (``params["backbone"]``); the deepest selected hidden state is the
+    final layer whenever cfg.out_indices ends at num_layers (true for every
+    DepthAnything config)."""
+    hidden, _, _ = _backbone(params["backbone"], cfg, pixels)
+    return hidden[-1][:, 0]
+
+
 def depth_to_condition_image(depth: jnp.ndarray) -> jnp.ndarray:
     """Relative depth map -> uint8-range RGB condition image (the HF depth
     pipeline normalizes to [0,255] per image; condition.py consumes that)."""
