@@ -652,6 +652,235 @@ def bench_sana():
             hybrid=(hyb_c, hyb_m))
 
 
+def bench_train_data():
+    """UNIGEN_BENCH_TRAIN=1 UNIGEN_BENCH_TRAIN_DATA=disk (VERDICT r4 #2):
+    train-step throughput FROM REAL DATA ON DISK — the measured rung the
+    synthetic-tensor TRAIN.json rows never covered. Chain = JPEG files in
+    the Subjects-200K layout -> data/datasets.Subjects200K (decode, LANCZOS4
+    resize, on-the-fly canny, native-C++ normalize) -> data/collate ->
+    data/prefetch.Prefetcher (bounded queue, worker threads) -> device VAE
+    encode of target+condition pixels -> the FULL-topology W4A8 train step
+    (same config as TRAIN.json micro-batch rows). Reference analog:
+    train.py:517-697 consuming torch DataLoader workers.
+
+    Three measured phases:
+      input_only  — host pipeline alone (no device): samples/s
+      step_only   — device step on pregenerated tensors (the TRAIN.json
+                    baseline, re-measured in-process)
+      e2e         — prefetcher feeding VAE encode + step, with the consumer
+                    STARVATION fraction (Prefetcher.stats wait-time over the
+                    window wall) — the input-boundness answer on this 1-core
+                    host.
+    Text embeds ride as fixed device tensors (per-step prompt encoding is
+    the text-tower rungs' subject; the reference also encodes per step —
+    noted in the artifact). Writes TRAIN_DATA.json + merges a
+    'data_pipeline' pointer row into TRAIN.json.
+
+    Env: UNIGEN_BENCH_RES (512), UNIGEN_BENCH_TRAIN_BATCH (2),
+    UNIGEN_BENCH_TRAIN_ACCUM (8), UNIGEN_BENCH_PRESET full|tiny (tiny = CPU
+    smoke: tiny flux + tiny VAE at 64px, no artifact),
+    UNIGEN_BENCH_DATA_ITEMS (32), UNIGEN_BENCH_DATA_WORKERS (2),
+    UNIGEN_BENCH_DATA_DEPTH (4)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from unigen_tpu import config as C, presets
+    from unigen_tpu.data.datasets import Subjects200K, collate
+    from unigen_tpu.data.prefetch import Prefetcher
+    from unigen_tpu.models import vae as vae_lib
+    from unigen_tpu.models.unigen_flux import init_unigen_flux_params
+    from unigen_tpu.ops.quant import (quantize_unigen_serving, quantized_bytes,
+                                      split_trainable)
+    from unigen_tpu.train import train_step as ts
+
+    preset = os.environ.get("UNIGEN_BENCH_PRESET", "full")
+    tiny = preset == "tiny"
+    res = 64 if tiny else int(os.environ.get("UNIGEN_BENCH_RES", "512"))
+    b = int(os.environ.get("UNIGEN_BENCH_TRAIN_BATCH", "2"))
+    accum = int(os.environ.get("UNIGEN_BENCH_TRAIN_ACCUM", "8"))
+    n_items = int(os.environ.get("UNIGEN_BENCH_DATA_ITEMS", "32"))
+    workers = int(os.environ.get("UNIGEN_BENCH_DATA_WORKERS", "2"))
+    depth = int(os.environ.get("UNIGEN_BENCH_DATA_DEPTH", "4"))
+    dtype = jnp.bfloat16
+    lat_hw = res // 8
+
+    # --- synthetic Subjects-200K files on disk (persistent across runs)
+    from PIL import Image
+    root = f"/tmp/unigen_bench_subjects_{res}_{n_items}"
+    if not os.path.isdir(os.path.join(root, "score_5")):
+        os.makedirs(os.path.join(root, "score_5"), exist_ok=True)
+        rs = np.random.RandomState(0)
+        for i in range(n_items):
+            base = os.path.join(root, "score_5", f"item{i:03d}")
+            # structured content so canny finds edges / JPEG does real work
+            img = rs.randint(0, 255, (res, res, 3)).astype(np.uint8)
+            img[res // 4:-res // 4, res // 4:-res // 4] = \
+                rs.randint(0, 255, 3)
+            Image.fromarray(img).save(base + "_target_0.jpg", quality=92)
+            Image.fromarray(img[::-1]).save(base + "_subject_0.jpg",
+                                            quality=92)
+            with open(base + "_target_0.json", "w") as f:
+                json.dump({"description": f"bench item {i}"}, f)
+        print(f"# wrote {n_items} synthetic Subjects-200K items -> {root}",
+              file=sys.stderr)
+    ds = Subjects200K(root, "canny", resolution=res, split="train")
+    n = len(ds)
+
+    def index_stream():
+        i = 0
+        while True:
+            yield [(i + j) % n for j in range(b)]
+            i += b
+
+    def fetch(sel):
+        return collate([ds[j] for j in sel])
+
+    # --- phase A: host pipeline alone
+    pf = Prefetcher(index_stream(), depth=depth, workers=workers,
+                    map_fn=fetch)
+    it = iter(pf)
+    for _ in range(2):
+        next(it)                                   # warm caches/threads
+    k_host = max(8, 2 * depth)
+    t0 = time.perf_counter()
+    for _ in range(k_host):
+        next(it)
+    input_sps = b * k_host / (time.perf_counter() - t0)
+    pf.close()
+    print(f"# input pipeline alone: {input_sps:.2f} samples/s "
+          f"(workers={workers})", file=sys.stderr)
+
+    # --- device setup: the TRAIN.json full-topology config (or tiny smoke)
+    if tiny:
+        cfg = C.UniGenConfig(family="flux", flux=C.tiny_flux_config(),
+                             condition_types=("canny",))
+        p = init_unigen_flux_params(jax.random.PRNGKey(0), cfg)
+        trainable, frozen = split_trainable(p["control"])
+        frozen_arg = {"base": p["base"], "control_frozen": frozen}
+        vae_cfg = vae_lib.tiny_vae_config(
+            latent_channels=cfg.flux.in_channels // 4)
+    else:
+        cfg = presets.flux_full()
+        params = direct_quantized_init(
+            jax.random.PRNGKey(0),
+            lambda k: quantize_unigen_serving(
+                init_unigen_flux_params(k, cfg, dtype=dtype)))
+        jax.block_until_ready(params)
+        trainable, frozen = split_trainable(params["control"])
+        frozen_arg = {"base": params["base"], "control_frozen": frozen}
+        vae_cfg = vae_lib.VAEConfig()
+    bb = cfg.flux
+    t_len = 64 if tiny else 512
+    tcfg = C.TrainConfig(train_batch_size=b, remat="full",
+                         gradient_accumulation_steps=accum)
+    state = jax.jit(lambda c: ts.init_train_state(c, tcfg))(trainable)
+    jax.block_until_ready(state)
+    vae_params = jax.jit(lambda k: vae_lib.init_vae_params(
+        k, vae_cfg, dtype=jnp.float32))(jax.random.PRNGKey(7))
+    jax.block_until_ready(vae_params)
+    if not tiny:
+        resident = (quantized_bytes(params) + quantized_bytes(state)
+                    + quantized_bytes(vae_params)) / 2 ** 30
+        print(f"# resident {resident:.2f} GiB incl. VAE", file=sys.stderr)
+
+    step_fn = jax.jit(ts.make_train_step(cfg, tcfg, attn_impl="auto"),
+                      donate_argnums=(0,))
+    enc = jax.jit(lambda vp, px: vae_lib.vae_encode(vp, vae_cfg, px
+                                                    ).astype(dtype))
+    # fixed text embeds (see docstring)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    text = {
+        "prompt_embeds": jax.random.normal(
+            ks[0], (b, t_len, bb.joint_attention_dim), dtype),
+        "pooled": jax.random.normal(ks[1], (b, bb.pooled_projection_dim),
+                                    dtype),
+        "condition_pooled": jax.random.normal(
+            ks[2], (b, bb.pooled_projection_dim), dtype)}
+
+    def device_batch(host_batch):
+        px = jnp.asarray(np.asarray(host_batch["pixel_values"], np.float32))
+        cpx = jnp.asarray(np.asarray(host_batch["condition_pixels"],
+                                     np.float32))
+        return dict(latents=enc(vae_params, px),
+                    condition_latents=enc(vae_params, cpx), **text)
+
+    # --- phase B: step-only baseline (pregenerated tensors)
+    pf = Prefetcher(index_stream(), depth=depth, workers=workers,
+                    map_fn=fetch)
+    it = iter(pf)
+    fixed = device_batch(next(it))
+    jax.block_until_ready(fixed)
+    rng = jax.random.PRNGKey(2)
+    t0 = time.time()
+    state, metrics = step_fn(state, frozen_arg, fixed, rng)
+    loss0 = float(metrics["step_loss"])
+    print(f"# compile {time.time()-t0:.1f}s loss0={loss0:.3f}",
+          file=sys.stderr)
+    k_dev = 4 if tiny else 8
+    t0 = time.perf_counter()
+    for _ in range(k_dev):
+        state, metrics = step_fn(state, frozen_arg, fixed, rng)
+    _ = float(metrics["step_loss"])
+    step_sps = b * k_dev / (time.perf_counter() - t0)
+
+    # --- phase C: end-to-end overlap + starvation accounting
+    w0 = pf.stats()["wait_s"]
+    t0 = time.perf_counter()
+    for _ in range(k_dev):
+        state, metrics = step_fn(state, frozen_arg, device_batch(next(it)),
+                                 rng)
+    _ = float(metrics["step_loss"])
+    wall = time.perf_counter() - t0
+    starvation = (pf.stats()["wait_s"] - w0) / wall
+    e2e_sps = b * k_dev / wall
+    pf.close()
+
+    flops_image = 3 * model_flops_per_forward(
+        cfg, (res // 16) ** 2, t_len, (res // 16) ** 2)
+    est_ref_a100 = 312e12 * 0.35 / flops_image
+    print(f"# step-only {step_sps:.3f} samples/s | e2e-from-disk "
+          f"{e2e_sps:.3f} | input-only {input_sps:.2f} | starvation "
+          f"{starvation*100:.1f}%", file=sys.stderr)
+
+    doc = {"config": f"flux_{bb.num_layers}dbl_{bb.num_single_layers}sgl_"
+                     f"w{bb.inner_dim}_train_from_disk",
+           "res": res, "micro_batch": b, "accum": accum,
+           "dataset": {"layout": "subjects200k", "items": n_items,
+                       "condition": "canny_on_the_fly",
+                       "workers": workers, "queue_depth": depth},
+           "input_only_samples_per_sec": round(input_sps, 3),
+           "step_only_samples_per_sec": round(step_sps, 4),
+           "e2e_samples_per_sec": round(e2e_sps, 4),
+           "starvation_fraction": round(starvation, 4),
+           "weights": "random",
+           "note": "text embeds fixed on device (per-step prompt encoding "
+                   "measured separately by the text-tower rungs); VAE "
+                   "encode of target+condition pixels runs on-stream per "
+                   "step"}
+    if not tiny:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "TRAIN_DATA.json"), "w") as f:
+            json.dump(doc, f, indent=1)
+        tj = os.path.join(here, "TRAIN.json")
+        if os.path.exists(tj):
+            with open(tj) as f:
+                tdoc = json.load(f)
+            tdoc["data_pipeline"] = {
+                "see": "TRAIN_DATA.json",
+                "e2e_samples_per_sec": doc["e2e_samples_per_sec"],
+                "step_only_samples_per_sec": doc["step_only_samples_per_sec"],
+                "starvation_fraction": doc["starvation_fraction"]}
+            with open(tj, "w") as f:
+                json.dump(tdoc, f, indent=1)
+    print(json.dumps({
+        "metric": f"unigen_flux_train_from_disk_{res}px_samples_per_sec",
+        "value": round(e2e_sps, 4), "unit": "samples/sec/chip",
+        "vs_baseline": round(e2e_sps / est_ref_a100, 3),
+        "config": doc["config"]}))
+
+
 def bench_train():
     """UNIGEN_BENCH_TRAIN=1: one-chip flow-matching train-step throughput
     (BASELINE config #5's hot loop, reference train.py:517-697). Real width
@@ -961,6 +1190,8 @@ def bench_train():
                 time.sleep(30)
         raise RuntimeError("all LoRA surfaces failed")
 
+    if os.environ.get("UNIGEN_BENCH_TRAIN_DATA") == "disk":
+        return bench_train_data()
     accum = int(os.environ.get("UNIGEN_BENCH_TRAIN_ACCUM", "16"))
     lora_rank = int(os.environ.get("UNIGEN_BENCH_TRAIN_LORA", "0"))
     if lora_rank > 0:

@@ -24,6 +24,7 @@ import pytest  # noqa: E402
 # re-measure with --durations=0 when adding slow tests.
 _HEAVY = {
     ("test_cli_smoke.py", "test_example_demo"),
+    ("test_multiprocess.py", "test_two_process_distributed_trainer"),
     ("test_cli_smoke.py", "test_measure_fidelity_sana_ckpt"),
     ("test_cli_smoke.py", "test_measure_fidelity_sana_hybrid_cache"),
     ("test_cli_smoke.py", "test_measure_fidelity_sana_model_cache"),

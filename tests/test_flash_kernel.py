@@ -95,6 +95,61 @@ def test_streaming_kernels_match_xla(flash_mod):
                                rtol=3e-5, atol=3e-5)
 
 
+def test_kv_blocked_backward_matches_xla(flash_mod, monkeypatch):
+    """The VMEM-bounded kv-blocked backward (LSE pass + dq/dkv block
+    kernels) — the path long-KV shapes take where the full-KV backward
+    refuses (skv 2560 at the 512² train step, any 1024² stream). Forced
+    here on small shapes via the gate + shrunk block sizes so padding,
+    multi-block accumulation, and both rope table kinds are exercised."""
+    import jax, jax.numpy as jnp
+    from unigen_tpu.ops.attention import sdpa_xla
+    from unigen_tpu.ops.rope import apply_rotary, rope_multi_axis
+    monkeypatch.setattr(flash_mod, "_bwd_supported", lambda *a: False)
+    monkeypatch.setattr(flash_mod, "BQ_BWD_BLK", 128)
+    monkeypatch.setattr(flash_mod, "BK_BWD_BLK", 128)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 200, 128))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 300, 128))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 300, 128))
+    g = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 200, 128))
+
+    # plain full-KV entry point -> blocked bwd (gate forced off)
+    gp = jax.grad(lambda *a: jnp.sum(flash_mod.flash_attention(*a) * g),
+                  (0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: jnp.sum(sdpa_xla(*a) * g), (0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    # streaming entry point (always blocked bwd now)
+    gp = jax.grad(lambda *a: jnp.sum(
+        flash_mod.flash_attention_streaming(*a) * g), (0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    def tables(s):
+        ids = jnp.stack([jnp.zeros(s), jnp.arange(s) // 8,
+                         jnp.arange(s) % 8], -1)
+        return rope_multi_axis(ids, (16, 56, 56))
+
+    cos, sin = tables(200)
+    kcos, ksin = tables(300)
+    # KV-append style: identity rotation rows on the appended tail
+    kcos = jnp.concatenate([kcos[:230], jnp.ones((70, 128))])
+    ksin = jnp.concatenate([ksin[:230], jnp.zeros((70, 128))])
+    gx = jax.grad(lambda *a: jnp.sum(
+        sdpa_xla(apply_rotary(a[0], cos, sin),
+                 apply_rotary(a[1], kcos, ksin), a[2]) * g),
+        (0, 1, 2))(q, k, v)
+    for entry in (flash_mod.flash_attention_rope,
+                  flash_mod.flash_attention_streaming_rope):
+        gp = jax.grad(lambda *a: jnp.sum(
+            entry(*a, cos, sin, kcos, ksin) * g), (0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
 def test_flash_backward_kernels_match_xla(flash_mod):
     """Fused dq/dk/dv backward (plain + rope + KV-append identity rows)."""
     import jax, jax.numpy as jnp

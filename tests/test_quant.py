@@ -176,6 +176,45 @@ def test_quantized_matmul_straight_through_gradients():
     assert bool(jnp.any(ga != 0))
 
 
+def test_quant_bwd_policies_agree():
+    """UNIGEN_QUANT_BWD=bf16 (default) and int8 compute the same dx as the
+    legacy f32 dequant backward: bf16 to matmul tolerance, int8 to the
+    per-token cotangent-quantization tolerance (cosine > 0.999) — the
+    train-MFU lever must not change adapter gradient direction."""
+    import os
+    from unigen_tpu.ops import quant as Q
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.normal(size=(128, 96)).astype(np.float32)) * 0.05
+    x = jnp.asarray(rng.normal(size=(6, 128)).astype(np.float32))
+    q8 = quantize_weight(w)
+    q4 = quantize_weight_int4(w)
+
+    def grads(policy):
+        old = os.environ.get("UNIGEN_QUANT_BWD")
+        os.environ["UNIGEN_QUANT_BWD"] = policy
+        try:
+            g8 = jax.grad(lambda x_: jnp.sum(jnp.tanh(
+                int8_matmul(x_, q8["w_q"], q8["w_scale"]))))(x)
+            g4 = jax.grad(lambda x_: jnp.sum(jnp.tanh(
+                int4_matmul(x_, q4["w_q4"], q4["w_scale"]))))(x)
+        finally:
+            if old is None:
+                os.environ.pop("UNIGEN_QUANT_BWD")
+            else:
+                os.environ["UNIGEN_QUANT_BWD"] = old
+        return np.asarray(g8, np.float64), np.asarray(g4, np.float64)
+
+    ref8, ref4 = grads("f32")
+    for pol, tol_rel in (("bf16", 0.02), ("int8", 0.03)):
+        p8, p4 = grads(pol)
+        for got, ref in ((p8, ref8), (p4, ref4)):
+            rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+            cos = float((got.ravel() @ ref.ravel())
+                        / (np.linalg.norm(got) * np.linalg.norm(ref)))
+            assert rel < tol_rel, (pol, rel)
+            assert cos > 0.999, (pol, cos)
+
+
 def test_w4a8_pallas_kernel_matches_xla():
     """Fused dequant-matmul kernel (packed-int4 read, VPU unpack, int8 MXU)
     is bit-identical to the XLA unpack path (interpret mode on CPU)."""
@@ -189,6 +228,19 @@ def test_w4a8_pallas_kernel_matches_xla():
     w = jnp.asarray(rng.normal(size=(2048, 384)).astype(np.float32)) * 0.02
     x = jnp.asarray(rng.normal(size=(200, 2048)).astype(np.float32))
     q4 = quantize_weight_int4(w)
+    ref = int4_matmul(x, q4["w_q4"], q4["w_scale"], jnp.float32)
+    xq, xs = quant._quantize_act(x)
+    got = qm.w4a8_matmul_pallas(xq, xs, q4["w_q4"],
+                                q4["w_scale"].reshape(1, -1), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # SD3 width: K=1536 takes the 512-row K block (VERDICT r4 #6 — the
+    # fixed 1024 block excluded every SD3 stack from the fused kernel)
+    assert qm._pick_bk(1536) == 512 and qm._pick_bk(6144) == 1024
+    w = jnp.asarray(rng.normal(size=(1536, 384)).astype(np.float32)) * 0.02
+    x = jnp.asarray(rng.normal(size=(64, 1536)).astype(np.float32))
+    q4 = quantize_weight_int4(w)
+    assert qm.supported(x, q4["w_q4"])
     ref = int4_matmul(x, q4["w_q4"], q4["w_scale"], jnp.float32)
     xq, xs = quant._quantize_act(x)
     got = qm.w4a8_matmul_pallas(xq, xs, q4["w_q4"],

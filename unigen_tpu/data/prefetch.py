@@ -29,11 +29,20 @@ class Prefetcher:
         self._map = map_fn or (lambda x: x)
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self._wait_s = 0.0           # consumer time blocked on an empty queue
+        self._got = 0                # batches delivered
         self._threads = [threading.Thread(target=self._work, daemon=True)
                          for _ in range(workers)]
         self._live = len(self._threads)
         for t in self._threads:
             t.start()
+
+    def stats(self) -> dict:
+        """Input-boundness accounting: ``wait_s`` is the cumulative consumer
+        time spent blocked on an empty queue (the training loop was starved
+        by the host pipeline), ``batches`` the deliveries. starvation
+        fraction over a timed window = wait_s_delta / window_wall."""
+        return {"wait_s": self._wait_s, "batches": self._got}
 
     def _next_item(self):
         with self._lock:
@@ -59,12 +68,19 @@ class Prefetcher:
                 self._q.put(self._DONE)
 
     def __iter__(self) -> Iterator:
+        import time
         while True:
-            item = self._q.get()
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                t0 = time.perf_counter()
+                item = self._q.get()
+                self._wait_s += time.perf_counter() - t0
             if item is self._DONE:
                 return
             if isinstance(item, Exception):
                 raise item
+            self._got += 1
             yield item
 
     def close(self):

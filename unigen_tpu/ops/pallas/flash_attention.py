@@ -10,9 +10,11 @@ computes q-block logits on the MXU with fp32 accumulation, does one exact
 fp32 softmax (no online rescaling passes), and matmuls P*V back on the MXU.
 
 grid = (B*H, Sq/BQ); every grid step reads a [BQ, D] q block and the whole
-[Skv, D] K/V. Backward uses a custom VJP that recomputes with the XLA
-reference path (identical math, fp32 softmax), so the kernel is safe under
-jax.grad.
+[Skv, D] K/V. Backward is fused too: a full-KV Pallas backward where it
+fits VMEM (skv <= 2048), the kv-blocked LSE + dq/dkv kernels beyond that
+(any skv — the 512² train step's 2560-token KV-append streams and every
+1024² stream), and the XLA-recompute VJP only as the unsupported-dtype
+fallback.
 """
 
 from __future__ import annotations
@@ -223,13 +225,16 @@ def _bwd_supported(q, k, v) -> bool:
 
 
 def _flash_fwd(q, k, v, mask):
-    return _flash_fwd_impl(q, k, v), (q, k, v)
+    o = _flash_fwd_impl(q, k, v)
+    return o, (q, k, v, o)
 
 
 def _flash_bwd(mask, res, g):
-    q, k, v = res
+    q, k, v, o = res
     if _bwd_supported(q, k, v):
         return _flash_bwd_impl(q, k, v, g)
+    if streaming_supported(q, k, v):
+        return _flash_bwd_blocked(q, k, v, g, o)
     _, vjp = jax.vjp(_ref_attn, q, k, v)
     return vjp(g)
 
@@ -315,14 +320,17 @@ def _ref_attn_rope(q, k, v, cos, sin, kcos, ksin):
 
 
 def _flash_rope_fwd(q, k, v, cos, sin, kcos, ksin):
-    return (_flash_rope_impl(q, k, v, cos, sin, kcos, ksin),
-            (q, k, v, cos, sin, kcos, ksin))
+    o = _flash_rope_impl(q, k, v, cos, sin, kcos, ksin)
+    return o, (q, k, v, cos, sin, kcos, ksin, o)
 
 
 def _flash_rope_bwd(res, g):
-    q, k, v, cos, sin, kcos, ksin = res
+    q, k, v, cos, sin, kcos, ksin, o = res
     if _bwd_supported(q, k, v):
         dq, dk, dv = _flash_bwd_impl(q, k, v, g, (cos, sin, kcos, ksin))
+    elif streaming_supported(q, k, v):
+        dq, dk, dv = _flash_bwd_blocked(q, k, v, g, o,
+                                        (cos, sin, kcos, ksin))
     else:
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin, kcos, ksin),
@@ -345,8 +353,10 @@ flash_attention_rope.defvjp(_flash_rope_fwd, _flash_rope_bwd)
 # logits/softmax state, bf16 MXU matmuls — same contract as the full-KV
 # kernel, so outputs agree to bf16 tolerance.
 
-BQ_STREAM = 512
-BK_STREAM = 1024
+#: streaming-schedule block sizes; env-overridable for device sweeps
+#: (VERDICT r4 #4 — the long-KV path never got the bq-style tuning pass)
+BQ_STREAM = int(os.environ.get("UNIGEN_PALLAS_BQ_STREAM", "512"))
+BK_STREAM = int(os.environ.get("UNIGEN_PALLAS_BK_STREAM", "1024"))
 
 
 def _stream_inner(logits, v, j, acc_ref, m_ref, l_ref, o_ref, *,
@@ -494,11 +504,14 @@ def _flash_stream_impl(q, k, v):
 
 
 def _flash_stream_fwd(q, k, v):
-    return _flash_stream_impl(q, k, v), (q, k, v)
+    o = _flash_stream_impl(q, k, v)
+    return o, (q, k, v, o)
 
 
 def _flash_stream_bwd(res, g):
-    q, k, v = res
+    q, k, v, o = res
+    if streaming_supported(q, k, v):
+        return _flash_bwd_blocked(q, k, v, g, o)
     _, vjp = jax.vjp(_ref_attn, q, k, v)
     return vjp(g)
 
@@ -522,16 +535,21 @@ def _flash_stream_rope_impl(q, k, v, cos, sin, kcos, ksin):
 
 
 def _flash_stream_rope_fwd(q, k, v, cos, sin, kcos, ksin):
-    return (_flash_stream_rope_impl(q, k, v, cos, sin, kcos, ksin),
-            (q, k, v, cos, sin, kcos, ksin))
+    o = _flash_stream_rope_impl(q, k, v, cos, sin, kcos, ksin)
+    return o, (q, k, v, cos, sin, kcos, ksin, o)
 
 
 def _flash_stream_rope_bwd(res, g):
-    q, k, v, cos, sin, kcos, ksin = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin, kcos, ksin),
-        q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, cos, sin, kcos, ksin, o = res
+    if streaming_supported(q, k, v):
+        dq, dk, dv = _flash_bwd_blocked(q, k, v, g, o,
+                                        (cos, sin, kcos, ksin))
+    else:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin, kcos,
+                                              ksin),
+            q, k, v)
+        dq, dk, dv = vjp(g)
     return (dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin),
             jnp.zeros_like(kcos), jnp.zeros_like(ksin))
 
@@ -716,3 +734,360 @@ def streaming_supported(q, k, v) -> bool:
         return False
     d = q.shape[-1]
     return d % 128 == 0 or d in (64, 128)
+
+
+# ------------------------------------------------- kv-blocked backward
+#
+# The full-KV backward above refuses past skv 2048 (its ~7 live fp32
+# [BQ, Skv] blocks overflow VMEM — measured 16.89 MB at skv 2560/bq 128),
+# which is EXACTLY the KV-append joint-attention shape of the 512² train
+# step (1536-token stream + 1024 condition tokens = 2560): every control
+# double/single block's attention backward fell through to the
+# XLA-recompute VJP, which materialises [B,H,Sq,Skv] fp32 logits (and their
+# cotangents) to HBM — ~750 MB per tensor per block application at the
+# bench shapes (VERDICT r4 weak #1 / next-round #1a). This section is the
+# VMEM-bounded replacement for ANY skv:
+#
+#   pass 1 (LSE): streaming logits pass -> lse = m + log(l)   [BH, Sq]
+#   dsum = rowsum(dO * O) in XLA (O rides in the VJP residuals — free, the
+#          forward already produced it)
+#   pass 2 (DQ):  grid (BH, Sq/BQ, Skv/BK), kv inner; p recomputed per
+#                 block as exp(logits - lse); dq accumulated in VMEM
+#   pass 3 (DKV): grid (BH, Skv/BK, Sq/BQ), q inner; dk/dv accumulated
+#
+# Every live block is [BQ, BK] f32 (~0.5 MB at 256x512) — VMEM use is
+# independent of the total sequence length. The rope variants rotate
+# q/k in-kernel (pair-constant tables, same argument as the full-KV rope
+# backward) and counter-rotate dq/dk on the way out.
+
+BQ_BWD_BLK = int(os.environ.get("UNIGEN_PALLAS_BQ_BWDBLK", "256"))
+BK_BWD_BLK = int(os.environ.get("UNIGEN_PALLAS_BK_BWDBLK", "512"))
+
+
+def _lse_kernel(q_ref, k_ref, lse_ref, m_ref, l_ref, *, scale: float,
+                kv_len: int, bk: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q, k = q_ref[0], k_ref[0]
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < kv_len, logits, -1e30)
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_next = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(logits - m_next[:, :1])
+    m_ref[:] = m_next
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
+
+
+def _lse_rope_kernel(q_ref, k_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+                     lse_ref, m_ref, l_ref, qrot_ref, *, scale: float,
+                     kv_len: int, bk: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        qrot_ref[:] = _rotate(q_ref[0], qcos_ref[:], qsin_ref[:])
+
+    k = _rotate(k_ref[0], kcos_ref[:], ksin_ref[:])
+    logits = jax.lax.dot_general(qrot_ref[:], k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < kv_len, logits, -1e30)
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_next = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(logits - m_next[:, :1])
+    m_ref[:] = m_next
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
+
+
+def _blk_ds(q, k, v, do, lse, dsum, *, scale, j, bk, kv_len):
+    """Shared per-(q,kv)-block backward math. All fp32; returns (p, ds)."""
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < kv_len, logits, -1e30)
+    p = jnp.exp(logits - lse[:, :1])                 # [BQ, BK]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dsum[:, :1]) * scale
+    return p, ds
+
+
+def _dq_blk_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref,
+                   dq_acc, *, scale: float, kv_len: int, bk: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    k = k_ref[0].astype(jnp.float32)
+    _, ds = _blk_ds(q_ref[0].astype(jnp.float32), k,
+                    v_ref[0].astype(jnp.float32),
+                    do_ref[0].astype(jnp.float32),
+                    lse_ref[0], dsum_ref[0], scale=scale, j=j, bk=bk,
+                    kv_len=kv_len)
+    dq_acc[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _dq_blk_rope_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                        qcos_ref, qsin_ref, kcos_ref, ksin_ref, dq_ref,
+                        dq_acc, qrot_ref, *, scale: float, kv_len: int,
+                        bk: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+        qrot_ref[:] = _rotate(q_ref[0], qcos_ref[:], qsin_ref[:])
+
+    k = _rotate(k_ref[0], kcos_ref[:], ksin_ref[:])
+    _, ds = _blk_ds(qrot_ref[:], k, v_ref[0].astype(jnp.float32),
+                    do_ref[0].astype(jnp.float32),
+                    lse_ref[0], dsum_ref[0], scale=scale, j=j, bk=bk,
+                    kv_len=kv_len)
+    dq_acc[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        # counter-rotate: dq = R^T dq_rot (R orthogonal per position)
+        dq_ref[0] = _rotate(dq_acc[:], qcos_ref[:], -qsin_ref[:]
+                            ).astype(dq_ref.dtype)
+
+
+def _dkv_blk_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                    kv_len: int, bk: int):
+    jq = pl.program_id(2)
+    jk = pl.program_id(1)
+
+    @pl.when(jq == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    p, ds = _blk_ds(q, k_ref[0].astype(jnp.float32),
+                    v_ref[0].astype(jnp.float32), do,
+                    lse_ref[0], dsum_ref[0], scale=scale, j=jk, bk=bk,
+                    kv_len=kv_len)
+    dk_acc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dv_acc[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(jq == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _dkv_blk_rope_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
+                         qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+                         dk_ref, dv_ref, dk_acc, dv_acc, krot_ref, *,
+                         scale: float, kv_len: int, bk: int):
+    jq = pl.program_id(2)
+    jk = pl.program_id(1)
+
+    @pl.when(jq == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+        krot_ref[:] = _rotate(k_ref[0], kcos_ref[:], ksin_ref[:])
+
+    q = _rotate(q_ref[0], qcos_ref[:], qsin_ref[:])
+    do = do_ref[0].astype(jnp.float32)
+    p, ds = _blk_ds(q, krot_ref[:], v_ref[0].astype(jnp.float32), do,
+                    lse_ref[0], dsum_ref[0], scale=scale, j=jk, bk=bk,
+                    kv_len=kv_len)
+    dk_acc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dv_acc[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(jq == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = _rotate(dk_acc[:], kcos_ref[:], -ksin_ref[:]
+                            ).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_blocked(q, k, v, do, o, tables=None):
+    """VMEM-bounded attention backward for any KV length (see section
+    comment). q/k/v/do/o: [B, H, S(kv), D]; tables: optional
+    (qcos, qsin, kcos, ksin)."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = min(BQ_BWD_BLK, _round_up(sq, 128))
+    bk = min(BK_BWD_BLK, _round_up(skv, 128))
+    sq_pad, skv_pad = _round_up(sq, bq), _round_up(skv, bk)
+    scale = 1.0 / (d ** 0.5)
+
+    def flat(x, s, s_pad):
+        x = x.reshape(b * h, s, d)
+        return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad != s else x
+
+    qr, dor = flat(q, sq, sq_pad), flat(do, sq, sq_pad)
+    kr, vr = flat(k, skv, skv_pad), flat(v, skv, skv_pad)
+    bh = b * h
+    grid_q = (bh, sq_pad // bq, skv_pad // bk)     # kv inner (LSE + DQ)
+    grid_kv = (bh, skv_pad // bk, sq_pad // bq)    # q inner  (DKV)
+
+    qspec_q = pl.BlockSpec((1, bq, d), lambda i, jq, jk: (i, jq, 0),
+                           memory_space=pltpu.VMEM)
+    kspec_q = pl.BlockSpec((1, bk, d), lambda i, jq, jk: (i, jk, 0),
+                           memory_space=pltpu.VMEM)
+    rspec_q = pl.BlockSpec((1, bq, 128), lambda i, jq, jk: (i, jq, 0),
+                           memory_space=pltpu.VMEM)     # lse/dsum rows
+    qspec_kv = pl.BlockSpec((1, bq, d), lambda i, jk, jq: (i, jq, 0),
+                            memory_space=pltpu.VMEM)
+    kspec_kv = pl.BlockSpec((1, bk, d), lambda i, jk, jq: (i, jk, 0),
+                            memory_space=pltpu.VMEM)
+    rspec_kv = pl.BlockSpec((1, bq, 128), lambda i, jk, jq: (i, jq, 0),
+                            memory_space=pltpu.VMEM)
+
+    if tables is not None:
+        qcos, qsin, kcos, ksin = tables
+
+        def padt(t, n):
+            t = t.astype(jnp.float32)
+            return jnp.pad(t, ((0, n - t.shape[0]), (0, 0))) \
+                if t.shape[0] != n else t
+        qcos, qsin = padt(qcos, sq_pad), padt(qsin, sq_pad)
+        kcos, ksin = padt(kcos, skv_pad), padt(ksin, skv_pad)
+        tq_q = [pl.BlockSpec((bq, d), lambda i, jq, jk: (jq, 0),
+                             memory_space=pltpu.VMEM)] * 2
+        tk_q = [pl.BlockSpec((bk, d), lambda i, jq, jk: (jk, 0),
+                             memory_space=pltpu.VMEM)] * 2
+        tq_kv = [pl.BlockSpec((bq, d), lambda i, jk, jq: (jq, 0),
+                              memory_space=pltpu.VMEM)] * 2
+        tk_kv = [pl.BlockSpec((bk, d), lambda i, jk, jq: (jk, 0),
+                              memory_space=pltpu.VMEM)] * 2
+
+    # ---- pass 1: LSE (streaming logits; [BH, Sq_pad, 128] lane-replicated)
+    lse_scratch = [pltpu.VMEM((bq, 128), jnp.float32),
+                   pltpu.VMEM((bq, 128), jnp.float32)]
+    if tables is None:
+        lse = pl.pallas_call(
+            functools.partial(_lse_kernel, scale=scale, kv_len=skv, bk=bk),
+            out_shape=jax.ShapeDtypeStruct((bh, sq_pad, 128), jnp.float32),
+            grid=grid_q, in_specs=[qspec_q, kspec_q], out_specs=rspec_q,
+            scratch_shapes=lse_scratch,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bh * sq_pad * skv_pad * d,
+                bytes_accessed=(qr.size + kr.size) * qr.dtype.itemsize,
+                transcendentals=bh * sq_pad * skv_pad),
+            interpret=_INTERPRET,
+        )(qr, kr)
+    else:
+        lse = pl.pallas_call(
+            functools.partial(_lse_rope_kernel, scale=scale, kv_len=skv,
+                              bk=bk),
+            out_shape=jax.ShapeDtypeStruct((bh, sq_pad, 128), jnp.float32),
+            grid=grid_q, in_specs=[qspec_q, kspec_q] + tq_q + tk_q,
+            out_specs=rspec_q,
+            scratch_shapes=lse_scratch + [pltpu.VMEM((bq, d), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bh * sq_pad * skv_pad * d,
+                bytes_accessed=(qr.size + kr.size) * qr.dtype.itemsize,
+                transcendentals=bh * sq_pad * skv_pad),
+            interpret=_INTERPRET,
+        )(qr, kr, qcos, qsin, kcos, ksin)
+
+    # dsum = rowsum(dO * O) — O from the VJP residuals (already computed by
+    # the forward); lane-replicated to the same [BH, Sq_pad, 128] layout
+    dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    dsum = dsum.reshape(bh, sq)
+    if sq_pad != sq:
+        dsum = jnp.pad(dsum, ((0, 0), (0, sq_pad - sq)))
+    dsum = jnp.broadcast_to(dsum[:, :, None], (bh, sq_pad, 128))
+
+    cost2 = pl.CostEstimate(
+        flops=5 * bh * sq_pad * skv_pad * d,
+        bytes_accessed=(2 * qr.size + 2 * kr.size) * qr.dtype.itemsize,
+        transcendentals=bh * sq_pad * skv_pad)
+
+    # ---- pass 2: dQ (kv inner, dq accumulated in VMEM)
+    if tables is None:
+        dq = pl.pallas_call(
+            functools.partial(_dq_blk_kernel, scale=scale, kv_len=skv, bk=bk),
+            out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+            grid=grid_q,
+            in_specs=[qspec_q, kspec_q, kspec_q, qspec_q, rspec_q, rspec_q],
+            out_specs=qspec_q,
+            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+            cost_estimate=cost2, interpret=_INTERPRET,
+        )(qr, kr, vr, dor, lse, dsum)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(_dq_blk_rope_kernel, scale=scale, kv_len=skv,
+                              bk=bk),
+            out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+            grid=grid_q,
+            in_specs=[qspec_q, kspec_q, kspec_q, qspec_q, rspec_q, rspec_q]
+            + tq_q + tk_q,
+            out_specs=qspec_q,
+            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32),
+                            pltpu.VMEM((bq, d), jnp.float32)],
+            cost_estimate=cost2, interpret=_INTERPRET,
+        )(qr, kr, vr, dor, lse, dsum, qcos, qsin, kcos, ksin)
+
+    # ---- pass 3: dK/dV (q inner, dk/dv accumulated in VMEM)
+    if tables is None:
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_blk_kernel, scale=scale, kv_len=skv,
+                              bk=bk),
+            out_shape=(jax.ShapeDtypeStruct((bh, skv_pad, d), k.dtype),
+                       jax.ShapeDtypeStruct((bh, skv_pad, d), v.dtype)),
+            grid=grid_kv,
+            in_specs=[kspec_kv, kspec_kv, qspec_kv, qspec_kv, rspec_kv,
+                      rspec_kv],
+            out_specs=(kspec_kv, kspec_kv),
+            scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32)],
+            cost_estimate=cost2, interpret=_INTERPRET,
+        )(kr, vr, qr, dor, lse, dsum)
+    else:
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_blk_rope_kernel, scale=scale, kv_len=skv,
+                              bk=bk),
+            out_shape=(jax.ShapeDtypeStruct((bh, skv_pad, d), k.dtype),
+                       jax.ShapeDtypeStruct((bh, skv_pad, d), v.dtype)),
+            grid=grid_kv,
+            in_specs=[kspec_kv, kspec_kv, qspec_kv, qspec_kv, rspec_kv,
+                      rspec_kv] + tq_kv + tk_kv,
+            out_specs=(kspec_kv, kspec_kv),
+            scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32)],
+            cost_estimate=cost2, interpret=_INTERPRET,
+        )(kr, vr, qr, dor, lse, dsum, qcos, qsin, kcos, ksin)
+
+    return (dq[:, :sq].reshape(b, h, sq, d),
+            dk[:, :skv].reshape(b, h, skv, d),
+            dv[:, :skv].reshape(b, h, skv, d))

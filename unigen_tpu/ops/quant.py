@@ -173,16 +173,62 @@ def _int8_matmul_fwd_only(x, w_q, w_scale, out_dtype=None):
     return (acc.astype(jnp.float32) * xs * w_scale.reshape(-1)).astype(out_dtype)
 
 
+def quant_bwd_policy() -> str:
+    """Backward-pass policy for the straight-through quantized matmuls
+    (``UNIGEN_QUANT_BWD``, read at trace time):
+
+    * ``"bf16"`` (default): dx = g_bf16 @ dequant_bf16(W)^T — the dequant
+      fuses into the dot, weight traffic is the int8/int4 codes + a bf16
+      MXU pass (the fp32 legacy read 4 B/elem dequant weights and ran the
+      slow fp32 dot — backward is HBM/transpose-bound at full topology,
+      TRAIN_PROFILE.json, so this is the direct lever).
+    * ``"int8"``: dx = quantize_act(g * w_scale) @ W_q^T on the int8 MXU
+      (2x bf16 peak, half the bf16 weight traffic). Exact up to the
+      per-token int8 quantization of the incoming cotangent — adapter
+      gradients keep >0.999 cosine vs fp32 (tests/test_quant.py).
+    * ``"f32"``: the round-4 behavior (fp32 dequant + fp32 dot)."""
+    p = os.environ.get("UNIGEN_QUANT_BWD", "bf16")
+    if p not in ("f32", "bf16", "int8"):
+        raise ValueError(
+            f"UNIGEN_QUANT_BWD={p!r}: expected f32|bf16|int8")
+    return p
+
+
+def _bwd_dx(g, w_q_unpacked, w_scale, x_dtype):
+    """dx = g @ (W_q * w_scale)^T under the active quant_bwd_policy.
+    ``w_q_unpacked`` is int8 [in, out]; contraction is over the out axis
+    (axis 1) — no materialized transpose, XLA lays the operand out for the
+    MXU directly."""
+    policy = quant_bwd_policy()
+    nd = g.ndim - 1
+    if policy == "int8":
+        # dx = (g ⊙ w_scale) @ W_q^T exactly; quantize the scaled cotangent
+        # per token so the contraction runs int8 x int8 -> int32
+        h = g.astype(jnp.float32) * w_scale.reshape(-1)
+        hq, hs = _quantize_act(h)
+        acc = jax.lax.dot_general(hq, w_q_unpacked, (((nd,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * hs).astype(x_dtype)
+    if policy == "bf16":
+        w_deq = (w_q_unpacked.astype(jnp.float32) * w_scale
+                 ).astype(jnp.bfloat16)
+        dx = jax.lax.dot_general(g.astype(jnp.bfloat16), w_deq,
+                                 (((nd,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return dx.astype(x_dtype)
+    w_deq = w_q_unpacked.astype(jnp.float32) * w_scale       # [in, out]
+    dx = jax.lax.dot_general(g.astype(jnp.float32), w_deq,
+                             (((nd,), (1,)), ((), ())))
+    return dx.astype(x_dtype)
+
+
 def _int8_mm_fwd(x, w_q, w_scale, out_dtype):
     return _int8_matmul_fwd_only(x, w_q, w_scale, out_dtype), (x, w_q, w_scale)
 
 
 def _int8_mm_bwd(out_dtype, res, g):
     x, w_q, w_scale = res
-    w_deq = w_q.astype(jnp.float32) * w_scale       # [in, out]
-    dx = jax.lax.dot_general(g.astype(jnp.float32), w_deq,
-                             (((g.ndim - 1,), (1,)), ((), ())))
-    return dx.astype(x.dtype), None, None
+    return _bwd_dx(g, w_q, w_scale, x.dtype), None, None
 
 
 int8_matmul.defvjp(_int8_mm_fwd, _int8_mm_bwd)
@@ -228,10 +274,7 @@ def _int4_mm_fwd(x, w_q4, w_scale, out_dtype):
 
 def _int4_mm_bwd(out_dtype, res, g):
     x, w_q4, w_scale = res
-    w_deq = unpack_int4(w_q4).astype(jnp.float32) * w_scale
-    dx = jax.lax.dot_general(g.astype(jnp.float32), w_deq,
-                             (((g.ndim - 1,), (1,)), ((), ())))
-    return dx.astype(x.dtype), None, None
+    return _bwd_dx(g, unpack_int4(w_q4), w_scale, x.dtype), None, None
 
 
 int4_matmul.defvjp(_int4_mm_fwd, _int4_mm_bwd)

@@ -34,16 +34,20 @@ def _ckpt_dir(work_dir: str, step: int) -> str:
 
 def save_train_state(work_dir: str, step: int, control, opt_state,
                      extra: Optional[Dict[str, Any]] = None) -> str:
+    """EVERY process must call this in a multi-process job: orbax multihost
+    saves are collective (each rank writes its addressable shards; the
+    primary host commits). The json side-files are rank-0-only."""
     path = _ckpt_dir(work_dir, step)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "adapter"), control, force=True)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
-    meta = {"step": step, **(extra or {})}
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(work_dir, "latest"), "w") as f:
-        f.write(f"step_{step:08d}")
+    if jax.process_index() == 0:
+        meta = {"step": step, **(extra or {})}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(work_dir, "latest"), "w") as f:
+            f.write(f"step_{step:08d}")
     return path
 
 

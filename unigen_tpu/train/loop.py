@@ -91,14 +91,23 @@ class Trainer:
             return False
         control, opt_state, meta = restored
         if self.mesh is not None:
-            # re-place restored state on the mesh (restore lands host-local);
-            # shardings are read off the live pre-restore state trees
-            control = jax.tree.map(
-                lambda x, ref: jax.device_put(jnp.asarray(x), ref.sharding),
-                control, self.state.control)
-            opt_state = jax.tree.map(
-                lambda x, ref: jax.device_put(jnp.asarray(x), ref.sharding),
-                opt_state, self.state.opt_state)
+            # re-place restored state on the mesh (restore lands host-local
+            # and FULL on every process); shardings are read off the live
+            # pre-restore state trees. make_array_from_callback assembles
+            # each rank's addressable shards from its own full host copy —
+            # a plain device_put here needs a cross-host transfer, which the
+            # CPU backend refuses (caught by tests/test_multiprocess.py)
+            def _place(x, ref):
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    # orbax restored straight to the template's global
+                    # sharding (multi-process restore path) — nothing to do
+                    return x
+                arr = np.asarray(x)
+                return jax.make_array_from_callback(
+                    arr.shape, ref.sharding, lambda idx: arr[idx])
+            control = jax.tree.map(_place, control, self.state.control)
+            opt_state = jax.tree.map(_place, opt_state,
+                                     self.state.opt_state)
         self.state = TrainState(control=control, opt_state=opt_state,
                                 step=jnp.asarray(meta["step"], jnp.int32))
         self.global_step = int(meta["step"])
@@ -187,10 +196,15 @@ class Trainer:
         return last
 
     def save(self) -> None:
-        if jax.process_index() != 0:
-            return
+        # collective: orbax multihost saves need EVERY rank (each writes its
+        # addressable shards) — an early non-zero-rank return deadlocks or
+        # drops shards in a real multi-process job (caught by
+        # tests/test_multiprocess.py); the torch-format adapter export below
+        # stays rank-0-only (adapter factors ride replicated)
         ckpt_lib.save_train_state(self.work_dir, self.global_step,
                                   self.state.control, self.state.opt_state)
+        if jax.process_index() != 0:
+            return
         if self.tcfg.lora_rank > 0:
             # LoRA mode: state.control IS the adapter dict — also export it
             # in the reference per-adapter layout every checkpoint
