@@ -229,12 +229,26 @@ def _flash_fwd(q, k, v, mask):
     return o, (q, k, v, o)
 
 
+def _attn_debug(kind: str, q, k):
+    """UNIGEN_ATTN_DEBUG=1: trace-time print of every backward dispatch
+    decision (tracing happens once per shape — the audit tool VERDICT r4
+    next-round #1a asked for)."""
+    if os.environ.get("UNIGEN_ATTN_DEBUG") == "1":
+        import sys as _sys
+        print(f"# attn-bwd {kind} sq={q.shape[2]} skv={k.shape[2]} "
+              f"bh={q.shape[0] * q.shape[1]} dtype={q.dtype}",
+              file=_sys.stderr, flush=True)
+
+
 def _flash_bwd(mask, res, g):
     q, k, v, o = res
     if _bwd_supported(q, k, v):
+        _attn_debug("fullkv", q, k)
         return _flash_bwd_impl(q, k, v, g)
     if streaming_supported(q, k, v):
+        _attn_debug("blocked", q, k)
         return _flash_bwd_blocked(q, k, v, g, o)
+    _attn_debug("xla", q, k)
     _, vjp = jax.vjp(_ref_attn, q, k, v)
     return vjp(g)
 
@@ -327,11 +341,14 @@ def _flash_rope_fwd(q, k, v, cos, sin, kcos, ksin):
 def _flash_rope_bwd(res, g):
     q, k, v, cos, sin, kcos, ksin, o = res
     if _bwd_supported(q, k, v):
+        _attn_debug("fullkv_rope", q, k)
         dq, dk, dv = _flash_bwd_impl(q, k, v, g, (cos, sin, kcos, ksin))
     elif streaming_supported(q, k, v):
+        _attn_debug("blocked_rope", q, k)
         dq, dk, dv = _flash_bwd_blocked(q, k, v, g, o,
                                         (cos, sin, kcos, ksin))
     else:
+        _attn_debug("xla_rope", q, k)
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _ref_attn_rope(q_, k_, v_, cos, sin, kcos, ksin),
             q, k, v)
@@ -511,7 +528,9 @@ def _flash_stream_fwd(q, k, v):
 def _flash_stream_bwd(res, g):
     q, k, v, o = res
     if streaming_supported(q, k, v):
+        _attn_debug("blocked_stream", q, k)
         return _flash_bwd_blocked(q, k, v, g, o)
+    _attn_debug("xla_stream", q, k)
     _, vjp = jax.vjp(_ref_attn, q, k, v)
     return vjp(g)
 
@@ -542,6 +561,7 @@ def _flash_stream_rope_fwd(q, k, v, cos, sin, kcos, ksin):
 def _flash_stream_rope_bwd(res, g):
     q, k, v, cos, sin, kcos, ksin, o = res
     if streaming_supported(q, k, v):
+        _attn_debug("blocked_stream_rope", q, k)
         dq, dk, dv = _flash_bwd_blocked(q, k, v, g, o,
                                         (cos, sin, kcos, ksin))
     else:

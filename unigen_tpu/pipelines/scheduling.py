@@ -82,9 +82,18 @@ def euler_step(sample: jnp.ndarray, model_output: jnp.ndarray,
 
 
 def scale_noise(sample: jnp.ndarray, noise: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
-    """Forward process z_t = (1 - sigma) x + sigma z1 (train.py:601-604)."""
-    sigma = jnp.reshape(sigma, (-1,) + (1,) * (sample.ndim - 1))
-    return (1.0 - sigma) * sample + sigma * noise
+    """Forward process z_t = (1 - sigma) x + sigma z1 (train.py:601-604).
+
+    Computed in f32, returned in the SAMPLE's dtype: the strongly-typed f32
+    sigma table used to promote the noisy latents — and with them the ENTIRE
+    training forward/backward — to f32 activations (caught in round 5: the
+    serving forward traced bf16 attention while the train step traced f32;
+    2x activation HBM was the single biggest train-vs-serving MFU gap)."""
+    sigma = jnp.reshape(sigma.astype(jnp.float32),
+                        (-1,) + (1,) * (sample.ndim - 1))
+    out = (1.0 - sigma) * sample.astype(jnp.float32) \
+        + sigma * noise.astype(jnp.float32)
+    return out.astype(sample.dtype)
 
 
 def sample_timestep_density(rng: jax.Array, batch: int, scheme: str = "none", *,

@@ -1434,6 +1434,9 @@ class StepServer:
                 if self._adaptive:
                     if self._drift_fn is None:
                         self._drift_fn = self._build_drift()
+                        d1 = self._drift_fn
+                        self._drift2_fn = self._jit(
+                            lambda lat, rf, rp: (d1(lat, rf), d1(lat, rp)))
                     if self.adaptive_lag:
                         # pipelined: one-tick-stale handle (never waits on
                         # the in-flight tick — see _lagged_drift)
@@ -1541,11 +1544,20 @@ class StepServer:
                     commit()
                 if self._adaptive and self.adaptive_lag:
                     # dispatch (don't pull) this tick's drift handle against
-                    # the POST-commit references — consumed two ticks later
-                    hf = (self._drift_fn(self._lat, self._ref_full)
-                          if self.thr_c > 0 else None)
-                    hp = (self._drift_fn(self._lat, self._ref_pred)
-                          if self.thr_m > 0 else None)
+                    # the POST-commit references — consumed two ticks later.
+                    # BOTH drift vectors ride ONE program: each dispatch
+                    # costs ~4 ms through the axon relay (CLAUDE.md), so the
+                    # hybrid config's two separate handles taxed every tick
+                    # ~8 ms of the measured 649-vs-548 ms lag-1 latency gap
+                    # (VERDICT r4 #7)
+                    if self.thr_c > 0 and self.thr_m > 0:
+                        hf, hp = self._drift2_fn(self._lat, self._ref_full,
+                                                 self._ref_pred)
+                    else:
+                        hf = (self._drift_fn(self._lat, self._ref_full)
+                              if self.thr_c > 0 else None)
+                        hp = (self._drift_fn(self._lat, self._ref_pred)
+                              if self.thr_m > 0 else None)
                     self._pending_drift.append((self._tick_seq, hf, hp))
                     self._tick_seq += 1
                 for i, s in active:
