@@ -45,6 +45,9 @@ def _pick_bk(k: int) -> int:
     (K = 1536 / 6144) were excluded by the fixed 1024 block — the judge's
     r4 finding #6: W4A8 SD3 ran 2% UNDER W8A8 because every int4 matmul
     took the XLA unpack-to-HBM path. 512 divides all SD3 serving widths."""
+    override = os.environ.get("UNIGEN_W4_BK")
+    if override and k % int(override) == 0:
+        return int(override)
     for bk in (1024, 512, 256, 128):
         if k % bk == 0:
             return bk
