@@ -482,10 +482,22 @@ def _stream_call(qr, kr, vr, rope_tables, *, scale, skv, d, bq, bk):
     )(*args)
 
 
+def _pick_bk_stream(skv: int) -> int:
+    """KV block for the streaming schedule. Device sweep at the 1024² shapes
+    (PROFILE_STREAM_SWEEP.json, VERDICT r4 #4): bk=1536 beats the old fixed
+    1024 by 6.5% at skv 4608 (4.06 vs 4.34 ms) while 1024 stays best at
+    skv 8704 (1536 would pad +6%) — pick the candidate minimising padded
+    work, preferring the larger block on ties (fewer online-softmax rescale
+    passes). UNIGEN_PALLAS_BK_STREAM overrides."""
+    if os.environ.get("UNIGEN_PALLAS_BK_STREAM"):
+        return BK_STREAM
+    return min((1536, 1024), key=lambda bk: (_round_up(skv, bk), -bk))
+
+
 def _stream_prep(q, k, v, cos=None, sin=None, kcos=None, ksin=None):
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq, bk = min(BQ_STREAM, _round_up(sq, 128)), BK_STREAM
+    bq, bk = min(BQ_STREAM, _round_up(sq, 128)), _pick_bk_stream(skv)
     sq_pad = _round_up(sq, bq)
     skv_pad = _round_up(skv, bk)
     qr = q.reshape(b * h, sq, d)
