@@ -121,6 +121,23 @@ def main():
     assert resumed.global_step == trainer.global_step
     m3 = resumed.step(local_batch())
 
+    # sharded SERVING across the process boundary: pipeline.shard(mesh) +
+    # generate() with the batch split over the cross-process 'data' axis.
+    # Exercises place_global (committed encoder arrays cannot device_put
+    # onto a cross-process sharding) and fetch_global (the final pixels are
+    # not fully addressable locally — process_allgather); output must be
+    # byte-identical to the single-process 8-device run (parent asserts).
+    import __graft_entry__ as ge
+    sflux = C.tiny_flux_config(num_attention_heads=4, attention_head_dim=16)
+    scfg = C.UniGenConfig(family="flux", flux=sflux,
+                          condition_types=("canny",),
+                          control=C.ControlConfig(
+                              moe=C.MoEConfig(expert_num=4)))
+    pipe = ge._tiny_serving_pipe(C, scfg)
+    pipe.shard(mesh)
+    img = ge._tiny_generate(pipe, b=4)
+    np.save(os.path.join(outdir, f"serve_{pid}.npy"), img)
+
     out = {"pid": pid,
            "loss1": float(m1["step_loss"]), "loss2": float(m2["step_loss"]),
            "loss3_resumed": float(m3["step_loss"]),

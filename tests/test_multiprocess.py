@@ -93,3 +93,18 @@ def test_two_process_distributed_trainer(tmp_path):
     assert m[0]["loss1"] == pytest.approx(float(ref["step_loss"]), rel=2e-4)
     assert m[0]["grad_norm1"] == pytest.approx(float(ref["grad_norm"]),
                                                rel=2e-3)
+
+    # sharded SERVING equality: both ranks produced the same images, and
+    # they match the single-process 8-device sharded generate byte-for-byte
+    import __graft_entry__ as ge
+    simgs = [np.load(tmp_path / f"serve_{pid}.npy") for pid in range(2)]
+    np.testing.assert_array_equal(simgs[0], simgs[1])
+    sflux = C.tiny_flux_config(num_attention_heads=4, attention_head_dim=16)
+    scfg = C.UniGenConfig(family="flux", flux=sflux,
+                          condition_types=("canny",),
+                          control=C.ControlConfig(
+                              moe=C.MoEConfig(expert_num=4)))
+    pipe = ge._tiny_serving_pipe(C, scfg)
+    pipe.shard(mesh)
+    ref_img = ge._tiny_generate(pipe, b=4)
+    np.testing.assert_array_equal(simgs[0], ref_img)

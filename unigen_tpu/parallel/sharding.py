@@ -78,11 +78,45 @@ def param_spec(path, leaf, mesh: Mesh, *, zero_sharding: bool = True,
     return P(*spec)
 
 
+def place_global(x, sharding):
+    """``device_put`` that also works when ``sharding`` spans PROCESSES.
+
+    In a multi-process job a committed single-device array cannot be
+    ``device_put`` onto a cross-process sharding (the backend refuses the
+    cross-host transfer — caught by tests/test_multiprocess.py on the
+    Trainer resume path, and the serving ``_place_inputs`` has the same
+    shape: encoder outputs are committed device arrays). Every process
+    holds the full host value in the single-controller pattern, so the
+    global array is assembled from local lookups instead. Already-global
+    arrays pass through (the jit program reshards by spec)."""
+    import numpy as np
+    if not hasattr(x, "ndim"):
+        return x
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return x
+    if jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
+    return jax.device_put(x, sharding)
+
+
+def fetch_global(x):
+    """Device->host for a possibly multi-process-sharded array: allgathers
+    across processes when the value is not fully addressable locally (the
+    serving pipelines' image conversion), plain np.asarray otherwise."""
+    import numpy as np
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def shard_params(params, mesh: Mesh, **kw):
     """Place a param tree onto the mesh according to the rules."""
     def _place(path, leaf):
         s = NamedSharding(mesh, param_spec(path, leaf, mesh, **kw))
-        return jax.device_put(leaf, s)
+        return place_global(leaf, s)
     return jax.tree_util.tree_map_with_path(_place, params)
 
 

@@ -79,8 +79,9 @@ class UniGenFluxPipeline:
         self.mesh = mesh
         self.params = shd.shard_params(self.params, mesh)
         if self.vae_params is not None:
-            self.vae_params = jax.device_put(self.vae_params,
-                                             shd.replicated(mesh))
+            self.vae_params = jax.tree.map(
+                lambda x: shd.place_global(x, shd.replicated(mesh)),
+                self.vae_params)
 
     def _place_inputs(self, tree, batch_axis: int = 0):
         """Shard array inputs over the mesh 'data' axis (replicate anything
@@ -97,10 +98,10 @@ class UniGenFluxPipeline:
                     and x.shape[batch_axis] % d == 0):
                 spec = [None] * x.ndim
                 spec[batch_axis] = "data"
-                return jax.device_put(
+                return shd.place_global(
                     x, jax.sharding.NamedSharding(
                         self.mesh, jax.sharding.PartitionSpec(*spec)))
-            return jax.device_put(x, shd.replicated(self.mesh))
+            return shd.place_global(x, shd.replicated(self.mesh))
 
         return jax.tree.map(_place, tree)
 
@@ -682,7 +683,7 @@ class UniGenFluxPipeline:
             control_pixels = self._place_inputs(control_pixels,
                                                 batch_axis=cond_axis)
             from unigen_tpu.parallel import sharding as shd
-            offsets = jax.device_put(offsets, shd.replicated(self.mesh))
+            offsets = shd.place_global(offsets, shd.replicated(self.mesh))
 
         if hybrid_adaptive:
             # BOTH thresholds ride as traced scalars: one compiled program
@@ -705,7 +706,8 @@ class UniGenFluxPipeline:
             pixels = program(self.params, self.vae_params, latents,
                              control_pixels, prompt_embeds, pooled,
                              cond_pooled, neg_embeds, neg_pooled, offsets)
-        imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
+        from unigen_tpu.parallel.sharding import fetch_global
+        imgs = fetch_global(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
 
     # ------------------------------------------------------------ public API

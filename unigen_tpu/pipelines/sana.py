@@ -380,7 +380,8 @@ class UniGenSanaPipeline:
             pixels = program(self.params, latents,
                              jnp.asarray(control_pixels, self.dtype),
                              prompt_embeds, prompt_mask, pooled, cond_pooled)
-        imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
+        from unigen_tpu.parallel.sharding import fetch_global
+        imgs = fetch_global(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
 
     # ------------------------------------------------------------ public

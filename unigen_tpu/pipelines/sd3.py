@@ -54,8 +54,9 @@ class UniGenSD3Pipeline:
         self.mesh = mesh
         self.params = shd.shard_params(self.params, mesh)
         if self.vae_params is not None:
-            self.vae_params = jax.device_put(self.vae_params,
-                                             shd.replicated(mesh))
+            self.vae_params = jax.tree.map(
+                lambda x: shd.place_global(x, shd.replicated(mesh)),
+                self.vae_params)
 
     def _place_inputs(self, tree):
         if self.mesh is None:
@@ -69,10 +70,10 @@ class UniGenSD3Pipeline:
             if x.ndim >= 1 and d > 1 and x.shape[0] % d == 0:
                 spec = [None] * x.ndim
                 spec[0] = "data"
-                return jax.device_put(
+                return shd.place_global(
                     x, jax.sharding.NamedSharding(
                         self.mesh, jax.sharding.PartitionSpec(*spec)))
-            return jax.device_put(x, shd.replicated(self.mesh))
+            return shd.place_global(x, shd.replicated(self.mesh))
 
         return jax.tree.map(_place, tree)
 
@@ -529,5 +530,6 @@ class UniGenSD3Pipeline:
             pixels = program(self.params, self.vae_params, latents,
                              control_pixels, prompt_embeds, pooled,
                              cond_pooled, neg_embeds, neg_pooled)
-        imgs = np.asarray(jnp.clip(pixels.astype(jnp.float32), -1, 1))
+        from unigen_tpu.parallel.sharding import fetch_global
+        imgs = fetch_global(jnp.clip(pixels.astype(jnp.float32), -1, 1))
         return ((imgs.transpose(0, 2, 3, 1) + 1) * 127.5).round().astype(np.uint8)
