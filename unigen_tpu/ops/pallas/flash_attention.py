@@ -792,8 +792,24 @@ def streaming_supported(q, k, v) -> bool:
 # q/k in-kernel (pair-constant tables, same argument as the full-KV rope
 # backward) and counter-rotate dq/dk on the way out.
 
-BQ_BWD_BLK = int(os.environ.get("UNIGEN_PALLAS_BQ_BWDBLK", "256"))
-BK_BWD_BLK = int(os.environ.get("UNIGEN_PALLAS_BK_BWDBLK", "512"))
+BQ_BWD_BLK = int(os.environ.get("UNIGEN_PALLAS_BQ_BWDBLK", "512"))
+BK_BWD_BLK = int(os.environ.get("UNIGEN_PALLAS_BK_BWDBLK", "0"))  # 0 = auto
+
+
+def _pick_bk_bwd_blk(skv: int) -> int:
+    """KV block for the kv-blocked backward. Device sweep at the train
+    shape (b2·h24·sq1536·skv2560, PROFILE_BWD_SWEEP.json): larger blocks
+    win decisively — (bq512, bk1280) 6.73 ms vs the first-cut (256, 512)
+    8.74 ms (−23%); bq128 is uniformly worst. Per-pass efficiency factors
+    measured there (bk512 ≈ 1.30×, bk1024 ≈ 1.08× interpolated, bk1280 =
+    1.0×) weight the padded-work comparison so e.g. skv 4608 prefers
+    bk1280 (+11% pad, −23% per pass) over the pad-free 512.
+    (bq512, bk1280) is the device-verified VMEM ceiling (~14.5 MB modeled);
+    UNIGEN_PALLAS_BK_BWDBLK overrides."""
+    if BK_BWD_BLK:
+        return BK_BWD_BLK
+    cost = {1280: 1.0, 1024: 1.08, 512: 1.30}
+    return min(cost, key=lambda bk: _round_up(skv, bk) * cost[bk])
 
 
 def _lse_kernel(q_ref, k_ref, lse_ref, m_ref, l_ref, *, scale: float,
@@ -976,7 +992,7 @@ def _flash_bwd_blocked(q, k, v, do, o, tables=None):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     bq = min(BQ_BWD_BLK, _round_up(sq, 128))
-    bk = min(BK_BWD_BLK, _round_up(skv, 128))
+    bk = min(_pick_bk_bwd_blk(skv), _round_up(skv, 128))
     sq_pad, skv_pad = _round_up(sq, bq), _round_up(skv, bk)
     scale = 1.0 / (d ** 0.5)
 
